@@ -1,0 +1,102 @@
+"""graphem_rapids_spark — a PySpark-native analytics engine with the
+query and data-processing capabilities of ``sashakolpakov/graphem-rapids``.
+
+The reference (see SURVEY.md) is a GPU graph-embedding library:
+spectral initialization + force-directed layout whose radial geometry
+drives influence-maximization seed selection, plus graph generators,
+dataset loaders, an Independent-Cascade simulator and a
+centrality-correlation benchmark harness.
+
+This package re-expresses every operator Spark-first (DataFrame/SQL,
+Catalyst-optimized, shuffle-aware) and extends the surface with the
+large-scale training-data-pipeline operators (dedup, similarity
+search, text analysis, multimodal columns) that a 100 TB deployment
+needs.
+
+Public API parity target: reference ``graphem_rapids/__init__.py:173-220``.
+"""
+
+from graphem_rapids_spark.session import get_spark, stop_spark
+from graphem_rapids_spark.graph.canon import (
+    canonicalize_edges,
+    symmetrize_edges,
+    vertices_from_edges,
+    relabel_contiguous,
+    vertex_degrees,
+)
+from graphem_rapids_spark.graph.generators import (
+    erdos_renyi_graph,
+    compute_vertex_degrees,
+    generate_sbm,
+    generate_ba,
+    generate_ws,
+    generate_power_cluster,
+    generate_road_network,
+    generate_bipartite_graph,
+    generate_balanced_tree,
+    generate_random_regular,
+    generate_scale_free,
+    generate_geometric,
+    generate_caveman,
+    generate_relaxed_caveman,
+)
+from graphem_rapids_spark.embedding.embedder import GraphEmbedderSpark, create_graphem
+from graphem_rapids_spark.influence import (
+    graphem_seed_selection,
+    estimated_influence,
+    greedy_seed_selection,
+    random_seed_baseline,
+)
+from graphem_rapids_spark.analytics import (
+    degree_centrality,
+    pagerank,
+    eigenvector_centrality,
+    connected_components,
+    graph_stats,
+    spearman_correlation,
+    rank_column,
+    full_correlation_matrix,
+    bootstrap_spearman_ci,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "get_spark",
+    "stop_spark",
+    "canonicalize_edges",
+    "symmetrize_edges",
+    "vertices_from_edges",
+    "relabel_contiguous",
+    "vertex_degrees",
+    "erdos_renyi_graph",
+    "compute_vertex_degrees",
+    "generate_sbm",
+    "generate_ba",
+    "generate_ws",
+    "generate_power_cluster",
+    "generate_road_network",
+    "generate_bipartite_graph",
+    "generate_balanced_tree",
+    "generate_random_regular",
+    "generate_scale_free",
+    "generate_geometric",
+    "generate_caveman",
+    "generate_relaxed_caveman",
+    "GraphEmbedderSpark",
+    "create_graphem",
+    "graphem_seed_selection",
+    "estimated_influence",
+    "greedy_seed_selection",
+    "random_seed_baseline",
+    "degree_centrality",
+    "pagerank",
+    "eigenvector_centrality",
+    "connected_components",
+    "graph_stats",
+    "spearman_correlation",
+    "rank_column",
+    "full_correlation_matrix",
+    "bootstrap_spearman_ci",
+    "__version__",
+]

@@ -1,0 +1,366 @@
+"""Analytics / statistics operators — reference ``benchmark.py:73-163``
+and ``visualization.py`` (SURVEY.md §2.5).
+
+Centralities (A1–A6): degree, PageRank and eigenvector are proper
+distributed iterative dataflows (each step = one edges⋈scores join +
+one groupBy-sum — the aggregateMessages pattern). Closeness runs
+batched multi-source BFS (source_id as a key column: all sources share
+each frontier shuffle). Betweenness/load keep the reference's own
+small-n driver fallback (networkx guarded to n<5000,
+``benchmarks/run_benchmarks.py:313-319``) — exact distributed Brandes
+is out of scope, as it is for the reference.
+
+Statistics (A7–A10): graph stats, Spearman via mean-rank windows +
+built-in ``corr`` (Pearson on ranks — exactly scipy's definition),
+Poisson-bootstrap confidence intervals (the scalable resampling
+scheme: each row appears Poisson(1) times per trial, so 1000 trials
+run as one exploded groupBy instead of 1000 jobs), full pairwise
+correlation matrix.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphem_rapids_spark.graph.canon import symmetrize_edges, vertex_degrees
+
+_HASH_BUCKETS = 1 << 30
+
+
+# ---------------------------------------------------------------- A1/A7
+def degree_centrality(edges: DataFrame, n_vertices: int, vertices: DataFrame | None = None) -> DataFrame:
+    """(id, value) — degree/(n-1), networkx convention
+    (reference ``benchmark.py:75``)."""
+    if vertices is None:
+        vertices = edges.sparkSession.range(n_vertices).select(F.col("id").cast("long"))
+    deg = vertex_degrees(edges, vertices)
+    return deg.select("id", (F.col("degree") / float(max(n_vertices - 1, 1))).alias("value"))
+
+
+def graph_stats(edges: DataFrame, n_vertices: int) -> dict:
+    """density = 2m/(n(n-1)), avg_degree = 2m/n
+    (reference ``benchmark.py:143-144``)."""
+    m = edges.count()
+    n = n_vertices
+    return {
+        "n_vertices": n,
+        "n_edges": m,
+        "density": 2.0 * m / (n * (n - 1)) if n > 1 else 0.0,
+        "avg_degree": 2.0 * m / n if n else 0.0,
+    }
+
+
+# ------------------------------------------------------------------- A4
+def pagerank(
+    edges: DataFrame,
+    n_vertices: int | None = None,
+    alpha: float = 0.85,
+    max_iter: int = 30,
+    tol: float = 1e-6,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """(id, value) — PageRank on the undirected (symmetrized) graph,
+    networkx semantics incl. dangling-mass redistribution
+    (reference ``benchmark.py:95-98``). Each step: one join + one agg.
+    Pass ``vertices`` for sparse (non-contiguous) id spaces."""
+    spark = edges.sparkSession
+    sym = symmetrize_edges(edges)
+    out_deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("od"))
+    if vertices is not None:
+        verts = vertices.select(F.col("id").cast("long"))
+        n = verts.count()
+    else:
+        n = n_vertices
+        verts = spark.range(n).select(F.col("id").cast("long"))
+    base = verts.join(out_deg, "id", "left").select(
+        "id", F.coalesce("od", F.lit(0)).alias("od")
+    ).persist()
+    pr = base.select("id", "od", F.lit(1.0 / n).alias("value")).persist()
+    for it in range(max_iter):
+        dangling = pr.filter(F.col("od") == 0).agg(F.sum("value")).first()[0] or 0.0
+        contrib = (
+            pr.filter(F.col("od") > 0)
+            .join(sym.withColumnRenamed("src", "id"), "id")
+            .select(F.col("dst").alias("id"), (F.col("value") / F.col("od")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        const = (1.0 - alpha) / n + alpha * dangling / n
+        new_pr = base.join(contrib, "id", "left").select(
+            "id",
+            "od",
+            (F.lit(const) + F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0))).alias("value"),
+        )
+        new_pr = new_pr.localCheckpoint(eager=True) if (it + 1) % 8 == 0 else new_pr.persist()
+        delta = (
+            new_pr.join(pr.select("id", F.col("value").alias("old")), "id")
+            .agg(F.sum(F.abs(F.col("value") - F.col("old"))))
+            .first()[0]
+        )
+        pr.unpersist()
+        pr = new_pr
+        if delta is not None and delta < n * tol:
+            break
+    base.unpersist()
+    return pr.select("id", "value")
+
+
+# ------------------------------------------------------------------- A3
+def eigenvector_centrality(
+    edges: DataFrame, n_vertices: int, max_iter: int = 100, tol: float = 1e-6
+) -> DataFrame:
+    """(id, value) — power iteration on A, L2-normalized (networkx
+    ``eigenvector_centrality_numpy`` semantics; reference
+    ``benchmark.py:82-93`` incl. its degree-fallback ethos)."""
+    spark = edges.sparkSession
+    sym = symmetrize_edges(edges).persist()
+    verts = spark.range(n_vertices).select(F.col("id").cast("long"))
+    x = verts.select("id", F.lit(1.0 / math.sqrt(n_vertices)).alias("value")).persist()
+    for it in range(max_iter):
+        y = (
+            x.join(sym.withColumnRenamed("src", "id"), "id")
+            .select(F.col("dst").alias("id"), F.col("value").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("value"))
+        )
+        y = verts.join(y, "id", "left").select(
+            "id", (F.coalesce("value", F.lit(0.0)) + F.col("id") * 0.0).alias("value")
+        )
+        norm = y.agg(F.sqrt(F.sum(F.col("value") * F.col("value")))).first()[0] or 1.0
+        if norm == 0:
+            break
+        new_x = y.select("id", (F.col("value") / norm).alias("value"))
+        new_x = new_x.localCheckpoint(eager=True) if (it + 1) % 10 == 0 else new_x.persist()
+        delta = (
+            new_x.join(x.select("id", F.col("value").alias("old")), "id")
+            .agg(F.sum(F.abs(F.col("value") - F.col("old"))))
+            .first()[0]
+        )
+        x.unpersist()
+        x = new_x
+        if delta is not None and delta < n_vertices * tol:
+            break
+    sym.unpersist()
+    return x
+
+
+# ------------------------------------------------------------------- A7
+def connected_components(edges: DataFrame, n_vertices: int, max_iter: int = 50) -> DataFrame:
+    """(id, component) — min-label propagation to convergence
+    (GraphFrames-free; reference uses it for LCC extraction,
+    ``benchmarks/run_benchmarks.py:256-270``)."""
+    spark = edges.sparkSession
+    sym = symmetrize_edges(edges).persist()
+    labels = spark.range(n_vertices).select(
+        F.col("id").cast("long"), F.col("id").cast("long").alias("component")
+    ).persist()
+    for it in range(max_iter):
+        nbr_min = (
+            labels.join(sym.withColumnRenamed("src", "id"), "id")
+            .select(F.col("dst").alias("id"), F.col("component").alias("c"))
+            .groupBy("id")
+            .agg(F.min("c").alias("nbr"))
+        )
+        new_labels = labels.join(nbr_min, "id", "left").select(
+            "id", F.least(F.col("component"), F.coalesce("nbr", F.col("component"))).alias("component")
+        )
+        new_labels = (
+            new_labels.localCheckpoint(eager=True) if (it + 1) % 5 == 0 else new_labels.persist()
+        )
+        changed = (
+            new_labels.join(labels.select("id", F.col("component").alias("old")), "id")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def largest_connected_component(edges: DataFrame, n_vertices: int) -> DataFrame:
+    """Edge list restricted to the LCC (reference LCC extraction)."""
+    comp = connected_components(edges, n_vertices)
+    top = (
+        comp.groupBy("component").count().orderBy(F.col("count").desc(), F.col("component").asc()).first()
+    )
+    keep = comp.filter(F.col("component") == top["component"]).select("id")
+    return (
+        edges.join(keep.withColumnRenamed("id", "src"), "src")
+        .join(keep.withColumnRenamed("id", "dst"), "dst")
+    )
+
+
+# ------------------------------------------------------------------- A5
+def closeness_centrality(
+    edges: DataFrame, n_vertices: int, sources: DataFrame | None = None, max_iter: int = 100
+) -> DataFrame:
+    """(id, value) — networkx (Wasserman-Faust–free) convention:
+    ``(r-1)/total_dist · (r-1)/(n-1)`` with r = reachable count.
+    Batched multi-source BFS: all sources advance in the same frontier
+    join per step (source column ``s``)."""
+    spark = edges.sparkSession
+    sym = symmetrize_edges(edges).persist()
+    if sources is None:
+        sources = spark.range(n_vertices).select(F.col("id").cast("long"))
+    # localCheckpoint per round — see influence.independent_cascade:
+    # the visited set nests inside each anti-join, so without plan
+    # truncation the plan grows exponentially with BFS depth.
+    visited = sources.select(
+        F.col("id").alias("s"), F.col("id"), F.lit(0).alias("d")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for _ in range(max_iter):
+        nxt = (
+            frontier.join(sym.withColumnRenamed("src", "id"), "id")
+            .select("s", F.col("dst").alias("id"), (F.col("d") + 1).alias("d"))
+            .groupBy("s", "id")
+            .agg(F.min("d").alias("d"))
+        )
+        new_v = nxt.join(visited.select("s", "id"), ["s", "id"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        if new_v.isEmpty():
+            break
+        visited = visited.unionAll(new_v).localCheckpoint(eager=True)
+        frontier = new_v
+    sym.unpersist()
+    n = n_vertices
+    per_src = visited.groupBy("s").agg(
+        F.sum("d").alias("tot"), (F.count("*") - 1).alias("r")
+    )
+    return per_src.select(
+        F.col("s").alias("id"),
+        F.when(
+            F.col("tot") > 0,
+            (F.col("r") / F.col("tot")) * (F.col("r") / float(max(n - 1, 1))),
+        ).otherwise(F.lit(0.0)).alias("value"),
+    )
+
+
+def betweenness_centrality(edges: DataFrame, n_vertices: int) -> DataFrame:
+    """Driver-side networkx exact Brandes — the reference itself guards
+    betweenness to n<5000 and runs networkx on CPU
+    (``benchmarks/run_benchmarks.py:313-319``); same disposition here."""
+    import networkx as nx
+
+    if n_vertices >= 5000:
+        raise ValueError("betweenness is exact/driver-side; guarded to n<5000 like the reference")
+    spark = edges.sparkSession
+    G = nx.Graph()
+    G.add_nodes_from(range(n_vertices))
+    G.add_edges_from((r.src, r.dst) for r in edges.collect())
+    bc = nx.betweenness_centrality(G)
+    return spark.createDataFrame(
+        [(int(i), float(v)) for i, v in bc.items()], "id long, value double"
+    )
+
+
+def load_centrality(edges: DataFrame, n_vertices: int) -> DataFrame:
+    """Driver-side networkx (reference ``benchmark.py:105-108``)."""
+    import networkx as nx
+
+    if n_vertices >= 5000:
+        raise ValueError("load centrality is driver-side; guarded to n<5000 like the reference")
+    spark = edges.sparkSession
+    G = nx.Graph()
+    G.add_nodes_from(range(n_vertices))
+    G.add_edges_from((r.src, r.dst) for r in edges.collect())
+    lc = nx.load_centrality(G)
+    return spark.createDataFrame(
+        [(int(i), float(v)) for i, v in lc.items()], "id long, value double"
+    )
+
+
+# -------------------------------------------------------------- A8–A10
+def rank_column(df: DataFrame, col: str, out: str, partition_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Mean-rank (tie-aware) transform — scipy.stats.rankdata
+    semantics: tied values get the average of their rank range.
+    mean_rank = rank() + (tie_count − 1)/2, two windows, no self-join."""
+    w = Window.partitionBy(*partition_cols).orderBy(F.col(col).asc()) if partition_cols else Window.orderBy(F.col(col).asc())
+    wt = Window.partitionBy(*partition_cols, col) if partition_cols else Window.partitionBy(col)
+    return df.withColumn(
+        out, F.rank().over(w) + (F.count("*").over(wt) - 1) / 2.0
+    )
+
+
+def spearman_correlation(df: DataFrame, col_a: str, col_b: str) -> float:
+    """scipy.stats.spearmanr (reference ``benchmark.py:217-238``):
+    Pearson ``corr`` of mean-ranks."""
+    ranked = rank_column(rank_column(df, col_a, "_ra"), col_b, "_rb")
+    out = ranked.agg(F.corr("_ra", "_rb")).first()[0]
+    return float(out) if out is not None else float("nan")
+
+
+def full_correlation_matrix(df: DataFrame, cols: list[str]) -> dict:
+    """Pairwise Spearman over measure columns (reference
+    ``visualization.py:52-90``). Ranks computed once per column, all
+    correlations in ONE aggregate pass."""
+    ranked = df
+    for c in cols:
+        ranked = rank_column(ranked, c, f"_r_{c}")
+    aggs = [
+        F.corr(f"_r_{a}", f"_r_{b}").alias(f"{a}|{b}")
+        for i, a in enumerate(cols)
+        for b in cols[i:]
+    ]
+    row = ranked.agg(*aggs).first()
+    out = {}
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            v = row[f"{a}|{b}"]
+            out[(a, b)] = out[(b, a)] = float(v) if v is not None else float("nan")
+    return out
+
+
+def bootstrap_spearman_ci(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    n_boot: int = 1000,
+    ci: float = 0.95,
+    seed: int = 0,
+) -> tuple[float, float, float]:
+    """(point, lo, hi) — Poisson bootstrap (each row appears
+    Poisson(1)× per trial; the standard distributed resampling scheme)
+    replacing the reference's 1000 driver-side resamples
+    (``visualization.py:11-49``). All trials share one shuffle."""
+    point = spearman_correlation(df, col_a, col_b)
+    spark = df.sparkSession
+    trials = spark.range(n_boot).select(F.col("id").cast("int").alias("trial"))
+    # Poisson(1) inverse-CDF on a deterministic hash-uniform
+    cum = []
+    acc, p, fact = 0.0, math.exp(-1.0), 1
+    for k in range(8):
+        if k > 0:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        cum.append(acc)
+    u = (
+        F.pmod(F.xxhash64(F.col("_rowid"), F.col("trial"), F.lit(seed)), F.lit(_HASH_BUCKETS)).cast("double")
+        / F.lit(float(_HASH_BUCKETS))
+    )
+    cnt = F.lit(8)
+    for k in range(7, -1, -1):
+        cnt = F.when(u < cum[k], F.lit(k)).otherwise(cnt)
+    base = df.select(col_a, col_b).withColumn("_rowid", F.monotonically_increasing_id())
+    exploded = (
+        base.crossJoin(trials)
+        .withColumn("_cnt", cnt)
+        .filter(F.col("_cnt") > 0)
+        .withColumn("_dup", F.explode(F.sequence(F.lit(1), F.col("_cnt"))))
+    )
+    ranked = rank_column(
+        rank_column(exploded, col_a, "_ra", ("trial",)), col_b, "_rb", ("trial",)
+    )
+    per_trial = ranked.groupBy("trial").agg(F.corr("_ra", "_rb").alias("rho"))
+    lo_q, hi_q = (1 - ci) / 2, 1 - (1 - ci) / 2
+    qs = per_trial.agg(
+        F.percentile_approx("rho", [lo_q, hi_q], 10000).alias("q")
+    ).first()["q"]
+    return point, float(qs[0]), float(qs[1])

@@ -1,0 +1,330 @@
+"""Force-directed graph embedder — the reference's core "query engine"
+(E2–E14, ``backends/embedder_pytorch.py``), re-expressed as DataFrame
+dataflow:
+
+- gather-by-index → equi-join edges⋈positions (broadcast when small)
+- scatter-add     → groupBy(id) hash aggregate with per-component sums
+- topk            → row_number window over distance
+- normalization   → global agg (mean, stddev_samp) + crossJoin(1 row)
+
+Semantics preserved exactly (SURVEY.md §7.4 item 5):
+- spring law ``F = -k_attr·(dist−L_min)·unit(p2−p1)`` with +1e-6 on
+  the norm, applied +F to src / −F to dst (``embedder_pytorch.py:617-634``)
+- midpoint sampling of ``sample_size`` edges (``:401-413``)
+- kNN k+1 with self dropped (``:417-421``; we drop self by edge id —
+  deterministic under distance ties, same semantics)
+- candidate pairs kept when sampled_edge_id < neighbor_edge_id (``:672``)
+- shared-vertex 4-way OR exclusion (``:683-699``)
+- 2-D orientation segment-intersection test using ONLY the first two
+  coordinates even for 3-D embeddings (``:738-774`` — replicated, not
+  "fixed")
+- repulsion from the 4-endpoint midpoint ``k_inter·diff/dist²``
+  (``:723-734``), scatter-added per endpoint
+- update + center + divide by per-dim sample std + 1e-6 (``:795-804``)
+
+Iteration/lineage strategy (the Pregel problem, SURVEY.md §4): persist
+each iteration's positions, ``localCheckpoint`` every
+``checkpoint_every`` iterations to truncate lineage.
+
+Scale notes: positions are n×(d+1) doubles — broadcast-joined while
+they fit (< ~1e8 vertices with 64 MB threshold the planner decides);
+edge joins otherwise shuffle on id with AQE handling skew. The kNN
+side is bounded by ``sample_size ≤ 1024`` queries regardless of graph
+size, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphem_rapids_spark.embedding.laplacian import laplacian_embedding
+from graphem_rapids_spark.graph.canon import canonicalize_edges
+from graphem_rapids_spark.graph.generators import SparkGraph
+
+_EPS = 1e-6
+
+
+class GraphEmbedderSpark:
+    """Constructor parameters mirror the reference
+    (``embedder_pytorch.py:51-67``); device/dtype/memory knobs are
+    obsolete under Spark and intentionally absent."""
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        n_vertices: int,
+        n_components: int = 2,
+        L_min: float = 1.0,
+        k_attr: float = 0.2,
+        k_inter: float = 0.5,
+        n_neighbors: int = 10,
+        sample_size: int = 256,
+        seed: int = 0,
+        knn_method: str = "auto",
+        checkpoint_every: int = 2,
+        verbose: bool = False,
+    ):
+        if n_vertices <= 0:
+            raise ValueError("graph must be non-empty")
+        if n_components <= 0:
+            raise ValueError("n_components must be positive")
+        if k_attr < 0 or k_inter < 0:
+            raise ValueError("force constants must be non-negative")
+        self.n = n_vertices
+        self.dim = n_components
+        self.L_min = L_min
+        self.k_attr = k_attr
+        self.k_inter = k_inter
+        self.n_neighbors = n_neighbors
+        self.sample_size = sample_size
+        self.seed = seed
+        self.knn_method = knn_method
+        self.checkpoint_every = checkpoint_every
+        self.verbose = verbose
+        self._iter = 0
+
+        # edge_id = hash of the canonical pair: deterministic, no
+        # global sort (the reference's implicit array index).
+        self.edges = (
+            canonicalize_edges(edges)
+            .withColumn("edge_id", F.xxhash64("src", "dst"))
+            .persist()
+        )
+        self.n_edges = self.edges.count()
+        self._positions = laplacian_embedding(
+            self.edges, self.n, self.dim, seed=self.seed
+        ).persist()
+
+    # -- position access (E14) ------------------------------------------
+    @property
+    def positions(self) -> DataFrame:
+        return self._positions
+
+    def get_positions(self) -> np.ndarray:
+        rows = self._positions.orderBy("id").collect()
+        out = np.zeros((self.n, self.dim))
+        for r in rows:
+            out[r.id] = r.pos
+        return out
+
+    def set_positions(self, df: DataFrame) -> None:
+        old = self._positions
+        self._positions = df.persist()
+        self._positions.count()
+        old.unpersist()
+
+    # -- internals -------------------------------------------------------
+    def _pos_as(self, alias_id: str, alias_pos: str) -> DataFrame:
+        p = self._positions.select(
+            F.col("id").alias(alias_id), F.col("pos").alias(alias_pos)
+        )
+        return F.broadcast(p) if self.n <= 50_000_000 // (self.dim + 1) else p
+
+    def _edge_endpoints(self) -> DataFrame:
+        """edges with both endpoint positions gathered (E2/E3 join)."""
+        return self.edges.join(self._pos_as("src", "p1"), "src").join(
+            self._pos_as("dst", "p2"), "dst"
+        )
+
+    @staticmethod
+    def _norm(arr_expr):
+        return F.sqrt(
+            F.aggregate(arr_expr, F.lit(0.0), lambda a, v: a + v * v)
+        )
+
+    def _spring_contribs(self, ee: DataFrame) -> DataFrame:
+        """Per-edge ±force rows (id, f: array) — E2."""
+        diff = F.zip_with("p2", "p1", lambda b, a: b - a)
+        d = ee.withColumn("_diff", diff).withColumn(
+            "_dist", self._norm(F.col("_diff")) + F.lit(_EPS)
+        )
+        mag = F.lit(-self.k_attr) * (F.col("_dist") - F.lit(self.L_min))
+        f = F.transform("_diff", lambda v: mag * v / F.col("_dist"))
+        d = d.withColumn("_f", f)
+        return d.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("id"), F.col("_f").alias("f")),
+                    F.struct(
+                        F.col("dst").alias("id"),
+                        F.transform("_f", lambda v: -v).alias("f"),
+                    ),
+                )
+            ).alias("c")
+        ).select("c.id", "c.f")
+
+    def _intersection_contribs(self, ee: DataFrame) -> DataFrame:
+        """Per-endpoint repulsion rows (id, f) from crossing edge pairs
+        (E3–E11). ``ee`` = edges with endpoint positions."""
+        mids = ee.select(
+            "edge_id",
+            "src",
+            "dst",
+            "p1",
+            "p2",
+            F.zip_with("p1", "p2", lambda a, b: (a + b) / 2.0).alias("mid"),
+        )
+        mids.persist()
+        s = min(self.sample_size, self.n_edges)
+        sampled = (
+            mids.orderBy(F.xxhash64("edge_id", F.lit(self.seed + self._iter)))
+            .limit(s)
+            .select(
+                F.col("edge_id").alias("qid"),
+                F.col("src").alias("qa"),
+                F.col("dst").alias("qb"),
+                F.col("p1").alias("qp1"),
+                F.col("p2").alias("qp2"),
+                F.col("mid").alias("qmid"),
+            )
+        )
+        # kNN of sampled midpoints over ALL midpoints (E5): broadcast
+        # the ≤sample_size queries, window top-k per query.
+        j = mids.join(F.broadcast(sampled), F.col("edge_id") != F.col("qid"))
+        j = j.withColumn(
+            "_d2",
+            F.aggregate(
+                F.zip_with("mid", "qmid", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("_d2").asc(), F.col("edge_id").asc())
+        pairs = (
+            j.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= self.n_neighbors)
+            # candidate filter i<j on edge ids (embedder_pytorch.py:672)
+            .filter(F.col("qid") < F.col("edge_id"))
+            # shared-vertex exclusion (4-way OR, :683-699)
+            .filter(
+                ~(
+                    (F.col("qa") == F.col("src"))
+                    | (F.col("qa") == F.col("dst"))
+                    | (F.col("qb") == F.col("src"))
+                    | (F.col("qb") == F.col("dst"))
+                )
+            )
+        )
+
+        # 2-D orientation intersection test (:738-774) — coords 0,1 only
+        def orient(ax, ay, bx, by, cx, cy):
+            return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+        px, py = F.col("qp1").getItem(0), F.col("qp1").getItem(1)
+        p2x, p2y = F.col("qp2").getItem(0), F.col("qp2").getItem(1)
+        qx, qy = F.col("p1").getItem(0), F.col("p1").getItem(1)
+        q2x, q2y = F.col("p2").getItem(0), F.col("p2").getItem(1)
+        o1 = orient(px, py, p2x, p2y, qx, qy)
+        o2 = orient(px, py, p2x, p2y, q2x, q2y)
+        o3 = orient(qx, qy, q2x, q2y, px, py)
+        o4 = orient(qx, qy, q2x, q2y, p2x, p2y)
+        crossing = pairs.filter((o1 * o2 < 0) & (o3 * o4 < 0))
+
+        # repulsion from 4-endpoint midpoint (:723-734)
+        m = F.expr(
+            "zip_with(zip_with(qp1, qp2, (a,b) -> a+b), "
+            "zip_with(p1, p2, (a,b) -> a+b), (x,y) -> (x+y)/4.0)"
+        )
+        crossing = crossing.withColumn("_m", m)
+
+        def repulse(pos_col, id_col):
+            diff = F.zip_with(pos_col, "_m", lambda a, b: a - b)
+            dist = self._norm(diff) + F.lit(_EPS)
+            f = F.transform(diff, lambda v: F.lit(self.k_inter) * v / (dist * dist))
+            return F.struct(F.col(id_col).alias("id"), f.alias("f"))
+
+        out = crossing.select(
+            F.explode(
+                F.array(
+                    repulse("qp1", "qa"),
+                    repulse("qp2", "qb"),
+                    repulse("p1", "src"),
+                    repulse("p2", "dst"),
+                )
+            ).alias("c")
+        ).select("c.id", "c.f")
+        return out, mids
+
+    def update_positions(self) -> None:
+        """One layout step (E2–E12, ``update_positions`` :776-806)."""
+        ee = self._edge_endpoints()
+        spring = self._spring_contribs(ee)
+        if self.k_inter > 0 and self.n_edges > 1:
+            inter, mids_cache = self._intersection_contribs(ee)
+            contribs = spring.unionAll(inter)
+        else:
+            mids_cache = None
+            contribs = spring
+        forces = contribs.groupBy("id").agg(
+            *[F.sum(F.col("f").getItem(d)).alias(f"f{d}") for d in range(self.dim)]
+        )
+        moved = (
+            self._positions.join(forces, "id", "left")
+            .select(
+                "id",
+                F.array(
+                    *[
+                        F.col("pos").getItem(d) + F.coalesce(F.col(f"f{d}"), F.lit(0.0))
+                        for d in range(self.dim)
+                    ]
+                ).alias("pos"),
+            )
+        )
+        # center + per-dim sample-std scale (:801-804; torch.std is ddof=1)
+        stats = moved.agg(
+            *[F.avg(F.col("pos").getItem(d)).alias(f"m{d}") for d in range(self.dim)],
+            *[F.stddev_samp(F.col("pos").getItem(d)).alias(f"s{d}") for d in range(self.dim)],
+        )
+        newpos = moved.crossJoin(F.broadcast(stats)).select(
+            "id",
+            F.array(
+                *[
+                    (F.col("pos").getItem(d) - F.col(f"m{d}"))
+                    / (F.coalesce(F.col(f"s{d}"), F.lit(0.0)) + F.lit(_EPS))
+                    for d in range(self.dim)
+                ]
+            ).alias("pos"),
+        )
+        self._iter += 1
+        old = self._positions
+        if self._iter % self.checkpoint_every == 0:
+            self._positions = newpos.localCheckpoint(eager=True)
+        else:
+            self._positions = newpos.persist()
+            self._positions.count()
+        old.unpersist()
+        if mids_cache is not None:
+            mids_cache.unpersist()
+
+    def run_layout(self, num_iterations: int = 100) -> DataFrame:
+        """E13 (``run_layout`` :808-833)."""
+        for _ in range(num_iterations):
+            self.update_positions()
+        return self._positions
+
+    def radial_distances(self) -> DataFrame:
+        """(id, radius) — ‖pos‖₂ (reference ``influence.py:31-33``)."""
+        return self._positions.select(
+            "id", self._norm(F.col("pos")).alias("radius")
+        )
+
+
+def create_graphem(
+    edges: DataFrame | SparkGraph,
+    n_vertices: int | None = None,
+    n_components: int = 2,
+    **kw,
+) -> GraphEmbedderSpark:
+    """Factory mirroring the reference ``create_graphem``
+    (``__init__.py:78-136``) — backend selection collapses to strategy
+    flags inside the one Spark engine."""
+    if isinstance(edges, SparkGraph):
+        n_vertices = edges.n_vertices
+        edges = edges.edges
+    if n_vertices is None:
+        from graphem_rapids_spark.graph.canon import vertices_from_edges
+
+        n_vertices = vertices_from_edges(edges).agg(F.max("id")).first()[0] + 1
+    return GraphEmbedderSpark(edges, n_vertices, n_components=n_components, **kw)

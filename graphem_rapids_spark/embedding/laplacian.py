@@ -1,0 +1,198 @@
+"""Spectral (Laplacian) initialization — reference E1
+(``embedder_pytorch.py:337-379``): normalized Laplacian, k+1 smallest
+eigenvectors, drop the trivial first; random-init fallback on failure.
+
+Two strategies, auto-selected by size (mirroring the reference's own
+backend-selection ethos, ``utils/backend_selection.py:178-196``):
+
+- **driver**: collect the (small) edge list, dense ``numpy.linalg.eigh``
+  of the normalized Laplacian, parallelize the n×k result back.
+  Exact; for n ≤ DRIVER_EIG_MAX_VERTICES.
+- **distributed**: orthogonal (block power) iteration on
+  ``M = D^{-1/2} A D^{-1/2}`` — the top-(k+1) eigenvectors of M are the
+  bottom-(k+1) of L = I − M, and the trivial one (``D^{1/2}·1``) is
+  deflated analytically. Each iteration is one edges⋈positions join +
+  one groupBy-sum (the Pregel aggregateMessages pattern), so the whole
+  solve is shuffle-bounded and scales to billions of edges. The k×k
+  re-orthonormalization Gram matrix is a single aggregate (k ≤ 4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from graphem_rapids_spark.graph.canon import symmetrize_edges
+
+
+def laplacian_embedding(
+    edges: DataFrame,
+    n_vertices: int,
+    n_components: int = 2,
+    seed: int = 0,
+    max_driver_n: int = 3000,
+    power_iters: int = 50,
+) -> DataFrame:
+    """positions(id, pos: array<double>) from the spectral embedding."""
+    if n_vertices <= max_driver_n:
+        return _driver_eigh(edges, n_vertices, n_components, seed)
+    return _distributed_orthogonal_iteration(
+        edges, n_vertices, n_components, seed, power_iters
+    )
+
+
+def _driver_eigh(edges: DataFrame, n: int, k: int, seed: int) -> DataFrame:
+    spark = edges.sparkSession
+    try:
+        pairs = edges.select("src", "dst").collect()
+        A = np.zeros((n, n))
+        for r in pairs:
+            A[r.src, r.dst] = 1.0
+            A[r.dst, r.src] = 1.0
+        d = A.sum(axis=1)
+        with np.errstate(divide="ignore"):
+            dinv = np.where(d > 0, 1.0 / np.sqrt(np.maximum(d, 1e-300)), 0.0)
+        # normalized Laplacian; isolated vertices get a 0 diagonal,
+        # matching scipy.sparse.csgraph.laplacian(normed=True)
+        L = -A * dinv[:, None] * dinv[None, :]
+        np.fill_diagonal(L, np.where(d > 0, 1.0, 0.0))
+        vals, vecs = np.linalg.eigh(L)
+        emb = vecs[:, 1 : k + 1]
+        # sign canonicalization so the embedding is deterministic
+        # (eigh sign is arbitrary; layout is reflection-invariant anyway)
+        signs = np.sign(emb[np.abs(emb).argmax(axis=0), np.arange(emb.shape[1])])
+        signs[signs == 0] = 1.0
+        emb = emb * signs
+    except Exception:
+        # reference fallback: 0.1 * randn (embedder_pytorch.py:366-369)
+        rng = np.random.default_rng(seed)
+        emb = rng.standard_normal((n, k)) * 0.1
+    rows = [(int(i), [float(x) for x in emb[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, pos array<double>")
+
+
+def _matvec_normalized_adjacency(sym_edges: DataFrame, deg: DataFrame, X: DataFrame, k: int) -> DataFrame:
+    """Y = M·X with M = D^{-1/2} A D^{-1/2}; X is positions(id,pos).
+
+    One join to gather neighbor values, one hash-agg to scatter-sum —
+    per-component sums (k small) keep everything in whole-stage codegen.
+    """
+    xs = X.join(deg, "id").select(
+        F.col("id"),
+        F.transform("pos", lambda v: v * F.col("dinv")).alias("scaled"),
+    )
+    msgs = sym_edges.join(xs.withColumnRenamed("id", "src"), "src").select(
+        F.col("dst").alias("id"), "scaled"
+    )
+    agg = msgs.groupBy("id").agg(
+        *[F.sum(F.col("scaled").getItem(d)).alias(f"s{d}") for d in range(k)]
+    )
+    return (
+        agg.join(deg, "id")
+        .select(
+            "id",
+            F.array(*[F.col(f"s{d}") * F.col("dinv") for d in range(k)]).alias("pos"),
+        )
+    )
+
+
+def _distributed_orthogonal_iteration(
+    edges: DataFrame, n: int, n_components: int, seed: int, iters: int
+) -> DataFrame:
+    """Block power iteration with analytic deflation of the trivial
+    eigenvector v0 ∝ D^{1/2}·1 of M = D^{-1/2} A D^{-1/2}."""
+    spark = edges.sparkSession
+    k = n_components
+    sym = symmetrize_edges(edges)
+    deg = (
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("degree"))
+        .select(
+            "id",
+            F.col("degree").cast("double").alias("degree"),
+            (1.0 / F.sqrt(F.col("degree").cast("double"))).alias("dinv"),
+        )
+    )
+    deg.persist()
+    sym.persist()
+    two_m = deg.agg(F.sum("degree")).first()[0] or 1.0
+
+    # deterministic hash-random init
+    X = spark.range(n).select(
+        F.col("id").cast("long"),
+        F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64("id", F.lit(seed * 100 + d)), F.lit(1 << 30)).cast("double")
+                    / F.lit(float(1 << 29))
+                    - 1.0
+                )
+                for d in range(k)
+            ]
+        ).alias("pos"),
+    )
+    # isolated vertices (deg null) contribute nothing; keep them at 0
+    X = X.join(deg.select("id"), "id", "left_semi").persist()
+
+    for it in range(iters):
+        Y = _matvec_normalized_adjacency(sym, deg, X, k)
+        # deflate v0: y_d -= (v0·y_d) v0, v0_i = sqrt(d_i / 2m)
+        yd = Y.join(deg, "id")
+        dots = yd.agg(
+            *[
+                F.sum(F.sqrt(F.col("degree") / two_m) * F.col("pos").getItem(d)).alias(f"c{d}")
+                for d in range(k)
+            ]
+        ).first()
+        Y = (
+            Y.join(deg, "id")
+            .select(
+                "id",
+                F.array(
+                    *[
+                        F.col("pos").getItem(d)
+                        - F.lit(float(dots[f"c{d}"])) * F.sqrt(F.col("degree") / two_m)
+                        for d in range(k)
+                    ]
+                ).alias("pos"),
+            )
+        )
+        # Gram matrix G = Y^T Y (k×k) in one aggregate, then driver-side
+        # inverse Cholesky → Y := Y·R^{-1} (tall-skinny QR)
+        gram_row = Y.agg(
+            *[
+                F.sum(F.col("pos").getItem(a) * F.col("pos").getItem(b)).alias(f"g{a}_{b}")
+                for a in range(k)
+                for b in range(a, k)
+            ]
+        ).first()
+        G = np.zeros((k, k))
+        for a in range(k):
+            for b in range(a, k):
+                G[a, b] = G[b, a] = float(gram_row[f"g{a}_{b}"])
+        try:
+            R = np.linalg.cholesky(G + 1e-12 * np.eye(k)).T
+            Rinv = np.linalg.inv(R)
+        except np.linalg.LinAlgError:
+            Rinv = np.eye(k)
+        newX = Y.select(
+            "id",
+            F.array(
+                *[
+                    sum(
+                        (F.col("pos").getItem(a) * float(Rinv[a, d]) for a in range(k)),
+                        F.lit(0.0),
+                    )
+                    for d in range(k)
+                ]
+            ).alias("pos"),
+        )
+        oldX = X
+        X = newX.localCheckpoint(eager=True) if (it + 1) % 5 == 0 else newX.persist()
+        if (it + 1) % 5 == 0 or it == iters - 1:
+            X.count()
+            oldX.unpersist()
+
+    deg.unpersist()
+    sym.unpersist()
+    return X

@@ -1,0 +1,99 @@
+"""Edge canonicalization, symmetrization, relabeling, degrees.
+
+Reference semantics being reproduced:
+- Upper-triangle canonical form ``src < dst`` for undirected edges
+  (reference ``backends/embedder_pytorch.py:220-245``, mask at ``:239``).
+- Symmetrize + binarize: ``A + A.T`` then 0/1
+  (``embedder_pytorch.py:350-352``); dataset loaders mirror+dedupe
+  directed edge files (``datasets.py:339-352``) — i.e. UNION ALL →
+  DISTINCT in relational terms (SURVEY.md §2.6).
+- Node relabel to contiguous ints (``datasets.py:148-166, 761-782``).
+- Vertex degrees (``generators.py:52-64``).
+
+Scale notes: every function here is a single shuffle (distinct or
+groupBy) on the edge key — the minimal possible. ``relabel_contiguous``
+uses ``row_number`` over a global sort of the (small) vertex table;
+for 100 TB edge sets the vertex table is still ~1e9 rows max, and the
+subsequent remap joins broadcast when the map is small or shuffle-join
+on id otherwise (Catalyst/AQE decides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def canonicalize_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected canonical form: reorder each pair to (min,max), drop
+    self-loops and duplicates. Output columns (src, dst), src < dst.
+
+    Relational form of reference ``embedder_pytorch.py:220-245``.
+    """
+    lo = F.least(F.col(src), F.col(dst)).cast("long").alias("src")
+    hi = F.greatest(F.col(src), F.col(dst)).cast("long").alias("dst")
+    return (
+        edges.select(lo, hi)
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+
+
+def symmetrize_edges(edges: DataFrame) -> DataFrame:
+    """Both directions of each canonical edge (A + A.T of the
+    reference, ``embedder_pytorch.py:350-352``). Input must be
+    canonical; output has 2·|E| rows."""
+    return edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def vertices_from_edges(edges: DataFrame) -> DataFrame:
+    """Distinct endpoint ids (reference ``datasets.py:355-356``)."""
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def relabel_contiguous(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Relabel vertex ids to dense 0..n-1 (order = ascending old id).
+
+    Returns (relabeled_edges, mapping) where mapping is
+    (old_id, new_id). Reference: networkx
+    ``convert_node_labels_to_integers`` (``datasets.py:148-166``).
+    """
+    verts = vertices_from_edges(edges)
+    mapping = verts.select(
+        F.col("id").alias("old_id"),
+        (F.row_number().over(Window.orderBy("id")) - 1).cast("long").alias("new_id"),
+    )
+    m = F.broadcast(mapping)
+    out = (
+        edges.join(m, edges.src == m.old_id)
+        .select(F.col("new_id").alias("src"), "dst")
+        .join(m, F.col("dst") == m.old_id)
+        .select("src", F.col("new_id").alias("dst"))
+    )
+    return canonicalize_edges(out), mapping
+
+
+def vertex_degrees(edges: DataFrame, vertices: DataFrame | None = None) -> DataFrame:
+    """Per-vertex degree of a canonical undirected edge list.
+
+    Reference ``generators.py:52-64`` (adjacency row-sum). Spark: one
+    explode + one hash aggregate (map-side partial agg is automatic).
+    When ``vertices`` is given, isolated vertices appear with degree 0.
+    """
+    deg = (
+        edges.select(F.explode(F.array("src", "dst")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    if vertices is not None:
+        deg = (
+            vertices.join(deg, "id", "left")
+            .select("id", F.coalesce("degree", F.lit(0)).alias("degree"))
+        )
+    return deg

@@ -1,0 +1,293 @@
+"""Deduplication operators over a documents table.
+
+Five dedup families, each a first-class operator (BASELINE.json
+north-star):
+
+- **exact**: hash-groupBy on normalized text — one shuffle.
+- **n-gram Jaccard**: token-shingle inverted-index self-join — the
+  exact similarity join. Candidates are pairs sharing ≥1 shingle, so
+  cost is Σ_shingle df(shingle)², not O(n²). The Jaccard threshold is
+  evaluated on exact integer counts (|A∩B|, |A|, |B|) — engine-portable
+  with zero float ambiguity.
+- **MinHash + LSH**: k-permutation MinHash signatures → banded LSH
+  bucket join for candidates → **exact Jaccard verification** of
+  candidates. Output contract equals the exact n-gram join above
+  (assuming LSH recall ≈ 1 at the chosen band geometry), which is what
+  makes it oracle-checkable. 32 bands × 4 rows catches J≥0.7 pairs
+  with probability 1-(1-0.7⁴)^32 ≈ 0.9998.
+- **SimHash**: 64-bit sign-of-weighted-sum fingerprint per document;
+  near-dups = fingerprints within Hamming distance d (banded join on
+  16-bit chunks for candidates).
+- **embedding cosine near-dup**: see similarity.py.
+
+Scale notes: all shuffles key on shingle / band-hash / doc-pair —
+high-cardinality keys with bounded per-key fanout (stopword-like
+shingles should be df-capped via ``max_shingle_df``). MinHash
+signatures are 128 longs/doc: 1 B docs ≈ 1 TB of signatures —
+shuffle-friendly. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def tokens_col(text_col="text"):
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def token_shingles(
+    docs: DataFrame, n: int = 4, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, shingle) — distinct n-token shingles (space-joined)."""
+    t = docs.select(F.col(id_col), tokens_col(text_col).alias("_t"))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_t") - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice("_t", i, n)),
+    )
+    return t.select(id_col, F.explode(F.array_distinct(sh)).alias("shingle")).distinct()
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(text_hash, n_copies, keep_id) — md5-grouped exact dedup;
+    keep_id = min doc id of the group (the canonical survivor)."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def _pair_jaccard(
+    shingles: DataFrame,
+    id_col: str,
+    candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, n_common, n_union, jaccard) for pairs sharing ≥1
+    shingle (optionally restricted to candidate pairs)."""
+    counts = shingles.groupBy(id_col).agg(F.count("*").alias("_n"))
+    sh = shingles
+    if max_shingle_df is not None:
+        df_ok = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(df_ok, "shingle")
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    pairs = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+    if candidates is not None:
+        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    common = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("_na"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("_nb"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("_na") + F.col("_nb") - F.col("n_common")).alias("n_union"),
+            F.round(
+                F.col("n_common") / (F.col("_na") + F.col("_nb") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: all pairs with
+    J(A,B) ≥ threshold. The ANN-free ground truth."""
+    sh = token_shingles(docs, n, id_col, text_col)
+    p = _pair_jaccard(sh, id_col, max_shingle_df=max_shingle_df)
+    return p.filter(
+        F.col("n_common").cast("double") >= F.lit(threshold) * F.col("n_union")
+    )
+
+
+def _minhash_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31)) for _ in range(num_perm)]
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_perm: int = 128, seed: int = 1, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sig: array<long>) — k-permutation MinHash over
+    universal hashes (a·x + b) mod p, x = 31-bit shingle hash.
+    One shuffle (the groupBy); 128 min-aggregates fuse into a single
+    hash-aggregate pass."""
+    params = _minhash_params(num_perm, seed)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31)).alias("_h")
+    sh = shingles.select(F.col(id_col), h)
+    aggs = [
+        F.min(F.pmod(F.col("_h") * a + b, F.lit(_MERSENNE31))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 4,
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-dup join: banded signature buckets generate
+    candidates; candidates are verified with **exact** Jaccard so the
+    output contract matches ``ngram_jaccard_pairs`` (given recall≈1).
+
+    With verify=False returns raw candidate pairs (doc_a, doc_b) —
+    the pure-LSH scale path.
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sh = token_shingles(docs, n, id_col, text_col)
+    sh.persist()
+    sig = minhash_signatures(sh, num_perm, seed, id_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col("sig").getItem(b * rows + r) for r in range(rows)]).alias(
+                    "bh"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(id_col, F.explode(band_structs).alias("_b")).select(
+        id_col, F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh")
+    )
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    if not verify:
+        sh.unpersist()
+        return cand
+    out = _pair_jaccard(sh, id_col, candidates=cand).filter(
+        F.col("n_common").cast("double") >= F.lit(threshold) * F.col("n_union")
+    )
+    return out
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(doc_id, simhash) — sign-of-sum SimHash over token hashes.
+    bit_j(doc) = 1 iff Σ_tokens (bit_j(xxhash64(tok)) ? 1 : -1) > 0.
+    Pure bit arithmetic on the JVM; one explode + one groupBy."""
+    t = docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("_tok"))
+    t = t.select(id_col, F.xxhash64("_tok").alias("_h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{j}")
+        for j in range(bits)
+    ]
+    agg = t.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"_b{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << j).cast("long")
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash60_md5(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash) — 60-bit SimHash whose per-token hash is the
+    first 15 hex digits of md5: every operation (md5, hex-digit value,
+    bit shifts) exists verbatim in ANSI SQL, so the fingerprint is
+    engine-portable and oracle-checkable (unlike the xxhash64 variant).
+    Token frequency weighting preserved (explode without distinct)."""
+    t = docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("_tok"))
+    t = t.select(id_col, F.md5("_tok").alias("_h"))
+    aggs = []
+    for j in range(60):
+        dp, b = j // 4 + 1, j % 4
+        v = F.expr(f"instr('0123456789abcdef', substring(_h, {dp}, 1)) - 1")
+        bit = F.shiftright(v, b).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"_b{j}"))
+    agg = t.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for j in range(60):
+        fp = fp + F.when(F.col(f"_b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — pairs within Hamming distance
+    ``max_hamming`` of 64-bit SimHash. Candidates via 16-bit-chunk
+    banding (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 chunks equal)."""
+    fp = simhash_fingerprints(docs, id_col, text_col).persist()
+    chunks = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select(id_col, "simhash", F.col("_c.chunk").alias("chunk"), F.col("_c.val").alias("val"))
+    a = chunks.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sa"), "chunk", "val")
+    b = chunks.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sb"), "chunk", "val")
+    cand = (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

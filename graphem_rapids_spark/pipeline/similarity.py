@@ -1,0 +1,198 @@
+"""Similarity search over an embedding column (array<float>).
+
+- **brute-force cosine top-k** — the exact baseline: broadcast the
+  query block, JVM-side dot products (F.aggregate/zip_with — no
+  Python in the hot path), per-query top-k window. Reuses the E5 kNN
+  machinery (embedding/knn.py) with cosine instead of sqeuclidean.
+- **IVF (inverted-file) top-k** — the scale path, mirroring the
+  reference's ivf_flat regime (``embedder_cuvs.py:264-272``):
+  k-means-lite centroids (hash-seeded init, a few Lloyd iterations,
+  all DataFrame aggs), assign every vector to its nearest centroid,
+  probe only ``n_probe`` nearest cells per query. Search cost drops
+  from O(N) to O(N·n_probe/n_cells) per query.
+- **embedding cosine near-dup join** — all pairs with cosine ≥ τ
+  (dedup by semantic similarity); exact, or LSH-bucketed via
+  knn.py's hyperplane bands for scale.
+
+Cosine here = dot(a,b)/(‖a‖‖b‖) computed in float64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def _as_double(col):
+    return F.transform(col, lambda v: v.cast("double"))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "qid",
+) -> DataFrame:
+    """(qid, rid, cosine, rank) — exact brute-force cosine top-k,
+    self-pairs excluded, ties broken by rid."""
+    q = queries.select(
+        F.col(id_col).alias(query_id), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    r = vectors.select(F.col(id_col).alias("rid"), _as_double(F.col(vec_col)).alias("_rv"))
+    j = (
+        r.crossJoin(F.broadcast(q))
+        .filter(F.col(query_id) != F.col("rid"))
+        .select(
+            query_id,
+            "rid",
+            (_dot(F.col("_qv"), F.col("_rv")) / (_norm(F.col("_qv")) * _norm(F.col("_rv")))).alias(
+                "_cos"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col("rid").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rid", F.round("_cos", 6).alias("cosine"), "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, cosine) — exact all-pairs cosine ≥ threshold.
+    O(n²) dot products; use the LSH variant beyond ~10⁵ vectors."""
+    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    a = v.select(F.col(id_col).alias("vec_a"), F.col("_v").alias("_va"))
+    b = v.select(F.col(id_col).alias("vec_b"), F.col("_v").alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_build(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    dim: int = 64,
+    iters: int = 3,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: (assignments(vec_id, cell), centroids(cell,
+    centroid)). K-means with deterministic hash-sampled init and
+    ``iters`` Lloyd rounds — every step is a join + groupBy (no
+    driver-side data beyond the k×dim centroid table, which is tiny
+    and broadcast)."""
+    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).persist()
+    cents = (
+        v.orderBy(F.xxhash64(id_col, F.lit(seed)))
+        .limit(n_cells)
+        .select(F.col("_v").alias("centroid"))
+        .withColumn("cell", F.row_number().over(Window.orderBy(F.xxhash64("centroid"))) - 1)
+        .select("cell", "centroid")
+    )
+    for _ in range(iters):
+        d2 = v.crossJoin(F.broadcast(cents)).withColumn(
+            "_d2",
+            F.aggregate(
+                F.zip_with("_v", "centroid", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("cell").asc())
+        assign = d2.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+        cents = (
+            assign.groupBy("cell")
+            .agg(*[F.avg(F.col("_v").getItem(d)).alias(f"c{d}") for d in range(dim)])
+            .select("cell", F.array(*[F.col(f"c{d}") for d in range(dim)]).alias("centroid"))
+        )
+    d2 = v.crossJoin(F.broadcast(cents)).withColumn(
+        "_d2",
+        F.aggregate(
+            F.zip_with("_v", "centroid", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("cell").asc())
+    assign = (
+        d2.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "cell")
+    )
+    return assign, cents
+
+
+def ivf_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "qid",
+) -> DataFrame:
+    """(qid, rid, cosine, rank) — IVF-accelerated approximate cosine
+    top-k: probe the n_probe nearest cells per query only."""
+    assign, cents = ivf_build(vectors, n_cells, dim, seed=seed, id_col=id_col, vec_col=vec_col)
+    q = queries.select(F.col(id_col).alias(query_id), _as_double(F.col(vec_col)).alias("_qv"))
+    qd = q.crossJoin(F.broadcast(cents)).withColumn(
+        "_d2",
+        F.aggregate(
+            F.zip_with("_qv", "centroid", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.col("_d2").asc(), F.col("cell").asc())
+    probes = (
+        qd.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= n_probe)
+        .select(query_id, "_qv", "cell")
+    )
+    r = vectors.select(F.col(id_col).alias("rid"), _as_double(F.col(vec_col)).alias("_rv")).join(
+        assign.select(F.col(id_col).alias("rid"), "cell"), "rid"
+    )
+    j = (
+        r.join(F.broadcast(probes), "cell")
+        .filter(F.col(query_id) != F.col("rid"))
+        .select(
+            query_id,
+            "rid",
+            (_dot(F.col("_qv"), F.col("_rv")) / (_norm(F.col("_qv")) * _norm(F.col("_rv")))).alias(
+                "_cos"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col("rid").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rid", F.round("_cos", 6).alias("cosine"), "rank")
+    )

@@ -1,0 +1,110 @@
+"""Text analysis operators over a documents table — language-ID
+heuristic, quality scoring, token counting, fingerprinting.
+
+All pure built-in ``pyspark.sql.functions`` (JVM-side, whole-stage
+codegen) — no Python UDFs anywhere. Every operator has an exact ANSI
+SQL twin (see queries.py oracles), so outputs are deterministic and
+oracle-checkable.
+
+Scale notes: everything here is embarrassingly parallel per document
+(narrow transformations — zero shuffles except final aggregates);
+at 100 TB these run at scan speed with full column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny English stopword list for the language-ID heuristic; keep in
+# sync with the SQL oracle (queries.py)
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+
+def tokens_col(text_col="text"):
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_unique_tokens, avg_token_len)"""
+    t = docs.select(F.col(id_col), tokens_col(text_col).alias("_t"))
+    return t.select(
+        id_col,
+        F.size("_t").alias("n_tokens"),
+        F.size(F.array_distinct("_t")).alias("n_unique_tokens"),
+        F.round(
+            F.aggregate("_t", F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+            / F.size("_t"),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, type_token_ratio, stopword_ratio,
+    quality) — the standard cheap quality heuristics (length, lexical
+    diversity, stopword density)."""
+    t = docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        tokens_col(text_col).alias("_t"),
+    )
+    sw = F.array([F.lit(s) for s in EN_STOPWORDS])
+    t = t.select(
+        id_col,
+        "n_chars",
+        F.size("_t").alias("n_tokens"),
+        F.round(F.size(F.array_distinct("_t")) / F.size("_t"), 6).alias("type_token_ratio"),
+        F.round(
+            F.size(F.filter("_t", lambda x: F.array_contains(sw, x))) / F.size("_t"), 6
+        ).alias("stopword_ratio"),
+    )
+    quality = F.round(
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
+        + F.col("type_token_ratio") * 0.4
+        + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.2,
+        6,
+    )
+    return t.withColumn("quality", quality)
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, en_stopword_ratio, pred_lang) — n-gram/stopword
+    heuristic: share of tokens that are common-English stopwords."""
+    t = docs.select(F.col(id_col), tokens_col(text_col).alias("_t"))
+    sw = F.array([F.lit(s) for s in EN_STOPWORDS])
+    ratio = F.round(
+        F.size(F.filter("_t", lambda x: F.array_contains(sw, x))) / F.size("_t"), 6
+    )
+    return t.select(
+        id_col,
+        ratio.alias("en_stopword_ratio"),
+        F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+def char_shingles(
+    docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, shingle) — distinct character n-grams."""
+    d = docs.select(F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("_s"))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("_s") - (n - 1), F.lit(1))),
+        lambda i: F.col("_s").substr(i, F.lit(n)),
+    )
+    return (
+        d.select(id_col, F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.length("shingle") == n)
+        .distinct()
+    )
+
+
+def fingerprint(
+    docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fingerprint) — min-hash-style document fingerprint:
+    lexicographic min of md5 over character n-gram shingles (a
+    1-permutation MinHash; md5 is available verbatim in the SQL
+    oracle, so the fingerprint is engine-portable)."""
+    sh = char_shingles(docs, n, id_col, text_col)
+    return sh.groupBy(id_col).agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))

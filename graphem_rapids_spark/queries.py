@@ -1,0 +1,849 @@
+"""Driver-contract queries: every operator from SURVEY.md §2 (plus the
+north-star pipeline operators) expressed as (spark, sf_dir) →
+DataFrame, each with a DuckDB ANSI-SQL oracle over the same parquet.
+
+Oracle-parity rules used throughout (see tests/test_oracle_parity.py):
+- alias every computed column identically on both sides;
+- integer arithmetic wherever possible (set sizes, counts, Jaccard
+  via cross-multiplication);
+- floats that aggregate across rows (sum/avg/corr) are rounded —
+  summation order differs between engines only in the last ulp, so
+  rounding at 4-9 decimals is stable;
+- per-row float expressions mirror the exact same IEEE operation
+  shape on both sides (bit-identical results);
+- LIMIT/top-k always orders by (rounded value, id) so the cut is
+  deterministic in both engines;
+- timestamps leave results as formatted strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graphem_rapids_spark.graph.canon import canonicalize_edges, vertex_degrees, vertices_from_edges
+from graphem_rapids_spark.embedding.knn import knn_join_exact
+from graphem_rapids_spark.pipeline import dedup as D
+from graphem_rapids_spark.pipeline import similarity as S
+from graphem_rapids_spark.pipeline import text as T
+from graphem_rapids_spark import analytics as A
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Relational core (TPC-H-style — exercises scan/filter/join/agg/window)
+# =====================================================================
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(10)
+
+
+_Q3_SQL = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q5_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def top_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"), F.count("*").alias("n_orders"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select(F.col("c_custkey"), F.col("c_name"), F.col("total_spend"), F.col("n_orders"))
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+_TOPCUST_SQL = """
+SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS total_spend, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spend DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def part_brand_stats(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 6).alias("avg_retail"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+_BRAND_SQL = """
+SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 6) AS avg_retail,
+       max(p_size) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+
+# =====================================================================
+# Events (stream-shaped table: windowed agg, sessionize, JSON)
+# =====================================================================
+
+
+def _events(spark, sf_dir) -> DataFrame:
+    """events with ts as LONG NANOS (the driver parquet uses
+    TIMESTAMP(NANOS), unreadable by Spark 4 as a timestamp). Works
+    under any session by setting the legacy conf at call time."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _t(spark, sf_dir, "events")
+
+
+def events_hourly(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    ts = F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", ts), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*) AS n_events, round(avg(value), 6) AS avg_value,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sessionize(spark, sf_dir):
+    """30-minute-gap sessionization — lag + cumulative flag windows."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.floor(F.col("ts") / 1_000_000).cast("long").alias("ms"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ms").over(w).isNull() | ((F.col("ms") - F.lag("ms").over(w)) > 1_800_000),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("new_session").alias("n_sessions")
+    )
+
+
+_SESSION_SQL = """
+WITH l AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       sum(CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END) AS n_sessions
+FROM l GROUP BY user_id
+"""
+
+
+def events_json_extract(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.sum(k).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+_JSON_SQL = """
+SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# =====================================================================
+# Graph operators on the co-purchase graph (parts co-occurring in an
+# order) — S2 canonicalization, G2/A1 degree, top-k, stats, PageRank
+# =====================================================================
+
+_COPURCHASE_SQL_CTE = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ge AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+"""
+
+
+def copurchase_edges(spark, sf_dir) -> DataFrame:
+    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
+    raw = a.join(b, (a.l_orderkey == b.ok2) & (a.src < b.dst)).select("src", "dst")
+    return canonicalize_edges(raw)
+
+
+def graph_edges(spark, sf_dir):
+    return copurchase_edges(spark, sf_dir)
+
+
+_GRAPH_EDGES_SQL = _COPURCHASE_SQL_CTE + "SELECT src, dst FROM ge"
+
+
+def graph_degree(spark, sf_dir):
+    return vertex_degrees(copurchase_edges(spark, sf_dir))
+
+
+_DEGREE_SQL = _COPURCHASE_SQL_CTE + """
+SELECT id, count(*) AS degree
+FROM (SELECT src AS id FROM ge UNION ALL SELECT dst AS id FROM ge)
+GROUP BY id
+"""
+
+
+def graph_degree_topk(spark, sf_dir):
+    return (
+        vertex_degrees(copurchase_edges(spark, sf_dir))
+        .orderBy(F.col("degree").desc(), F.col("id").asc())
+        .limit(20)
+    )
+
+
+_DEGREE_TOPK_SQL = _DEGREE_SQL + " ORDER BY degree DESC, id ASC LIMIT 20"
+
+
+def graph_stats_q(spark, sf_dir):
+    e = copurchase_edges(spark, sf_dir)
+    verts = vertices_from_edges(e)
+    m = e.count()
+    n = verts.count()
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                m,
+                round(2.0 * m / (n * (n - 1)), 9) if n > 1 else 0.0,
+                round(2.0 * m / n, 6) if n else 0.0,
+            )
+        ],
+        "n_vertices long, n_edges long, density double, avg_degree double",
+    )
+
+
+_GRAPH_STATS_SQL = _COPURCHASE_SQL_CTE + """
+, v AS (SELECT count(DISTINCT id) AS n FROM (SELECT src AS id FROM ge UNION ALL SELECT dst FROM ge)),
+m AS (SELECT count(*) AS m FROM ge)
+SELECT n AS n_vertices, m AS n_edges,
+       round(2.0 * m / (n * (n - 1)), 9) AS density,
+       round(2.0 * m / n, 6) AS avg_degree
+FROM v, m
+"""
+
+
+_PAGERANK_ITERS = 10
+
+
+def pagerank_copurchase(spark, sf_dir):
+    e = copurchase_edges(spark, sf_dir)
+    verts = vertices_from_edges(e)
+    pr = A.pagerank(e, vertices=verts, alpha=0.85, max_iter=_PAGERANK_ITERS, tol=0.0)
+    return pr.select("id", F.round("value", 9).alias("pagerank"))
+
+
+def _pagerank_sql(iters: int = _PAGERANK_ITERS) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (no dangling
+    nodes: every graph vertex has degree ≥ 1)."""
+    parts = [
+        _COPURCHASE_SQL_CTE,
+        ", sym AS (SELECT src, dst FROM ge UNION ALL SELECT dst AS src, src AS dst FROM ge)",
+        ", od AS (SELECT src AS id, count(*) AS od FROM sym GROUP BY src)",
+        ", nn AS (SELECT count(*) AS n FROM od)",
+        ", pr0 AS (SELECT id, od, 1.0 / (SELECT n FROM nn) AS v FROM od)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", pr{i + 1} AS (
+  SELECT od.id, od.od,
+         (1 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * coalesce(t.s, 0) AS v
+  FROM od LEFT JOIN (
+    SELECT sym.dst AS id, sum(p.v / p.od) AS s
+    FROM sym JOIN pr{i} p ON p.id = sym.src
+    GROUP BY sym.dst
+  ) t ON t.id = od.id
+)"""
+        )
+    parts.append(f"SELECT id, round(v, 9) AS pagerank FROM pr{iters}")
+    return "\n".join(parts)
+
+
+# =====================================================================
+# Embedding-table operators: kNN join (E5), radial seed selection
+# (I1), IVF centroids (E7 building block)
+# =====================================================================
+
+
+def knn_exact(spark, sf_dir):
+    """E5 exact kNN join; ranks on the ROUNDED distance (ties → rid)
+    so the top-k cut is engine-portable."""
+    from graphem_rapids_spark.embedding.knn import _sqdist
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("vec")
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), F.col("vec").alias("_qv"))
+    r = emb.select(F.col("vec_id").alias("rid"), F.col("vec").alias("_rv"))
+    j = (
+        r.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("rid"))
+        .select("qid", "rid", F.round(_sqdist(F.col("_qv"), F.col("_rv")), 4).alias("dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("rid").asc())
+    return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+_KNN_SQL = """
+WITH pairs AS (
+  SELECT q.vec_id AS qid, r.vec_id AS rid,
+         unnest(q.embedding::DOUBLE[]) AS qv, unnest(r.embedding::DOUBLE[]) AS rv
+  FROM embeddings q, embeddings r
+  WHERE q.vec_id < 20 AND r.vec_id <> q.vec_id
+),
+d AS (SELECT qid, rid, round(sum((qv - rv) * (qv - rv)), 4) AS dist FROM pairs GROUP BY qid, rid)
+SELECT qid, rid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, rid) AS rank
+FROM d
+QUALIFY rank <= 5
+"""
+
+
+def seed_radial_topk(spark, sf_dir):
+    """I1 semantics on the embeddings table: top-10 by L2 norm."""
+    emb = _t(spark, sf_dir, "embeddings")
+    radius = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda v: v.cast("double")),
+                F.lit(0.0),
+                lambda a, v: a + v * v,
+            )
+        ),
+        5,
+    )
+    ranked = emb.select("vec_id", radius.alias("radius"))
+    w = Window.orderBy(F.col("radius").desc(), F.col("vec_id").asc())
+    return ranked.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+_SEED_SQL = """
+WITH n AS (
+  SELECT vec_id, round(sqrt(sum(v * v)), 5) AS radius
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v FROM embeddings)
+  GROUP BY vec_id
+)
+SELECT vec_id, radius, row_number() OVER (ORDER BY radius DESC, vec_id ASC) AS rank
+FROM n QUALIFY rank <= 10
+"""
+
+
+def label_centroids(spark, sf_dir):
+    """IVF index building block: per-label mean vector → norm."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", "vec_id", F.posexplode(F.transform("embedding", lambda v: v.cast("double")))
+    )
+    cent = ex.groupBy("label", "pos").agg(F.avg("col").alias("av"))
+    norms = cent.groupBy("label").agg(F.round(F.sqrt(F.sum(F.col("av") * F.col("av"))), 5).alias("centroid_norm"))
+    counts = emb.groupBy("label").agg(F.count("*").alias("n_members"))
+    return norms.join(counts, "label")
+
+
+_CENTROID_SQL = """
+WITH e AS (
+  SELECT label, vec_id, unnest(embedding::DOUBLE[]) AS v, unnest(range(64)) AS d
+  FROM embeddings
+),
+m AS (SELECT label, d, avg(v) AS av FROM e GROUP BY label, d),
+norms AS (SELECT label, round(sqrt(sum(av * av)), 5) AS centroid_norm FROM m GROUP BY label),
+c AS (SELECT label, count(*) AS n_members FROM embeddings GROUP BY label)
+SELECT norms.label, centroid_norm, n_members FROM norms JOIN c ON norms.label = c.label
+"""
+
+
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k baseline; ranks on ROUNDED cosine so
+    the cut is engine-portable."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("vec")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), F.col("vec").alias("_qv"))
+    r = emb.select(F.col("vec_id").alias("rid"), F.col("vec").alias("_rv"))
+    cos = S._dot(F.col("_qv"), F.col("_rv")) / (S._norm(F.col("_qv")) * S._norm(F.col("_rv")))
+    j = (
+        r.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("rid"))
+        .select("qid", "rid", F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("rid").asc())
+    return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+_ANN_SQL = """
+WITH pairs AS (
+  SELECT q.vec_id AS qid, r.vec_id AS rid,
+         unnest(q.embedding::DOUBLE[]) AS qv, unnest(r.embedding::DOUBLE[]) AS rv
+  FROM embeddings q, embeddings r
+  WHERE q.vec_id < 10 AND r.vec_id <> q.vec_id
+),
+d AS (
+  SELECT qid, rid,
+         round(sum(qv * rv) / (sqrt(sum(qv * qv)) * sqrt(sum(rv * rv))), 6) AS cosine
+  FROM pairs GROUP BY qid, rid
+),
+rk AS (
+  SELECT qid, rid, cosine, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, rid) AS rank
+  FROM d
+)
+SELECT qid, rid, cosine, rank FROM rk WHERE rank <= 5
+"""
+
+
+def cosine_near_dup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+_COS_DUP_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         unnest(a.embedding::DOUBLE[]) AS av, unnest(b.embedding::DOUBLE[]) AS bv
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+),
+d AS (
+  SELECT vec_a, vec_b,
+         sum(av * bv) / (sqrt(sum(av * av)) * sqrt(sum(bv * bv))) AS c
+  FROM pairs GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b, round(c, 6) AS cosine FROM d WHERE c >= 0.4
+"""
+
+
+# =====================================================================
+# Text analysis + dedup over documents
+# =====================================================================
+
+_TOKENS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+def doc_token_stats(spark, sf_dir):
+    return T.token_stats(_t(spark, sf_dir, "documents"))
+
+
+_TOKSTATS_SQL = f"""
+SELECT doc_id,
+       len({_TOKENS_SQL}) AS n_tokens,
+       len(list_distinct({_TOKENS_SQL})) AS n_unique_tokens,
+       round(CAST(list_sum(list_transform({_TOKENS_SQL}, x -> len(x))) AS DOUBLE)
+             / len({_TOKENS_SQL}), 6) AS avg_token_len
+FROM documents
+"""
+
+
+def doc_quality(spark, sf_dir):
+    return T.quality_score(_t(spark, sf_dir, "documents"))
+
+
+_SW_LIST = "['" + "', '".join(T.EN_STOPWORDS) + "']"
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len(text) AS n_chars, {_TOKENS_SQL} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars, len(toks) AS n_tokens,
+         round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS type_token_ratio,
+         round(CAST(len(list_filter(toks, x -> list_contains({_SW_LIST}, x))) AS DOUBLE)
+               / len(toks), 6) AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens, type_token_ratio, stopword_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.4 + type_token_ratio * 0.4
+             + least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality
+FROM s
+"""
+
+
+def doc_lang_id(spark, sf_dir):
+    return T.language_id(_t(spark, sf_dir, "documents"))
+
+
+_LANG_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         round(CAST(len(list_filter({_TOKENS_SQL}, x -> list_contains({_SW_LIST}, x))) AS DOUBLE)
+               / len({_TOKENS_SQL}), 6) AS en_stopword_ratio
+  FROM documents
+)
+SELECT doc_id, en_stopword_ratio,
+       CASE WHEN en_stopword_ratio >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang
+FROM s
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    return T.fingerprint(_t(spark, sf_dir, "documents"), n=5)
+
+
+_FP_SQL = """
+WITH s AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+                               n -> substr(t, n, 5))) AS g
+  FROM s
+)
+SELECT doc_id, min(md5(g)) AS fingerprint FROM sh WHERE len(g) = 5 GROUP BY doc_id
+"""
+
+
+def dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+"""
+
+_SHINGLE_SQL = f"""
+toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 3, 1) + 1),
+                               i -> array_to_string(t[i:i+3], ' '))) AS shingle
+  FROM toks
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+j AS (
+  SELECT doc_a, doc_b, n_common, ca.n + cb.n - n_common AS n_union,
+         round(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) AS jaccard
+  FROM common JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+)
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=4, threshold=0.5)
+
+
+_JACCARD_SQL = (
+    "WITH " + _SHINGLE_SQL + "SELECT doc_a, doc_b, n_common, n_union, jaccard FROM j "
+    "WHERE CAST(n_common AS DOUBLE) >= 0.5 * n_union"
+)
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    # 64 bands × 2 rows: candidate recall at J=0.5 is 1-(1-0.25)^64
+    # ≈ 1-1e-8, so the verified output equals the exact Jaccard join
+    # (the oracle); precision is irrelevant because candidates are
+    # re-checked with exact set Jaccard.
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=4, threshold=0.5, num_perm=128, bands=64
+    )
+
+
+_MINHASH_SQL = _JACCARD_SQL
+
+
+def dedup_simhash(spark, sf_dir):
+    return D.simhash60_md5(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    sums = ",\n".join(
+        "sum(CASE WHEN (((strpos('0123456789abcdef', substr(hx, {dp}, 1)) - 1) >> {b}) & 1) = 1 "
+        "THEN 1 ELSE -1 END) AS b{j}".format(dp=j // 4 + 1, b=j % 4, j=j)
+        for j in range(60)
+    )
+    recon = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)" for j in range(60)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+hh AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+bits AS (SELECT doc_id, {sums} FROM hh GROUP BY doc_id)
+SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM bits
+"""
+
+
+def spearman_qty_price(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    rho = A.spearman_correlation(li, "l_quantity", "l_extendedprice")
+    return spark.createDataFrame([(round(rho, 6),)], "rho double")
+
+
+_SPEARMAN_SQL = """
+WITH r AS (
+  SELECT rank() OVER (ORDER BY l_quantity) + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ra,
+         rank() OVER (ORDER BY l_extendedprice) + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rb
+  FROM lineitem
+)
+SELECT round(corr(ra, rb), 6) AS rho FROM r
+"""
+
+
+# =====================================================================
+# Non-SQL-expressible (iterative/stochastic) — rows-only checks
+# =====================================================================
+
+
+def connected_components_copurchase(spark, sf_dir):
+    e = copurchase_edges(spark, sf_dir)
+    verts = vertices_from_edges(e)
+    ids = [r.id for r in verts.collect()]
+    spark_local = verts.sparkSession
+    vdf = spark_local.createDataFrame([(i,) for i in ids], "id long")
+    # min-label propagation over the sparse vertex set
+    from graphem_rapids_spark.graph.canon import symmetrize_edges
+
+    sym = symmetrize_edges(e)
+    labels = vdf.select("id", F.col("id").alias("component"))
+    for _ in range(30):
+        nbr = (
+            labels.join(sym.withColumnRenamed("src", "id"), "id")
+            .select(F.col("dst").alias("id"), F.col("component").alias("c"))
+            .groupBy("id")
+            .agg(F.min("c").alias("nbr"))
+        )
+        new_labels = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(F.col("component"), F.coalesce("nbr", F.col("component"))).alias(
+                "component"
+            ),
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels.select("id", F.col("component").alias("o")), "id")
+            .filter(F.col("component") != F.col("o"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.groupBy("component").agg(F.count("*").alias("size"))
+
+
+def layout_seed_selection(spark, sf_dir):
+    """Flagship: co-purchase graph → spectral init → force layout →
+    radial top-10 (the reference's headline query, README.md:170-189)."""
+    from graphem_rapids_spark.embedding.embedder import GraphEmbedderSpark
+    from graphem_rapids_spark.graph.canon import relabel_contiguous
+
+    e, mapping = relabel_contiguous(copurchase_edges(spark, sf_dir))
+    n = mapping.count()
+    emb = GraphEmbedderSpark(e, n, n_components=2, seed=42, sample_size=128)
+    emb.run_layout(2)
+    r = emb.radial_distances()
+    top = (
+        r.orderBy(F.col("radius").desc(), F.col("id").asc())
+        .limit(10)
+        .join(mapping, r.id == mapping.new_id)
+        .select(F.col("old_id").alias("part_id"), F.round("radius", 4).alias("radius"))
+    )
+    return top
+
+
+def influence_ic(spark, sf_dir):
+    """IC spread of the top-5-degree seeds on the co-purchase graph
+    (deterministic given the hash-coin design, but iterative — not
+    SQL-expressible)."""
+    from graphem_rapids_spark.influence import independent_cascade
+
+    e = copurchase_edges(spark, sf_dir)
+    seeds = (
+        vertex_degrees(e)
+        .orderBy(F.col("degree").desc(), F.col("id").asc())
+        .limit(5)
+        .select("id")
+    )
+    act = independent_cascade(e, seeds, p=0.05, trials=5, seed=42)
+    return act.groupBy("trial").agg(F.count("*").alias("n_influenced"))
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "top_customers": top_customers,
+    "part_brand_stats": part_brand_stats,
+    "events_hourly": events_hourly,
+    "events_sessionize": events_sessionize,
+    "events_json_extract": events_json_extract,
+    "graph_edges": graph_edges,
+    "graph_degree": graph_degree,
+    "graph_degree_topk": graph_degree_topk,
+    "graph_stats": graph_stats_q,
+    "pagerank_copurchase": pagerank_copurchase,
+    "knn_exact": knn_exact,
+    "seed_radial_topk": seed_radial_topk,
+    "label_centroids": label_centroids,
+    "ann_cosine_topk": ann_cosine_topk,
+    "cosine_near_dup": cosine_near_dup,
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "spearman_qty_price": spearman_qty_price,
+    "connected_components_copurchase": connected_components_copurchase,
+    "layout_seed_selection": layout_seed_selection,
+    "influence_ic": influence_ic,
+}
+
+ORACLES = {
+    "q1_pricing_summary": _Q1_SQL,
+    "q3_top_orders": _Q3_SQL,
+    "q5_nation_revenue": _Q5_SQL,
+    "top_customers": _TOPCUST_SQL,
+    "part_brand_stats": _BRAND_SQL,
+    "events_hourly": _HOURLY_SQL,
+    "events_sessionize": _SESSION_SQL,
+    "events_json_extract": _JSON_SQL,
+    "graph_edges": _GRAPH_EDGES_SQL,
+    "graph_degree": _DEGREE_SQL,
+    "graph_degree_topk": _DEGREE_TOPK_SQL,
+    "graph_stats": _GRAPH_STATS_SQL,
+    "pagerank_copurchase": _pagerank_sql(),
+    "knn_exact": _KNN_SQL,
+    "seed_radial_topk": _SEED_SQL,
+    "label_centroids": _CENTROID_SQL,
+    "ann_cosine_topk": _ANN_SQL,
+    "cosine_near_dup": _COS_DUP_SQL,
+    "doc_token_stats": _TOKSTATS_SQL,
+    "doc_quality": _QUALITY_SQL,
+    "doc_lang_id": _LANG_SQL,
+    "doc_fingerprint": _FP_SQL,
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_minhash_lsh": _MINHASH_SQL,
+    "dedup_simhash": _simhash_sql(),
+    "spearman_qty_price": _SPEARMAN_SQL,
+    # connected_components_copurchase / layout_seed_selection /
+    # influence_ic: iterative or layout-dependent — rows-only checks
+}

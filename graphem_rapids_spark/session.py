@@ -1,0 +1,77 @@
+"""SparkSession factory and engine configuration.
+
+Mirrors the reference's env-var config surface
+(``utils/backend_selection.py:286-293``: GRAPHEM_BACKEND /
+GRAPHEM_PREFER_GPU / GRAPHEM_MEMORY_LIMIT / GRAPHEM_VERBOSE) with
+Spark-native knobs. Under Spark the reference's "backend selection"
+collapses into strategy selection inside one engine (exact vs LSH kNN
+by size, broadcast vs shuffle join — mostly delegated to Catalyst/AQE).
+
+Scale notes (100 TB design):
+- AQE on everywhere: runtime partition coalescing, skew-join splitting.
+- ``spark.sql.shuffle.partitions`` is a default only; AQE re-plans.
+- Arrow enabled for the few Pandas-UDF kernels (vectorized transfer).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Strategy thresholds mirroring the reference's backend auto-selection
+# semantics (reference utils/backend_selection.py:178-196): small →
+# exact/driver algorithms, large → approximate/distributed ones.
+EXACT_KNN_MAX_ROWS = int(os.environ.get("GRAPHEM_EXACT_KNN_MAX", "100000"))
+DRIVER_EIG_MAX_VERTICES = int(os.environ.get("GRAPHEM_DRIVER_EIG_MAX", "1000000"))
+BROADCAST_POSITIONS_MAX = int(os.environ.get("GRAPHEM_BROADCAST_POS_MAX", "10000000"))
+
+VERBOSE = os.environ.get("GRAPHEM_VERBOSE", "").lower() in ("1", "true", "yes")
+
+
+def get_spark(
+    app_name: str = "graphem-rapids-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession configured for this engine.
+
+    Defaults target the test environment (local[N]); on a real
+    cluster pass ``master=None`` with external spark-submit conf and
+    these settings still apply.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("GRAPHEM_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("GRAPHEM_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("GRAPHEM_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # iterative layouts/cascades build deep plan trees before each
+        # checkpoint truncation — give the driver JVM stack headroom
+        .config("spark.driver.extraJavaOptions", "-Xss32m")
+        .config("spark.executor.extraJavaOptions", "-Xss32m")
+        # driver testdata writes TIMESTAMP(NANOS) parquet (events.ts);
+        # Spark 4 refuses it unless read as long nanoseconds
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        spark.stop()
