@@ -1,0 +1,80 @@
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is a full action (count + collect-free) timed wall-clock,
+run on local[$SPARK_GRAFT_CPUS]. The metric value is the sum of
+per-query times — lower is better.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Breadth over the operator families: TPC-H-style aggs/joins, event
+# analytics, graph (degree/pagerank/stats), embeddings (kNN/ANN),
+# dedup (exact + MinHash-LSH), text stats, layout+influence pipeline.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "events_hourly",
+    "events_sessionize",
+    "graph_degree",
+    "graph_stats",
+    "pagerank_copurchase",
+    "knn_exact",
+    "ann_cosine_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "doc_token_stats",
+    "layout_seed_selection",
+    "influence_ic",
+]
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+    from graphem_rapids_spark.session import get_spark
+
+    spark = get_spark(app_name="graphem-bench")
+    queries = entry.queries()
+
+    # warm the JVM/session so q1 doesn't pay startup cost
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

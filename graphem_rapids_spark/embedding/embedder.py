@@ -63,7 +63,7 @@ class GraphEmbedderSpark:
         sample_size: int = 256,
         seed: int = 0,
         knn_method: str = "auto",
-        checkpoint_every: int = 2,
+        checkpoint_every: int = 4,
         verbose: bool = False,
     ):
         if n_vertices <= 0:
@@ -135,66 +135,150 @@ class GraphEmbedderSpark:
         )
 
     def _spring_contribs(self, ee: DataFrame) -> DataFrame:
-        """Per-edge ±force rows (id, f: array) — E2."""
-        diff = F.zip_with("p2", "p1", lambda b, a: b - a)
-        d = ee.withColumn("_diff", diff).withColumn(
-            "_dist", self._norm(F.col("_diff")) + F.lit(_EPS)
-        )
+        """Per-edge ±force rows (id, f0..fd-1) — E2.
+
+        Unrolled scalar arithmetic (dim is 2–3): stays inside
+        whole-stage codegen, no per-row array allocation."""
+        dims = range(self.dim)
+        d = ee
+        for i in dims:
+            d = d.withColumn(
+                f"_df{i}", F.col("p2").getItem(i) - F.col("p1").getItem(i)
+            )
+        dist = F.sqrt(sum(F.col(f"_df{i}") * F.col(f"_df{i}") for i in dims))
+        d = d.withColumn("_dist", dist + F.lit(_EPS))
         mag = F.lit(-self.k_attr) * (F.col("_dist") - F.lit(self.L_min))
-        f = F.transform("_diff", lambda v: mag * v / F.col("_dist"))
-        d = d.withColumn("_f", f)
+        d = d.withColumn("_mag", mag)
         return d.select(
             F.explode(
                 F.array(
-                    F.struct(F.col("src").alias("id"), F.col("_f").alias("f")),
+                    F.struct(
+                        F.col("src").alias("id"),
+                        *[
+                            (F.col("_mag") * F.col(f"_df{i}") / F.col("_dist")).alias(
+                                f"f{i}"
+                            )
+                            for i in dims
+                        ],
+                    ),
                     F.struct(
                         F.col("dst").alias("id"),
-                        F.transform("_f", lambda v: -v).alias("f"),
+                        *[
+                            (-F.col("_mag") * F.col(f"_df{i}") / F.col("_dist")).alias(
+                                f"f{i}"
+                            )
+                            for i in dims
+                        ],
                     ),
                 )
             ).alias("c")
-        ).select("c.id", "c.f")
+        ).select("c.*")
 
     def _intersection_contribs(self, ee: DataFrame) -> DataFrame:
-        """Per-endpoint repulsion rows (id, f) from crossing edge pairs
-        (E3–E11). ``ee`` = edges with endpoint positions."""
+        """Per-endpoint repulsion rows (id, f0..) from crossing edge
+        pairs (E3–E11). ``ee`` = edges with endpoint positions.
+
+        kNN strategy (E5, scale-first): the ≤``sample_size`` query
+        midpoints are collected to the driver (they are the reference's
+        own bounded sample), every partition of the full midpoint table
+        computes its partial top-k against all queries in one
+        vectorized numpy batch (``mapInPandas``), and the global top-k
+        merges the tiny partials (s·(k+1) rows per partition). No
+        window over the full cross product, no 100M-row shuffle — this
+        survives a 100× scale-up because per-partition output is
+        constant."""
+        spark = ee.sparkSession
+        dims = range(self.dim)
         mids = ee.select(
             "edge_id",
             "src",
             "dst",
             "p1",
             "p2",
-            F.zip_with("p1", "p2", lambda a, b: (a + b) / 2.0).alias("mid"),
+            *[
+                ((F.col("p1").getItem(i) + F.col("p2").getItem(i)) / 2.0).alias(
+                    f"m{i}"
+                )
+                for i in dims
+            ],
         )
         mids.persist()
         s = min(self.sample_size, self.n_edges)
-        sampled = (
+        sampled_rows = (
             mids.orderBy(F.xxhash64("edge_id", F.lit(self.seed + self._iter)))
             .limit(s)
-            .select(
-                F.col("edge_id").alias("qid"),
-                F.col("src").alias("qa"),
-                F.col("dst").alias("qb"),
-                F.col("p1").alias("qp1"),
-                F.col("p2").alias("qp2"),
-                F.col("mid").alias("qmid"),
-            )
+            .collect()
         )
-        # kNN of sampled midpoints over ALL midpoints (E5): broadcast
-        # the ≤sample_size queries, window top-k per query.
-        j = mids.join(F.broadcast(sampled), F.col("edge_id") != F.col("qid"))
-        j = j.withColumn(
-            "_d2",
-            F.aggregate(
-                F.zip_with("mid", "qmid", lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            ),
+        q_ids = np.array([r.edge_id for r in sampled_rows], dtype=np.int64)
+        q_mid = np.array(
+            [[r[f"m{i}"] for i in dims] for r in sampled_rows], dtype=np.float64
         )
-        w = Window.partitionBy("qid").orderBy(F.col("_d2").asc(), F.col("edge_id").asc())
-        pairs = (
-            j.withColumn("_rk", F.row_number().over(w))
+        kk = self.n_neighbors + 1  # keep k+1, self dropped below (ref :417-421)
+
+        mcols = [f"m{i}" for i in dims]
+
+        def partial_topk(batches):
+            import pandas as pd
+
+            best_d: np.ndarray | None = None  # (s, kk) distances
+            best_e: np.ndarray | None = None  # (s, kk) edge ids
+            for pdf in batches:
+                M = pdf[mcols].to_numpy(dtype=np.float64)
+                E = pdf["edge_id"].to_numpy(dtype=np.int64)
+                # (rows, s) squared distances, vectorized
+                d2 = ((M[:, None, :] - q_mid[None, :, :]) ** 2).sum(axis=2)
+                # per-query partial top-kk within this batch
+                take = min(kk, d2.shape[0])
+                idx = np.argpartition(d2, take - 1, axis=0)[:take]  # (take, s)
+                bd = np.take_along_axis(d2, idx, axis=0).T  # (s, take)
+                be = E[idx].T  # (s, take)
+                if best_d is None:
+                    best_d, best_e = bd.copy(), be.copy()
+                else:
+                    cd = np.concatenate([best_d, bd], axis=1)
+                    ce = np.concatenate([best_e, be], axis=1)
+                    take2 = min(kk, cd.shape[1])
+                    i2 = np.argpartition(cd, take2 - 1, axis=1)[:, :take2]
+                    best_d = np.take_along_axis(cd, i2, axis=1)
+                    best_e = np.take_along_axis(ce, i2, axis=1)
+            if best_d is not None:
+                ns = best_d.shape[1]
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(q_ids, ns),
+                        "edge_id": best_e.reshape(-1),
+                        "_d2": best_d.reshape(-1),
+                    }
+                )
+
+        partials = mids.select("edge_id", *mcols).mapInPandas(
+            partial_topk, "qid long, edge_id long, _d2 double"
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("_d2").asc(), F.col("edge_id").asc()
+        )
+        topk = (
+            partials.filter(F.col("edge_id") != F.col("qid"))
+            .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= self.n_neighbors)
+        )
+        # rehydrate neighbor-edge endpoints (broadcast the tiny top-k)
+        qinfo = spark.createDataFrame(
+            [
+                (
+                    int(r.edge_id),
+                    int(r.src),
+                    int(r.dst),
+                    list(r.p1),
+                    list(r.p2),
+                )
+                for r in sampled_rows
+            ],
+            "qid long, qa long, qb long, qp1 array<double>, qp2 array<double>",
+        )
+        pairs = (
+            mids.join(F.broadcast(topk), "edge_id")
+            .join(F.broadcast(qinfo), "qid")
             # candidate filter i<j on edge ids (embedder_pytorch.py:672)
             .filter(F.col("qid") < F.col("edge_id"))
             # shared-vertex exclusion (4-way OR, :683-699)
@@ -229,11 +313,20 @@ class GraphEmbedderSpark:
         )
         crossing = crossing.withColumn("_m", m)
 
+        dims = range(self.dim)
+
         def repulse(pos_col, id_col):
-            diff = F.zip_with(pos_col, "_m", lambda a, b: a - b)
-            dist = self._norm(diff) + F.lit(_EPS)
-            f = F.transform(diff, lambda v: F.lit(self.k_inter) * v / (dist * dist))
-            return F.struct(F.col(id_col).alias("id"), f.alias("f"))
+            diffs = [
+                F.col(pos_col).getItem(i) - F.col("_m").getItem(i) for i in dims
+            ]
+            dist = F.sqrt(sum(di * di for di in diffs)) + F.lit(_EPS)
+            return F.struct(
+                F.col(id_col).alias("id"),
+                *[
+                    (F.lit(self.k_inter) * diffs[i] / (dist * dist)).alias(f"f{i}")
+                    for i in dims
+                ],
+            )
 
         out = crossing.select(
             F.explode(
@@ -244,7 +337,7 @@ class GraphEmbedderSpark:
                     repulse("p2", "dst"),
                 )
             ).alias("c")
-        ).select("c.id", "c.f")
+        ).select("c.*")
         return out, mids
 
     def update_positions(self) -> None:
@@ -258,7 +351,7 @@ class GraphEmbedderSpark:
             mids_cache = None
             contribs = spring
         forces = contribs.groupBy("id").agg(
-            *[F.sum(F.col("f").getItem(d)).alias(f"f{d}") for d in range(self.dim)]
+            *[F.sum(F.col(f"f{d}")).alias(f"f{d}") for d in range(self.dim)]
         )
         moved = (
             self._positions.join(forces, "id", "left")
@@ -289,11 +382,11 @@ class GraphEmbedderSpark:
         )
         self._iter += 1
         old = self._positions
-        if self._iter % self.checkpoint_every == 0:
-            self._positions = newpos.localCheckpoint(eager=True)
-        else:
-            self._positions = newpos.persist()
-            self._positions.count()
+        # localCheckpoint EVERY iteration: persist() alone caches data
+        # but not the logical plan — the plan nests (positions appears
+        # several times per step) and Catalyst analysis time grows
+        # exponentially with iteration count without truncation.
+        self._positions = newpos.localCheckpoint(eager=True)
         old.unpersist()
         if mids_cache is not None:
             mids_cache.unpersist()

@@ -30,10 +30,14 @@ def laplacian_embedding(
     n_vertices: int,
     n_components: int = 2,
     seed: int = 0,
-    max_driver_n: int = 3000,
-    power_iters: int = 50,
+    max_driver_n: int | None = None,
+    power_iters: int = 30,
 ) -> DataFrame:
     """positions(id, pos: array<double>) from the spectral embedding."""
+    if max_driver_n is None:
+        from graphem_rapids_spark.session import DRIVER_EIG_MAX_VERTICES
+
+        max_driver_n = DRIVER_EIG_MAX_VERTICES
     if n_vertices <= max_driver_n:
         return _driver_eigh(edges, n_vertices, n_components, seed)
     return _distributed_orthogonal_iteration(
@@ -42,24 +46,39 @@ def laplacian_embedding(
 
 
 def _driver_eigh(edges: DataFrame, n: int, k: int, seed: int) -> DataFrame:
+    """Driver-side eigensolve — the reference's own strategy
+    (``embedder_pytorch.py:337-379`` collects to the driver regardless
+    of size). Pure numpy (scipy is not a dependency): dense ``eigh``
+    for small n, otherwise orthogonal iteration on the shifted
+    normalized adjacency ``M' = D^{-1/2} A D^{-1/2} + I`` (bincount
+    matvec, analytic deflation of the trivial eigenvector, final
+    Rayleigh–Ritz rotation) — top-k of M' = bottom nontrivial of L."""
     spark = edges.sparkSession
     try:
-        pairs = edges.select("src", "dst").collect()
-        A = np.zeros((n, n))
-        for r in pairs:
-            A[r.src, r.dst] = 1.0
-            A[r.dst, r.src] = 1.0
-        d = A.sum(axis=1)
-        with np.errstate(divide="ignore"):
-            dinv = np.where(d > 0, 1.0 / np.sqrt(np.maximum(d, 1e-300)), 0.0)
-        # normalized Laplacian; isolated vertices get a 0 diagonal,
-        # matching scipy.sparse.csgraph.laplacian(normed=True)
-        L = -A * dinv[:, None] * dinv[None, :]
-        np.fill_diagonal(L, np.where(d > 0, 1.0, 0.0))
-        vals, vecs = np.linalg.eigh(L)
-        emb = vecs[:, 1 : k + 1]
+        pdf = edges.select("src", "dst").toPandas()
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        rows = np.concatenate([src, dst])
+        cols = np.concatenate([dst, src])
+        # dedupe multi-edges via pair codes (n ≤ 1e6 → no overflow)
+        code = np.unique(rows * np.int64(n) + cols)
+        rows, cols = code // n, code % n
+        deg = np.bincount(rows, minlength=n).astype(np.float64)
+        if n <= 2000:
+            A = np.zeros((n, n))
+            A[rows, cols] = 1.0
+            with np.errstate(divide="ignore"):
+                dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-300)), 0.0)
+            L = -A * dinv[:, None] * dinv[None, :]
+            np.fill_diagonal(L, np.where(deg > 0, 1.0, 0.0))
+            vals, vecs = np.linalg.eigh(L)
+            emb = vecs[:, np.argsort(vals)[1 : k + 1]]
+        else:
+            emb = _numpy_orthogonal_iteration(rows, cols, deg, n, k, seed)
+        if emb.shape[1] < k:  # degenerate tiny graphs: pad with zeros
+            emb = np.hstack([emb, np.zeros((n, k - emb.shape[1]))])
         # sign canonicalization so the embedding is deterministic
-        # (eigh sign is arbitrary; layout is reflection-invariant anyway)
+        # (eig sign is arbitrary; layout is reflection-invariant anyway)
         signs = np.sign(emb[np.abs(emb).argmax(axis=0), np.arange(emb.shape[1])])
         signs[signs == 0] = 1.0
         emb = emb * signs
@@ -67,8 +86,53 @@ def _driver_eigh(edges: DataFrame, n: int, k: int, seed: int) -> DataFrame:
         # reference fallback: 0.1 * randn (embedder_pytorch.py:366-369)
         rng = np.random.default_rng(seed)
         emb = rng.standard_normal((n, k)) * 0.1
-    rows = [(int(i), [float(x) for x in emb[i]]) for i in range(n)]
-    return spark.createDataFrame(rows, "id long, pos array<double>")
+    import pandas as pd
+
+    out = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "pos": list(emb)})
+    return spark.createDataFrame(out, "id long, pos array<double>")
+
+
+def _numpy_orthogonal_iteration(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    deg: np.ndarray,
+    n: int,
+    k: int,
+    seed: int,
+    iters: int = 150,
+) -> np.ndarray:
+    """Top-k nontrivial eigenvectors of M = D^{-1/2} A D^{-1/2} via
+    block power iteration on M + I (spectrum [0,2] — keeps the
+    negative end of M from winning, which ``which='SM'`` semantics
+    require). One bincount per component per iteration."""
+    with np.errstate(divide="ignore"):
+        dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-300)), 0.0)
+    w = dinv[rows] * dinv[cols]
+    two_m = deg.sum()
+    v0 = np.sqrt(deg / max(two_m, 1.0))  # trivial eigenvector of M
+
+    def matvec(X: np.ndarray) -> np.ndarray:
+        Y = np.empty_like(X)
+        for d in range(X.shape[1]):
+            Y[:, d] = np.bincount(cols, weights=w * X[rows, d], minlength=n)
+        return Y + X  # shift by +I
+
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, k))
+    X -= v0[:, None] * (v0 @ X)
+    X, _ = np.linalg.qr(X)
+    for _ in range(iters):
+        Y = matvec(X)
+        Y -= v0[:, None] * (v0 @ Y)  # deflate the trivial direction
+        Q, R = np.linalg.qr(Y)
+        sgn = np.sign(np.diag(R))
+        sgn[sgn == 0] = 1.0
+        X = Q * sgn
+    # Rayleigh–Ritz: rotate to eigenvector approximations, order by
+    # eigenvalue of M' descending = eigenvalue of L ascending
+    T = X.T @ matvec(X)
+    tvals, tvecs = np.linalg.eigh((T + T.T) / 2.0)
+    return X @ tvecs[:, np.argsort(-tvals)]
 
 
 def _matvec_normalized_adjacency(sym_edges: DataFrame, deg: DataFrame, X: DataFrame, k: int) -> DataFrame:
@@ -136,6 +200,9 @@ def _distributed_orthogonal_iteration(
 
     for it in range(iters):
         Y = _matvec_normalized_adjacency(sym, deg, X, k)
+        # materialize each iteration: the two scalar aggregates below
+        # would otherwise replay the whole lineage chain per action
+        Y = Y.localCheckpoint(eager=True)
         # deflate v0: y_d -= (v0·y_d) v0, v0_i = sqrt(d_i / 2m)
         yd = Y.join(deg, "id")
         dots = yd.agg(
@@ -187,11 +254,10 @@ def _distributed_orthogonal_iteration(
                 ]
             ).alias("pos"),
         )
-        oldX = X
-        X = newX.localCheckpoint(eager=True) if (it + 1) % 5 == 0 else newX.persist()
-        if (it + 1) % 5 == 0 or it == iters - 1:
-            X.count()
-            oldX.unpersist()
+        # newX is a cheap projection over the checkpointed Y; the next
+        # iteration's checkpoint (or the caller's first action)
+        # materializes it without lineage growth
+        X = newX
 
     deg.unpersist()
     sym.unpersist()

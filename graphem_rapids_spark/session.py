@@ -55,7 +55,8 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("GRAPHEM_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("GRAPHEM_DRIVER_MEM", "48g"))
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # iterative layouts/cascades build deep plan trees before each
