@@ -58,6 +58,12 @@ from graphem_rapids_spark.analytics import (
     full_correlation_matrix,
     bootstrap_spearman_ci,
 )
+from graphem_rapids_spark.graph.io import (
+    read_snap_edges,
+    read_mtx_edges,
+    read_edges_file,
+    read_csv_nodes_edges,
+)
 
 __version__ = "0.1.0"
 
@@ -98,5 +104,9 @@ __all__ = [
     "rank_column",
     "full_correlation_matrix",
     "bootstrap_spearman_ci",
+    "read_snap_edges",
+    "read_mtx_edges",
+    "read_edges_file",
+    "read_csv_nodes_edges",
     "__version__",
 ]

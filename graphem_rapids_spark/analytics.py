@@ -78,9 +78,18 @@ def pagerank(
     base = verts.join(out_deg, "id", "left").select(
         "id", F.coalesce("od", F.lit(0)).alias("od")
     ).persist()
-    pr = base.select("id", "od", F.lit(1.0 / n).alias("value")).persist()
+    pr = base.select("id", "od", F.lit(1.0 / n).alias("value")).localCheckpoint(
+        eager=True
+    )
+    # dangling vertices exist only if some od == 0 — check ONCE, not
+    # one driver action per iteration (copurchase-style graphs have
+    # none, saving max_iter jobs)
+    has_dangling = base.filter(F.col("od") == 0).limit(1).count() > 0
     for it in range(max_iter):
-        dangling = pr.filter(F.col("od") == 0).agg(F.sum("value")).first()[0] or 0.0
+        if has_dangling:
+            dangling = pr.filter(F.col("od") == 0).agg(F.sum("value")).first()[0] or 0.0
+        else:
+            dangling = 0.0
         contrib = (
             pr.filter(F.col("od") > 0)
             .join(sym.withColumnRenamed("src", "id"), "id")
@@ -94,12 +103,17 @@ def pagerank(
             "od",
             (F.lit(const) + F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0))).alias("value"),
         )
-        new_pr = new_pr.localCheckpoint(eager=True) if (it + 1) % 8 == 0 else new_pr.persist()
-        delta = (
-            new_pr.join(pr.select("id", F.col("value").alias("old")), "id")
-            .agg(F.sum(F.abs(F.col("value") - F.col("old"))))
-            .first()[0]
-        )
+        # checkpoint every iteration: truncates the logical plan (persist
+        # alone lets analysis cost grow exponentially with iterations)
+        new_pr = new_pr.localCheckpoint(eager=True)
+        if tol > 0:
+            delta = (
+                new_pr.join(pr.select("id", F.col("value").alias("old")), "id")
+                .agg(F.sum(F.abs(F.col("value") - F.col("old"))))
+                .first()[0]
+            )
+        else:
+            delta = None  # fixed-iteration mode: no convergence job
         pr.unpersist()
         pr = new_pr
         if delta is not None and delta < n * tol:
@@ -133,12 +147,15 @@ def eigenvector_centrality(
         if norm == 0:
             break
         new_x = y.select("id", (F.col("value") / norm).alias("value"))
-        new_x = new_x.localCheckpoint(eager=True) if (it + 1) % 10 == 0 else new_x.persist()
-        delta = (
-            new_x.join(x.select("id", F.col("value").alias("old")), "id")
-            .agg(F.sum(F.abs(F.col("value") - F.col("old"))))
-            .first()[0]
-        )
+        new_x = new_x.localCheckpoint(eager=True)
+        if tol > 0:
+            delta = (
+                new_x.join(x.select("id", F.col("value").alias("old")), "id")
+                .agg(F.sum(F.abs(F.col("value") - F.col("old"))))
+                .first()[0]
+            )
+        else:
+            delta = None
         x.unpersist()
         x = new_x
         if delta is not None and delta < n_vertices * tol:
@@ -167,9 +184,8 @@ def connected_components(edges: DataFrame, n_vertices: int, max_iter: int = 50) 
         new_labels = labels.join(nbr_min, "id", "left").select(
             "id", F.least(F.col("component"), F.coalesce("nbr", F.col("component"))).alias("component")
         )
-        new_labels = (
-            new_labels.localCheckpoint(eager=True) if (it + 1) % 5 == 0 else new_labels.persist()
-        )
+        # checkpoint every round — plan truncation, not just data caching
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.join(labels.select("id", F.col("component").alias("old")), "id")
             .filter(F.col("component") != F.col("old"))

@@ -780,6 +780,308 @@ def influence_ic(spark, sf_dir):
 
 
 # =====================================================================
+# Round-1 widening: TPC-H Q6, eigenvector centrality, Spearman matrix,
+# closed-form generator oracles, sampled-source closeness (BFS),
+# multimodal feature extraction, IVF ANN, greedy influence, streaming
+# =====================================================================
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: filter-only aggregate — predicate-pushdown showcase
+    (all three filters reach the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.07 AND l_quantity < 24
+"""
+
+
+_EIG_ITERS = 5
+
+
+def eigenvector_copurchase(spark, sf_dir):
+    """A3 eigenvector centrality: fixed-iteration power method on the
+    co-purchase graph (tol=0 → no convergence jobs, oracle-parity)."""
+    e = copurchase_edges(spark, sf_dir)
+    verts, mapping = None, None
+    from graphem_rapids_spark.graph.canon import relabel_contiguous
+
+    e2, mapping = relabel_contiguous(e)
+    n = mapping.count()
+    x = A.eigenvector_centrality(e2, n, max_iter=_EIG_ITERS, tol=0.0)
+    return (
+        x.join(mapping, x.id == mapping.new_id)
+        .select(F.col("old_id").alias("part_id"), F.round("value", 9).alias("eig"))
+    )
+
+
+def _eig_sql(iters: int = _EIG_ITERS) -> str:
+    parts = [
+        _COPURCHASE_SQL_CTE,
+        ", sym AS (SELECT src, dst FROM ge UNION ALL SELECT dst, src FROM ge)",
+        ", verts AS (SELECT DISTINCT src AS id FROM sym)",
+        ", nn AS (SELECT count(*) AS n FROM verts)",
+        ", x0 AS (SELECT id, 1.0 / sqrt((SELECT n FROM nn)) AS v FROM verts)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", y{i} AS (
+  SELECT verts.id, coalesce(t.s, 0) AS v
+  FROM verts LEFT JOIN (
+    SELECT sym.dst AS id, sum(x.v) AS s FROM sym JOIN x{i} x ON x.id = sym.src
+    GROUP BY sym.dst
+  ) t ON t.id = verts.id
+), n{i} AS (SELECT sqrt(sum(v * v)) AS nrm FROM y{i})
+, x{i + 1} AS (SELECT id, v / (SELECT nrm FROM n{i}) AS v FROM y{i})"""
+        )
+    parts.append(
+        f"SELECT id AS part_id, round(v, 9) AS eig FROM x{iters}"
+    )
+    return "\n".join(parts)
+
+
+def spearman_matrix(spark, sf_dir):
+    """A10 full correlation matrix: pairwise Spearman over three
+    lineitem measures (rank-window + corr per pair)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            rho = A.spearman_correlation(li.select(a, b), a, b)
+            rows.append((a, b, round(rho, 6)))
+    return spark.createDataFrame(rows, "col_a string, col_b string, rho double")
+
+
+def _spearman_matrix_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    selects = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            selects.append(
+                f"""SELECT '{a}' AS col_a, '{b}' AS col_b, round(corr(ra, rb), 6) AS rho
+FROM (
+  SELECT rank() OVER (ORDER BY {a}) + (count(*) OVER (PARTITION BY {a}) - 1) / 2.0 AS ra,
+         rank() OVER (ORDER BY {b}) + (count(*) OVER (PARTITION BY {b}) - 1) / 2.0 AS rb
+  FROM lineitem
+)"""
+            )
+    return "\nUNION ALL\n".join(selects)
+
+
+def gen_grid_degree(spark, sf_dir):
+    """G7 road-network grid 30×30 — degree histogram (generator
+    invariant, oracle derives the same edges from first principles)."""
+    from graphem_rapids_spark.graph.generators import generate_road_network
+
+    g = generate_road_network(30, 30, spark=spark)
+    return (
+        vertex_degrees(g.edges)
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_vertices"))
+    )
+
+
+_GRID_SQL = """
+WITH v AS (SELECT unnest(range(900)) AS id),
+e AS (
+  SELECT id AS src, id + 1 AS dst FROM v WHERE id % 30 <> 29
+  UNION ALL
+  SELECT id AS src, id + 30 AS dst FROM v WHERE id < 870
+),
+deg AS (
+  SELECT id, count(*) AS degree
+  FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) GROUP BY id
+)
+SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree
+"""
+
+
+def gen_tree_degree(spark, sf_dir):
+    """G9 balanced 3-ary tree of height 5 — degree histogram."""
+    from graphem_rapids_spark.graph.generators import generate_balanced_tree
+
+    g = generate_balanced_tree(3, 5, spark=spark)
+    return (
+        vertex_degrees(g.edges)
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_vertices"))
+    )
+
+
+_TREE_SQL = """
+WITH e AS (
+  SELECT (id - 1) // 3 AS src, id AS dst
+  FROM (SELECT unnest(range(1, 364)) AS id)
+),
+deg AS (
+  SELECT id, count(*) AS degree
+  FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) GROUP BY id
+)
+SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree
+"""
+
+
+def gen_caveman_stats(spark, sf_dir):
+    """G13 caveman (10 cliques of 10) — vertex/edge counts + degree."""
+    from graphem_rapids_spark.graph.generators import generate_caveman
+
+    g = generate_caveman(10, 10, spark=spark)
+    deg = vertex_degrees(g.edges)
+    return deg.agg(
+        F.count("*").alias("n_vertices"),
+        F.sum("degree").alias("degree_total"),
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
+    )
+
+
+_CAVEMAN_SQL = """
+WITH p AS (SELECT unnest(range(10)) AS i),
+within AS (SELECT a.i AS i, b.i AS j FROM p a JOIN p b ON a.i < b.i),
+blocks AS (SELECT unnest(range(10)) AS b),
+e AS (SELECT b * 10 + i AS src, b * 10 + j AS dst FROM blocks CROSS JOIN within),
+deg AS (
+  SELECT id, count(*) AS degree
+  FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) GROUP BY id
+)
+SELECT count(*) AS n_vertices, sum(degree) AS degree_total,
+       min(degree) AS min_degree, max(degree) AS max_degree
+FROM deg
+"""
+
+
+_CLOSENESS_SOURCES = 20
+_CLOSENESS_DEPTH = 10
+
+
+def closeness_sampled(spark, sf_dir):
+    """A5 closeness centrality, batched multi-source BFS from the 20
+    lowest-id parts of the co-purchase graph, depth-capped at 10 (the
+    oracle's recursive CTE carries the same cap)."""
+    e = copurchase_edges(spark, sf_dir)
+    verts = vertices_from_edges(e)
+    n = verts.count()
+    sources = verts.orderBy("id").limit(_CLOSENESS_SOURCES)
+    cc = A.closeness_centrality(e, n, sources=sources, max_iter=_CLOSENESS_DEPTH)
+    return cc.select(F.col("id").alias("part_id"), F.round("value", 9).alias("closeness"))
+
+
+def _closeness_sql() -> str:
+    return (
+        _COPURCHASE_SQL_CTE
+        + f"""
+, sym AS (SELECT src, dst FROM ge UNION ALL SELECT dst, src FROM ge),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+nn AS (SELECT count(*) AS n FROM verts),
+srcs AS (SELECT id FROM verts ORDER BY id LIMIT {_CLOSENESS_SOURCES}),
+walks AS (
+  WITH RECURSIVE r(s, id, d) AS (
+    SELECT id AS s, id, 0 FROM srcs
+    UNION
+    SELECT r.s, sym.dst, r.d + 1 FROM r JOIN sym ON sym.src = r.id
+    WHERE r.d < {_CLOSENESS_DEPTH}
+  )
+  SELECT s, id, min(d) AS d FROM r GROUP BY s, id
+),
+per AS (SELECT s, sum(d) AS tot, count(*) - 1 AS reach FROM walks GROUP BY s)
+SELECT s AS part_id,
+       round(CASE WHEN tot > 0
+             THEN (reach / CAST(tot AS DOUBLE)) * (reach / CAST((SELECT n FROM nn) - 1 AS DOUBLE))
+             ELSE 0.0 END, 9) AS closeness
+FROM per
+"""
+    )
+
+
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: documents → binary media column
+    → Arrow-batched feature extraction (deterministic stub decoder —
+    md5-derived dims; the real codec is NotImplemented by design)."""
+    from graphem_rapids_spark.pipeline.multimodal import extract_image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("image/fake").alias("mime"),
+    )
+    return extract_image_features(media, fake=True)
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       16 + ('0x' || substr(md5(text), 1, 2))::INT % 240 AS width,
+       16 + ('0x' || substr(md5(text), 3, 2))::INT % 240 AS height,
+       octet_length(encode(text)) AS n_bytes,
+       substr(md5(text), 1, 16) AS phash
+FROM documents
+"""
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """E7 analog: IVF-accelerated approximate cosine top-k (k-means
+    cells, n_probe nearest cells searched). Approximate + float-order
+    sensitive → rows-only check; recall vs brute force is tested in
+    tests/test_similarity_ivf.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_cosine_topk(emb, q, k=5, n_cells=16, n_probe=4)
+
+
+def influence_greedy(spark, sf_dir):
+    """I3 greedy seed selection (candidate-batched IC) on the top-20-
+    degree subset of the co-purchase graph; k=3. Iterative + hash-coin
+    → rows-only check."""
+    from graphem_rapids_spark.influence import greedy_seed_selection
+
+    e = copurchase_edges(spark, sf_dir)
+    cands = (
+        vertex_degrees(e)
+        .orderBy(F.col("degree").desc(), F.col("id").asc())
+        .limit(20)
+        .select("id")
+    )
+    n = vertices_from_edges(e).count()
+    seeds = greedy_seed_selection(
+        e, n, k=3, p=0.02, trials=3, seed=42, candidates=cands
+    )
+    return spark.createDataFrame(
+        [(i + 1, int(s)) for i, s in enumerate(seeds)], "pick int, id long"
+    )
+
+
+def events_stream_hourly(spark, sf_dir):
+    """Structured Streaming twin of events_hourly: readStream over the
+    events parquet, watermarked tumbling window, availableNow drain —
+    identical output to the batch query, so the batch oracle applies."""
+    from graphem_rapids_spark.streaming.events import (
+        hourly_counts_stream,
+        run_available_now,
+        stream_events,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = run_available_now(hourly_counts_stream(stream_events(spark, sf_dir)))
+    return out
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -814,6 +1116,17 @@ QUERIES = {
     "connected_components_copurchase": connected_components_copurchase,
     "layout_seed_selection": layout_seed_selection,
     "influence_ic": influence_ic,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "eigenvector_copurchase": eigenvector_copurchase,
+    "spearman_matrix": spearman_matrix,
+    "gen_grid_degree": gen_grid_degree,
+    "gen_tree_degree": gen_tree_degree,
+    "gen_caveman_stats": gen_caveman_stats,
+    "closeness_sampled": closeness_sampled,
+    "multimodal_features": multimodal_features,
+    "ann_ivf_topk": ann_ivf_topk,
+    "influence_greedy": influence_greedy,
+    "events_stream_hourly": events_stream_hourly,
 }
 
 ORACLES = {
@@ -844,6 +1157,15 @@ ORACLES = {
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_simhash": _simhash_sql(),
     "spearman_qty_price": _SPEARMAN_SQL,
+    "q6_forecast_revenue": _Q6_SQL,
+    "eigenvector_copurchase": _eig_sql(),
+    "spearman_matrix": _spearman_matrix_sql(),
+    "gen_grid_degree": _GRID_SQL,
+    "gen_tree_degree": _TREE_SQL,
+    "gen_caveman_stats": _CAVEMAN_SQL,
+    "closeness_sampled": _closeness_sql(),
+    "multimodal_features": _MULTIMODAL_SQL,
+    "events_stream_hourly": _HOURLY_SQL,
     # connected_components_copurchase / layout_seed_selection /
     # influence_ic: iterative or layout-dependent — rows-only checks
 }

@@ -1,0 +1,110 @@
+"""Structured Streaming over the events table.
+
+The reference has zero streaming surface (SURVEY.md §2.6) — this module
+is part of the Spark-first completeness goal: the same event analytics
+the batch queries compute, expressed as ``readStream`` pipelines with
+watermarks, so the engine covers late-arriving data at 100 TB scale.
+
+Design:
+- ``stream_events`` treats the driver's ``events.parquet`` as a file
+  stream (one-file micro-batch via ``availableNow``), the standard
+  backfill/replay pattern; on a cluster the same code points at a
+  landing directory or Kafka source.
+- Aggregations carry a watermark on the event time so state is bounded:
+  late rows beyond the watermark are dropped instead of growing state
+  forever.
+- ``run_available_now`` drains the stream into an in-memory sink and
+  returns the result as a plain DataFrame — used by tests and the
+  oracle harness to prove stream/batch parity on identical input.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (schema pinned from a batch
+    peek — streaming sources need an explicit schema)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file-stream sources take a DIRECTORY; glob-filter to the one table
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+
+
+def _event_time(col: str = "ts"):
+    # events.ts arrives as long nanoseconds (nanosAsLong read mode);
+    # floor-divide exactly as the batch queries do
+    return F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long"))
+
+
+def hourly_counts_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate per event_type with a
+    watermark — the streaming twin of the batch ``events_hourly``
+    (identical output schema, so the same DuckDB oracle applies)."""
+    ts = _event_time()
+    return (
+        events.withColumn("_t", ts)
+        .withWatermark("_t", watermark)
+        .groupBy(F.window("_t", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "avg_value",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "4 hours"
+) -> DataFrame:
+    """Session windows per user (gap-based) — counts and value sums.
+    Uses Spark's native session_window (state bounded by watermark)."""
+    ts = _event_time()
+    return (
+        events.withColumn("_t", ts)
+        .withWatermark("_t", watermark)
+        .groupBy(
+            F.session_window("_t", f"{gap_minutes} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, name: str | None = None) -> DataFrame:
+    """Drain a streaming DataFrame with trigger(availableNow) into a
+    memory sink; block until done; return the sink as a DataFrame."""
+    spark = result.sparkSession
+    name = name or f"stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,39 @@
+"""Structured Streaming: stream/batch parity on identical input
+(availableNow drain → memory sink) and session-window sanity."""
+
+from pyspark.sql import functions as F
+
+from graphem_rapids_spark.queries import events_hourly
+from graphem_rapids_spark.streaming.events import (
+    hourly_counts_stream,
+    run_available_now,
+    sessionize_stream,
+    stream_events,
+)
+
+
+def test_stream_hourly_matches_batch(spark, sf_dir):
+    batch = events_hourly(spark, sf_dir)
+    out = run_available_now(hourly_counts_stream(stream_events(spark, sf_dir)))
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in out.collect()}
+    assert b == s and len(b) > 0
+
+
+def test_stream_sessionize_bounds(spark, sf_dir):
+    out = run_available_now(sessionize_stream(stream_events(spark, sf_dir)))
+    rows = out.collect()
+    assert len(rows) > 0
+    # every session has ≥1 event; per-user session events sum to the
+    # user's total event count
+    assert all(r.n_events >= 1 for r in rows)
+    per_user = out.groupBy("user_id").agg(F.sum("n_events").alias("n"))
+    evs = stream_events(spark, sf_dir)  # streaming DF; recount via batch
+    batch_counts = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {r.user_id: r.n for r in per_user.collect()}
+    want = {r.user_id: r.n for r in batch_counts.collect()}
+    assert got == want
