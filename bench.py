@@ -38,6 +38,11 @@ HEADLINE = [
     "doc_token_stats",
     "layout_seed_selection",
     "influence_ic",
+    "q6_forecast_revenue",
+    "eigenvector_copurchase",
+    "closeness_sampled",
+    "multimodal_features",
+    "events_stream_hourly",
 ]
 
 

@@ -67,7 +67,10 @@ def pagerank(
     (reference ``benchmark.py:95-98``). Each step: one join + one agg.
     Pass ``vertices`` for sparse (non-contiguous) id spaces."""
     spark = edges.sparkSession
-    sym = symmetrize_edges(edges)
+    # pre-partition messages by destination ONCE: the per-iteration
+    # groupBy(dst) then reuses this partitioning (no repeated 2m-row
+    # shuffle), and the small rank table broadcasts to the join
+    sym = symmetrize_edges(edges).repartition(F.col("dst")).persist()
     out_deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("od"))
     if vertices is not None:
         verts = vertices.select(F.col("id").cast("long"))
@@ -90,9 +93,12 @@ def pagerank(
             dangling = pr.filter(F.col("od") == 0).agg(F.sum("value")).first()[0] or 0.0
         else:
             dangling = 0.0
+        # broadcast the small rank table into the dst-partitioned edge
+        # table: the groupBy(id=dst) below reuses sym's partitioning —
+        # zero per-iteration shuffle of the edge-sized message stream
         contrib = (
-            pr.filter(F.col("od") > 0)
-            .join(sym.withColumnRenamed("src", "id"), "id")
+            sym.withColumnRenamed("src", "id")
+            .join(F.broadcast(pr.filter(F.col("od") > 0)), "id")
             .select(F.col("dst").alias("id"), (F.col("value") / F.col("od")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
@@ -119,6 +125,7 @@ def pagerank(
         if delta is not None and delta < n * tol:
             break
     base.unpersist()
+    sym.unpersist()
     return pr.select("id", "value")
 
 
@@ -130,12 +137,15 @@ def eigenvector_centrality(
     ``eigenvector_centrality_numpy`` semantics; reference
     ``benchmark.py:82-93`` incl. its degree-fallback ethos)."""
     spark = edges.sparkSession
-    sym = symmetrize_edges(edges).persist()
+    # dst-partitioned once; broadcast the small score vector per step —
+    # the matvec's groupBy(dst) reuses the partitioning (no shuffle)
+    sym = symmetrize_edges(edges).repartition(F.col("dst")).persist()
     verts = spark.range(n_vertices).select(F.col("id").cast("long"))
     x = verts.select("id", F.lit(1.0 / math.sqrt(n_vertices)).alias("value")).persist()
     for it in range(max_iter):
         y = (
-            x.join(sym.withColumnRenamed("src", "id"), "id")
+            sym.withColumnRenamed("src", "id")
+            .join(F.broadcast(x), "id")
             .select(F.col("dst").alias("id"), F.col("value").alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("value"))

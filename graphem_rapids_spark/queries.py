@@ -278,12 +278,26 @@ ge AS (
 """
 
 
+_COPURCHASE_CACHE: dict = {}
+
+
 def copurchase_edges(spark, sf_dir) -> DataFrame:
+    """Canonical co-purchase edge list, memoized per (session, sf_dir)
+    as a persisted DataFrame — every graph query shares one build, the
+    local analog of materializing a bucketed edge table (which is what
+    a 100 TB deployment would do once, not per query)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _COPURCHASE_CACHE.get(key)
+    if cached is not None:
+        return cached
     op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
     b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
     raw = a.join(b, (a.l_orderkey == b.ok2) & (a.src < b.dst)).select("src", "dst")
-    return canonicalize_edges(raw)
+    edges = canonicalize_edges(raw).persist()
+    edges.count()
+    _COPURCHASE_CACHE[key] = edges
+    return edges
 
 
 def graph_edges(spark, sf_dir):
