@@ -64,6 +64,25 @@ from graphem_rapids_spark.graph.io import (
     read_edges_file,
     read_csv_nodes_edges,
 )
+from graphem_rapids_spark.datasets import (
+    load_dataset,
+    list_available_datasets,
+)
+from graphem_rapids_spark.benchmark import (
+    run_benchmark,
+    benchmark_correlations,
+    run_influence_benchmark,
+    compare_configs,
+)
+from graphem_rapids_spark.reports import (
+    display_benchmark_results,
+    save_results,
+    report_corr,
+    report_full_correlation_matrix,
+    plot_radial_vs_centrality,
+    plot_embedding,
+)
+from graphem_rapids_spark.session import get_backend_info
 
 __version__ = "0.1.0"
 
@@ -108,5 +127,18 @@ __all__ = [
     "read_mtx_edges",
     "read_edges_file",
     "read_csv_nodes_edges",
+    "load_dataset",
+    "list_available_datasets",
+    "run_benchmark",
+    "benchmark_correlations",
+    "run_influence_benchmark",
+    "compare_configs",
+    "display_benchmark_results",
+    "save_results",
+    "report_corr",
+    "report_full_correlation_matrix",
+    "plot_radial_vs_centrality",
+    "plot_embedding",
+    "get_backend_info",
     "__version__",
 ]

@@ -72,6 +72,34 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def get_backend_info(spark: SparkSession | None = None) -> dict:
+    """Engine/runtime report (reference ``get_backend_info``,
+    ``__init__.py:139-169`` + hardware probes in
+    ``backend_selection.py:32-91``). The reference reports
+    torch/CUDA/cuVS availability; one Spark engine reports the
+    session's execution knobs instead."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        return {"active_session": False}
+    conf = spark.conf
+    sc = spark.sparkContext
+    return {
+        "active_session": True,
+        "spark_version": spark.version,
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        "shuffle_partitions": conf.get("spark.sql.shuffle.partitions"),
+        "adaptive_enabled": conf.get("spark.sql.adaptive.enabled"),
+        "arrow_enabled": conf.get("spark.sql.execution.arrow.pyspark.enabled"),
+        "broadcast_threshold": conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "strategy_thresholds": {
+            "exact_knn_max_rows": EXACT_KNN_MAX_ROWS,
+            "driver_eig_max_vertices": DRIVER_EIG_MAX_VERTICES,
+            "broadcast_positions_max": BROADCAST_POSITIONS_MAX,
+        },
+    }
+
+
 def stop_spark() -> None:
     spark = SparkSession.getActiveSession()
     if spark is not None:
