@@ -153,11 +153,14 @@ def eigenvector_centrality(
         y = verts.join(y, "id", "left").select(
             "id", (F.coalesce("value", F.lit(0.0)) + F.col("id") * 0.0).alias("value")
         )
+        # checkpoint BEFORE the norm action: y is referenced twice (norm
+        # + normalized output) and would otherwise run the matvec twice
+        # per iteration — the checkpoint makes the second use a cache read
+        y = y.localCheckpoint(eager=True)
         norm = y.agg(F.sqrt(F.sum(F.col("value") * F.col("value")))).first()[0] or 1.0
         if norm == 0:
             break
         new_x = y.select("id", (F.col("value") / norm).alias("value"))
-        new_x = new_x.localCheckpoint(eager=True)
         if tol > 0:
             delta = (
                 new_x.join(x.select("id", F.col("value").alias("old")), "id")
@@ -242,8 +245,13 @@ def closeness_centrality(
     ).localCheckpoint(eager=True)
     frontier = visited
     for _ in range(max_iter):
+        # broadcast the (checkpointed, hence size-known) frontier into
+        # the persisted edge table: messages are generated map-side, the
+        # 2m-row edge list never shuffles per BFS round — only the
+        # message stream shuffles for its min-distance aggregation
         nxt = (
-            frontier.join(sym.withColumnRenamed("src", "id"), "id")
+            sym.withColumnRenamed("src", "id")
+            .join(F.broadcast(frontier), "id")
             .select("s", F.col("dst").alias("id"), (F.col("d") + 1).alias("d"))
             .groupBy("s", "id")
             .agg(F.min("d").alias("d"))

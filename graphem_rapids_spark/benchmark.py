@@ -61,11 +61,13 @@ _DRIVER_ONLY = {"betweenness", "load"}
 _DRIVER_ONLY_MAX_N = 5000
 
 
-def _as_edges(graph) -> tuple[DataFrame, int]:
+def _as_edges(graph) -> tuple[DataFrame, int, bool]:
+    """(edges, n, canonical?) — SparkGraph edges are canonical by
+    construction, so downstream embedders skip the dedupe shuffle."""
     if isinstance(graph, SparkGraph):
-        return graph.edges, graph.n_vertices
+        return graph.edges, graph.n_vertices, True
     edges, n = graph
-    return edges, n
+    return edges, n, False
 
 
 def benchmark_correlations(
@@ -108,7 +110,7 @@ def run_benchmark(
     Returns the reference's result-dict shape: graph stats, per-phase
     wall times, Spearman correlations radius↔measure.
     """
-    edges, n = _as_edges(graph)
+    edges, n, canonical = _as_edges(graph)
     t0 = time.time()
     edges = edges.persist()
     m = edges.count()
@@ -133,7 +135,7 @@ def run_benchmark(
     emb = GraphEmbedderSpark(
         edges, n, n_components=dim, L_min=L_min, k_attr=k_attr,
         k_inter=k_inter, n_neighbors=n_neighbors, sample_size=sample_size,
-        seed=seed,
+        seed=seed, canonical=canonical,
     )
     emb.run_layout(num_iterations)
     radii = emb.radial_distances().persist()
@@ -190,13 +192,13 @@ def run_influence_benchmark(
     ``run_influence_benchmark``, ``benchmark.py:246-380`` /
     ``benchmarks/run_benchmarks.py:392-461``). Efficiency =
     influence / selection-seconds, the reference's headline metric."""
-    edges, n = _as_edges(graph)
+    edges, n, canonical = _as_edges(graph)
     edges = edges.persist()
     edges.count()
     out: dict = {"n_vertices": n, "k": k, "p": p, "trials": trials}
 
     t = time.time()
-    emb = GraphEmbedderSpark(edges, n, n_components=3, seed=seed)
+    emb = GraphEmbedderSpark(edges, n, n_components=3, seed=seed, canonical=canonical)
     seeds_df = graphem_seed_selection(emb, k, num_iterations=num_iterations)
     graphem_time = time.time() - t
     graphem_seeds = [int(r.id) for r in seeds_df.collect()]

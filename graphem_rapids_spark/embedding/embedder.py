@@ -65,6 +65,7 @@ class GraphEmbedderSpark:
         knn_method: str = "auto",
         checkpoint_every: int = 4,
         verbose: bool = False,
+        canonical: bool = False,
     ):
         if n_vertices <= 0:
             raise ValueError("graph must be non-empty")
@@ -87,8 +88,11 @@ class GraphEmbedderSpark:
 
         # edge_id = hash of the canonical pair: deterministic, no
         # global sort (the reference's implicit array index).
+        # canonical=True skips the dedupe shuffle when the caller
+        # guarantees src<dst distinct edges (generators, relabel).
+        base_edges = edges if canonical else canonicalize_edges(edges)
         self.edges = (
-            canonicalize_edges(edges)
+            base_edges.select("src", "dst")
             .withColumn("edge_id", F.xxhash64("src", "dst"))
             .persist()
         )
@@ -343,12 +347,16 @@ class GraphEmbedderSpark:
     def update_positions(self) -> None:
         """One layout step (E2–E12, ``update_positions`` :776-806)."""
         ee = self._edge_endpoints()
-        spring = self._spring_contribs(ee)
         if self.k_inter > 0 and self.n_edges > 1:
             inter, mids_cache = self._intersection_contribs(ee)
+            # spring forces read the CACHED midpoint table (it carries
+            # src/dst/p1/p2) — the edges⋈positions gather join runs
+            # once per iteration, not once per force family
+            spring = self._spring_contribs(mids_cache)
             contribs = spring.unionAll(inter)
         else:
             mids_cache = None
+            spring = self._spring_contribs(ee)
             contribs = spring
         forces = contribs.groupBy("id").agg(
             *[F.sum(F.col(f"f{d}")).alias(f"f{d}") for d in range(self.dim)]
@@ -365,6 +373,13 @@ class GraphEmbedderSpark:
                 ).alias("pos"),
             )
         )
+        # localCheckpoint BEFORE the normalization stats: `moved` is
+        # referenced twice (stats broadcast subjob + final projection)
+        # and would otherwise run the whole force pipeline twice per
+        # iteration. Checkpointing every iteration also truncates the
+        # logical plan (persist() alone caches data but not the plan —
+        # analysis cost grows exponentially without truncation).
+        moved = moved.localCheckpoint(eager=True)
         # center + per-dim sample-std scale (:801-804; torch.std is ddof=1)
         stats = moved.agg(
             *[F.avg(F.col("pos").getItem(d)).alias(f"m{d}") for d in range(self.dim)],
@@ -382,11 +397,9 @@ class GraphEmbedderSpark:
         )
         self._iter += 1
         old = self._positions
-        # localCheckpoint EVERY iteration: persist() alone caches data
-        # but not the logical plan — the plan nests (positions appears
-        # several times per step) and Catalyst analysis time grows
-        # exponentially with iteration count without truncation.
-        self._positions = newpos.localCheckpoint(eager=True)
+        # _positions stays a thin projection over the checkpointed
+        # `moved` — O(1) plan depth, no extra materialization pass
+        self._positions = newpos
         old.unpersist()
         if mids_cache is not None:
             mids_cache.unpersist()

@@ -99,12 +99,18 @@ def _numpy_orthogonal_iteration(
     n: int,
     k: int,
     seed: int,
-    iters: int = 150,
+    iters: int = 40,
 ) -> np.ndarray:
     """Top-k nontrivial eigenvectors of M = D^{-1/2} A D^{-1/2} via
     block power iteration on M + I (spectrum [0,2] — keeps the
     negative end of M from winning, which ``which='SM'`` semantics
-    require). One bincount per component per iteration."""
+    require). One bincount per component per iteration.
+
+    ``iters=40`` is a deliberate cap: real graphs have tiny eigengaps
+    here, so exact convergence is unreachable by power iteration
+    anyway, and the force layout only needs a good low-frequency
+    subspace as its starting point (the reference itself falls back to
+    *random* init when eigsh fails, ``embedder_pytorch.py:366-369``)."""
     with np.errstate(divide="ignore"):
         dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-300)), 0.0)
     w = dinv[rows] * dinv[cols]
@@ -112,22 +118,33 @@ def _numpy_orthogonal_iteration(
     v0 = np.sqrt(deg / max(two_m, 1.0))  # trivial eigenvector of M
 
     def matvec(X: np.ndarray) -> np.ndarray:
+        # ONE gather of X's edge rows for all k columns (the gather
+        # dominates; per-column bincount is C-fast segment summation)
+        WX = w[:, None] * X[rows, :]
         Y = np.empty_like(X)
         for d in range(X.shape[1]):
-            Y[:, d] = np.bincount(cols, weights=w * X[rows, d], minlength=n)
+            Y[:, d] = np.bincount(cols, weights=WX[:, d], minlength=n)
         return Y + X  # shift by +I
 
     rng = np.random.default_rng(seed)
     X = rng.standard_normal((n, k))
     X -= v0[:, None] * (v0 @ X)
     X, _ = np.linalg.qr(X)
-    for _ in range(iters):
+    prev_ritz = None
+    for it in range(iters):
         Y = matvec(X)
         Y -= v0[:, None] * (v0 @ Y)  # deflate the trivial direction
         Q, R = np.linalg.qr(Y)
         sgn = np.sign(np.diag(R))
         sgn[sgn == 0] = 1.0
         X = Q * sgn
+        # convergence check every 10 rounds: Ritz values stable →
+        # stop (layout init needs a good subspace, not 1e-12 eigsh)
+        if (it + 1) % 10 == 0:
+            ritz = np.sort(np.diag(X.T @ matvec(X)))
+            if prev_ritz is not None and np.max(np.abs(ritz - prev_ritz)) < 1e-7:
+                break
+            prev_ritz = ritz
     # Rayleigh–Ritz: rotate to eigenvector approximations, order by
     # eigenvalue of M' descending = eigenvalue of L ascending
     T = X.T @ matvec(X)

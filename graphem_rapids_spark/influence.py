@@ -79,8 +79,10 @@ def independent_cascade(
     )
     frontier = activated
     for _ in range(max_iter):
-        msgs = frontier.join(
-            sym.withColumnRenamed("src", "id"), "id"
+        # broadcast the small checkpointed frontier — the edge table
+        # stays put (map-side join), only successes shuffle for distinct
+        msgs = sym.withColumnRenamed("src", "id").join(
+            F.broadcast(frontier), "id"
         ).select(*keys, F.col("id").alias("u"), F.col("dst").alias("v"))
         succ = (
             msgs.filter(_coin([F.col("u"), F.col("v"), F.col("trial")], seed) < p)

@@ -764,7 +764,9 @@ def layout_seed_selection(spark, sf_dir):
 
     e, mapping = relabel_contiguous(copurchase_edges(spark, sf_dir))
     n = mapping.count()
-    emb = GraphEmbedderSpark(e, n, n_components=2, seed=42, sample_size=128)
+    emb = GraphEmbedderSpark(
+        e, n, n_components=2, seed=42, sample_size=128, canonical=True
+    )
     emb.run_layout(2)
     r = emb.radial_distances()
     top = (
@@ -1099,6 +1101,133 @@ def events_stream_hourly(spark, sf_dir):
 # Registry
 # =====================================================================
 
+# =====================================================================
+# Relational breadth: semi-join (Q4-style), anti-join, ROLLUP
+# grouping-set aggregation, per-group window top-k
+# =====================================================================
+
+
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join orders→lineitem (returned
+    items), counted per priority. Spark plans a LeftSemi hash join with
+    the date filter pushed to the orders scan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def customers_without_orders(spark, sf_dir):
+    """Anti-join (TPC-H Q22 ethos): customers with no RECENT order
+    (none since 2001), counted per nation. The nation dim broadcasts;
+    the anti-join shuffles on custkey only with the date filter pushed
+    to the orders scan."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2001-01-01")
+        .select("o_custkey")
+    )
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+_NOORDERS_SQL = """
+SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY n_name
+"""
+
+
+def orders_rollup(spark, sf_dir):
+    """ROLLUP grouping sets over (status, priority) — partial+final
+    hash agg over all grouping sets in ONE shuffle (Expand operator);
+    the reference has no grouping sets, this is engine breadth."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def customer_top_orders(spark, sf_dir):
+    """Per-customer top-2 orders by price (window row_number — the E5
+    ranking-window pattern on relational data). Deterministic cut:
+    ties broken by orderkey."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select(
+            "o_custkey",
+            F.col("rk").cast("long").alias("rk"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+_TOPORDERS_SQL = """
+SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS total_price
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'MACHINERY'
+) WHERE rk <= 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1141,6 +1270,10 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "influence_greedy": influence_greedy,
     "events_stream_hourly": events_stream_hourly,
+    "q4_order_priority": q4_order_priority,
+    "customers_without_orders": customers_without_orders,
+    "orders_rollup": orders_rollup,
+    "customer_top_orders": customer_top_orders,
 }
 
 ORACLES = {
@@ -1180,6 +1313,10 @@ ORACLES = {
     "closeness_sampled": _closeness_sql(),
     "multimodal_features": _MULTIMODAL_SQL,
     "events_stream_hourly": _HOURLY_SQL,
+    "q4_order_priority": _Q4_SQL,
+    "customers_without_orders": _NOORDERS_SQL,
+    "orders_rollup": _ROLLUP_SQL,
+    "customer_top_orders": _TOPORDERS_SQL,
     # connected_components_copurchase / layout_seed_selection /
     # influence_ic: iterative or layout-dependent — rows-only checks
 }

@@ -58,6 +58,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("GRAPHEM_DRIVER_MEM", "48g"))
         .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # iterative layouts/cascades build deep plan trees before each
         # checkpoint truncation — give the driver JVM stack headroom
