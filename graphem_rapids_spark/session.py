@@ -67,6 +67,10 @@ def get_spark(
         # driver testdata writes TIMESTAMP(NANOS) parquet (events.ts);
         # Spark 4 refuses it unless read as long nanoseconds
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # MinHash signatures aggregate 128 columns in one pass; the
+        # default codegen field cap (100) silently drops that plan to
+        # interpreted eval (2x slower measured) — raise it
+        .config("spark.sql.codegen.maxFields", "256")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
