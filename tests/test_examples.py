@@ -1,0 +1,30 @@
+"""Examples as smoke tests — the reference's CI runs its quick-start
+example (``.github/workflows/tests.yml:50-52``); same policy here.
+Subprocess isolation: each example owns (and stops) its SparkSession,
+which must not touch the suite's shared session."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+
+def _run(script: str, *args: str) -> str:
+    out = subprocess.run(
+        [sys.executable, script, *args],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_quick_start_example():
+    stdout = _run("examples/quick_start.py")
+    assert "seeds:" in stdout
+    assert "graphem influence:" in stdout
+
+
+def test_data_pipeline_example():
+    stdout = _run("examples/data_pipeline.py", "/root/testdata/sf0.001")
+    assert "minhash near-dup pairs:" in stdout
+    assert "pred_lang" in stdout

@@ -1,0 +1,63 @@
+"""Physical-plan regression tests — pin the scale-critical plan
+properties so a refactor can't silently lose predicate pushdown,
+column pruning, or dimension broadcasting (the ".explain and iterate"
+contract; see scripts/plan_audit.py)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from scripts.plan_audit import audit_plan  # noqa: E402
+import __spark_entry__ as entry  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry.queries()
+
+
+def test_q6_filters_reach_scan(spark, sf_dir, queries):
+    info = audit_plan(queries["q6_forecast_revenue"](spark, sf_dir))
+    [scan] = info["scans"]
+    # only the 4 referenced columns are read from a 11-column table
+    assert scan["n_columns"] == 4
+    # all three filter families pushed into the parquet reader
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan["pushed_filters"]
+    assert info["exchanges"] == 1  # the single final aggregate
+
+
+def test_q1_column_pruning(spark, sf_dir, queries):
+    info = audit_plan(queries["q1_pricing_summary"](spark, sf_dir))
+    [scan] = info["scans"]
+    assert scan["n_columns"] == 7  # of 11 lineitem columns
+    assert "l_shipdate" in scan["pushed_filters"]
+    assert info["exchanges"] == 1  # one groupBy shuffle, nothing else
+
+
+def test_q5_dims_broadcast(spark, sf_dir, queries):
+    info = audit_plan(queries["q5_nation_revenue"](spark, sf_dir))
+    # 5-table join: every join is broadcast (dims are small), the only
+    # shuffle is the final aggregation
+    assert info["broadcast_joins"] == 4
+    assert info["sortmerge_joins"] == 0
+    assert info["exchanges"] == 1
+    assert all(s["n_columns"] <= 3 for s in info["scans"])
+
+
+def test_anti_join_pushdown(spark, sf_dir, queries):
+    info = audit_plan(queries["customers_without_orders"](spark, sf_dir))
+    # the date filter must hit the orders scan, not run post-join
+    orders_scan = [s for s in info["scans"] if "o_orderdate" in s["pushed_filters"]]
+    assert orders_scan, f"date filter not pushed: {info['scans']}"
+    assert info["broadcast_joins"] >= 1  # nation dim broadcasts
+
+
+def test_embeddings_prune_to_two_columns(spark, sf_dir, queries):
+    info = audit_plan(queries["ann_cosine_topk"](spark, sf_dir))
+    # embeddings table: only (vec_id, emb) read on both sides
+    assert all(s["n_columns"] == 2 for s in info["scans"])
