@@ -1101,6 +1101,27 @@ def events_stream_hourly(spark, sf_dir):
 # Registry
 # =====================================================================
 
+def dedup_stream_first_seen(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    first-occurrence exact dedup over a document stream. Output equals
+    the batch exact-dedup keep contract, so a plain GROUP BY oracle
+    applies."""
+    from graphem_rapids_spark.streaming.dedup import first_seen_stream
+    from graphem_rapids_spark.streaming.events import (
+        run_available_now,
+        stream_table,
+    )
+
+    docs = stream_table(spark, sf_dir, "documents")
+    return run_available_now(first_seen_stream(docs), output_mode="append")
+
+
+_STREAM_DEDUP_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
 # =====================================================================
 # Relational breadth: semi-join (Q4-style), anti-join, ROLLUP
 # grouping-set aggregation, per-group window top-k
@@ -1274,6 +1295,7 @@ QUERIES = {
     "customers_without_orders": customers_without_orders,
     "orders_rollup": orders_rollup,
     "customer_top_orders": customer_top_orders,
+    "dedup_stream_first_seen": dedup_stream_first_seen,
 }
 
 ORACLES = {
@@ -1317,6 +1339,7 @@ ORACLES = {
     "customers_without_orders": _NOORDERS_SQL,
     "orders_rollup": _ROLLUP_SQL,
     "customer_top_orders": _TOPORDERS_SQL,
+    "dedup_stream_first_seen": _STREAM_DEDUP_SQL,
     # connected_components_copurchase / layout_seed_selection /
     # influence_ic: iterative or layout-dependent — rows-only checks
 }

@@ -26,17 +26,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (schema pinned from a batch
+def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """readStream over one parquet table (schema pinned from a batch
     peek — streaming sources need an explicit schema)."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
     # file-stream sources take a DIRECTORY; glob-filter to the one table
     return (
         spark.readStream.schema(schema)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", f"{table}.parquet")
         .load(sf_dir)
     )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_table(spark, sf_dir, "events")
 
 
 def _event_time(col: str = "ts"):
@@ -94,15 +98,19 @@ def sessionize_stream(
     )
 
 
-def run_available_now(result: DataFrame, name: str | None = None) -> DataFrame:
+def run_available_now(
+    result: DataFrame, name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
     """Drain a streaming DataFrame with trigger(availableNow) into a
-    memory sink; block until done; return the sink as a DataFrame."""
+    memory sink; block until done; return the sink as a DataFrame.
+    ``output_mode='append'`` for stateful append streams (e.g. the
+    streaming dedup operator)."""
     spark = result.sparkSession
     name = name or f"stream_{uuid.uuid4().hex[:8]}"
     q = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -4,11 +4,13 @@
 from pyspark.sql import functions as F
 
 from graphem_rapids_spark.queries import events_hourly
+from graphem_rapids_spark.streaming.dedup import first_seen_stream
 from graphem_rapids_spark.streaming.events import (
     hourly_counts_stream,
     run_available_now,
     sessionize_stream,
     stream_events,
+    stream_table,
 )
 
 
@@ -37,3 +39,19 @@ def test_stream_sessionize_bounds(spark, sf_dir):
     got = {r.user_id: r.n for r in per_user.collect()}
     want = {r.user_id: r.n for r in batch_counts.collect()}
     assert got == want
+
+
+def test_stream_dedup_first_seen(spark, sf_dir):
+    # stateful applyInPandasWithState dedup: one output row per
+    # distinct text, carrying the smallest doc_id of its group —
+    # matches the batch exact-dedup keep_id contract
+    docs = stream_table(spark, sf_dir, "documents")
+    out = run_available_now(
+        first_seen_stream(docs), output_mode="append"
+    )
+    got = {(r.text_hash, r.doc_id) for r in out.collect()}
+    from graphem_rapids_spark.pipeline.dedup import exact_duplicates
+
+    batch = exact_duplicates(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    want = {(r.text_hash, r.keep_id) for r in batch.collect()}
+    assert got == want and len(got) > 0
