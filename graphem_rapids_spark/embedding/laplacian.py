@@ -138,11 +138,12 @@ def _numpy_orthogonal_iteration(
         sgn = np.sign(np.diag(R))
         sgn[sgn == 0] = 1.0
         X = Q * sgn
-        # convergence check every 10 rounds: Ritz values stable →
-        # stop (layout init needs a good subspace, not 1e-12 eigsh)
+        # convergence check every 10 rounds, free of extra matvecs:
+        # |diag(R)| → the eigenvalues as orthogonal iteration converges
+        # (layout init needs a good subspace, not 1e-12 eigsh)
         if (it + 1) % 10 == 0:
-            ritz = np.sort(np.diag(X.T @ matvec(X)))
-            if prev_ritz is not None and np.max(np.abs(ritz - prev_ritz)) < 1e-7:
+            ritz = np.sort(np.abs(np.diag(R)))
+            if prev_ritz is not None and np.max(np.abs(ritz - prev_ritz)) < 1e-6:
                 break
             prev_ritz = ritz
     # Rayleigh–Ritz: rotate to eigenvector approximations, order by
