@@ -1122,6 +1122,30 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def graph_triangles(spark, sf_dir):
+    """Triangle count on the co-purchase graph — the canonical
+    multi-way self-join: canonical edges (a<b), (b<c), (a<c) joined on
+    shared endpoints count each triangle exactly once. Spark plans two
+    shuffle joins on edge endpoints; no enumeration materializes
+    beyond the join stream."""
+    e = copurchase_edges(spark, sf_dir)
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(F.count("*").alias("n_triangles"))
+
+
+_TRIANGLES_SQL = (
+    _COPURCHASE_SQL_CTE
+    + """
+SELECT count(*) AS n_triangles
+FROM ge e1 JOIN ge e2 ON e1.dst = e2.src JOIN ge e3
+  ON e3.src = e1.src AND e3.dst = e2.dst
+"""
+)
+
+
 # =====================================================================
 # Relational breadth: semi-join (Q4-style), anti-join, ROLLUP
 # grouping-set aggregation, per-group window top-k
@@ -1296,6 +1320,7 @@ QUERIES = {
     "orders_rollup": orders_rollup,
     "customer_top_orders": customer_top_orders,
     "dedup_stream_first_seen": dedup_stream_first_seen,
+    "graph_triangles": graph_triangles,
 }
 
 ORACLES = {
@@ -1340,6 +1365,7 @@ ORACLES = {
     "orders_rollup": _ROLLUP_SQL,
     "customer_top_orders": _TOPORDERS_SQL,
     "dedup_stream_first_seen": _STREAM_DEDUP_SQL,
+    "graph_triangles": _TRIANGLES_SQL,
     # connected_components_copurchase / layout_seed_selection /
     # influence_ic: iterative or layout-dependent — rows-only checks
 }
