@@ -1273,6 +1273,373 @@ FROM (
 """
 
 
+# =====================================================================
+# Relational breadth II: the remaining TPC-H shapes expressible over
+# the driver's star schema — multi-dim join breadth (Q7/Q9/Q10),
+# outer-join distribution (Q13), scalar share (Q14), correlated
+# per-group subquery (Q17), HAVING-semi (Q18), OR-bracket
+# predicate pushdown (Q19), window-max (Q15) — plus an as-of join
+# over the events stream (the one join family Spark lacks built-in).
+# =====================================================================
+
+
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two nations by year.
+    Both nation dims broadcast (two tiny replicated joins); the only
+    shuffles are lineitem⋈orders and ⋈customer on their keys, then the
+    final small agg. Supplier is mid-size — at 100 TB it still
+    broadcasts (~10k rows/SF keeps it far under the 10 MB default)."""
+    n = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7") | (
+        F.col("supp_nation") == "NATION_7"
+    ) & (F.col("cust_nation") == "NATION_3")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))), F.col("s_nationkey") == F.col("snk"))
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))), F.col("c_nationkey") == F.col("cnk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE (ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+     OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation × order year for a
+    part family. part/supplier/nation broadcast; the fact-fact
+    lineitem⋈orders join carries only the two needed orders columns
+    (column pruning keeps the shuffle narrow at 100 TB)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("profit"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter. Date filter pushes to the orders scan, returnflag filter
+    to the lineitem scan; global top-k is partial per-partition top-k
+    + single merge (TakeOrderedAndProject), never a full sort."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of orders-per-customer including
+    zero-order customers — LEFT OUTER join then two hash aggs. The
+    second agg's input is one row per customer, so the second shuffle
+    is tiny regardless of fact size."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share — conditional aggregation
+    (the CASE collapses what would be two scans into one), single
+    scalar out. part broadcasts onto the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END) / sum(l_extendedprice * (1 - l_discount)),
+             4) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with max quarterly revenue. The
+    scalar-max subquery becomes a rank() window over ONE tiny
+    aggregated table (one row per supplier) — no second scan of
+    lineitem, unlike the textbook self-join formulation."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    w = Window.orderBy(F.col("total_revenue").desc())
+    top = rev.withColumn("rk", F.rank().over(w)).filter(F.col("rk") == 1).drop("rk")
+    return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from orders below 50% of the
+    per-part average quantity. The correlated scalar subquery becomes
+    ONE pass: an avg() window partitioned by partkey — no re-scan,
+    no self-join, and exact across engines because l_quantity is
+    integer-valued (double sums of integers are order-independent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM (
+  SELECT l_extendedprice, l_quantity,
+         avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#12'
+)
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+def q18_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold (HAVING over a fact-only agg), then enriched with the
+    customer dim. The agg runs BEFORE the joins, so only the few
+    surviving orderkeys join onward — semi-join pushback for free."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("sum_qty", 0).alias("sum_qty"),
+        )
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       round(o_totalprice, 2) AS total_price, round(sum_qty, 0) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q19_bracketed_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR of three brand/size/quantity brackets.
+    Catalyst extracts the common join key and pushes the disjunctive
+    residual into the joined filter; the part dim broadcasts so the
+    whole query is one lineitem scan with zero shuffles before the
+    scalar agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5)) & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10)) & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#15") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(20, 30)))
+    )
+    return joined.filter(bracket).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+_Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def events_asof_join(spark, sf_dir):
+    """As-of join — for each purchase event, the most recent prior (or
+    simultaneous) click by the same user. Spark has no built-in as-of
+    join; rather than a per-key merge (applyInPandas), this expresses
+    it as a running max() window over the union of both event kinds —
+    ONE shuffle on user_id, monotone state, whole-stage codegen
+    throughout. At 100 TB the shuffle is keyed by user, so skew salts
+    apply if a user dominates; no cross product ever materializes."""
+    ev = _events(spark, sf_dir)
+    sub = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asof = sub.withColumn(
+        "last_click_ts",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+    )
+
+    def fmt(col):
+        return F.date_format(
+            F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")),
+            "yyyy-MM-dd HH:mm:ss",
+        )
+
+    return (
+        asof.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            fmt("ts").alias("purchase_ts"),
+            fmt("last_click_ts").alias("last_click_ts"),
+        )
+    )
+
+
+_ASOF_SQL = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(last_click_ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         max(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+WHERE event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1321,6 +1688,16 @@ QUERIES = {
     "customer_top_orders": customer_top_orders,
     "dedup_stream_first_seen": dedup_stream_first_seen,
     "graph_triangles": graph_triangles,
+    "q7_nation_volume": q7_nation_volume,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q13_order_distribution": q13_order_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_orders": q18_large_volume_orders,
+    "q19_bracketed_revenue": q19_bracketed_revenue,
+    "events_asof_join": events_asof_join,
 }
 
 ORACLES = {
@@ -1366,6 +1743,16 @@ ORACLES = {
     "customer_top_orders": _TOPORDERS_SQL,
     "dedup_stream_first_seen": _STREAM_DEDUP_SQL,
     "graph_triangles": _TRIANGLES_SQL,
+    "q7_nation_volume": _Q7_SQL,
+    "q9_product_profit": _Q9_SQL,
+    "q10_returned_items": _Q10_SQL,
+    "q13_order_distribution": _Q13_SQL,
+    "q14_promo_revenue": _Q14_SQL,
+    "q15_top_supplier": _Q15_SQL,
+    "q17_small_quantity_revenue": _Q17_SQL,
+    "q18_large_volume_orders": _Q18_SQL,
+    "q19_bracketed_revenue": _Q19_SQL,
+    "events_asof_join": _ASOF_SQL,
     # connected_components_copurchase / layout_seed_selection /
     # influence_ic: iterative or layout-dependent — rows-only checks
 }
