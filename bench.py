@@ -43,6 +43,13 @@ HEADLINE = [
     "closeness_sampled",
     "multimodal_features",
     "events_stream_hourly",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q18_large_volume_orders",
+    "events_asof_join",
+    "graph_triangles",
 ]
 
 

@@ -61,3 +61,39 @@ def test_embeddings_prune_to_two_columns(spark, sf_dir, queries):
     info = audit_plan(queries["ann_cosine_topk"](spark, sf_dir))
     # embeddings table: only (vec_id, emb) read on both sides
     assert all(s["n_columns"] == 2 for s in info["scans"])
+
+
+def test_q7_all_dims_broadcast(spark, sf_dir, queries):
+    info = audit_plan(queries["q7_nation_volume"](spark, sf_dir))
+    # 6-table join; supplier + both nation roles (and at test scale the
+    # other sides too) broadcast — never a sort-merge, one final agg
+    assert info["broadcast_joins"] >= 3
+    assert info["sortmerge_joins"] == 0
+    assert info["exchanges"] == 1
+
+
+def test_q18_aggregates_before_joining(spark, sf_dir, queries):
+    info = audit_plan(queries["q18_large_volume_orders"](spark, sf_dir))
+    # the lineitem agg runs first, so the only fact-sized shuffle is
+    # that one groupBy; the surviving handful of orderkeys join onward
+    assert info["exchanges"] <= 2
+    li_scan = [s for s in info["scans"] if s["n_columns"] == 2]
+    assert li_scan, "lineitem scan should read only (l_orderkey, l_quantity)"
+
+
+def test_q19_or_brackets_stay_pushed(spark, sf_dir, queries):
+    info = audit_plan(queries["q19_bracketed_revenue"](spark, sf_dir))
+    assert info["broadcast_joins"] >= 1  # part dim broadcasts
+    assert info["exchanges"] == 1  # scalar agg only
+    # lineitem reads at most 4 of 11 columns despite the OR-predicate
+    assert min(s["n_columns"] for s in info["scans"]) <= 4
+
+
+def test_asof_join_single_shuffle(spark, sf_dir, queries):
+    info = audit_plan(queries["events_asof_join"](spark, sf_dir))
+    # the as-of join is ONE window pass: exactly one exchange on
+    # user_id, event-type filter pushed into the events scan
+    assert info["exchanges"] == 1
+    [scan] = info["scans"]
+    assert "event_type" in scan["pushed_filters"]
+    assert scan["n_columns"] == 4
