@@ -1640,6 +1640,363 @@ WHERE event_type = 'purchase'
 """
 
 
+# =====================================================================
+# Relational breadth III: the last TPC-H shapes, adapted to the driver
+# star schema (no partsupp/shipmode/phone columns — part↔supplier
+# relations and "country codes" are derived from lineitem/custkey).
+# Q2 correlated-min, Q8 market share, Q11 scalar-threshold, Q12
+# conditional agg, Q16 distinct-count + anti, Q20 nested semi, Q21
+# exists/not-exists, Q22 scalar subquery + anti-join.
+# =====================================================================
+
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (correlated MIN subquery): cheapest supplier per
+    small part, unit cost derived from lineitem (min extendedprice/qty
+    per part+supplier — the partsupp analog). The per-part min is a
+    window over the part-supplier agg (one shuffle on partkey; the agg
+    itself pre-shuffles on (partkey,suppkey) so the window input is
+    already nearly clustered). supplier/nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("min_cost", F.min("supply_cost").over(w)).filter(
+        F.col("supply_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.round("supply_cost", 6).alias("supply_cost"),
+        )
+        .orderBy(F.col("supply_cost").asc(), F.col("p_partkey").asc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+_Q2_SQL = """
+SELECT p_partkey, p_brand, s_name, n_name,
+       round(supply_cost, 6) AS supply_cost
+FROM (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+) ps
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_size <= 10
+  AND supply_cost = (SELECT min(l_extendedprice / l_quantity)
+                     FROM lineitem WHERE l_partkey = p_partkey
+                     GROUP BY l_partkey)
+ORDER BY supply_cost ASC, p_partkey ASC, s_name ASC
+LIMIT 100
+"""
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): of revenue from ASIA
+    customers, the share supplied by NATION_2, per order year.
+    Conditional-sum over one joined fact scan; all dims broadcast, so
+    the only shuffles are the two fact-side join keys (orderkey,
+    custkey) and the final tiny per-year agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nat = c.join(
+        F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey)),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_nat = F.broadcast(
+        s.join(
+            F.broadcast(_t(spark, sf_dir, "nation").withColumnRenamed("n_name", "supp_nation")),
+            s.s_nationkey == F.col("n_nationkey"),
+        ).select("s_suppkey", "supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust_nat, o.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(supp_nat, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_2'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN (SELECT s_suppkey, n_name AS supp_nation
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
+  ON l_suppkey = s_suppkey
+WHERE EXISTS (
+  SELECT 1 FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE c_custkey = o_custkey AND r_name = 'ASIA')
+GROUP BY o_year
+"""
+
+
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (scalar-subquery threshold): per-part supplied
+    value from NATION_0/1 suppliers, keeping parts whose value exceeds
+    a fraction of the grand total. The grand total is a 1-row agg
+    cross-joined (broadcast) onto the per-part agg — two passes over
+    one shuffled intermediate, no second fact scan in Spark (reuse via
+    persist would be overkill at this size; Catalyst reuses the
+    exchange)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey").isin(0, 1))
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("value"))
+    )
+    total = per_part.agg(F.sum("value").alias("grand_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.001 * F.col("grand_total"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("l_partkey").asc())
+        .limit(100)
+    )
+
+
+_Q11_SQL = """
+SELECT l_partkey, round(value, 2) AS value
+FROM (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem
+  WHERE EXISTS (SELECT 1 FROM supplier
+                WHERE s_suppkey = l_suppkey AND s_nationkey IN (0, 1))
+  GROUP BY l_partkey
+)
+WHERE value > 0.001 * (
+  SELECT sum(l_extendedprice * (1 - l_discount)) FROM lineitem
+  WHERE EXISTS (SELECT 1 FROM supplier
+                WHERE s_suppkey = l_suppkey AND s_nationkey IN (0, 1)))
+ORDER BY value DESC, l_partkey ASC
+LIMIT 100
+"""
+
+
+def q12_late_lines(spark, sf_dir):
+    """TPC-H Q12 shape (conditional two-way agg): lines shipped >90
+    days after order date, split urgent/non-urgent per linestatus
+    (shipmode analog). One fact-fact join on orderkey then a tiny
+    agg — the date predicate can't be pushed below the join because
+    it spans both tables, but column pruning keeps the shuffle rows
+    narrow (3 cols each side)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE date_diff('day', o_orderdate, l_shipdate) > 90
+GROUP BY l_linestatus
+"""
+
+
+def q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape (distinct-count + NOT IN): how many distinct
+    creditworthy suppliers stock each (brand, type, size) — supplier
+    relation derived from lineitem, "complaints" analog = negative
+    acctbal, excluded by broadcast anti-join before the distinct
+    agg so excluded suppliers never reach the shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2") & F.col("p_size").isin(2, 5, 11, 28, 37)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+        .limit(100)
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#2' AND p_size IN (2, 5, 11, 28, 37)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+LIMIT 100
+"""
+
+
+def q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (nested semi-join chain): suppliers that moved
+    more than 50 units of any 'gear' part — lineitem semi-joined to
+    the filtered part dim (broadcast), aggregated per supplier with
+    HAVING, then the small surviving set joins the supplier dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    qty = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("gear_qty"))
+        .filter(F.col("gear_qty") > 50)
+    )
+    return (
+        qty.join(F.broadcast(s), qty.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name", "gear_qty")
+        .orderBy(F.col("s_name").asc())
+    )
+
+
+_Q20_SQL = """
+SELECT s_name, n_name, gear_qty
+FROM (
+  SELECT l_suppkey, round(sum(l_quantity), 2) AS gear_qty
+  FROM lineitem
+  WHERE EXISTS (SELECT 1 FROM part
+                WHERE p_partkey = l_partkey AND p_name LIKE '%gear%')
+  GROUP BY l_suppkey
+  HAVING round(sum(l_quantity), 2) > 50
+) q
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_name ASC
+"""
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (exists + not-exists over the same fact): for
+    multi-supplier orders where exactly ONE supplier had returned
+    ('R') lines, blame that supplier; count blames. Both the ≥2-
+    supplier EXISTS and the only-one-R NOT-EXISTS collapse into a
+    single groupBy(orderkey) with two conditional distinct aggs —
+    one shuffle instead of three self-joins of the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias(
+            "n_r_supp"
+        ),
+        F.min(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("blame_supp"),
+    )
+    return (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .groupBy("blame_supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(s), F.col("blame_supp") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, numwait
+FROM (
+  SELECT blame_supp, count(*) AS numwait
+  FROM (
+    SELECT l_orderkey,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_r_supp,
+           min(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS blame_supp
+    FROM lineitem GROUP BY l_orderkey
+  ) WHERE n_supp >= 2 AND n_r_supp = 1
+  GROUP BY blame_supp
+) b JOIN supplier ON blame_supp = s_suppkey
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
+def q22_acctbal_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (scalar subquery + anti-join): rich-but-idle
+    customers — acctbal above the positive-balance average ("country
+    code" analog = custkey mod 7), with no orders at all. The scalar
+    average broadcasts as a 1-row cross join; the anti-join shuffles
+    on custkey only."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        c.withColumn("cntrycode", (F.col("c_custkey") % 7).cast("long"))
+        .filter(F.col("cntrycode").isin(0, 1, 2, 3))
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM (SELECT c_custkey % 7 AS cntrycode, c_acctbal, c_custkey
+      FROM customer) c
+WHERE cntrycode IN (0, 1, 2, 3)
+  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY cntrycode
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1698,6 +2055,14 @@ QUERIES = {
     "q18_large_volume_orders": q18_large_volume_orders,
     "q19_bracketed_revenue": q19_bracketed_revenue,
     "events_asof_join": events_asof_join,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q8_market_share": q8_market_share,
+    "q11_important_stock": q11_important_stock,
+    "q12_late_lines": q12_late_lines,
+    "q16_supplier_count": q16_supplier_count,
+    "q20_part_promotion": q20_part_promotion,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_acctbal_opportunity": q22_acctbal_opportunity,
 }
 
 ORACLES = {
@@ -1753,6 +2118,14 @@ ORACLES = {
     "q18_large_volume_orders": _Q18_SQL,
     "q19_bracketed_revenue": _Q19_SQL,
     "events_asof_join": _ASOF_SQL,
+    "q2_min_cost_supplier": _Q2_SQL,
+    "q8_market_share": _Q8_SQL,
+    "q11_important_stock": _Q11_SQL,
+    "q12_late_lines": _Q12_SQL,
+    "q16_supplier_count": _Q16_SQL,
+    "q20_part_promotion": _Q20_SQL,
+    "q21_waiting_suppliers": _Q21_SQL,
+    "q22_acctbal_opportunity": _Q22_SQL,
     # connected_components_copurchase / layout_seed_selection /
     # influence_ic: iterative or layout-dependent — rows-only checks
 }
