@@ -1997,6 +1997,188 @@ GROUP BY cntrycode
 """
 
 
+# =====================================================================
+# Oracle-backed distributed generators (SURVEY §2.2 G1/G3/G8/G12).
+# The API generators (graph/generators.py) use xxhash64 randomness,
+# which DuckDB can't replicate — these query-level twins use an LCG
+# uniform expressible EXACTLY in both engines (all ops in BIGINT then
+# one float divide):  u(t) = ((1103515245*(t+seed)+12345) % 2^31)/2^31
+# so the generated graph itself is hash-checked by the driver, not
+# just its row count. Spark side stays fully distributed (range +
+# cross-range pair enumeration; grid-bucketed spatial join for G12).
+# =====================================================================
+
+_LCG_M = 2147483648  # 2^31
+
+
+def _lcg_uniform(t, seed: int):
+    """Deterministic uniform [0,1) — same bigint arithmetic as the SQL
+    oracles (operands stay < 2^63, so no wraparound on either engine)."""
+    x = (F.lit(1103515245) * (t + F.lit(seed)) + F.lit(12345)) % F.lit(_LCG_M)
+    return x.cast("double") / F.lit(float(_LCG_M))
+
+
+def _lcg_sql(t_expr: str, seed: int) -> str:
+    return f"(((1103515245 * (({t_expr}) + {seed}) + 12345) % {_LCG_M}) / {_LCG_M}.0)"
+
+
+def _range_pairs(spark, n: int):
+    """C(n,2) pairs via range×range — each side distributed; the
+    join is a broadcast of one range. For n beyond ~10^5 use the
+    closed-form flat-index decode in graph/generators.py instead."""
+    a = spark.range(n).select(F.col("id").alias("i"))
+    b = spark.range(n).select(F.col("id").alias("j"))
+    return a.join(F.broadcast(b), F.col("i") < F.col("j"))
+
+
+def gen_er_degree_hist(spark, sf_dir):
+    """G1 Erdős–Rényi G(n=300, p=0.05) degree histogram. The pair
+    index t = i*n + j seeds the LCG so every pair's coin flip is a
+    pure function of (i, j, seed) — partition- and engine-independent.
+    Reference: generators.py:32-49."""
+    n, p, seed = 300, 0.05, 42
+    t = F.col("i") * n + F.col("j")
+    edges = _range_pairs(spark, n).filter(_lcg_uniform(t, seed) < p)
+    deg = (
+        edges.select(F.col("i").alias("id"))
+        .unionAll(edges.select(F.col("j").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_vertices"))
+
+
+_GEN_ER_SQL = f"""
+WITH pairs AS (
+  SELECT i.range AS i, j.range AS j
+  FROM range(300) i, range(300) j WHERE i.range < j.range
+),
+edges AS (
+  SELECT i, j FROM pairs WHERE {_lcg_sql("i * 300 + j", 42)} < 0.05
+),
+deg AS (
+  SELECT id, count(*) AS degree FROM (
+    SELECT i AS id FROM edges UNION ALL SELECT j AS id FROM edges
+  ) GROUP BY id
+)
+SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree
+"""
+
+
+def gen_sbm_block_density(spark, sf_dir):
+    """G3 stochastic block model (4 blocks × 50, p_in=.15, p_out=.02):
+    edge counts within vs. across blocks — pins both the Bernoulli
+    sampling and the block-label arithmetic (label = id div 50).
+    Reference: generators.py:67-109."""
+    n, npb, p_in, p_out, seed = 200, 50, 0.15, 0.02, 7
+    t = F.col("i") * n + F.col("j")
+    same = (F.col("i") / npb).cast("long") == (F.col("j") / npb).cast("long")
+    prob = F.when(same, p_in).otherwise(p_out)
+    edges = _range_pairs(spark, n).filter(_lcg_uniform(t, seed) < prob)
+    return (
+        edges.select(same.alias("within_block"))
+        .groupBy("within_block")
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
+_GEN_SBM_SQL = f"""
+WITH pairs AS (
+  SELECT i.range AS i, j.range AS j
+  FROM range(200) i, range(200) j WHERE i.range < j.range
+),
+edges AS (
+  SELECT i, j, (i // 50 = j // 50) AS within_block
+  FROM pairs
+  WHERE {_lcg_sql("i * 200 + j", 7)}
+        < CASE WHEN i // 50 = j // 50 THEN 0.15 ELSE 0.02 END
+)
+SELECT within_block, count(*) AS n_edges FROM edges GROUP BY within_block
+"""
+
+
+def gen_bipartite_degree(spark, sf_dir):
+    """G8 random bipartite (40 top × 80 bottom, p=0.1): per-side
+    degree totals + edge count. Reference: generators.py:199-214."""
+    n_top, n_bot, p, seed = 40, 80, 0.1, 11
+    top = spark.range(n_top).select(F.col("id").alias("u"))
+    bot = spark.range(n_bot).select(F.col("id").alias("v"))
+    t = F.col("u") * n_bot + F.col("v")
+    edges = top.join(F.broadcast(bot)).filter(_lcg_uniform(t, seed) < p)
+    return edges.agg(
+        F.count("*").alias("n_edges"),
+        F.countDistinct("u").alias("n_top_touched"),
+        F.countDistinct("v").alias("n_bottom_touched"),
+    )
+
+
+_GEN_BIP_SQL = f"""
+WITH edges AS (
+  SELECT u.range AS u, v.range AS v
+  FROM range(40) u, range(80) v
+  WHERE {_lcg_sql("u.range * 80 + v.range", 11)} < 0.1
+)
+SELECT count(*) AS n_edges,
+       count(DISTINCT u) AS n_top_touched,
+       count(DISTINCT v) AS n_bottom_touched
+FROM edges
+"""
+
+
+def gen_geometric_edges(spark, sf_dir):
+    """G12 random geometric graph (n=250, r=0.12): LCG 2-D points,
+    connect pairs closer than r. Spark avoids the O(n²) cross join
+    with the standard grid-cell spatial join — each point lands in a
+    cell of side r, candidate pairs come only from the 3×3 neighbor
+    cells (explode of 9 cells → equi-join on cell), then the exact
+    distance filter. The DuckDB oracle brute-forces the cross join —
+    same result, which is exactly the scale point. Per-row float ops
+    are IEEE-identical on both sides. Reference: generators.py:280-299."""
+    n, r, seed = 250, 0.12, 5
+    pts = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            _lcg_uniform(F.col("id") * 2, seed).alias("x"),
+            _lcg_uniform(F.col("id") * 2 + 1, seed).alias("y"),
+        )
+    )
+    cell = lambda c: F.floor(c / r).cast("long")  # noqa: E731
+    pts = pts.withColumn("cx", cell(F.col("x"))).withColumn("cy", cell(F.col("y")))
+    # candidate cells: each LEFT point probes its 9-cell neighborhood
+    probe = pts.select(
+        F.col("id").alias("i"),
+        F.col("x").alias("xi"),
+        F.col("y").alias("yi"),
+        F.explode(
+            F.array(*[F.struct((F.col("cx") + dx).alias("cx"), (F.col("cy") + dy).alias("cy"))
+                      for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+        ).alias("c"),
+    ).select("i", "xi", "yi", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
+    cand = probe.join(
+        pts.select(F.col("id").alias("j"), F.col("x").alias("xj"), F.col("y").alias("yj"), "cx", "cy"),
+        on=["cx", "cy"],
+    ).filter(F.col("i") < F.col("j"))
+    d2 = (F.col("xi") - F.col("xj")) ** 2 + (F.col("yi") - F.col("yj")) ** 2
+    edges = cand.filter(d2 < r * r).select("i", "j").distinct()
+    return edges.orderBy("i", "j")
+
+
+_GEN_GEO_SQL = f"""
+WITH pts AS (
+  SELECT t.range AS id,
+         {_lcg_sql("t.range * 2", 5)} AS x,
+         {_lcg_sql("t.range * 2 + 1", 5)} AS y
+  FROM range(250) t
+)
+SELECT a.id AS i, b.id AS j
+FROM pts a, pts b
+WHERE a.id < b.id
+  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < 0.12 * 0.12
+ORDER BY i, j
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2063,6 +2245,10 @@ QUERIES = {
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_acctbal_opportunity": q22_acctbal_opportunity,
+    "gen_er_degree_hist": gen_er_degree_hist,
+    "gen_sbm_block_density": gen_sbm_block_density,
+    "gen_bipartite_degree": gen_bipartite_degree,
+    "gen_geometric_edges": gen_geometric_edges,
 }
 
 ORACLES = {
@@ -2126,6 +2312,10 @@ ORACLES = {
     "q20_part_promotion": _Q20_SQL,
     "q21_waiting_suppliers": _Q21_SQL,
     "q22_acctbal_opportunity": _Q22_SQL,
+    "gen_er_degree_hist": _GEN_ER_SQL,
+    "gen_sbm_block_density": _GEN_SBM_SQL,
+    "gen_bipartite_degree": _GEN_BIP_SQL,
+    "gen_geometric_edges": _GEN_GEO_SQL,
     # connected_components_copurchase / layout_seed_selection /
     # influence_ic: iterative or layout-dependent — rows-only checks
 }
