@@ -277,6 +277,115 @@ def closeness_centrality(
     )
 
 
+def betweenness_sampled(
+    edges: DataFrame,
+    n_vertices: int,
+    sources: DataFrame | None = None,
+    normalized: bool = True,
+    max_depth: int = 64,
+) -> DataFrame:
+    """Distributed Brandes betweenness over a batch of source vertices
+    — the scale path the reference lacks (it guards betweenness to
+    driver-side networkx below n=5000; this runs the same algorithm as
+    shuffle-bounded dataflow).
+
+    Forward pass: batched multi-source BFS (source column ``s``)
+    keeping per-level tables ``(s, id, sigma)`` where sigma = number
+    of shortest s→id paths (sum over predecessor messages — one
+    broadcast-join + groupBy per level, the edge table never
+    shuffles). Backward pass: dependency accumulation per level,
+    ``delta(v) = Σ_w σ(v)/σ(w)·(1+delta(w))`` over successor edges —
+    again one broadcast-join + groupBy per level. Every per-level
+    table is ``localCheckpoint``-ed so plans stay flat.
+
+    With all vertices as sources this is exact Brandes; with k sampled
+    sources the result is rescaled by n/k (networkx ``_rescale``
+    convention, normalized = delta_sum/((n-1)(n-2)) for undirected).
+    """
+    spark = edges.sparkSession
+    sym = symmetrize_edges(edges).persist()
+    if sources is None:
+        sources = spark.range(n_vertices).select(F.col("id").cast("long"))
+    n_sources = sources.count()
+
+    frontier = sources.select(
+        F.col("id").alias("s"), F.col("id"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    levels = [frontier]
+    seen = frontier.select("s", "id").localCheckpoint(eager=True)
+    for _ in range(max_depth):
+        msgs = (
+            sym.withColumnRenamed("src", "id")
+            .join(F.broadcast(frontier), "id")
+            .select("s", F.col("dst").alias("id"), "sigma")
+            .groupBy("s", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        frontier = msgs.join(seen, ["s", "id"], "left_anti").localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        levels.append(frontier)
+        # seen is a flat union of already-checkpointed frontiers — no
+        # lineage growth, so no extra checkpoint job per round
+        seen = seen.unionAll(frontier.select("s", "id"))
+
+    # backward accumulation, deepest level has delta = 0
+    acc = None
+    delta_next = levels[-1].withColumn("delta", F.lit(0.0))
+    for d in range(len(levels) - 2, -1, -1):
+        up = (
+            sym.withColumnRenamed("src", "id")
+            .join(
+                F.broadcast(
+                    delta_next.select(
+                        "s", "id", F.col("sigma").alias("sigma_w"), F.col("delta").alias("delta_w")
+                    )
+                ),
+                "id",
+            )
+            .select("s", F.col("dst").alias("id"), "sigma_w", "delta_w")
+        )
+        cur = levels[d]
+        contrib = (
+            cur.join(up, ["s", "id"])
+            .groupBy("s", "id")
+            .agg(
+                F.sum((F.col("sigma") / F.col("sigma_w")) * (1.0 + F.col("delta_w"))).alias(
+                    "delta"
+                )
+            )
+        )
+        # LEFT join: BFS dead-ends at this level (no successors below)
+        # must stay with delta=0 — they still feed (1+0) upstream
+        delta_next = (
+            cur.join(contrib, ["s", "id"], "left")
+            .select("s", "id", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        if d > 0:  # level 0 is the sources themselves — excluded by Brandes
+            part = delta_next.select("id", "delta")
+            acc = part if acc is None else acc.unionAll(part)
+        # non-predecessor joins (same-level neighbors) were filtered by
+        # the inner join against `cur` (exactly the level-d vertices)
+    sym.unpersist()
+
+    if acc is None:
+        return spark.range(n_vertices).select(
+            F.col("id").cast("long"), F.lit(0.0).alias("value")
+        )
+    raw = acc.groupBy("id").agg(F.sum("delta").alias("delta_sum"))
+    scale = float(n_vertices) / float(n_sources)  # sampling rescale (nx convention)
+    if normalized:
+        denom = float(max((n_vertices - 1) * (n_vertices - 2), 1))
+        val = F.col("delta_sum") * scale / denom
+    else:
+        val = F.col("delta_sum") * scale / 2.0
+    vertices = spark.range(n_vertices).select(F.col("id").cast("long"))
+    return vertices.join(raw, "id", "left").select(
+        "id", F.coalesce(val, F.lit(0.0)).alias("value")
+    )
+
+
 def betweenness_centrality(edges: DataFrame, n_vertices: int) -> DataFrame:
     """Driver-side networkx exact Brandes — the reference itself guards
     betweenness to n<5000 and runs networkx on CPU

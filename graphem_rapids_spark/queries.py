@@ -2179,6 +2179,229 @@ ORDER BY i, j
 """
 
 
+# =====================================================================
+# Distributed Brandes betweenness (SURVEY §2.5 A2/A6 scale path) and
+# Poisson-bootstrap Spearman CI (A9), both engine-exact:
+# - betweenness_tree runs the GENERIC distributed Brandes on a perfect
+#   binary tree and checks it against an INDEPENDENT closed-form
+#   oracle (component-size pair counting), so the BFS layering,
+#   sigma propagation and backward accumulation are all hash-gated;
+# - the bootstrap makes every per-trial Spearman rho bit-identical
+#   across engines by keeping all rank sums in integers (2×mean-rank)
+#   and sharing one LCG-driven Poisson resample.
+# =====================================================================
+
+
+def betweenness_tree(spark, sf_dir):
+    """Exact distributed Brandes on the perfect binary tree n=127
+    (reference guards betweenness to driver networkx at this scale —
+    benchmark.py:77-80; this is the distributed upgrade). Oracle =
+    closed form: removing v splits a tree into components c_i; pairs
+    through v = ((n-1)² − Σc_i²)/2, normalized by 2/((n-1)(n-2))."""
+    from graphem_rapids_spark.analytics import betweenness_sampled
+
+    n = 127
+    edges = (
+        spark.range(1, n)
+        .select(
+            ((F.col("id") - 1) / 2).cast("long").alias("src"),
+            F.col("id").cast("long").alias("dst"),
+        )
+    )
+    bc = betweenness_sampled(edges, n, normalized=True)
+    return bc.select("id", F.round("value", 9).alias("value")).orderBy("id")
+
+
+_BETW_TREE_SQL = """
+WITH d AS (
+  SELECT t.range AS id,
+         CAST(floor(log2(t.range + 1)) AS BIGINT) AS dep
+  FROM range(127) t
+),
+c AS (
+  SELECT id,
+         CASE WHEN dep = 6 THEN 0
+              ELSE CAST(power(2, 6 - dep) AS BIGINT) - 1 END AS child_sz
+  FROM d
+)
+SELECT id,
+       round(((126 * 126
+               - ((126 - 2 * child_sz) * (126 - 2 * child_sz)
+                  + 2 * child_sz * child_sz)) / 2)
+             * 2.0 / (126.0 * 125.0), 9) AS value
+FROM c
+ORDER BY id
+"""
+
+
+def betweenness_copurchase(spark, sf_dir):
+    """Sampled-source distributed Brandes on the co-purchase graph
+    (16 deterministic sources, rescaled n/k) — top 20 central
+    products. Iterative + sampled ⇒ rows-only driver check; the
+    algorithm itself is hash-gated by betweenness_tree."""
+    from graphem_rapids_spark.analytics import betweenness_sampled
+
+    edges = copurchase_edges(spark, sf_dir)
+    verts = vertices_from_edges(edges)
+    n = verts.count()
+    k = 16
+    sources = (
+        spark.range(k)
+        .select(((F.col("id") * 2654435761) % n).cast("long").alias("id"))
+        .distinct()
+        .join(verts, "id", "left_semi")
+    )
+    bc = betweenness_sampled(edges, n, sources=sources, normalized=True)
+    return (
+        bc.select("id", F.round("value", 6).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("id").asc())
+        .limit(20)
+    )
+
+
+# Poisson(1) inverse-CDF breakpoints, identical float literals on both
+# engines (cum k=0..7; counts capped at 8).
+_POIS_CUM = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+]
+_BOOT_TRIALS = 100
+_BOOT_SEED = 3
+
+
+def spearman_bootstrap_ci(spark, sf_dir):
+    """Bootstrap 95% CI for Spearman ρ(quantity, extendedprice) on a
+    1/97 sample of lineitem — reference visualization.py:11-49 does
+    1000 driver-side resamples; this is ONE distributed job: each row
+    joins the trial axis with a Poisson(1) LCG count (the distributed
+    bootstrap scheme), ranks are tie-aware mean ranks kept as
+    integers (2×rank) so every per-trial ρ is bit-identical to the
+    oracle, and the CI is an exact interpolated percentile."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            "l_quantity",
+            "l_extendedprice",
+            ((F.col("l_orderkey") * 16 + F.col("l_linenumber")) % 1000003).alias("rid"),
+        )
+    )
+    trials = spark.range(_BOOT_TRIALS).select(F.col("id").cast("long").alias("trial"))
+    u = _lcg_uniform(F.col("rid") * 256 + F.col("trial"), _BOOT_SEED)
+    cnt = F.lit(8)
+    for k in range(7, -1, -1):
+        cnt = F.when(u < _POIS_CUM[k], F.lit(k)).otherwise(cnt)
+    rep = spark.range(8).select(F.col("id").alias("rep"))
+    resampled = (
+        li.crossJoin(F.broadcast(trials))
+        .withColumn("cnt", cnt)
+        .join(F.broadcast(rep), F.col("rep") < F.col("cnt"))
+    )
+
+    def rho_of(df, part):
+        # a2/b2 = 2×mean-rank (integers); Pearson on ranks via exact
+        # integer sums, one float expression at the end
+        wq = Window.partitionBy(*part).orderBy(F.col("l_quantity").asc())
+        wqt = Window.partitionBy(*part, "l_quantity")
+        wp = Window.partitionBy(*part).orderBy(F.col("l_extendedprice").asc())
+        wpt = Window.partitionBy(*part, "l_extendedprice")
+        ranked = df.withColumn(
+            "a2", (2 * F.rank().over(wq) + F.count("*").over(wqt) - 1).cast("long")
+        ).withColumn(
+            "b2", (2 * F.rank().over(wp) + F.count("*").over(wpt) - 1).cast("long")
+        )
+        agg = ranked.groupBy(*[F.col(c) for c in part] if part else []).agg(
+            F.count("*").alias("n"),
+            F.sum("a2").alias("sa"),
+            F.sum("b2").alias("sb"),
+            F.sum(F.col("a2") * F.col("a2")).alias("saa"),
+            F.sum(F.col("b2") * F.col("b2")).alias("sbb"),
+            F.sum(F.col("a2") * F.col("b2")).alias("sab"),
+        )
+        num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+        den = F.sqrt(
+            (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+        ) * F.sqrt((F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double"))
+        return agg.withColumn("rho", num.cast("double") / den)
+
+    point = rho_of(li, []).select(F.round("rho", 9).alias("rho_point"))
+    per_trial = rho_of(resampled, ["trial"])
+    ci = per_trial.agg(
+        F.round(F.expr("percentile(rho, 0.025)"), 9).alias("ci_lo"),
+        F.round(F.expr("percentile(rho, 0.975)"), 9).alias("ci_hi"),
+    )
+    return point.crossJoin(ci)
+
+
+def _boot_sql() -> str:
+    cases = " ".join(
+        f"WHEN u < {_POIS_CUM[k]!r} THEN {k}" for k in range(8)
+    )
+    lcg = _lcg_sql("rid * 256 + trial", _BOOT_SEED)
+    return f"""
+WITH base AS (
+  SELECT l_quantity, l_extendedprice,
+         (l_orderkey * 16 + l_linenumber) % 1000003 AS rid
+  FROM lineitem WHERE l_orderkey % 97 = 0
+),
+pointr AS (
+  SELECT CAST(2 * rank() OVER (ORDER BY l_quantity ASC)
+              + count(*) OVER (PARTITION BY l_quantity) - 1 AS BIGINT) AS a2,
+         CAST(2 * rank() OVER (ORDER BY l_extendedprice ASC)
+              + count(*) OVER (PARTITION BY l_extendedprice) - 1 AS BIGINT) AS b2
+  FROM base
+),
+pointa AS (
+  SELECT count(*) AS n, sum(a2) AS sa, sum(b2) AS sb,
+         sum(a2 * a2) AS saa, sum(b2 * b2) AS sbb, sum(a2 * b2) AS sab
+  FROM pointr
+),
+pt AS (
+  SELECT round(CAST(n * sab - sa * sb AS DOUBLE)
+               / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                  * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 9) AS rho_point
+  FROM pointa
+),
+withu AS (
+  SELECT b.l_quantity, b.l_extendedprice, t.range AS trial,
+         {lcg.replace("rid", "b.rid").replace("trial", "t.range")} AS u
+  FROM base b, range({_BOOT_TRIALS}) t
+),
+resampled AS (
+  SELECT l_quantity, l_extendedprice, trial
+  FROM withu, range(8) r
+  WHERE r.range < CASE {cases} ELSE 8 END
+),
+ranked AS (
+  SELECT trial,
+         CAST(2 * rank() OVER (PARTITION BY trial ORDER BY l_quantity ASC)
+              + count(*) OVER (PARTITION BY trial, l_quantity) - 1 AS BIGINT) AS a2,
+         CAST(2 * rank() OVER (PARTITION BY trial ORDER BY l_extendedprice ASC)
+              + count(*) OVER (PARTITION BY trial, l_extendedprice) - 1 AS BIGINT) AS b2
+  FROM resampled
+),
+pertrial AS (
+  SELECT trial,
+         CAST(count(*) * sum(a2 * b2) - sum(a2) * sum(b2) AS DOUBLE)
+         / (sqrt(CAST(count(*) * sum(a2 * a2) - sum(a2) * sum(a2) AS DOUBLE))
+            * sqrt(CAST(count(*) * sum(b2 * b2) - sum(b2) * sum(b2) AS DOUBLE))) AS rho
+  FROM ranked GROUP BY trial
+),
+ci AS (
+  SELECT round(quantile_cont(rho, 0.025), 9) AS ci_lo,
+         round(quantile_cont(rho, 0.975), 9) AS ci_hi
+  FROM pertrial
+)
+SELECT rho_point, ci_lo, ci_hi FROM pt, ci
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2249,6 +2472,9 @@ QUERIES = {
     "gen_sbm_block_density": gen_sbm_block_density,
     "gen_bipartite_degree": gen_bipartite_degree,
     "gen_geometric_edges": gen_geometric_edges,
+    "betweenness_tree": betweenness_tree,
+    "betweenness_copurchase": betweenness_copurchase,
+    "spearman_bootstrap_ci": spearman_bootstrap_ci,
 }
 
 ORACLES = {
@@ -2316,6 +2542,9 @@ ORACLES = {
     "gen_sbm_block_density": _GEN_SBM_SQL,
     "gen_bipartite_degree": _GEN_BIP_SQL,
     "gen_geometric_edges": _GEN_GEO_SQL,
+    "betweenness_tree": _BETW_TREE_SQL,
+    "spearman_bootstrap_ci": _boot_sql(),
+    # betweenness_copurchase: sampled+iterative — rows-only check
     # connected_components_copurchase / layout_seed_selection /
     # influence_ic: iterative or layout-dependent — rows-only checks
 }
