@@ -60,8 +60,22 @@ def main() -> int:
     spark = get_spark(app_name="graphem-bench")
     queries = entry.queries()
 
-    # warm the JVM/session so q1 doesn't pay startup cost
+    # warm the JVM/session so q1 doesn't pay startup cost, and spin up
+    # the Arrow/pandas worker pool (local[32] forks 32 Python workers,
+    # each importing pandas — ~15-25s if paid inside the first
+    # mapInPandas query instead of here)
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    def _ident(batches):
+        for b in batches:
+            yield b
+
+    (
+        spark.range(256, numPartitions=64)
+        .mapInPandas(_ident, "id long")
+        .selectExpr("sum(id)")
+        .collect()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -206,11 +206,37 @@ class GraphEmbedderSpark:
                 for i in dims
             ],
         )
-        mids.persist()
+        # materialize the gather join once (plain parallel scan); the
+        # kNN pass, the pair join and the spring pass then all read
+        # cache. Sampling via orderBy(hash).limit over this table would
+        # instead pay a TakeOrdered pass over the full join.
+        mids.persist().count()
         s = min(self.sample_size, self.n_edges)
-        sampled_rows = (
-            mids.orderBy(F.xxhash64("edge_id", F.lit(self.seed + self._iter)))
+        # sample edge IDs from the RAW edge list (top-s by per-iteration
+        # hash — TakeOrdered over ids only), then gather positions for
+        # just those s edges via broadcast joins.
+        s_ids = F.broadcast(
+            self.edges.select("edge_id")
+            .orderBy(F.xxhash64("edge_id", F.lit(self.seed + self._iter)))
             .limit(s)
+        )
+        sampled_rows = (
+            self.edges.join(s_ids, "edge_id")
+            .join(self._pos_as("src", "p1"), "src")
+            .join(self._pos_as("dst", "p2"), "dst")
+            .select(
+                "edge_id",
+                "src",
+                "dst",
+                "p1",
+                "p2",
+                *[
+                    ((F.col("p1").getItem(i) + F.col("p2").getItem(i)) / 2.0).alias(
+                        f"m{i}"
+                    )
+                    for i in dims
+                ],
+            )
             .collect()
         )
         q_ids = np.array([r.edge_id for r in sampled_rows], dtype=np.int64)
