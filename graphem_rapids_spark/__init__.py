@@ -57,6 +57,10 @@ from graphem_rapids_spark.analytics import (
     rank_column,
     full_correlation_matrix,
     bootstrap_spearman_ci,
+    betweenness_sampled,
+    betweenness_centrality,
+    load_centrality,
+    closeness_centrality,
 )
 from graphem_rapids_spark.graph.io import (
     read_snap_edges,
@@ -123,6 +127,10 @@ __all__ = [
     "rank_column",
     "full_correlation_matrix",
     "bootstrap_spearman_ci",
+    "betweenness_sampled",
+    "betweenness_centrality",
+    "load_centrality",
+    "closeness_centrality",
     "read_snap_edges",
     "read_mtx_edges",
     "read_edges_file",

@@ -14,10 +14,13 @@ Bernoulli(p) hash filter → anti-join against the activated set. Monte
 Carlo trials are an extra ``trial`` key column, so all trials run in
 the same shuffles (no driver loop over trials).
 
-Determinism: per-(trial, src→dst) coin flips come from
-``xxhash64(src, dst, trial, seed)`` — partition-independent, and each
-directed edge fires at most once per trial (IC semantics) by
-construction.
+Determinism: per-(trial, src→dst) coin flips come from the shared
+cross-engine mixer (``functions.mix_uniform`` on a collision-free
+(src, dst, trial) key) — partition-independent, each directed edge
+fires at most once per trial (IC semantics) by construction, and —
+because each directed edge gets exactly ONE coin — the cascade equals
+**reachability over the live-edge subgraph**, which is what the
+DuckDB oracle replays (unrolled frontier CTEs in queries.py).
 """
 
 from __future__ import annotations
@@ -25,14 +28,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphem_rapids_spark.functions import edge_coin_key, mix_uniform
 from graphem_rapids_spark.graph.canon import symmetrize_edges
-
-_HASH_BUCKETS = 1 << 30
 
 
 def _coin(cols, seed: int):
-    h = F.xxhash64(*cols, F.lit(seed))
-    return F.pmod(h, F.lit(_HASH_BUCKETS)).cast("double") / F.lit(float(_HASH_BUCKETS))
+    if len(cols) == 3:  # per-(directed-edge, trial) cascade coin
+        u, v, trial = cols
+        return mix_uniform(edge_coin_key(u, v, trial), seed)
+    key = cols[0]
+    for c in cols[1:]:  # generic sampling uniform (no oracle replay)
+        key = key * F.lit(1048576) + (c % F.lit(1048576))
+    return mix_uniform(key, seed)
 
 
 def graphem_seed_selection(embedder, k: int, num_iterations: int = 20) -> DataFrame:

@@ -99,6 +99,7 @@ def ivf_build(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "xxhash",
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index: (assignments(vec_id, cell), centroids(cell,
     centroid)). K-means with deterministic hash-sampled init and
@@ -106,13 +107,32 @@ def ivf_build(
     driver-side data beyond the k×dim centroid table, which is tiny
     and broadcast)."""
     v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).persist()
-    cents = (
-        v.orderBy(F.xxhash64(id_col, F.lit(seed)))
-        .limit(n_cells)
-        .select(F.col("_v").alias("centroid"))
-        .withColumn("cell", F.row_number().over(Window.orderBy(F.xxhash64("centroid"))) - 1)
-        .select("cell", "centroid")
-    )
+    if init == "mix":
+        # cross-engine-replayable init: the n_cells vectors with the
+        # smallest mixer value become the centroids VERBATIM (no
+        # averaging → no float-summation divergence); with iters=0 the
+        # whole index build is bit-exact against the DuckDB oracle
+        from graphem_rapids_spark.functions import mix_uniform
+
+        u = mix_uniform(F.col(id_col), seed)
+        cents = (
+            v.withColumn(
+                "cell",
+                F.row_number().over(Window.orderBy(u.asc(), F.col(id_col).asc())) - 1,
+            )
+            .filter(F.col("cell") < n_cells)
+            .select("cell", F.col("_v").alias("centroid"))
+        )
+    else:
+        cents = (
+            v.orderBy(F.xxhash64(id_col, F.lit(seed)))
+            .limit(n_cells)
+            .select(F.col("_v").alias("centroid"))
+            .withColumn(
+                "cell", F.row_number().over(Window.orderBy(F.xxhash64("centroid"))) - 1
+            )
+            .select("cell", "centroid")
+        )
     for _ in range(iters):
         d2 = v.crossJoin(F.broadcast(cents)).withColumn(
             "_d2",
@@ -157,10 +177,14 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "qid",
+    iters: int = 3,
+    init: str = "xxhash",
 ) -> DataFrame:
     """(qid, rid, cosine, rank) — IVF-accelerated approximate cosine
     top-k: probe the n_probe nearest cells per query only."""
-    assign, cents = ivf_build(vectors, n_cells, dim, seed=seed, id_col=id_col, vec_col=vec_col)
+    assign, cents = ivf_build(
+        vectors, n_cells, dim, iters=iters, seed=seed, id_col=id_col, vec_col=vec_col, init=init
+    )
     q = queries.select(F.col(id_col).alias(query_id), _as_double(F.col(vec_col)).alias("_qv"))
     qd = q.crossJoin(F.broadcast(cents)).withColumn(
         "_d2",

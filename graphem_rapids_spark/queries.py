@@ -756,6 +756,39 @@ def connected_components_copurchase(spark, sf_dir):
     return labels.groupBy("component").agg(F.count("*").alias("size"))
 
 
+_CC_ROUNDS = 14
+
+
+def _cc_sql(rounds: int = _CC_ROUNDS) -> str:
+    """Min-label propagation unrolled to a fixed depth ≥ the
+    eccentricity of each component's min-id vertex (the Spark side
+    iterates to convergence; at the fixpoint extra rounds are
+    idempotent, so a generous unroll matches exactly)."""
+    parts = [
+        _COPURCHASE_SQL_CTE,
+        # MATERIALIZED: each lab CTE is referenced twice — without it
+        # DuckDB inlines the reference chain and the plan doubles per
+        # round (2^rounds parquet scans → "too many open files")
+        ", sym AS MATERIALIZED (SELECT src, dst FROM ge UNION ALL SELECT dst AS src, src AS dst FROM ge)",
+        ", lab0 AS MATERIALIZED (SELECT id, id AS component FROM (SELECT DISTINCT src AS id FROM sym))",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", lab{i} AS MATERIALIZED (
+  SELECT v.id, least(v.component, coalesce(m.c, v.component)) AS component
+  FROM lab{i - 1} v LEFT JOIN (
+    SELECT s.dst AS id, min(x.component) AS c
+    FROM sym s JOIN lab{i - 1} x ON s.src = x.id
+    GROUP BY s.dst
+  ) m ON v.id = m.id
+)"""
+        )
+    parts.append(
+        f"SELECT component, count(*) AS size FROM lab{rounds} GROUP BY component"
+    )
+    return "\n".join(parts)
+
+
 def layout_seed_selection(spark, sf_dir):
     """Flagship: co-purchase graph → spectral init → force layout →
     radial top-10 (the reference's headline query, README.md:170-189)."""
@@ -779,9 +812,11 @@ def layout_seed_selection(spark, sf_dir):
 
 
 def influence_ic(spark, sf_dir):
-    """IC spread of the top-5-degree seeds on the co-purchase graph
-    (deterministic given the hash-coin design, but iterative — not
-    SQL-expressible)."""
+    """IC spread of the top-5-degree seeds on the co-purchase graph.
+    Deterministic AND oracle-checked: each directed edge gets exactly
+    one mixer coin per trial, so the cascade equals reachability over
+    the live-edge subgraph, which the DuckDB oracle replays with
+    unrolled frontier CTEs (``_ic_sql``)."""
     from graphem_rapids_spark.influence import independent_cascade
 
     e = copurchase_edges(spark, sf_dir)
@@ -792,7 +827,46 @@ def influence_ic(spark, sf_dir):
         .select("id")
     )
     act = independent_cascade(e, seeds, p=0.05, trials=5, seed=42)
-    return act.groupBy("trial").agg(F.count("*").alias("n_influenced"))
+    return act.groupBy(F.col("trial").cast("long").alias("trial")).agg(
+        F.count("*").alias("n_influenced")
+    )
+
+
+_IC_ROUNDS = 18
+
+
+def _ic_sql(rounds: int = _IC_ROUNDS, p: float = 0.05, seed: int = 42) -> str:
+    """IC as live-edge reachability, frontier unrolled past the live
+    subgraph's diameter (extra rounds are idempotent at the fixpoint,
+    matching the Spark loop's run-to-quiescence)."""
+    from graphem_rapids_spark.functions import edge_coin_key_sql, mix_sql
+
+    coin = mix_sql(edge_coin_key_sql("s.src", "s.dst", "t.range"), seed)
+    parts = [
+        _COPURCHASE_SQL_CTE,
+        ", sym AS MATERIALIZED (SELECT src, dst FROM ge UNION ALL"
+        " SELECT dst AS src, src AS dst FROM ge)",
+        ", deg AS MATERIALIZED (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src)",
+        ", seeds AS MATERIALIZED (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 5)",
+        f""", live AS MATERIALIZED (
+  SELECT t.range AS trial, s.src, s.dst FROM sym s, range(5) t
+  WHERE {coin} < {p!r}
+)""",
+        ", r0 AS MATERIALIZED (SELECT t.range AS trial, id FROM seeds, range(5) t)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", r{i} AS MATERIALIZED (
+  SELECT trial, id FROM r{i - 1}
+  UNION
+  SELECT l.trial, l.dst AS id
+  FROM live l JOIN r{i - 1} r ON l.trial = r.trial AND l.src = r.id
+)"""
+        )
+    parts.append(
+        f"SELECT trial, count(*) AS n_influenced FROM r{rounds} GROUP BY trial"
+    )
+    return "\n".join(parts)
 
 
 # =====================================================================
@@ -1051,13 +1125,73 @@ FROM documents
 
 
 def ann_ivf_topk(spark, sf_dir):
-    """E7 analog: IVF-accelerated approximate cosine top-k (k-means
-    cells, n_probe nearest cells searched). Approximate + float-order
-    sensitive → rows-only check; recall vs brute force is tested in
-    tests/test_similarity_ivf.py."""
+    """E7 analog: IVF-accelerated approximate cosine top-k (inverted
+    cells, n_probe nearest cells searched per query). This registry
+    entry uses mixer-seeded data-vector centroids with NO Lloyd
+    refinement, so the whole index build + probe + search is
+    bit-exact against the DuckDB oracle (averaged k-means centroids
+    would diverge in the last ulp and flip boundary assignments);
+    the Lloyd-refined variant stays the API default and its recall is
+    tested in tests/test_similarity_ivf.py."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return S.ivf_cosine_topk(emb, q, k=5, n_cells=16, n_probe=4)
+    return S.ivf_cosine_topk(emb, q, k=5, n_cells=16, n_probe=4, iters=0, init="mix")
+
+
+def _ivf_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5, seed: int = 7) -> str:
+    from graphem_rapids_spark.functions import mix_sql
+
+    u = mix_sql("vec_id", seed)
+    return f"""
+WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cent AS MATERIALIZED (
+  SELECT cell, emb AS cvec FROM (
+    SELECT emb, row_number() OVER (ORDER BY {u} ASC, vec_id ASC) - 1 AS cell
+    FROM v
+  ) WHERE cell < {n_cells}
+),
+vc AS MATERIALIZED (
+  SELECT vec_id, cell, unnest(emb) AS x, unnest(cvec) AS c
+  FROM v, cent
+),
+vd AS MATERIALIZED (
+  SELECT vec_id, cell, sum((x - c) * (x - c)) AS d2 FROM vc GROUP BY vec_id, cell
+),
+assign AS MATERIALIZED (
+  SELECT vec_id AS rid, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+    FROM vd
+  ) WHERE rk = 1
+),
+probes AS MATERIALIZED (
+  SELECT vec_id AS qid, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+    FROM vd WHERE vec_id < 10
+  ) WHERE rk <= {n_probe}
+),
+cand AS MATERIALIZED (
+  SELECT p.qid, a.rid, q.emb AS qe, r.emb AS re
+  FROM probes p
+  JOIN assign a ON p.cell = a.cell
+  JOIN v q ON q.vec_id = p.qid
+  JOIN v r ON r.vec_id = a.rid
+  WHERE a.rid <> p.qid
+),
+pairs AS (
+  SELECT qid, rid, unnest(qe) AS qv, unnest(re) AS rv FROM cand
+),
+cosd AS (
+  SELECT qid, rid, sum(qv * rv) / (sqrt(sum(qv * qv)) * sqrt(sum(rv * rv))) AS cos
+  FROM pairs GROUP BY qid, rid
+)
+SELECT qid, rid, round(cos, 6) AS cosine, rank FROM (
+  SELECT qid, rid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, rid ASC) AS rank
+  FROM cosd
+) WHERE rank <= {k}
+"""
 
 
 def influence_greedy(spark, sf_dir):
@@ -1100,6 +1234,37 @@ def events_stream_hourly(spark, sf_dir):
 # =====================================================================
 # Registry
 # =====================================================================
+
+def events_stream_sliding(spark, sf_dir):
+    """Sliding-window (1h window / 15min slide) streaming aggregate
+    with watermark — each event contributes to 4 overlapping windows.
+    The oracle replays the window assignment as an explicit explode
+    onto the 15-minute grid."""
+    from graphem_rapids_spark.streaming.events import (
+        run_available_now,
+        sliding_counts_stream,
+        stream_events,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return run_available_now(sliding_counts_stream(stream_events(spark, sf_dir)))
+
+
+_SLIDING_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_ns(ts) // 1000 AS us FROM events
+),
+w AS (
+  SELECT event_type,
+         make_timestamp((us // 900000000) * 900000000 - k.range * 900000000)
+           AS win_start
+  FROM e, range(4) k
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, count(*) AS n_events
+FROM w GROUP BY win_start, event_type
+"""
+
 
 def dedup_stream_first_seen(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
@@ -2011,15 +2176,34 @@ GROUP BY cntrycode
 _LCG_M = 2147483648  # 2^31
 
 
-def _lcg_uniform(t, seed: int):
-    """Deterministic uniform [0,1) — same bigint arithmetic as the SQL
-    oracles (operands stay < 2^63, so no wraparound on either engine)."""
-    x = (F.lit(1103515245) * (t + F.lit(seed)) + F.lit(12345)) % F.lit(_LCG_M)
-    return x.cast("double") / F.lit(float(_LCG_M))
+def _mix_uniform(t, seed: int):
+    """Deterministic uniform [0,1) from a non-negative bigint key —
+    multiply-mod / xor-shift mixer (splitmix ethos) with every
+    intermediate < 2^31 so products stay < 2^62: EXACT in BIGINT on
+    both engines. The xor-shift rounds break the affine structure a
+    plain LCG would have (adjacent keys would otherwise be perfectly
+    anti-correlated at small p)."""
+    h1 = (F.lit(1103515245) * ((t + F.lit(seed)) % F.lit(2147483647)) + F.lit(12345)) % F.lit(
+        _LCG_M
+    )
+    h2 = h1.bitwiseXOR(F.shiftright(h1, 13))
+    h3 = (F.lit(134775813) * h2 + F.lit(1)) % F.lit(_LCG_M)
+    h4 = h3.bitwiseXOR(F.shiftright(h3, 17))
+    return h4.cast("double") / F.lit(float(_LCG_M))
 
 
-def _lcg_sql(t_expr: str, seed: int) -> str:
-    return f"(((1103515245 * (({t_expr}) + {seed}) + 12345) % {_LCG_M}) / {_LCG_M}.0)"
+def _mix_sql(t_expr: str, seed: int) -> str:
+    h1 = f"((1103515245 * ((({t_expr}) + {seed}) % 2147483647) + 12345) % {_LCG_M})"
+    h2 = f"xor({h1}, {h1} >> 13)"
+    h3 = f"((134775813 * {h2} + 1) % {_LCG_M})"
+    h4 = f"xor({h3}, {h3} >> 17)"
+    return f"({h4} / {_LCG_M}.0)"
+
+
+# backwards-compatible aliases (bootstrap + generator queries predate
+# the mixer and are pinned to it on both sides)
+_lcg_uniform = _mix_uniform
+_lcg_sql = _mix_sql
 
 
 def _range_pairs(spark, n: int):
@@ -2402,6 +2586,80 @@ SELECT rho_point, ci_lo, ci_hi FROM pt, ci
 """
 
 
+def doc_pipeline_funnel(spark, sf_dir):
+    """End-to-end training-data curation funnel — the composition a
+    100 TB pipeline actually runs, as ONE dataflow: quality filter →
+    language filter → exact dedup (keep min doc_id per md5) →
+    MinHash-LSH near-dedup (drop the higher id of each verified
+    near-dup pair) → surviving corpus stats. Every stage is the same
+    operator the standalone queries check individually; this entry
+    hash-checks their composition. One row out: stage counts + the
+    surviving token mass."""
+    docs = _t(spark, sf_dir, "documents")
+    q = T.quality_score(docs).filter(F.col("quality") >= 0.5).select("doc_id", "n_tokens")
+    lang = T.language_id(docs).filter(F.col("pred_lang") == "en").select("doc_id")
+    keep = D.exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
+    near = D.minhash_lsh_pairs(docs, n=4, threshold=0.5, num_perm=128, bands=64)
+    drop_b = near.select(F.col("doc_b").alias("doc_id")).distinct()
+
+    ql = q.join(lang, "doc_id", "left_semi")
+    qle = ql.join(keep, "doc_id", "left_semi")
+    qled = qle.join(drop_b, "doc_id", "left_anti")
+    return (
+        docs.agg(F.count("*").alias("n_input"))
+        .crossJoin(q.agg(F.count("*").alias("n_quality")))
+        .crossJoin(ql.agg(F.count("*").alias("n_lang")))
+        .crossJoin(qle.agg(F.count("*").alias("n_exact")))
+        .crossJoin(
+            qled.agg(
+                F.count("*").alias("n_final"),
+                F.sum("n_tokens").alias("surviving_tokens"),
+            )
+        )
+    )
+
+
+_FUNNEL_SQL = (
+    "WITH "
+    + _SHINGLE_SQL
+    + f""",
+quality AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, len(toks) AS n_tokens,
+           round(least(len(toks) / 100.0, 1.0) * 0.4
+                 + round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) * 0.4
+                 + least(round(CAST(len(list_filter(toks, x -> list_contains({_SW_LIST}, x))) AS DOUBLE)
+                               / len(toks), 6) * 4.0, 1.0) * 0.2, 6) AS quality
+    FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+  ) WHERE quality >= 0.5
+),
+lang AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           round(CAST(len(list_filter({_TOKENS_SQL}, x -> list_contains({_SW_LIST}, x))) AS DOUBLE)
+                 / len({_TOKENS_SQL}), 6) AS r
+    FROM documents
+  ) WHERE r >= 0.08
+),
+keepx AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+dropb AS (SELECT DISTINCT doc_b AS doc_id FROM j
+          WHERE CAST(n_common AS DOUBLE) >= 0.5 * n_union),
+ql AS (SELECT q.doc_id, q.n_tokens FROM quality q
+       WHERE EXISTS (SELECT 1 FROM lang l WHERE l.doc_id = q.doc_id)),
+qle AS (SELECT ql.doc_id, ql.n_tokens FROM ql
+        WHERE EXISTS (SELECT 1 FROM keepx k WHERE k.doc_id = ql.doc_id)),
+qled AS (SELECT qle.doc_id, qle.n_tokens FROM qle
+         WHERE NOT EXISTS (SELECT 1 FROM dropb d WHERE d.doc_id = qle.doc_id))
+SELECT (SELECT count(*) FROM documents) AS n_input,
+       (SELECT count(*) FROM quality) AS n_quality,
+       (SELECT count(*) FROM ql) AS n_lang,
+       (SELECT count(*) FROM qle) AS n_exact,
+       (SELECT count(*) FROM qled) AS n_final,
+       (SELECT sum(n_tokens) FROM qled) AS surviving_tokens
+"""
+)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2475,6 +2733,8 @@ QUERIES = {
     "betweenness_tree": betweenness_tree,
     "betweenness_copurchase": betweenness_copurchase,
     "spearman_bootstrap_ci": spearman_bootstrap_ci,
+    "doc_pipeline_funnel": doc_pipeline_funnel,
+    "events_stream_sliding": events_stream_sliding,
 }
 
 ORACLES = {
@@ -2544,7 +2804,14 @@ ORACLES = {
     "gen_geometric_edges": _GEN_GEO_SQL,
     "betweenness_tree": _BETW_TREE_SQL,
     "spearman_bootstrap_ci": _boot_sql(),
+    "connected_components_copurchase": _cc_sql(),
+    "influence_ic": _ic_sql(),
+    "ann_ivf_topk": _ivf_sql(),
+    "doc_pipeline_funnel": _FUNNEL_SQL,
+    "events_stream_sliding": _SLIDING_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
-    # connected_components_copurchase / layout_seed_selection /
-    # influence_ic: iterative or layout-dependent — rows-only checks
+    # rows-only (no SQL oracle): layout_seed_selection (force layout —
+    # float-iteration dependent), influence_greedy (batched cascades
+    # over candidate sets), betweenness_copurchase (sampled sources;
+    # the algorithm itself is hash-gated by betweenness_tree)
 }

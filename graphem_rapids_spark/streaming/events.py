@@ -75,6 +75,27 @@ def hourly_counts_stream(
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Sliding 1-hour / 15-minute windowed counts per event_type with
+    a watermark — each event lands in 4 overlapping windows. The
+    DuckDB oracle replays this as an explicit 4-window explode on the
+    15-minute grid (queries._SLIDING_SQL)."""
+    ts = _event_time()
+    return (
+        events.withColumn("_t", ts)
+        .withWatermark("_t", watermark)
+        .groupBy(F.window("_t", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def sessionize_stream(
     events: DataFrame, gap_minutes: int = 30, watermark: str = "4 hours"
 ) -> DataFrame:

@@ -97,3 +97,41 @@ def test_asof_join_single_shuffle(spark, sf_dir, queries):
     [scan] = info["scans"]
     assert "event_type" in scan["pushed_filters"]
     assert scan["n_columns"] == 4
+
+
+def test_q16_excludes_before_distinct_agg(spark, sf_dir, queries):
+    info = audit_plan(queries["q16_supplier_count"](spark, sf_dir))
+    # bad suppliers anti-join and the part dim both broadcast — the
+    # countDistinct shuffle is the only fact-sized exchange family
+    assert info["broadcast_joins"] >= 2
+    assert info["sortmerge_joins"] == 0
+    li_scan = [s for s in info["scans"] if s["n_columns"] == 2]
+    assert li_scan, "lineitem must read only (l_partkey, l_suppkey)"
+
+
+def test_q21_single_fact_shuffle(spark, sf_dir, queries):
+    info = audit_plan(queries["q21_waiting_suppliers"](spark, sf_dir))
+    # the exists/not-exists pair collapses to ONE groupBy(orderkey) —
+    # no self-joins of lineitem, supplier broadcasts
+    assert info["exchanges"] <= 3
+    assert info["broadcast_joins"] >= 1
+    assert info["sortmerge_joins"] == 0
+    li_scan = [s for s in info["scans"] if s["n_columns"] == 3]
+    assert li_scan, "lineitem must read only (orderkey, suppkey, returnflag)"
+
+
+def test_q2_window_over_preagg(spark, sf_dir, queries):
+    info = audit_plan(queries["q2_min_cost_supplier"](spark, sf_dir))
+    # supplier/nation/part all broadcast; the per-part min window
+    # rides on the (partkey,suppkey) agg's shuffle
+    assert info["broadcast_joins"] >= 3
+    assert info["sortmerge_joins"] == 0
+    assert info["exchanges"] <= 2
+
+
+def test_q11_semi_join_broadcast(spark, sf_dir, queries):
+    info = audit_plan(queries["q11_important_stock"](spark, sf_dir))
+    # nation-filtered supplier set broadcasts into the semi-join; the
+    # grand-total reuses the per-part aggregate, not a second scan
+    assert info["broadcast_joins"] >= 2
+    assert info["sortmerge_joins"] == 0
