@@ -50,6 +50,10 @@ HEADLINE = [
     "q18_large_volume_orders",
     "events_asof_join",
     "graph_triangles",
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
+    "events_stream_sliding",
+    "doc_pipeline_funnel",
 ]
 
 
