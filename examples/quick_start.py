@@ -44,6 +44,16 @@ def main() -> None:
     rnd = random_seed_baseline(g.edges, g.n_vertices, k=10, p=0.1, trials=10, seed=7)
     print(f"graphem influence: {inf:.1f}   random baseline: {rnd:.1f}")
 
+    # 5. does radial distance track centrality? (the reference's core
+    # claim) — distributed Brandes betweenness + Spearman rank corr
+    from graphem_rapids_spark import betweenness_sampled, spearman_correlation
+
+    radii = emb.radial_distances()
+    bc = betweenness_sampled(g.edges, g.n_vertices)
+    joined = radii.join(bc.withColumnRenamed("value", "betweenness"), "id")
+    rho = spearman_correlation(joined, "radius", "betweenness")
+    print(f"spearman(radius, betweenness) = {rho:.3f}")
+
     spark.stop()
 
 

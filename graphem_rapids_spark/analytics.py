@@ -261,7 +261,9 @@ def closeness_centrality(
         )
         if new_v.isEmpty():
             break
-        visited = visited.unionAll(new_v).localCheckpoint(eager=True)
+        # flat union of already-checkpointed frontiers — no lineage
+        # growth, so no extra checkpoint job per BFS round
+        visited = visited.unionAll(new_v)
         frontier = new_v
     sym.unpersist()
     n = n_vertices

@@ -101,7 +101,9 @@ def independent_cascade(
         )
         if new_active.isEmpty():
             break
-        activated = activated.unionAll(new_active).localCheckpoint(eager=True)
+        # flat union of checkpointed per-round tables — no lineage
+        # growth, so no extra checkpoint job per cascade round
+        activated = activated.unionAll(new_active)
         frontier = new_active
     sym.unpersist()
     return activated
