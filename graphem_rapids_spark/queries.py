@@ -1266,6 +1266,52 @@ FROM w GROUP BY win_start, event_type
 """
 
 
+def events_stream_sessions(spark, sf_dir):
+    """Native session_window streaming aggregate (30-min gap, state
+    bounded by watermark). The oracle replays it as a gap-chain:
+    new-session flag + running session id + per-session agg. Boundary
+    semantics: session_window is [t, t+gap), so a successor at
+    EXACTLY t+gap starts a new session — the oracle uses >= gap."""
+    from graphem_rapids_spark.streaming.events import (
+        run_available_now,
+        sessionize_stream,
+        stream_events,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = run_available_now(sessionize_stream(stream_events(spark, sf_dir)))
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        "total_value",
+    )
+
+
+_STREAM_SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, value FROM events
+),
+f AS (
+  SELECT user_id, us, value,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT user_id, us, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT user_id,
+       strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def dedup_stream_first_seen(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
     first-occurrence exact dedup over a document stream. Output equals
@@ -2735,6 +2781,7 @@ QUERIES = {
     "spearman_bootstrap_ci": spearman_bootstrap_ci,
     "doc_pipeline_funnel": doc_pipeline_funnel,
     "events_stream_sliding": events_stream_sliding,
+    "events_stream_sessions": events_stream_sessions,
 }
 
 ORACLES = {
@@ -2809,6 +2856,7 @@ ORACLES = {
     "ann_ivf_topk": _ivf_sql(),
     "doc_pipeline_funnel": _FUNNEL_SQL,
     "events_stream_sliding": _SLIDING_SQL,
+    "events_stream_sessions": _STREAM_SESSION_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
