@@ -2632,6 +2632,49 @@ SELECT rho_point, ci_lo, ci_hi FROM pt, ci
 """
 
 
+def customer_retention_setops(spark, sf_dir):
+    """Set-operator breadth (INTERSECT / EXCEPT — absent from the
+    reference, SURVEY §2.6): 1996-buyers vs 1997-buyers → retained /
+    churned / acquired cohort sizes. Spark plans INTERSECT as a
+    left-semi + distinct and EXCEPT as a left-anti + distinct — both
+    shuffle on the already-narrow custkey projection."""
+    o = _t(spark, sf_dir, "orders")
+
+    def buyers(year: int):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= f"{year}-01-01")
+                & (F.col("o_orderdate") < f"{year + 1}-01-01")
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    b96, b97 = buyers(1996), buyers(1997)
+    return (
+        b96.agg(F.count("*").alias("n_1996"))
+        .crossJoin(b97.agg(F.count("*").alias("n_1997")))
+        .crossJoin(b96.intersect(b97).agg(F.count("*").alias("n_retained")))
+        .crossJoin(b96.exceptAll(b97).agg(F.count("*").alias("n_churned")))
+        .crossJoin(b97.exceptAll(b96).agg(F.count("*").alias("n_acquired")))
+    )
+
+
+_SETOPS_SQL = """
+WITH b96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1997-01-01'),
+b97 AS (SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01')
+SELECT (SELECT count(*) FROM b96) AS n_1996,
+       (SELECT count(*) FROM b97) AS n_1997,
+       (SELECT count(*) FROM (SELECT * FROM b96 INTERSECT SELECT * FROM b97)) AS n_retained,
+       (SELECT count(*) FROM (SELECT * FROM b96 EXCEPT SELECT * FROM b97)) AS n_churned,
+       (SELECT count(*) FROM (SELECT * FROM b97 EXCEPT SELECT * FROM b96)) AS n_acquired
+"""
+
+
 def doc_pipeline_funnel(spark, sf_dir):
     """End-to-end training-data curation funnel — the composition a
     100 TB pipeline actually runs, as ONE dataflow: quality filter →
@@ -2782,6 +2825,7 @@ QUERIES = {
     "doc_pipeline_funnel": doc_pipeline_funnel,
     "events_stream_sliding": events_stream_sliding,
     "events_stream_sessions": events_stream_sessions,
+    "customer_retention_setops": customer_retention_setops,
 }
 
 ORACLES = {
@@ -2857,6 +2901,7 @@ ORACLES = {
     "doc_pipeline_funnel": _FUNNEL_SQL,
     "events_stream_sliding": _SLIDING_SQL,
     "events_stream_sessions": _STREAM_SESSION_SQL,
+    "customer_retention_setops": _SETOPS_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
