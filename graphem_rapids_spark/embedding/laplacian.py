@@ -279,4 +279,11 @@ def _distributed_orthogonal_iteration(
 
     deg.unpersist()
     sym.unpersist()
-    return X
+    # parity with the driver path: isolated vertices (left-semi-dropped
+    # before the matvecs — they contribute nothing) re-enter at the
+    # origin, so the output always has exactly n rows
+    full = spark.range(n).select(F.col("id").cast("long"))
+    zero = F.array(*[F.lit(0.0) for _ in range(k)])
+    return full.join(X, "id", "left").select(
+        "id", F.coalesce("pos", zero).alias("pos")
+    )
