@@ -2632,6 +2632,48 @@ SELECT rho_point, ci_lo, ci_hi FROM pt, ci
 """
 
 
+def graph_weighted_degree(spark, sf_dir):
+    """Weighted-graph surface (SURVEY §1.2 — the reference erases
+    weights, 'future support'; the Spark engine carries them): edge
+    weight = co-purchase multiplicity (number of orders containing
+    both parts), weighted degree = per-vertex strength. Top-20
+    strongest products with integer strengths — exact."""
+    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
+    we = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("src") < F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+    )
+    strength = (
+        we.select(F.col("src").alias("id"), "weight")
+        .unionAll(we.select(F.col("dst").alias("id"), "weight"))
+        .groupBy("id")
+        .agg(F.sum("weight").alias("strength"), F.count("*").alias("degree"))
+    )
+    return strength.orderBy(
+        F.col("strength").desc(), F.col("id").asc()
+    ).limit(20)
+
+
+_WDEGREE_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+we AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS weight
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+st AS (
+  SELECT id, sum(weight) AS strength, count(*) AS degree FROM (
+    SELECT src AS id, weight FROM we UNION ALL SELECT dst AS id, weight FROM we
+  ) GROUP BY id
+)
+SELECT id, strength, degree FROM st
+ORDER BY strength DESC, id ASC LIMIT 20
+"""
+
+
 def customer_retention_setops(spark, sf_dir):
     """Set-operator breadth (INTERSECT / EXCEPT — absent from the
     reference, SURVEY §2.6): 1996-buyers vs 1997-buyers → retained /
@@ -2826,6 +2868,7 @@ QUERIES = {
     "events_stream_sliding": events_stream_sliding,
     "events_stream_sessions": events_stream_sessions,
     "customer_retention_setops": customer_retention_setops,
+    "graph_weighted_degree": graph_weighted_degree,
 }
 
 ORACLES = {
@@ -2902,6 +2945,7 @@ ORACLES = {
     "events_stream_sliding": _SLIDING_SQL,
     "events_stream_sessions": _STREAM_SESSION_SQL,
     "customer_retention_setops": _SETOPS_SQL,
+    "graph_weighted_degree": _WDEGREE_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
