@@ -97,6 +97,54 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("content", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 224, fake: bool = False
+) -> DataFrame:
+    """mapInPandas resize: (media_id, width, height, content) with the
+    longer side clamped to ``max_side`` (aspect preserved). The pixel
+    transform is STUBBED — real resize needs PIL/opencv; the fake path
+    emits the aspect-correct target dimensions with a deterministic
+    content-hash-derived payload so downstream schema/partitioning/
+    batch-shape plumbing is exercised for real. Arrow-batched, one
+    pass, no shuffle."""
+    if not fake:
+        raise NotImplementedError(
+            "real image resize needs PIL/opencv (absent in this container); "
+            "pass fake=True for the deterministic stub"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"]) if r["content"] is not None else b""
+                w, h = _fake_decode(content)
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                payload = hashlib.md5(content + f"{nw}x{nh}".encode()).digest()
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "width": nw,
+                        "height": nh,
+                        "content": payload,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n_frames: int = 30,
                       assumed_frames: int = 300) -> DataFrame:
     """(media_id, frame_idx) sampling plan for video — the shuffle-free
