@@ -129,6 +129,74 @@ def pagerank(
     return pr.select("id", "value")
 
 
+def pagerank_weighted(
+    edges: DataFrame,
+    alpha: float = 0.85,
+    max_iter: int = 10,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """(id, value) — PageRank over a weighted undirected graph
+    (``edges(src, dst, weight)`` canonical src<dst): contributions are
+    proportional to edge weight over vertex strength (networkx
+    weighted-PageRank semantics). Same physical shape as the
+    unweighted kernel: dst-partitioned symmetrized edges persisted
+    once, the small (id, value/strength) table broadcast per step, a
+    checkpoint per iteration."""
+    spark = edges.sparkSession
+    sym = (
+        edges.select("src", "dst", "weight")
+        .unionAll(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+        .repartition(F.col("dst"))
+        .persist()
+    )
+    strength = sym.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").cast("double").alias("st")
+    )
+    if vertices is None:
+        vertices = (
+            sym.select(F.col("src").alias("id")).distinct()
+        )
+    verts = vertices.select(F.col("id").cast("long"))
+    n = verts.count()
+    base = verts.join(strength, "id", "left").select(
+        "id", F.coalesce("st", F.lit(0.0)).alias("st")
+    ).persist()
+    pr = base.select("id", "st", F.lit(1.0 / n).alias("value")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iter):
+        contrib = (
+            sym.withColumnRenamed("src", "id")
+            .join(F.broadcast(pr.filter(F.col("st") > 0)), "id")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("value") * F.col("weight") / F.col("st")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr.unpersist()
+        pr = (
+            base.join(contrib, "id", "left")
+            .select(
+                "id",
+                "st",
+                (
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    base.unpersist()
+    sym.unpersist()
+    return pr.select("id", "value")
+
+
 # ------------------------------------------------------------------- A3
 def eigenvector_centrality(
     edges: DataFrame, n_vertices: int, max_iter: int = 100, tol: float = 1e-6

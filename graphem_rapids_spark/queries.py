@@ -2674,6 +2674,60 @@ ORDER BY strength DESC, id ASC LIMIT 20
 """
 
 
+_WPR_ITERS = 8
+
+
+def pagerank_weighted_copurchase(spark, sf_dir):
+    """Weighted PageRank over the co-purchase graph (edge weight =
+    co-purchase multiplicity, contributions ∝ weight/strength) —
+    fixed 8 iterations, same broadcast + dst-partitioned physical
+    shape as the unweighted kernel."""
+    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
+    we = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("src") < F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+    )
+    pr = A.pagerank_weighted(we, alpha=0.85, max_iter=_WPR_ITERS)
+    return pr.select("id", F.round("value", 9).alias("pagerank"))
+
+
+def _wpr_sql(iters: int = _WPR_ITERS, alpha: float = 0.85) -> str:
+    parts = [
+        _COPURCHASE_SQL_CTE.rstrip(),
+        """, we AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS weight
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)""",
+        ", wsym AS MATERIALIZED (SELECT src, dst, weight FROM we"
+        " UNION ALL SELECT dst AS src, src AS dst, weight FROM we)",
+        ", st AS MATERIALIZED (SELECT src AS id, CAST(sum(weight) AS DOUBLE) AS st"
+        " FROM wsym GROUP BY src)",
+        ", nn AS MATERIALIZED (SELECT count(*) AS n FROM st)",
+        ", wpr0 AS MATERIALIZED (SELECT id, st, 1.0 / (SELECT n FROM nn) AS v FROM st)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", wpr{i} AS MATERIALIZED (
+  SELECT b.id, b.st,
+         (1.0 - {alpha!r}) / (SELECT n FROM nn)
+         + {alpha!r} * coalesce(c.s, 0.0) AS v
+  FROM st b LEFT JOIN (
+    SELECT e.dst AS id, sum(p.v * e.weight / p.st) AS s
+    FROM wsym e JOIN wpr{i - 1} p ON e.src = p.id
+    GROUP BY e.dst
+  ) c ON b.id = c.id
+)"""
+        )
+    parts.append(f"SELECT id, round(v, 9) AS pagerank FROM wpr{iters}")
+    return "\n".join(parts)
+
+
 def customer_retention_setops(spark, sf_dir):
     """Set-operator breadth (INTERSECT / EXCEPT — absent from the
     reference, SURVEY §2.6): 1996-buyers vs 1997-buyers → retained /
@@ -2869,6 +2923,7 @@ QUERIES = {
     "events_stream_sessions": events_stream_sessions,
     "customer_retention_setops": customer_retention_setops,
     "graph_weighted_degree": graph_weighted_degree,
+    "pagerank_weighted_copurchase": pagerank_weighted_copurchase,
 }
 
 ORACLES = {
@@ -2946,6 +3001,7 @@ ORACLES = {
     "events_stream_sessions": _STREAM_SESSION_SQL,
     "customer_retention_setops": _SETOPS_SQL,
     "graph_weighted_degree": _WDEGREE_SQL,
+    "pagerank_weighted_copurchase": _wpr_sql(),
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
