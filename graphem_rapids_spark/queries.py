@@ -1312,6 +1312,39 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def events_stream_join(spark, sf_dir):
+    """Stream-stream interval join (purchases ⋈ same-user clicks in
+    the trailing hour), watermarked on both sides so join state is
+    bounded — the one stateful-join family the other streaming
+    queries don't cover. Batch-replay oracle on the same floored
+    microsecond timestamps."""
+    from graphem_rapids_spark.streaming.events import (
+        purchase_click_join_stream,
+        run_available_now,
+        stream_events,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return run_available_now(
+        purchase_click_join_stream(stream_events(spark, sf_dir)),
+        output_mode="append",
+    )
+
+
+_STREAM_JOIN_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         make_timestamp(epoch_ns(ts) // 1000) AS t
+  FROM events
+)
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM e p JOIN e c
+  ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND c.t >= p.t - INTERVAL 1 HOUR AND c.t <= p.t
+"""
+
+
 def dedup_stream_first_seen(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
     first-occurrence exact dedup over a document stream. Output equals
@@ -2924,6 +2957,7 @@ QUERIES = {
     "customer_retention_setops": customer_retention_setops,
     "graph_weighted_degree": graph_weighted_degree,
     "pagerank_weighted_copurchase": pagerank_weighted_copurchase,
+    "events_stream_join": events_stream_join,
 }
 
 ORACLES = {
@@ -3002,6 +3036,7 @@ ORACLES = {
     "customer_retention_setops": _SETOPS_SQL,
     "graph_weighted_degree": _WDEGREE_SQL,
     "pagerank_weighted_copurchase": _wpr_sql(),
+    "events_stream_join": _STREAM_JOIN_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades

@@ -119,6 +119,43 @@ def sessionize_stream(
     )
 
 
+def purchase_click_join_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding hour. Both sides carry watermarks
+    and the join condition bounds event-time distance, so the join
+    state is provably bounded (Spark drops rows older than watermark
+    + interval). Output: (purchase_id, click_id, user_id) pairs."""
+    ts = _event_time()
+    base = events.withColumn("_t", ts)
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("_t").alias("purchase_t"),
+        )
+        .withWatermark("purchase_t", watermark)
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("_t").alias("click_t"),
+        )
+        .withWatermark("click_t", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id AND "
+            "click_t >= purchase_t - INTERVAL 1 HOUR AND click_t <= purchase_t"
+        ),
+    ).select("purchase_id", "click_id", "user_id")
+
+
 def run_available_now(
     result: DataFrame, name: str | None = None, output_mode: str = "complete"
 ) -> DataFrame:
