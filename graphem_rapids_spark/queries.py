@@ -2761,6 +2761,38 @@ def _wpr_sql(iters: int = _WPR_ITERS, alpha: float = 0.85) -> str:
     return "\n".join(parts)
 
 
+def orders_salted_join(spark, sf_dir):
+    """Hot-key skew path through the driver gate: lineitem ⋈ orders
+    via the explicit salted join (big side salted over 8 sub-keys,
+    small side replicated ×8), aggregated per priority. The oracle is
+    the PLAIN join — salting must be result-invariant; only the
+    shuffle layout changes. (AQE skew-split handles sort-merge joins
+    automatically; this is the manual path for shuffled-hash cases.)"""
+    from graphem_rapids_spark.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, o, on="l_orderkey", n_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+_SALTED_SQL = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(sum(l_quantity), 2) AS total_qty,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def customer_retention_setops(spark, sf_dir):
     """Set-operator breadth (INTERSECT / EXCEPT — absent from the
     reference, SURVEY §2.6): 1996-buyers vs 1997-buyers → retained /
@@ -2958,6 +2990,7 @@ QUERIES = {
     "graph_weighted_degree": graph_weighted_degree,
     "pagerank_weighted_copurchase": pagerank_weighted_copurchase,
     "events_stream_join": events_stream_join,
+    "orders_salted_join": orders_salted_join,
 }
 
 ORACLES = {
@@ -3037,6 +3070,7 @@ ORACLES = {
     "graph_weighted_degree": _WDEGREE_SQL,
     "pagerank_weighted_copurchase": _wpr_sql(),
     "events_stream_join": _STREAM_JOIN_SQL,
+    "orders_salted_join": _SALTED_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
