@@ -493,10 +493,19 @@ def load_centrality(edges: DataFrame, n_vertices: int) -> DataFrame:
 # -------------------------------------------------------------- A8–A10
 def rank_column(df: DataFrame, col: str, out: str, partition_cols: tuple[str, ...] = ()) -> DataFrame:
     """Mean-rank (tie-aware) transform — scipy.stats.rankdata
-    semantics: tied values get the average of their rank range.
-    mean_rank = rank() + (tie_count − 1)/2, two windows, no self-join."""
-    w = Window.partitionBy(*partition_cols).orderBy(F.col(col).asc()) if partition_cols else Window.orderBy(F.col(col).asc())
-    wt = Window.partitionBy(*partition_cols, col) if partition_cols else Window.partitionBy(col)
+    semantics: tied values get the average of their rank range,
+    mean_rank = rank() + (tie_count − 1)/2.
+
+    With partition_cols the windows are already distributed. The
+    GLOBAL case avoids the partition-less window (all rows → one
+    partition) via the range-partitioned prefix-sum in ``scale.py`` —
+    bit-identical values, every stage distributed."""
+    if not partition_cols:
+        from graphem_rapids_spark.scale import global_mean_rank
+
+        return global_mean_rank(df, col, out)
+    w = Window.partitionBy(*partition_cols).orderBy(F.col(col).asc())
+    wt = Window.partitionBy(*partition_cols, col)
     return df.withColumn(
         out, F.rank().over(w) + (F.count("*").over(wt) - 1) / 2.0
     )

@@ -12,15 +12,16 @@ Reference semantics being reproduced:
 
 Scale notes: every function here is a single shuffle (distinct or
 groupBy) on the edge key — the minimal possible. ``relabel_contiguous``
-uses ``row_number`` over a global sort of the (small) vertex table;
-for 100 TB edge sets the vertex table is still ~1e9 rows max, and the
-subsequent remap joins broadcast when the map is small or shuffle-join
-on id otherwise (Catalyst/AQE decides).
+builds the dense id map with the range-partitioned prefix-sum of
+``scale.py`` (no single-partition row_number funnel — a ~1e9-row
+vertex table stays distributed); the subsequent remap joins broadcast
+when the map is small or shuffle-join on id otherwise (Catalyst/AQE
+decides).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -64,10 +65,11 @@ def relabel_contiguous(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     (old_id, new_id). Reference: networkx
     ``convert_node_labels_to_integers`` (``datasets.py:148-166``).
     """
+    from graphem_rapids_spark.scale import global_dense_index
+
     verts = vertices_from_edges(edges)
-    mapping = verts.select(
-        F.col("id").alias("old_id"),
-        (F.row_number().over(Window.orderBy("id")) - 1).cast("long").alias("new_id"),
+    mapping = global_dense_index(verts, "id", "new_id").withColumnRenamed(
+        "id", "old_id"
     )
     m = F.broadcast(mapping)
     out = (

@@ -19,7 +19,7 @@ free ``row_number`` window (single shuffle on the small vertex table).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphem_rapids_spark.graph.canon import canonicalize_edges
@@ -77,13 +77,12 @@ def read_csv_nodes_edges(
     loader): returns (vertices(new_id, orig_id), edges(src, dst)).
     Edge endpoints not present in nodes.csv are dropped (inner joins),
     matching the reference's 'skip unknown endpoints' behavior."""
+    from graphem_rapids_spark.scale import global_dense_index
+
     nodes = spark.read.option("header", "true").csv(nodes_path).select(
         F.col(node_id_col).alias("orig_id")
     ).distinct()
-    w = Window.orderBy("orig_id")
-    mapping = nodes.select(
-        "orig_id", (F.row_number().over(w) - 1).cast("long").alias("new_id")
-    )
+    mapping = global_dense_index(nodes, "orig_id", "new_id")
     raw = spark.read.option("header", "true").csv(edges_path).select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
     )

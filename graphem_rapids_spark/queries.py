@@ -447,8 +447,14 @@ def seed_radial_topk(spark, sf_dir):
         5,
     )
     ranked = emb.select("vec_id", radius.alias("radius"))
-    w = Window.orderBy(F.col("radius").desc(), F.col("vec_id").asc())
-    return ranked.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    # distributed top-k (TakeOrdered: per-partition partial top-10 +
+    # merge), then rank the surviving 10 rows — no global window over
+    # the full table
+    top = ranked.orderBy(F.col("radius").desc(), F.col("vec_id").asc()).limit(10)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("radius").desc(), F.col("vec_id").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 _SEED_SQL = """
@@ -1704,9 +1710,9 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-0
 
 def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: supplier(s) with max quarterly revenue. The
-    scalar-max subquery becomes a rank() window over ONE tiny
-    aggregated table (one row per supplier) — no second scan of
-    lineitem, unlike the textbook self-join formulation."""
+    scalar-max subquery becomes agg(max) + broadcast filter over the
+    per-supplier table — no second scan of lineitem (unlike the
+    textbook self-join) and no single-partition window."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
@@ -1715,8 +1721,15 @@ def q15_top_supplier(spark, sf_dir):
         li.groupBy("l_suppkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
     )
-    w = Window.orderBy(F.col("total_revenue").desc())
-    top = rev.withColumn("rk", F.rank().over(w)).filter(F.col("rk") == 1).drop("rk")
+    # rank()==1 over a global window is just "equal to the max" — the
+    # scalar max broadcasts back, keeping ties, with no single-partition
+    # window over the per-supplier table
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    top = (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .drop("_mx")
+    )
     return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
     )
