@@ -51,3 +51,24 @@ def edge_coin_key(u, v, trial):
 
 def edge_coin_key_sql(u: str, v: str, trial: str) -> str:
     return f"((({u}) % 1048576) * 1048576 + (({v}) % 1048576)) * 64 + (({trial}) % 64)"
+
+
+def event_ts_nanos(df):
+    """Normalize ``events.ts`` to LONG NANOSECONDS — the contract every
+    event query is written against.
+
+    The driver testdata has shipped two on-disk encodings: TIMESTAMP
+    (NANOS), which Spark 4 only reads as a long via
+    ``spark.sql.legacy.parquet.nanosAsLong`` (already a no-op pass
+    through here), and timestamp[us], which arrives as TIMESTAMP_NTZ.
+    The session timezone is pinned to UTC, so the NTZ→timestamp cast is
+    wall-clock-identity and ``unix_micros`` yields the same epoch the
+    DuckDB oracles compute on the naive timestamp.
+    """
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df
+    return df.withColumn(
+        "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    )

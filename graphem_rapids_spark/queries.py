@@ -186,11 +186,13 @@ FROM part GROUP BY p_brand
 
 
 def _events(spark, sf_dir) -> DataFrame:
-    """events with ts as LONG NANOS (the driver parquet uses
-    TIMESTAMP(NANOS), unreadable by Spark 4 as a timestamp). Works
-    under any session by setting the legacy conf at call time."""
+    """events with ts as LONG NANOS regardless of the on-disk encoding
+    (the driver testdata has shipped both TIMESTAMP(NANOS) — readable
+    only via the legacy nanosAsLong conf — and timestamp[us])."""
+    from graphem_rapids_spark.functions import event_ts_nanos
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _t(spark, sf_dir, "events")
+    return event_ts_nanos(_t(spark, sf_dir, "events"))
 
 
 def events_hourly(spark, sf_dir):

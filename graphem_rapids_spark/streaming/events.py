@@ -40,7 +40,9 @@ def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return stream_table(spark, sf_dir, "events")
+    from graphem_rapids_spark.functions import event_ts_nanos
+
+    return event_ts_nanos(stream_table(spark, sf_dir, "events"))
 
 
 def _event_time(col: str = "ts"):
