@@ -2925,6 +2925,157 @@ SELECT (SELECT count(*) FROM documents) AS n_input,
 )
 
 
+# =====================================================================
+# Sketches & distribution statistics — deterministic KMV distinct-count
+# sketch, exact quantiles, quantile-bucketed stats, corpus term
+# frequency. Each is the shuffle-light shape a 100 TB pipeline needs:
+# sketches and boundary lists are tiny (broadcastable), the big table
+# is touched once.
+# =====================================================================
+
+_KMV_K = 256
+_KMV_SEED = 9001
+
+
+def sketch_kmv_distinct(spark, sf_dir):
+    """K-minimum-values distinct-count sketch over orders.o_custkey
+    (KMV/bottom-k estimator: E[|D|] ≈ (k-1)/h_(k), Bar-Yossef et al.).
+    Uses the cross-engine mixer hash so the sketch — not just the
+    answer — is reproduced bit-for-bit by the oracle. The k smallest
+    distinct hashes come out of a partial top-k (TakeOrdered — per-
+    partition heads then a k-row merge, no global sort), so at 100 TB
+    the only full pass is the hash projection + distinct; the sketch
+    itself is k doubles. Output: exact distinct count, sketch size,
+    estimate, relative error (rounded)."""
+    o = _t(spark, sf_dir, "orders")
+    h = o.select(_mix_uniform(F.col("o_custkey"), _KMV_SEED).alias("hv")).distinct()
+    topk = h.orderBy(F.col("hv").asc()).limit(_KMV_K)
+    sketch = topk.agg(F.count("*").alias("k_n"), F.max("hv").alias("hk"))
+    exact = o.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    est = F.when(
+        F.col("k_n") < _KMV_K, F.col("k_n").cast("double")
+    ).otherwise(F.round((F.col("k_n") - F.lit(1)) / F.col("hk"), 6))
+    return sketch.crossJoin(exact).select(
+        "n_exact",
+        "k_n",
+        est.alias("kmv_estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
+    )
+
+
+def _kmv_sql() -> str:
+    hv = _mix_sql("o_custkey", _KMV_SEED)
+    est = f"CASE WHEN k_n < {_KMV_K} THEN CAST(k_n AS DOUBLE) ELSE round((k_n - 1) / hk, 6) END"
+    return f"""
+WITH h AS (SELECT DISTINCT {hv} AS hv FROM orders),
+k AS (SELECT hv FROM h ORDER BY hv ASC LIMIT {_KMV_K}),
+sk AS (SELECT count(*) AS k_n, max(hv) AS hk FROM k),
+ex AS (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders)
+SELECT n_exact, k_n, {est} AS kmv_estimate,
+       round(abs(({est}) - n_exact) / n_exact, 6) AS rel_err
+FROM sk, ex
+"""
+
+
+_QUANTILE_PS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def revenue_quantiles(spark, sf_dir):
+    """Exact quantiles of lineitem.l_extendedprice via the built-in
+    exact ``percentile`` aggregate (linear interpolation at rank
+    p·(n−1), the same definition as the oracle's quantile_cont —
+    per-row doubles, bit-identical, rounded only for display). Exact
+    percentiles shuffle value counts; the 100 TB path swaps in
+    approx_percentile (Greenwald-Khanna, mergeable per-partition
+    summaries, no shuffle of raw values) — same query shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = F.array(*[F.lit(p) for p in _QUANTILE_PS])
+    q = li.agg(F.percentile("l_extendedprice", ps).alias("qs"))
+    return q.select(F.posexplode("qs").alias("i", "qv")).select(
+        F.element_at(F.array(*[F.lit(p) for p in _QUANTILE_PS]), F.col("i") + 1).alias("p"),
+        F.round("qv", 4).alias("q_value"),
+    )
+
+
+_QUANTILES_SQL = f"""
+SELECT CAST(p AS DOUBLE) AS p, round(qv, 4) AS q_value FROM (
+  SELECT unnest({_QUANTILE_PS!r}) AS p,
+         unnest(quantile_cont(l_extendedprice, {_QUANTILE_PS!r})) AS qv
+  FROM lineitem
+)
+"""
+
+
+def orders_decile_stats(spark, sf_dir):
+    """Per-decile order-value stats WITHOUT a global ntile window (a
+    single-partition sort at scale): compute the 9 exact decile
+    boundaries in one aggregate, broadcast that 9-double list, and
+    assign each order its decile by counting boundaries below it
+    (higher-order array filter — whole-stage codegen, no join
+    shuffle). The only shuffle is the final 10-group aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    bs = o.agg(
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+        ).alias("bs")
+    )
+    dec = (
+        o.crossJoin(F.broadcast(bs))
+        .select(
+            (
+                F.size(F.filter("bs", lambda x: F.col("o_totalprice") > x)) + F.lit(1)
+            ).alias("decile"),
+            "o_totalprice",
+        )
+    )
+    return dec.groupBy("decile").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+_DECILE_SQL = """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+  FROM orders
+)
+SELECT 1 + len(list_filter(bs, x -> o_totalprice > x)) AS decile,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders, b
+GROUP BY 1
+"""
+
+
+def doc_topk_terms(spark, sf_dir):
+    """Corpus document frequency: top-20 terms by number of documents
+    containing them (per-document distinct, then groupBy + partial
+    top-k merge — the inverted-index / vocabulary-build primitive).
+    Deterministic cut: ties broken by term."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.array_distinct(T.tokens_col("text"))).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+_TOPK_TERMS_SQL = f"""
+SELECT term, count(*) AS df FROM (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS term FROM documents
+)
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3006,6 +3157,10 @@ QUERIES = {
     "pagerank_weighted_copurchase": pagerank_weighted_copurchase,
     "events_stream_join": events_stream_join,
     "orders_salted_join": orders_salted_join,
+    "sketch_kmv_distinct": sketch_kmv_distinct,
+    "revenue_quantiles": revenue_quantiles,
+    "orders_decile_stats": orders_decile_stats,
+    "doc_topk_terms": doc_topk_terms,
 }
 
 ORACLES = {
@@ -3086,6 +3241,10 @@ ORACLES = {
     "pagerank_weighted_copurchase": _wpr_sql(),
     "events_stream_join": _STREAM_JOIN_SQL,
     "orders_salted_join": _SALTED_SQL,
+    "sketch_kmv_distinct": _kmv_sql(),
+    "revenue_quantiles": _QUANTILES_SQL,
+    "orders_decile_stats": _DECILE_SQL,
+    "doc_topk_terms": _TOPK_TERMS_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
