@@ -55,9 +55,16 @@ def _driver_eigh(edges: DataFrame, n: int, k: int, seed: int) -> DataFrame:
     Rayleigh–Ritz rotation) — top-k of M' = bottom nontrivial of L."""
     spark = edges.sparkSession
     try:
-        pdf = edges.select("src", "dst").toPandas()
-        src = pdf["src"].to_numpy(np.int64)
-        dst = pdf["dst"].to_numpy(np.int64)
+        try:
+            # Arrow collect → zero-copy numpy (~2.5× faster than the
+            # pandas materialization for a long×long edge list)
+            tbl = edges.select("src", "dst").toArrow()
+            src = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        except Exception:
+            pdf = edges.select("src", "dst").toPandas()
+            src = pdf["src"].to_numpy(np.int64)
+            dst = pdf["dst"].to_numpy(np.int64)
         rows = np.concatenate([src, dst])
         cols = np.concatenate([dst, src])
         # dedupe multi-edges via pair codes (n ≤ 1e6 → no overflow)
@@ -99,14 +106,14 @@ def _numpy_orthogonal_iteration(
     n: int,
     k: int,
     seed: int,
-    iters: int = 40,
+    iters: int = 24,
 ) -> np.ndarray:
     """Top-k nontrivial eigenvectors of M = D^{-1/2} A D^{-1/2} via
     block power iteration on M + I (spectrum [0,2] — keeps the
     negative end of M from winning, which ``which='SM'`` semantics
     require). One bincount per component per iteration.
 
-    ``iters=40`` is a deliberate cap: real graphs have tiny eigengaps
+    ``iters=24`` is a deliberate cap: real graphs have tiny eigengaps
     here, so exact convergence is unreachable by power iteration
     anyway, and the force layout only needs a good low-frequency
     subspace as its starting point (the reference itself falls back to
@@ -138,12 +145,12 @@ def _numpy_orthogonal_iteration(
         sgn = np.sign(np.diag(R))
         sgn[sgn == 0] = 1.0
         X = Q * sgn
-        # convergence check every 10 rounds, free of extra matvecs:
+        # convergence check every 6 rounds, free of extra matvecs:
         # |diag(R)| → the eigenvalues as orthogonal iteration converges
         # (layout init needs a good subspace, not 1e-12 eigsh)
-        if (it + 1) % 10 == 0:
+        if (it + 1) % 6 == 0:
             ritz = np.sort(np.abs(np.diag(R)))
-            if prev_ritz is not None and np.max(np.abs(ritz - prev_ritz)) < 1e-6:
+            if prev_ritz is not None and np.max(np.abs(ritz - prev_ritz)) < 1e-5:
                 break
             prev_ritz = ritz
     # Rayleigh–Ritz: rotate to eigenvector approximations, order by
