@@ -3076,6 +3076,163 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
 """
 
 
+# =====================================================================
+# Relational breadth IV: CUBE grouping sets, PIVOT, partitioned
+# distribution windows (percent_rank/cume_dist), and time-series
+# densification (gap-fill) — the remaining standard-analytics operator
+# families.
+# =====================================================================
+
+
+def orders_cube(spark, sf_dir):
+    """CUBE over (status, priority) with grouping_id — all four
+    grouping sets in ONE shuffle (the Expand operator multiplies rows
+    map-side, then a single partial+final hash agg; no per-set
+    re-scan). grouping_id disambiguates a real NULL group key from a
+    rolled-up one."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_daily(spark, sf_dir):
+    """PIVOT event_type into per-day count columns. The pivot values
+    are pinned explicitly — at scale that skips the extra
+    distinct-values discovery job AND keeps the output schema static
+    (a moving schema breaks downstream consumers); the pivot itself is
+    one groupBy shuffle with map-side partial aggregation."""
+    e = _events(spark, sf_dir)
+    day = F.date_format(
+        F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")), "yyyy-MM-dd"
+    )
+    return (
+        e.select(day.alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+_PIVOT_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+FROM events GROUP BY 1
+"""
+
+
+def nation_revenue_percentiles(spark, sf_dir):
+    """Per-customer order revenue ranked WITHIN nation via
+    percent_rank + cume_dist — the distribution windows partitioned by
+    a real key (25 nations), so no single-partition global sort.
+    Revenue is rounded before ranking so the sort key is bit-identical
+    across engines (sum order differs only in the last ulp)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("revenue").asc(), F.col("c_custkey").asc()
+    )
+    return rev.select(
+        "c_nationkey",
+        "c_custkey",
+        "revenue",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_PCTRANK_SQL = """
+WITH rev AS (
+  SELECT c_nationkey, c_custkey, round(sum(o_totalprice), 2) AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, c_custkey
+)
+SELECT c_nationkey, c_custkey, revenue,
+       round(percent_rank() OVER (PARTITION BY c_nationkey
+                                  ORDER BY revenue ASC, c_custkey ASC), 6) AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY c_nationkey
+                               ORDER BY revenue ASC, c_custkey ASC), 6) AS cume
+FROM rev
+"""
+
+
+def events_minute_fill(spark, sf_dir):
+    """Time-series densification: per-minute purchase counts over the
+    FULL minute grid (zeros where no events) — ``sequence`` + explode
+    generates the grid from one min/max aggregate, then a left join
+    fills gaps. The grid is derived, broadcast-size (minutes of the
+    observed span), and the only shuffle on the big side is the
+    per-minute pre-aggregation; at 100 TB the grid join stays
+    broadcast while counts shuffle once on minute."""
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    minute = F.timestamp_micros(
+        (F.floor(F.col("ts") / F.lit(60_000_000_000)) * F.lit(60_000_000)).cast("long")
+    )
+    counts = e.select(minute.alias("m")).groupBy("m").agg(F.count("*").alias("n"))
+    span = e.agg(
+        F.min(minute).alias("lo"),
+        F.max(minute).alias("hi"),
+    )
+    grid = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))).alias("m")
+    )
+    return (
+        grid.join(counts, "m", "left")
+        .select(
+            F.date_format("m", "yyyy-MM-dd HH:mm").alias("minute"),
+            F.coalesce("n", F.lit(0)).alias("n_purchases"),
+        )
+    )
+
+
+_MINUTE_FILL_SQL = """
+WITH e AS (SELECT date_trunc('minute', ts) AS m FROM events WHERE event_type = 'purchase'),
+counts AS (SELECT m, count(*) AS n FROM e GROUP BY m),
+grid AS (
+  SELECT unnest(generate_series((SELECT min(m) FROM e), (SELECT max(m) FROM e),
+                                INTERVAL 1 MINUTE)) AS m
+)
+SELECT strftime(grid.m, '%Y-%m-%d %H:%M') AS minute,
+       coalesce(counts.n, 0) AS n_purchases
+FROM grid LEFT JOIN counts ON grid.m = counts.m
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3161,6 +3318,10 @@ QUERIES = {
     "revenue_quantiles": revenue_quantiles,
     "orders_decile_stats": orders_decile_stats,
     "doc_topk_terms": doc_topk_terms,
+    "orders_cube": orders_cube,
+    "events_pivot_daily": events_pivot_daily,
+    "nation_revenue_percentiles": nation_revenue_percentiles,
+    "events_minute_fill": events_minute_fill,
 }
 
 ORACLES = {
@@ -3245,6 +3406,10 @@ ORACLES = {
     "revenue_quantiles": _QUANTILES_SQL,
     "orders_decile_stats": _DECILE_SQL,
     "doc_topk_terms": _TOPK_TERMS_SQL,
+    "orders_cube": _CUBE_SQL,
+    "events_pivot_daily": _PIVOT_SQL,
+    "nation_revenue_percentiles": _PCTRANK_SQL,
+    "events_minute_fill": _MINUTE_FILL_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
