@@ -280,6 +280,43 @@ def connected_components(edges: DataFrame, n_vertices: int, max_iter: int = 50) 
     return labels
 
 
+def k_core(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+    """(id, core_degree) — the k-core: the maximal subgraph where every
+    vertex has degree ≥ k within the subgraph, by iterative peeling
+    (drop sub-k vertices, recompute, repeat to fixpoint).
+
+    Engine shape: the surviving edge set is carried between rounds —
+    each round is ONE degree aggregation (HAVING ≥ k) plus two
+    left-semi joins filtering edges to survivors, checkpointed so the
+    plan stays flat. Convergence is detected by edge count (strictly
+    decreasing until the fixpoint), so the loop does no driver-side
+    data work. At 100 TB each round shuffles only the shrinking edge
+    set on its endpoint keys; real graphs converge in a few rounds at
+    moderate k (deeper peeling chains shrink the data fast)."""
+    cur = symmetrize_edges(edges).localCheckpoint(eager=True)
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        surv = (
+            cur.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("id"))
+        )
+        new = (
+            cur.join(surv.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(surv.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_new = new.count()
+        cur = new
+        if n_new == n_cur:
+            break
+        n_cur = n_new
+    return cur.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("core_degree")
+    )
+
+
 def largest_connected_component(edges: DataFrame, n_vertices: int) -> DataFrame:
     """Edge list restricted to the LCC (reference LCC extraction)."""
     comp = connected_components(edges, n_vertices)

@@ -3233,6 +3233,58 @@ FROM grid LEFT JOIN counts ON grid.m = counts.m
 """
 
 
+_KCORE_FRAC = 0.7
+_KCORE_ROUNDS = 10  # oracle unroll depth; sf0.01 converges in 5
+
+
+def kcore_copurchase(spark, sf_dir):
+    """k-core of the co-purchase graph (iterative peeling to fixpoint;
+    see analytics.k_core). k is data-derived — floor(0.7 × median
+    degree) — so the query is meaningful at every scale factor; the
+    median comes from the same interpolated-percentile definition on
+    both engines, making k (and hence the whole peel) reproducible.
+    Output: (id, core_degree) for every core member."""
+    e = copurchase_edges(spark, sf_dir)
+    from graphem_rapids_spark.graph.canon import symmetrize_edges
+
+    med = (
+        symmetrize_edges(e)
+        .groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .agg(F.percentile("deg", F.lit(0.5)).alias("m"))
+        .first()["m"]
+    )
+    k = int(_KCORE_FRAC * med)
+    return A.k_core(e, k)
+
+
+def _kcore_sql(rounds: int = _KCORE_ROUNDS) -> str:
+    """Peeling unrolled to a fixed depth ≥ the convergence depth (the
+    Spark side iterates to the fixpoint; extra rounds are idempotent
+    there, so a generous unroll matches exactly)."""
+    parts = [
+        _COPURCHASE_SQL_CTE,
+        ", core0 AS MATERIALIZED (SELECT src, dst FROM ge UNION ALL SELECT dst AS src, src AS dst FROM ge)",
+        ", kval AS (SELECT CAST(floor(0.7 * quantile_cont(deg, 0.5)) AS BIGINT) AS k FROM ("
+        "SELECT src, count(*) AS deg FROM core0 GROUP BY src))",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", surv{i} AS MATERIALIZED (
+  SELECT src AS id FROM core{i - 1} GROUP BY src
+  HAVING count(*) >= (SELECT k FROM kval)
+), core{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM core{i - 1} e
+  JOIN surv{i} a ON e.src = a.id
+  JOIN surv{i} b ON e.dst = b.id
+)"""
+        )
+    parts.append(
+        f"SELECT src AS id, count(*) AS core_degree FROM core{rounds} GROUP BY src"
+    )
+    return "\n".join(parts)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3322,6 +3374,7 @@ QUERIES = {
     "events_pivot_daily": events_pivot_daily,
     "nation_revenue_percentiles": nation_revenue_percentiles,
     "events_minute_fill": events_minute_fill,
+    "kcore_copurchase": kcore_copurchase,
 }
 
 ORACLES = {
@@ -3410,6 +3463,7 @@ ORACLES = {
     "events_pivot_daily": _PIVOT_SQL,
     "nation_revenue_percentiles": _PCTRANK_SQL,
     "events_minute_fill": _MINUTE_FILL_SQL,
+    "kcore_copurchase": _kcore_sql(),
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
