@@ -30,6 +30,20 @@ from graphem_rapids_spark.graph.canon import symmetrize_edges, vertex_degrees
 _HASH_BUCKETS = 1 << 30
 
 
+def _vertex_table_fits_broadcast(n: int, broadcast_max: int | None = None) -> bool:
+    """Strategy switch for the iterative kernels: a per-iteration O(n)
+    vertex table (ranks / scores / frontier) may only be broadcast when
+    n is bounded — at 10⁸–10⁹ vertices a full-table broadcast per
+    iteration is a driver/executor-memory scale-killer. Threshold is
+    ``GRAPHEM_BROADCAST_POS_MAX`` (session.BROADCAST_POSITIONS_MAX),
+    read dynamically so tests can force the shuffle path."""
+    if broadcast_max is None:
+        from graphem_rapids_spark import session
+
+        broadcast_max = session.BROADCAST_POSITIONS_MAX
+    return n <= broadcast_max
+
+
 # ---------------------------------------------------------------- A1/A7
 def degree_centrality(edges: DataFrame, n_vertices: int, vertices: DataFrame | None = None) -> DataFrame:
     """(id, value) — degree/(n-1), networkx convention
@@ -61,23 +75,38 @@ def pagerank(
     max_iter: int = 30,
     tol: float = 1e-6,
     vertices: DataFrame | None = None,
+    broadcast_max: int | None = None,
 ) -> DataFrame:
     """(id, value) — PageRank on the undirected (symmetrized) graph,
     networkx semantics incl. dangling-mass redistribution
     (reference ``benchmark.py:95-98``). Each step: one join + one agg.
-    Pass ``vertices`` for sparse (non-contiguous) id spaces."""
+    Pass ``vertices`` for sparse (non-contiguous) id spaces.
+
+    Two physical strategies, picked by vertex count:
+
+    - **broadcast** (n ≤ BROADCAST_POSITIONS_MAX): edges partitioned by
+      dst once; the small rank table broadcasts into the join and the
+      groupBy(dst) reuses the edge partitioning → ZERO per-iteration
+      shuffle of the edge-sized stream.
+    - **shuffle** (larger n): edges partitioned by src once; the rank
+      table (n rows) shuffles to that partitioning each iteration (the
+      edge table does NOT re-shuffle — EnsureRequirements reuses its
+      hash partitioning), and only the message stream shuffles into the
+      groupBy(dst). One edge-sized shuffle per iteration, bounded
+      memory — the 100 TB-safe shape."""
     spark = edges.sparkSession
-    # pre-partition messages by destination ONCE: the per-iteration
-    # groupBy(dst) then reuses this partitioning (no repeated 2m-row
-    # shuffle), and the small rank table broadcasts to the join
-    sym = symmetrize_edges(edges).repartition(F.col("dst")).persist()
-    out_deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("od"))
     if vertices is not None:
         verts = vertices.select(F.col("id").cast("long"))
         n = verts.count()
     else:
         n = n_vertices
         verts = spark.range(n).select(F.col("id").cast("long"))
+    use_broadcast = _vertex_table_fits_broadcast(n, broadcast_max)
+    # pre-partition messages ONCE on the key each strategy reuses every
+    # iteration (see docstring)
+    part_key = F.col("dst") if use_broadcast else F.col("src")
+    sym = symmetrize_edges(edges).repartition(part_key).persist()
+    out_deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("od"))
     base = verts.join(out_deg, "id", "left").select(
         "id", F.coalesce("od", F.lit(0)).alias("od")
     ).persist()
@@ -93,12 +122,10 @@ def pagerank(
             dangling = pr.filter(F.col("od") == 0).agg(F.sum("value")).first()[0] or 0.0
         else:
             dangling = 0.0
-        # broadcast the small rank table into the dst-partitioned edge
-        # table: the groupBy(id=dst) below reuses sym's partitioning —
-        # zero per-iteration shuffle of the edge-sized message stream
+        ranks = pr.filter(F.col("od") > 0)
         contrib = (
             sym.withColumnRenamed("src", "id")
-            .join(F.broadcast(pr.filter(F.col("od") > 0)), "id")
+            .join(F.broadcast(ranks) if use_broadcast else ranks, "id")
             .select(F.col("dst").alias("id"), (F.col("value") / F.col("od")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
@@ -134,34 +161,29 @@ def pagerank_weighted(
     alpha: float = 0.85,
     max_iter: int = 10,
     vertices: DataFrame | None = None,
+    broadcast_max: int | None = None,
 ) -> DataFrame:
     """(id, value) — PageRank over a weighted undirected graph
     (``edges(src, dst, weight)`` canonical src<dst): contributions are
     proportional to edge weight over vertex strength (networkx
     weighted-PageRank semantics). Same physical shape as the
-    unweighted kernel: dst-partitioned symmetrized edges persisted
-    once, the small (id, value/strength) table broadcast per step, a
-    checkpoint per iteration."""
+    unweighted kernel incl. the broadcast↔shuffle strategy switch on
+    vertex count (see :func:`pagerank`), a checkpoint per iteration."""
     spark = edges.sparkSession
-    sym = (
-        edges.select("src", "dst", "weight")
-        .unionAll(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
-            )
+    sym = edges.select("src", "dst", "weight").unionAll(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
         )
-        .repartition(F.col("dst"))
-        .persist()
     )
+    if vertices is None:
+        vertices = sym.select(F.col("src").alias("id")).distinct()
+    verts = vertices.select(F.col("id").cast("long"))
+    n = verts.count()
+    use_broadcast = _vertex_table_fits_broadcast(n, broadcast_max)
+    sym = sym.repartition(F.col("dst") if use_broadcast else F.col("src")).persist()
     strength = sym.groupBy(F.col("src").alias("id")).agg(
         F.sum("weight").cast("double").alias("st")
     )
-    if vertices is None:
-        vertices = (
-            sym.select(F.col("src").alias("id")).distinct()
-        )
-    verts = vertices.select(F.col("id").cast("long"))
-    n = verts.count()
     base = verts.join(strength, "id", "left").select(
         "id", F.coalesce("st", F.lit(0.0)).alias("st")
     ).persist()
@@ -169,9 +191,10 @@ def pagerank_weighted(
         eager=True
     )
     for _ in range(max_iter):
+        ranks = pr.filter(F.col("st") > 0)
         contrib = (
             sym.withColumnRenamed("src", "id")
-            .join(F.broadcast(pr.filter(F.col("st") > 0)), "id")
+            .join(F.broadcast(ranks) if use_broadcast else ranks, "id")
             .select(
                 F.col("dst").alias("id"),
                 (F.col("value") * F.col("weight") / F.col("st")).alias("c"),
@@ -199,21 +222,32 @@ def pagerank_weighted(
 
 # ------------------------------------------------------------------- A3
 def eigenvector_centrality(
-    edges: DataFrame, n_vertices: int, max_iter: int = 100, tol: float = 1e-6
+    edges: DataFrame,
+    n_vertices: int,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    broadcast_max: int | None = None,
 ) -> DataFrame:
     """(id, value) — power iteration on A, L2-normalized (networkx
     ``eigenvector_centrality_numpy`` semantics; reference
-    ``benchmark.py:82-93`` incl. its degree-fallback ethos)."""
+    ``benchmark.py:82-93`` incl. its degree-fallback ethos).
+    Broadcast↔shuffle strategy switch on vertex count as in
+    :func:`pagerank`."""
     spark = edges.sparkSession
-    # dst-partitioned once; broadcast the small score vector per step —
-    # the matvec's groupBy(dst) reuses the partitioning (no shuffle)
-    sym = symmetrize_edges(edges).repartition(F.col("dst")).persist()
+    use_broadcast = _vertex_table_fits_broadcast(n_vertices, broadcast_max)
+    # partitioned once on the key each strategy reuses per iteration:
+    # broadcast → groupBy(dst) reuses dst partitioning (zero shuffle);
+    # shuffle → the score-vector join reuses src partitioning and only
+    # the message stream shuffles into the agg
+    sym = symmetrize_edges(edges).repartition(
+        F.col("dst") if use_broadcast else F.col("src")
+    ).persist()
     verts = spark.range(n_vertices).select(F.col("id").cast("long"))
     x = verts.select("id", F.lit(1.0 / math.sqrt(n_vertices)).alias("value")).persist()
     for it in range(max_iter):
         y = (
             sym.withColumnRenamed("src", "id")
-            .join(F.broadcast(x), "id")
+            .join(F.broadcast(x) if use_broadcast else x, "id")
             .select(F.col("dst").alias("id"), F.col("value").alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("value"))

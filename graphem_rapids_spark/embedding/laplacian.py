@@ -95,7 +95,14 @@ def _driver_eigh(edges: DataFrame, n: int, k: int, seed: int) -> DataFrame:
         emb = rng.standard_normal((n, k)) * 0.1
     import pandas as pd
 
-    out = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "pos": list(emb)})
+    # Plain Python ints/floats (not numpy scalars/arrays): the row-wise
+    # createDataFrame verifier (taken when Arrow conversion is disabled)
+    # rejects numpy.float64 inside array<double>. ``.tolist()`` converts
+    # both the container and every element, so the same frame works with
+    # Arrow on AND off.
+    out = pd.DataFrame(
+        {"id": list(range(n)), "pos": emb.tolist()}, dtype=object
+    )
     return spark.createDataFrame(out, "id long, pos array<double>")
 
 

@@ -73,9 +73,15 @@ def independent_cascade(
     same iteration loop — one Spark job per cascade step.
     """
     spark = edges.sparkSession
-    sym = symmetrize_edges(edges).persist()
+    # src-partitioned once: the broadcast rounds ignore it (map-side
+    # join), and any shuffle-strategy round joins the frontier against
+    # this partitioning without re-shuffling the edge table
+    sym = symmetrize_edges(edges).repartition(F.col("src")).persist()
     trials_df = spark.range(trials).select(F.col("id").cast("int").alias("trial"))
     keys = ["trial", *key_cols]
+    from graphem_rapids_spark import session
+
+    broadcast_max = session.BROADCAST_POSITIONS_MAX
     # localCheckpoint each round: the activated set is a union chain
     # that is ALSO nested inside every anti-join — without plan
     # truncation the logical plan doubles per iteration (the classic
@@ -85,12 +91,16 @@ def independent_cascade(
         seeds.crossJoin(trials_df).select(*keys, "id").localCheckpoint(eager=True)
     )
     frontier = activated
+    frontier_n = frontier.count()
     for _ in range(max_iter):
-        # broadcast the small checkpointed frontier — the edge table
-        # stays put (map-side join), only successes shuffle for distinct
-        msgs = sym.withColumnRenamed("src", "id").join(
-            F.broadcast(frontier), "id"
-        ).select(*keys, F.col("id").alias("u"), F.col("dst").alias("v"))
+        # a cascade frontier is O(n·trials) mid-epidemic — broadcast
+        # only while it is provably small (count is free: the frontier
+        # is an eagerly-checkpointed table), else shuffle-join against
+        # the src-partitioned edge table
+        fr = F.broadcast(frontier) if frontier_n <= broadcast_max else frontier
+        msgs = sym.withColumnRenamed("src", "id").join(fr, "id").select(
+            *keys, F.col("id").alias("u"), F.col("dst").alias("v")
+        )
         succ = (
             msgs.filter(_coin([F.col("u"), F.col("v"), F.col("trial")], seed) < p)
             .select(*keys, F.col("v").alias("id"))
@@ -99,7 +109,8 @@ def independent_cascade(
         new_active = succ.join(activated, [*keys, "id"], "left_anti").localCheckpoint(
             eager=True
         )
-        if new_active.isEmpty():
+        frontier_n = new_active.count()
+        if frontier_n == 0:
             break
         # flat union of checkpointed per-round tables — no lineage
         # growth, so no extra checkpoint job per cascade round

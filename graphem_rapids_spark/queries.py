@@ -244,7 +244,7 @@ WITH l AS (
   FROM events
 )
 SELECT user_id, count(*) AS n_events,
-       sum(CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END) AS n_sessions
+       CAST(sum(CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM l GROUP BY user_id
 """
 
@@ -261,7 +261,7 @@ def events_json_extract(spark, sf_dir):
 
 _JSON_SQL = """
 SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k, count(*) AS n
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, count(*) AS n
 FROM events GROUP BY event_type
 """
 
@@ -1057,7 +1057,7 @@ deg AS (
   SELECT id, count(*) AS degree
   FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) GROUP BY id
 )
-SELECT count(*) AS n_vertices, sum(degree) AS degree_total,
+SELECT count(*) AS n_vertices, CAST(sum(degree) AS BIGINT) AS degree_total,
        min(degree) AS min_degree, max(degree) AS max_degree
 FROM deg
 """
@@ -2091,10 +2091,10 @@ def q12_late_lines(spark, sf_dir):
 
 _Q12_SQL = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE date_diff('day', o_orderdate, l_shipdate) > 90
 GROUP BY l_linestatus
@@ -2713,7 +2713,7 @@ we AS (
   GROUP BY a.l_partkey, b.l_partkey
 ),
 st AS (
-  SELECT id, sum(weight) AS strength, count(*) AS degree FROM (
+  SELECT id, CAST(sum(weight) AS BIGINT) AS strength, count(*) AS degree FROM (
     SELECT src AS id, weight FROM we UNION ALL SELECT dst AS id, weight FROM we
   ) GROUP BY id
 )
@@ -2920,7 +2920,7 @@ SELECT (SELECT count(*) FROM documents) AS n_input,
        (SELECT count(*) FROM ql) AS n_lang,
        (SELECT count(*) FROM qle) AS n_exact,
        (SELECT count(*) FROM qled) AS n_final,
-       (SELECT sum(n_tokens) FROM qled) AS surviving_tokens
+       (SELECT CAST(sum(n_tokens) AS BIGINT) FROM qled) AS surviving_tokens
 """
 )
 
@@ -3142,11 +3142,11 @@ def events_pivot_daily(spark, sf_dir):
 
 _PIVOT_SQL = """
 SELECT strftime(ts, '%Y-%m-%d') AS day,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
 FROM events GROUP BY 1
 """
 
@@ -3285,57 +3285,15 @@ def _kcore_sql(rounds: int = _KCORE_ROUNDS) -> str:
     return "\n".join(parts)
 
 
+# Registry order = the round driver's check order (it samples the
+# FIRST 50 entries). Round 1 checked entries 1-50 of the old order;
+# round 2 front-loads (a) the 39 queries that have never had a driver
+# row, (b) the 4 queries that failed/errored in round 1 (now fixed),
+# then (c) 7 high-value round-1 greens as regression canaries. The 39
+# round-1 greens close out the dict. Rotate again next round if the
+# cap persists so every query keeps a recent green row.
 QUERIES = {
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_top_orders": q3_top_orders,
-    "q5_nation_revenue": q5_nation_revenue,
-    "top_customers": top_customers,
-    "part_brand_stats": part_brand_stats,
-    "events_hourly": events_hourly,
-    "events_sessionize": events_sessionize,
-    "events_json_extract": events_json_extract,
-    "graph_edges": graph_edges,
-    "graph_degree": graph_degree,
-    "graph_degree_topk": graph_degree_topk,
-    "graph_stats": graph_stats_q,
-    "pagerank_copurchase": pagerank_copurchase,
-    "knn_exact": knn_exact,
-    "seed_radial_topk": seed_radial_topk,
-    "label_centroids": label_centroids,
-    "ann_cosine_topk": ann_cosine_topk,
-    "cosine_near_dup": cosine_near_dup,
-    "doc_token_stats": doc_token_stats,
-    "doc_quality": doc_quality,
-    "doc_lang_id": doc_lang_id,
-    "doc_fingerprint": doc_fingerprint,
-    "dedup_exact": dedup_exact,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_simhash": dedup_simhash,
-    "spearman_qty_price": spearman_qty_price,
-    "connected_components_copurchase": connected_components_copurchase,
-    "layout_seed_selection": layout_seed_selection,
-    "influence_ic": influence_ic,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "eigenvector_copurchase": eigenvector_copurchase,
-    "spearman_matrix": spearman_matrix,
-    "gen_grid_degree": gen_grid_degree,
-    "gen_tree_degree": gen_tree_degree,
-    "gen_caveman_stats": gen_caveman_stats,
-    "closeness_sampled": closeness_sampled,
-    "multimodal_features": multimodal_features,
-    "ann_ivf_topk": ann_ivf_topk,
-    "influence_greedy": influence_greedy,
-    "events_stream_hourly": events_stream_hourly,
-    "q4_order_priority": q4_order_priority,
-    "customers_without_orders": customers_without_orders,
-    "orders_rollup": orders_rollup,
-    "customer_top_orders": customer_top_orders,
-    "dedup_stream_first_seen": dedup_stream_first_seen,
-    "graph_triangles": graph_triangles,
-    "q7_nation_volume": q7_nation_volume,
-    "q9_product_profit": q9_product_profit,
-    "q10_returned_items": q10_returned_items,
+    # --- (a) never driver-checked in round 1 -------------------------
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
@@ -3375,6 +3333,59 @@ QUERIES = {
     "nation_revenue_percentiles": nation_revenue_percentiles,
     "events_minute_fill": events_minute_fill,
     "kcore_copurchase": kcore_copurchase,
+    # --- (b) round-1 failures, fixed this round ----------------------
+    "layout_seed_selection": layout_seed_selection,
+    "events_sessionize": events_sessionize,
+    "events_json_extract": events_json_extract,
+    "gen_caveman_stats": gen_caveman_stats,
+    # --- (c) round-1 greens kept in-window as regression canaries ----
+    "pagerank_copurchase": pagerank_copurchase,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "cosine_near_dup": cosine_near_dup,
+    "knn_exact": knn_exact,
+    "influence_ic": influence_ic,
+    "multimodal_features": multimodal_features,
+    "graph_stats": graph_stats_q,
+    # --- round-1 greens (driver row already on file) -----------------
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "top_customers": top_customers,
+    "part_brand_stats": part_brand_stats,
+    "events_hourly": events_hourly,
+    "graph_edges": graph_edges,
+    "graph_degree": graph_degree,
+    "graph_degree_topk": graph_degree_topk,
+    "seed_radial_topk": seed_radial_topk,
+    "label_centroids": label_centroids,
+    "ann_cosine_topk": ann_cosine_topk,
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "spearman_qty_price": spearman_qty_price,
+    "connected_components_copurchase": connected_components_copurchase,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "eigenvector_copurchase": eigenvector_copurchase,
+    "spearman_matrix": spearman_matrix,
+    "gen_grid_degree": gen_grid_degree,
+    "gen_tree_degree": gen_tree_degree,
+    "closeness_sampled": closeness_sampled,
+    "ann_ivf_topk": ann_ivf_topk,
+    "influence_greedy": influence_greedy,
+    "events_stream_hourly": events_stream_hourly,
+    "q4_order_priority": q4_order_priority,
+    "customers_without_orders": customers_without_orders,
+    "orders_rollup": orders_rollup,
+    "customer_top_orders": customer_top_orders,
+    "dedup_stream_first_seen": dedup_stream_first_seen,
+    "graph_triangles": graph_triangles,
+    "q7_nation_volume": q7_nation_volume,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
 }
 
 ORACLES = {

@@ -6,6 +6,22 @@ oracle exists) the DuckDB SQL over the same parquet tables, then
 compare column names, row counts, and a value hash with columns
 sorted by name and rows sorted canonically.
 
+Driver-parity hardening (round 2 — r1 had 3 queries pass locally but
+hash-FAIL at the driver):
+
+- DuckDB results are fetched through **pandas** (``rel.df()``), not
+  ``fetchall()``. ``fetchall`` hands HUGEINT back as a Python int and
+  hides the int-vs-float divergence the driver sees (DuckDB sums of
+  integers are HUGEINT, which pandas narrows to float64 → ``5.0`` vs
+  Spark's bigint ``5``). Oracle SQL must CAST integer sums to BIGINT.
+- Floats canonicalize at **full precision** (``repr``), not ``%.6g``
+  — the forgiving format masked 7th-digit drift the driver may not
+  forgive. Set ``ORACLE_CANON=loose`` to get the old behavior when
+  triaging.
+- ``GRAPHEM_ARROW=0`` disables Arrow conversion in the Spark session,
+  reproducing the driver's row-wise ``createDataFrame`` verifier that
+  rejects numpy scalars (r1 flagship crash).
+
 Usage: python scripts/oracle_check.py [sf_dir] [query ...]
 """
 
@@ -13,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 
@@ -25,18 +42,36 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+LOOSE = os.environ.get("ORACLE_CANON", "strict").lower() == "loose"
+
 
 def canon(val):
     if val is None:
         return "\0"
+    # pandas NA / NaT arrive as float nan or pd.NaT; numpy scalars
+    # str() identically to their Python counterparts except float
     if isinstance(val, float):
         if math.isnan(val):
             return "nan"
-        return f"{val:.6g}"
+        return f"{val:.6g}" if LOOSE else repr(val)
     if isinstance(val, (list, tuple)):
         return "[" + ",".join(canon(v) for v in val) + "]"
     if isinstance(val, bytes):
         return val.hex()
+    try:
+        import numpy as np
+
+        if isinstance(val, np.floating):
+            v = float(val)
+            if math.isnan(v):
+                return "nan"
+            return f"{v:.6g}" if LOOSE else repr(v)
+        if isinstance(val, np.integer):
+            return str(int(val))
+        if isinstance(val, np.ndarray):
+            return "[" + ",".join(canon(v) for v in val.tolist()) + "]"
+    except ImportError:
+        pass
     return str(val)
 
 
@@ -57,7 +92,10 @@ def main():
     import __spark_entry__ as entry
     from graphem_rapids_spark.session import get_spark
 
-    spark = get_spark()
+    extra = {}
+    if os.environ.get("GRAPHEM_ARROW", "1").lower() in ("0", "false", "no"):
+        extra["spark.sql.execution.arrow.pyspark.enabled"] = "false"
+    spark = get_spark(extra_conf=extra)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -86,8 +124,11 @@ def main():
             continue
         try:
             rel = con.execute(oracles[name])
-            ocols = [d[0] for d in rel.description]
-            orows = rel.fetchall()
+            # pandas fetch = the driver's dtype-faithful path (HUGEINT →
+            # float64, etc.); itertuples keeps numpy scalars visible
+            opdf = rel.df()
+            ocols = list(opdf.columns)
+            orows = [tuple(r) for r in opdf.itertuples(index=False, name=None)]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             n_fail += 1
