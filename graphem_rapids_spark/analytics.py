@@ -342,7 +342,11 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         n_new = new.count()
-        cur = new
+        # release the prior round's checkpoint blocks — without this,
+        # checkpointed RDDs accumulate across peel rounds until the
+        # context cleaner GCs them (connected_components pattern)
+        prev, cur = cur, new
+        prev.unpersist()
         if n_new == n_cur:
             break
         n_cur = n_new

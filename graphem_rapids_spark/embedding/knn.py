@@ -22,6 +22,8 @@ All distances are **squared euclidean** (reference metric,
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -66,34 +68,36 @@ def knn_join_exact(
 
 def _band_signatures(df: DataFrame, id_col: str, vec_col: str, dim: int,
                      n_bands: int, n_planes: int, seed: int) -> DataFrame:
-    """One row per (id, band, signature). Hyperplane h for (band b,
-    plane p, dim d) is a deterministic hash-derived pseudo-gaussian
-    (sum of 4 hash-uniforms - 2, CLT-ish) — partition-independent."""
-    out = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
-    sigs = []
-    for b in range(n_bands):
-        bits = []
-        for p in range(n_planes):
-            dot = F.lit(0.0)
-            for d in range(dim):
-                base = seed * 1_000_003 + b * 10_007 + p * 101 + d
-                u = sum(
-                    (
-                        F.pmod(F.xxhash64(F.lit(base * 4 + i)), F.lit(1 << 20)).cast("double")
-                        / F.lit(float(1 << 20))
-                        for i in range(4)
-                    ),
-                    F.lit(0.0),
-                ) - F.lit(2.0)
-                dot = dot + F.col("_v").getItem(d) * u
-            bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
-        sig = F.lit(0)
-        for bit in bits:
-            sig = sig * 2 + bit
-        sigs.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
-    return out.select(
-        id_col, F.explode(F.array(*sigs)).alias("bs")
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    """One row per (id, band, signature). Hyperplanes are a fixed
+    seeded gaussian matrix (numpy PRNG — deterministic and partition-
+    independent); signatures come from ONE vectorized matmul per Arrow
+    batch inside a Pandas UDF: V(batch×dim) @ W(dim×bands·planes) →
+    sign bits → per-band integer signatures.
+
+    (A previous revision unrolled the projection into a
+    bands×planes×dim expression tree — 6 400+ nodes blew past codegen
+    limits into interpreted eval and took minutes at 500 rows; the
+    matmul is the hot loop BLAS was built for, and the only Python
+    cost is one Arrow batch hop.)"""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bands * n_planes))
+    pow2 = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def band_sigs(v: pd.Series) -> pd.Series:
+        V = np.vstack(v.to_numpy())  # batch × dim (float64 upcast)
+        bits = (V @ planes) >= 0.0  # batch × bands·planes
+        sigs = (bits.reshape(len(V), n_bands, n_planes) * pow2).sum(axis=2)
+        return pd.Series(list(sigs.astype(np.int32)))
+
+    return (
+        df.select(F.col(id_col), band_sigs(F.col(vec_col)).alias("_sigs"))
+        .select(id_col, F.posexplode("_sigs"))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "sig")
+    )
 
 
 def knn_join_lsh(

@@ -158,6 +158,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     verify: bool = True,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup join: banded signature buckets generate
     candidates; candidates are verified with **exact** Jaccard so the
@@ -165,7 +166,14 @@ def minhash_lsh_pairs(
 
     With verify=False returns raw candidate pairs (doc_a, doc_b) —
     the pure-LSH scale path.
-    """
+
+    ``max_shingle_df`` caps the verify join's per-shingle fanout: a
+    stopword-like shingle appearing in d documents contributes d² join
+    rows — a skew bomb at corpus scale. The cap drops shingles with
+    df > cap from intersection counting ONLY (per-doc totals stay
+    uncapped), so capped-Jaccard ≤ true Jaccard: every surviving pair
+    is a true near-dup, and LSH candidate recall is unaffected (bands
+    are built from the full signatures)."""
     assert num_perm % bands == 0
     rows = num_perm // bands
     sh = token_shingles(docs, n, id_col, text_col)
@@ -196,7 +204,9 @@ def minhash_lsh_pairs(
     if not verify:
         sh.unpersist()
         return cand
-    out = _pair_jaccard(sh, id_col, candidates=cand).filter(
+    out = _pair_jaccard(
+        sh, id_col, candidates=cand, max_shingle_df=max_shingle_df
+    ).filter(
         F.col("n_common").cast("double") >= F.lit(threshold) * F.col("n_union")
     )
     return out

@@ -18,8 +18,10 @@ metadata ever enters joins/aggregations.
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -31,6 +33,14 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+try:  # real codec, auto-detected — absent in this container, used if present
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - environment-dependent
+    _PILImage = None
+    HAS_PIL = False
 
 MEDIA_SCHEMA = StructType(
     [
@@ -68,31 +78,59 @@ def _fake_decode(content: bytes) -> tuple[int, int]:
     return 16 + h[0] % 240, 16 + h[1] % 240
 
 
+def _pil_dims(content: bytes) -> tuple[int, int]:
+    """Header-only decode (PIL lazy-loads: open() reads dimensions
+    without rasterizing pixels)."""
+    try:
+        with _PILImage.open(io.BytesIO(content)) as im:
+            return int(im.width), int(im.height)
+    except Exception:
+        return 0, 0
+
+
 def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """mapInPandas feature extraction: (media_id, width, height,
-    n_bytes, phash). Arrow-batched; one pass, no shuffle."""
-    if not fake:
+    n_bytes, phash). Arrow-batched; one pass, no shuffle.
+
+    Decoder selection: ``fake=True`` pins the deterministic stub
+    (oracle-reproducible — PIL must not silently take over a
+    hash-checked query); otherwise PIL when installed (auto-detected
+    at import), else NotImplementedError — the plumbing (schema,
+    Arrow batching, byte-budget partitioning) is identical on every
+    path."""
+    use_pil = HAS_PIL and not fake
+    if not use_pil and not fake:
         raise NotImplementedError(
-            "real image decode needs PIL/opencv (absent in this container); "
-            "pass fake=True for the deterministic stub decoder"
+            "real image decode needs PIL/opencv (absent in this container, "
+            "auto-used when installed); pass fake=True for the "
+            "deterministic stub decoder"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                content = bytes(r["content"]) if r["content"] is not None else b""
-                w, h = _fake_decode(content)
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "width": w,
-                        "height": h,
-                        "n_bytes": len(content),
-                        "phash": hashlib.md5(content).hexdigest()[:16],
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+            # columnar within the batch: one pass builds the blob list,
+            # one list-comp per derived column (the per-blob hash/decode
+            # is inherently per-item, like any real codec; everything
+            # else is vectorized assembly — no iterrows)
+            contents = [
+                bytes(c) if c is not None else b"" for c in pdf["content"].to_numpy()
+            ]
+            if use_pil:
+                dims = [_pil_dims(c) for c in contents]
+            else:
+                dims = [_fake_decode(c) for c in contents]
+            wh = np.asarray(dims, dtype=np.int64).reshape(len(contents), 2)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "width": wh[:, 0].astype(np.int32),
+                    "height": wh[:, 1].astype(np.int32),
+                    "n_bytes": np.fromiter(
+                        (len(c) for c in contents), dtype=np.int64, count=len(contents)
+                    ),
+                    "phash": [hashlib.md5(c).hexdigest()[:16] for c in contents],
+                }
+            )
 
     return media.filter(F.col("kind") == "image").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
@@ -111,36 +149,51 @@ def resize_images(
     media: DataFrame, max_side: int = 224, fake: bool = False
 ) -> DataFrame:
     """mapInPandas resize: (media_id, width, height, content) with the
-    longer side clamped to ``max_side`` (aspect preserved). The pixel
-    transform is STUBBED — real resize needs PIL/opencv; the fake path
-    emits the aspect-correct target dimensions with a deterministic
-    content-hash-derived payload so downstream schema/partitioning/
-    batch-shape plumbing is exercised for real. Arrow-batched, one
-    pass, no shuffle."""
-    if not fake:
+    longer side clamped to ``max_side`` (aspect preserved).
+    ``fake=True`` pins the deterministic stub (aspect-correct target
+    dimensions + content-hash payload); otherwise PIL when installed
+    (real thumbnail re-encoded as PNG), else NotImplementedError.
+    Arrow-batched, one pass, no shuffle."""
+    use_pil = HAS_PIL and not fake
+    if not use_pil and not fake:
         raise NotImplementedError(
-            "real image resize needs PIL/opencv (absent in this container); "
-            "pass fake=True for the deterministic stub"
+            "real image resize needs PIL/opencv (absent in this container, "
+            "auto-used when installed); pass fake=True for the "
+            "deterministic stub"
         )
+
+    def _pil_resize(content: bytes) -> tuple[int, int, bytes]:
+        try:
+            with _PILImage.open(io.BytesIO(content)) as im:
+                im.thumbnail((max_side, max_side))
+                buf = io.BytesIO()
+                im.save(buf, format="PNG")
+                return int(im.width), int(im.height), buf.getvalue()
+        except Exception:
+            return 0, 0, b""
+
+    def _fake_resize(content: bytes) -> tuple[int, int, bytes]:
+        w, h = _fake_decode(content)
+        scale = min(1.0, max_side / max(w, h))
+        nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+        return nw, nh, hashlib.md5(content + f"{nw}x{nh}".encode()).digest()
+
+    kernel = _pil_resize if use_pil else _fake_resize
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                content = bytes(r["content"]) if r["content"] is not None else b""
-                w, h = _fake_decode(content)
-                scale = min(1.0, max_side / max(w, h))
-                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                payload = hashlib.md5(content + f"{nw}x{nh}".encode()).digest()
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "width": nw,
-                        "height": nh,
-                        "content": payload,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+            contents = [
+                bytes(c) if c is not None else b"" for c in pdf["content"].to_numpy()
+            ]
+            out = [kernel(c) for c in contents]  # per-blob codec work
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "width": np.fromiter((o[0] for o in out), np.int32, len(out)),
+                    "height": np.fromiter((o[1] for o in out), np.int32, len(out)),
+                    "content": [o[2] for o in out],
+                }
+            )
 
     return media.filter(F.col("kind") == "image").mapInPandas(run, RESIZED_SCHEMA)
 

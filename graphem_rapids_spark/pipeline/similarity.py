@@ -91,6 +91,80 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_bands: int = 20,
+    n_planes: int = 5,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, cosine) — approximate near-dup pairs at scale:
+    hyperplane-LSH banding (embedding/knn.py machinery) generates
+    candidate pairs from shared (band, signature) buckets, then an
+    exact cosine verify keeps pairs ≥ threshold. Cost is Σ(bucket²)
+    instead of n² — the 100 TB shape.
+
+    Band geometry sets recall at the threshold: a plane agrees with
+    probability 1-θ/π (θ = pair angle), a band needs all n_planes to
+    agree, any of n_bands suffices. Defaults 20×5 give ≈0.88 recall at
+    cos=0.4 (and →1 for closer pairs); for high-threshold dedup
+    (cos≥0.9, agreement ≈0.86/plane) the same geometry is ≈1-1e-8.
+    Raise n_planes to shrink buckets (cost) at the price of recall."""
+    from graphem_rapids_spark.embedding.knn import _band_signatures
+
+    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    sigs = _band_signatures(v, id_col, "_v", dim, n_bands, n_planes, seed)
+    cand = (
+        sigs.select(F.col(id_col).alias("vec_a"), "band", "sig")
+        .join(sigs.select(F.col(id_col).alias("vec_b"), "band", "sig"), ["band", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    a = v.select(F.col(id_col).alias("vec_a"), F.col("_v").alias("_va"))
+    b = v.select(F.col(id_col).alias("vec_b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn(
+            "cosine",
+            _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def cosine_near_dup_join(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    method: str = "auto",
+    n_vectors: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_kw,
+) -> DataFrame:
+    """Size-based exact↔LSH switch for near-dup pairs, mirroring
+    knn_join's auto strategy (reference index-type selection,
+    ``embedder_cuvs.py:255-272``): exact all-pairs is bit-stable and
+    fine up to EXACT_KNN_MAX_ROWS; beyond that the all-pairs crossJoin
+    is a scale-killer and the banded-LSH candidate path takes over."""
+    if method == "auto":
+        n = n_vectors if n_vectors is not None else vectors.count()
+        from graphem_rapids_spark import session
+
+        method = "exact" if n <= session.EXACT_KNN_MAX_ROWS else "lsh"
+    if method == "exact":
+        return cosine_near_dup_pairs(vectors, threshold, id_col=id_col, vec_col=vec_col)
+    return cosine_near_dup_pairs_lsh(
+        vectors, threshold, dim=dim, id_col=id_col, vec_col=vec_col, **lsh_kw
+    )
+
+
 def ivf_build(
     vectors: DataFrame,
     n_cells: int = 16,

@@ -196,8 +196,11 @@ def _events(spark, sf_dir) -> DataFrame:
 
 
 def events_hourly(spark, sf_dir):
+    # `div` = exact integer division; floor(ts/1000) evaluates as a
+    # DOUBLE quotient whose 256 ns ulp at ~1.7e18 nanos can flip an
+    # on-boundary event into the previous bucket vs DuckDB date_trunc
     e = _events(spark, sf_dir)
-    ts = F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
     return (
         e.groupBy(
             F.date_format(F.date_trunc("hour", ts), "yyyy-MM-dd HH:mm:ss").alias("hour"),
@@ -222,7 +225,7 @@ FROM events GROUP BY 1, 2
 def events_sessionize(spark, sf_dir):
     """30-minute-gap sessionization — lag + cumulative flag windows."""
     e = _events(spark, sf_dir).select(
-        "user_id", F.floor(F.col("ts") / 1_000_000).cast("long").alias("ms"), "event_id"
+        "user_id", F.expr("ts div 1000000").alias("ms"), "event_id"
     )
     w = Window.partitionBy("user_id").orderBy("ms", "event_id")
     flagged = e.withColumn(
@@ -533,8 +536,12 @@ SELECT qid, rid, cosine, rank FROM rk WHERE rank <= 5
 
 
 def cosine_near_dup(spark, sf_dir):
+    # auto strategy: exact all-pairs below EXACT_KNN_MAX_ROWS (bit-
+    # stable vs the oracle at test scale), banded-LSH candidates +
+    # exact verify above it (the 100 TB shape — an unconditional
+    # crossJoin is O(n²))
     emb = _t(spark, sf_dir, "embeddings")
-    return S.cosine_near_dup_pairs(emb, threshold=0.4)
+    return S.cosine_near_dup_join(emb, threshold=0.4)
 
 
 _COS_DUP_SQL = """
@@ -640,6 +647,14 @@ SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)
 """
 
+# Default per-shingle document-frequency cap for the similarity-join
+# dedup queries: a shingle in d docs contributes d² rows to the
+# inverted-index self-join, so one stopword shingle is a skew bomb at
+# corpus scale. Shingles above the cap are dropped from INTERSECTION
+# counting only (per-doc totals stay uncapped) — capped-J ≤ true J, so
+# every surviving pair is a true near-dup. Both engines apply the cap.
+_MAX_SHINGLE_DF = 1024
+
 _SHINGLE_SQL = f"""
 toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
 sh AS (
@@ -649,9 +664,11 @@ sh AS (
   FROM toks
 ),
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_MAX_SHINGLE_DF}),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN shok USING (shingle)),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
 j AS (
@@ -663,7 +680,12 @@ j AS (
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
-    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=4, threshold=0.5)
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=4,
+        threshold=0.5,
+        max_shingle_df=_MAX_SHINGLE_DF,
+    )
 
 
 _JACCARD_SQL = (
@@ -678,7 +700,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     # (the oracle); precision is irrelevant because candidates are
     # re-checked with exact set Jaccard.
     return D.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), n=4, threshold=0.5, num_perm=128, bands=64
+        _t(spark, sf_dir, "documents"),
+        n=4,
+        threshold=0.5,
+        num_perm=128,
+        bands=64,
+        max_shingle_df=_MAX_SHINGLE_DF,
     )
 
 
@@ -1869,7 +1896,7 @@ def events_asof_join(spark, sf_dir):
 
     def fmt(col):
         return F.date_format(
-            F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")),
+            F.timestamp_micros(F.expr(f"{col} div 1000")),
             "yyyy-MM-dd HH:mm:ss",
         )
 
@@ -2864,7 +2891,10 @@ def doc_pipeline_funnel(spark, sf_dir):
     q = T.quality_score(docs).filter(F.col("quality") >= 0.5).select("doc_id", "n_tokens")
     lang = T.language_id(docs).filter(F.col("pred_lang") == "en").select("doc_id")
     keep = D.exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
-    near = D.minhash_lsh_pairs(docs, n=4, threshold=0.5, num_perm=128, bands=64)
+    near = D.minhash_lsh_pairs(
+        docs, n=4, threshold=0.5, num_perm=128, bands=64,
+        max_shingle_df=_MAX_SHINGLE_DF,
+    )
     drop_b = near.select(F.col("doc_b").alias("doc_id")).distinct()
 
     ql = q.join(lang, "doc_id", "left_semi")
@@ -3128,9 +3158,7 @@ def events_pivot_daily(spark, sf_dir):
     (a moving schema breaks downstream consumers); the pivot itself is
     one groupBy shuffle with map-side partial aggregation."""
     e = _events(spark, sf_dir)
-    day = F.date_format(
-        F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")), "yyyy-MM-dd"
-    )
+    day = F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd")
     return (
         e.select(day.alias("day"), "event_type")
         .groupBy("day")
@@ -3200,9 +3228,7 @@ def events_minute_fill(spark, sf_dir):
     per-minute pre-aggregation; at 100 TB the grid join stays
     broadcast while counts shuffle once on minute."""
     e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
-    minute = F.timestamp_micros(
-        (F.floor(F.col("ts") / F.lit(60_000_000_000)) * F.lit(60_000_000)).cast("long")
-    )
+    minute = F.timestamp_micros(F.expr("(ts div 60000000000) * 60000000"))
     counts = e.select(minute.alias("m")).groupBy("m").agg(F.count("*").alias("n"))
     span = e.agg(
         F.min(minute).alias("lo"),
@@ -3234,7 +3260,11 @@ FROM grid LEFT JOIN counts ON grid.m = counts.m
 
 
 _KCORE_FRAC = 0.7
-_KCORE_ROUNDS = 10  # oracle unroll depth; sf0.01 converges in 5
+# Oracle unroll depth = the Spark side's max_rounds (analytics.k_core):
+# identical depth gives exact parity in EVERY case — at the fixpoint
+# extra rounds are idempotent, and if a larger scale factor ever needs
+# more than max_rounds both engines stop at the same non-fixpoint set.
+_KCORE_ROUNDS = 30
 
 
 def kcore_copurchase(spark, sf_dir):

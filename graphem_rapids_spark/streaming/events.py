@@ -47,8 +47,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _event_time(col: str = "ts"):
     # events.ts arrives as long nanoseconds (nanosAsLong read mode);
-    # floor-divide exactly as the batch queries do
-    return F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long"))
+    # `div` = exact integer division, same as the batch queries (a
+    # double quotient's 256 ns ulp at ~1.7e18 can flip bucket edges)
+    return F.timestamp_micros(F.expr(f"{col} div 1000"))
 
 
 def hourly_counts_stream(

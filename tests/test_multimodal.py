@@ -57,3 +57,21 @@ def test_media_repartition_by_bytes(media):
     out = media_repartition(media, target_bytes_per_partition=4 << 20,
                             avg_blob_bytes=1 << 20)
     assert out.rdd.getNumPartitions() == 5  # 20 × 1MB / 4MB
+
+
+def test_pil_autodetect_gated(media):
+    """When PIL is installed the real decoder takes over (fake=False);
+    fake=True must ALWAYS pin the stub so hash-checked queries are
+    immune to environment changes."""
+    from graphem_rapids_spark.pipeline import multimodal as M
+
+    if M.HAS_PIL:
+        feats = M.extract_image_features(media).collect()  # real decode path
+        assert all(r.n_bytes >= 0 for r in feats)
+    else:
+        with pytest.raises(NotImplementedError):
+            M.extract_image_features(media)
+    # stub path is pinned regardless of PIL
+    stub = M.extract_image_features(media, fake=True).collect()
+    again = M.extract_image_features(media, fake=True).collect()
+    assert sorted(map(tuple, stub)) == sorted(map(tuple, again))
