@@ -3,17 +3,26 @@
 the same parquet, compare row-count + columns + order-insensitive
 values. Runs at sf0.001 by default (driver uses sf0.01 — run
 ``SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 pytest tests/test_oracle_parity.py``
-before relying on a green gate)."""
+before relying on a green gate).
+
+DRIVER-STRICT since round 2: DuckDB results are fetched through
+pandas (HUGEINT → float64, exactly what the driver sees) and values
+canonicalize with scripts/oracle_check.py's full-precision canon — a
+query that passes here but would hash-FAIL at the driver was the
+round-1 failure mode this closes."""
 
 from __future__ import annotations
 
-import math
 import os
+import sys
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+from oracle_check import canon, table_hash  # noqa: E402  (driver-strict canon)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
@@ -37,30 +46,9 @@ def duck():
     con.close()
 
 
-def _norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        # normalize -0.0 and representation noise
-        return round(v, 9)
-    if hasattr(v, "timestamp"):  # datetime
-        return str(v)
-    try:  # Decimal → float
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return round(float(v), 9)
-    except Exception:
-        pass
-    return v
-
-
-def _canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(_norm_cell(r[i]) for i in order))
-    return sorted(out, key=repr)
+def _canon_rows(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES.keys()))
@@ -69,18 +57,23 @@ def test_oracle_parity(spark, duck, name):
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(ORACLES[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    # pandas fetch = the driver's dtype-faithful path (HUGEINT→float64)
+    opdf = duck.execute(ORACLES[name]).df()
+    dcols = list(opdf.columns)
+    drows = [tuple(r) for r in opdf.itertuples(index=False, name=None)]
 
     assert sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols), (
         f"{name}: column mismatch spark={scols} duck={dcols}"
     )
     assert len(srows) == len(drows), f"{name}: rowcount spark={len(srows)} duck={len(drows)}"
-    sc = _canon(srows, [c.lower() for c in scols])
-    dc = _canon(drows, [c.lower() for c in dcols])
+    sc = _canon_rows(srows, [c.lower() for c in scols])
+    dc = _canon_rows(drows, [c.lower() for c in dcols])
     mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
     assert not mismatches, f"{name}: first diffs {mismatches[:5]}"
+    # and the exact artifact the driver records
+    assert table_hash(srows, [c.lower() for c in scols]) == table_hash(
+        drows, [c.lower() for c in dcols]
+    )
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
