@@ -586,11 +586,22 @@ def rank_column(df: DataFrame, col: str, out: str, partition_cols: tuple[str, ..
     )
 
 
+def _corr_safe(a: str, b: str):
+    """Pearson r as try_divide(covar, σa·σb): ANSI mode (Spark 4
+    default) makes ``F.corr`` THROW on zero variance (constant column
+    — e.g. degree centrality of a regular graph); scipy.spearmanr
+    returns nan there, and so must we. NULL out → nan at the caller."""
+    return F.try_divide(
+        F.covar_samp(F.col(a), F.col(b)),
+        F.stddev_samp(F.col(a)) * F.stddev_samp(F.col(b)),
+    )
+
+
 def spearman_correlation(df: DataFrame, col_a: str, col_b: str) -> float:
     """scipy.stats.spearmanr (reference ``benchmark.py:217-238``):
     Pearson ``corr`` of mean-ranks."""
     ranked = rank_column(rank_column(df, col_a, "_ra"), col_b, "_rb")
-    out = ranked.agg(F.corr("_ra", "_rb")).first()[0]
+    out = ranked.agg(_corr_safe("_ra", "_rb")).first()[0]
     return float(out) if out is not None else float("nan")
 
 
@@ -602,7 +613,7 @@ def full_correlation_matrix(df: DataFrame, cols: list[str]) -> dict:
     for c in cols:
         ranked = rank_column(ranked, c, f"_r_{c}")
     aggs = [
-        F.corr(f"_r_{a}", f"_r_{b}").alias(f"{a}|{b}")
+        _corr_safe(f"_r_{a}", f"_r_{b}").alias(f"{a}|{b}")
         for i, a in enumerate(cols)
         for b in cols[i:]
     ]
@@ -655,7 +666,7 @@ def bootstrap_spearman_ci(
     ranked = rank_column(
         rank_column(exploded, col_a, "_ra", ("trial",)), col_b, "_rb", ("trial",)
     )
-    per_trial = ranked.groupBy("trial").agg(F.corr("_ra", "_rb").alias("rho"))
+    per_trial = ranked.groupBy("trial").agg(_corr_safe("_ra", "_rb").alias("rho"))
     lo_q, hi_q = (1 - ci) / 2, 1 - (1 - ci) / 2
     qs = per_trial.agg(
         F.percentile_approx("rho", [lo_q, hi_q], 10000).alias("q")
