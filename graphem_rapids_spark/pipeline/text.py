@@ -83,6 +83,37 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# GPT-2-pretokenizer-lite word-piece pattern: alpha runs, single
+# digits, punctuation runs. Deliberately engine-portable — identical
+# semantics under Java regex (Spark) and RE2 (DuckDB); a real BPE
+# merge table would sit on top of these pieces.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]+"
+
+
+def bpe_token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_pieces, n_unique_pieces, n_alpha_pieces) — token
+    counting under a BPE-ish regex pretokenizer (vs the whitespace
+    counter in :func:`token_stats`): the unit a subword tokenizer
+    would see, the standard cost estimate for LLM training data.
+    One regexp_extract_all per row, all JVM-side."""
+    # Spark SQL string literals process backslash escapes ('\s' → 's',
+    # silently breaking the character class); DuckDB's do not — so the
+    # shared pattern is escaped here and used verbatim in the oracle
+    sql_pat = BPE_ISH_PATTERN.replace("\\", "\\\\")
+    pieces = F.expr(
+        f"regexp_extract_all(lower(trim({text_col})), '{sql_pat}', 0)"
+    )
+    d = docs.select(F.col(id_col), pieces.alias("_p"))
+    return d.select(
+        id_col,
+        F.size("_p").alias("n_pieces"),
+        F.size(F.array_distinct("_p")).alias("n_unique_pieces"),
+        F.size(F.filter("_p", lambda x: x.rlike("^[a-z]+$"))).alias("n_alpha_pieces"),
+    )
+
+
 def char_shingles(
     docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

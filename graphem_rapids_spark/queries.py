@@ -571,6 +571,23 @@ def doc_token_stats(spark, sf_dir):
     return T.token_stats(_t(spark, sf_dir, "documents"))
 
 
+def doc_bpe_tokens(spark, sf_dir):
+    """Token counting under a BPE-ish regex pretokenizer (brief:
+    'whitespace + a BPE-ish regex') — the subword-unit cost estimate
+    for LLM training data."""
+    return T.bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
+_BPE_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]|[^a-z0-9\s]+')) AS n_pieces,
+       len(list_distinct(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]|[^a-z0-9\s]+'))) AS n_unique_pieces,
+       len(list_filter(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]|[^a-z0-9\s]+'),
+                       x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha_pieces
+FROM documents
+"""
+
+
 _TOKSTATS_SQL = f"""
 SELECT doc_id,
        len({_TOKENS_SQL}) AS n_tokens,
@@ -3368,6 +3385,8 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_json_extract": events_json_extract,
     "gen_caveman_stats": gen_caveman_stats,
+    # --- new this round (needs its first driver row) -----------------
+    "doc_bpe_tokens": doc_bpe_tokens,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     "pagerank_copurchase": pagerank_copurchase,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3438,6 +3457,7 @@ ORACLES = {
     "ann_cosine_topk": _ANN_SQL,
     "cosine_near_dup": _COS_DUP_SQL,
     "doc_token_stats": _TOKSTATS_SQL,
+    "doc_bpe_tokens": _BPE_SQL,
     "doc_quality": _QUALITY_SQL,
     "doc_lang_id": _LANG_SQL,
     "doc_fingerprint": _FP_SQL,
