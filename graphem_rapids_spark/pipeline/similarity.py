@@ -91,6 +91,33 @@ def cosine_near_dup_pairs(
     )
 
 
+def plan_lsh_geometry(
+    n: int, threshold: float, target_recall: float = 0.9
+) -> tuple[int, int]:
+    """(n_bands, n_planes) for hyperplane-LSH near-dup at a given
+    corpus size and cosine threshold.
+
+    - **planes** bound bucket size: 2^planes buckets per band, so
+      planes ≈ log2(n/128) keeps expected buckets ≈128 rows — the
+      per-band candidate cost stays ~bands·n·128 instead of n²/2^planes
+      exploding when a fixed geometry meets a 10⁹-row corpus.
+    - **bands** buy recall: a plane agrees w.p. p = 1-θ/π at the
+      threshold angle θ = acos(threshold); a band needs all planes
+      (p^planes), any band suffices, so
+      bands = ln(1-target)/ln(1-p^planes), clamped to [8, 64] (the cap
+      surfaces an infeasible ask as lower recall rather than an
+      unbounded cost blowup)."""
+    import math
+
+    planes = min(24, max(4, math.ceil(math.log2(max(n, 2) / 128))))
+    p_plane = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_band = p_plane**planes
+    if p_band >= 1.0:
+        return 8, planes
+    bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+    return min(64, max(8, bands)), planes
+
+
 def cosine_near_dup_pairs_lsh(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -154,12 +181,22 @@ def cosine_near_dup_join(
     fine up to EXACT_KNN_MAX_ROWS; beyond that the all-pairs crossJoin
     is a scale-killer and the banded-LSH candidate path takes over."""
     if method == "auto":
-        n = n_vectors if n_vectors is not None else vectors.count()
+        if n_vectors is None:
+            n_vectors = vectors.count()
         from graphem_rapids_spark import session
 
-        method = "exact" if n <= session.EXACT_KNN_MAX_ROWS else "lsh"
+        method = "exact" if n_vectors <= session.EXACT_KNN_MAX_ROWS else "lsh"
     if method == "exact":
         return cosine_near_dup_pairs(vectors, threshold, id_col=id_col, vec_col=vec_col)
+    if "n_bands" not in lsh_kw and "n_planes" not in lsh_kw:
+        # size- and threshold-aware geometry (see plan_lsh_geometry) —
+        # a fixed 20×5 grid that is right at 10⁵ rows is a candidate
+        # explosion at 10⁹
+        if n_vectors is None:
+            n_vectors = vectors.count()
+        lsh_kw["n_bands"], lsh_kw["n_planes"] = plan_lsh_geometry(
+            n_vectors, threshold
+        )
     return cosine_near_dup_pairs_lsh(
         vectors, threshold, dim=dim, id_col=id_col, vec_col=vec_col, **lsh_kw
     )
