@@ -58,7 +58,9 @@ def vertices_from_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def relabel_contiguous(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+def relabel_contiguous(
+    edges: DataFrame, canonical: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Relabel vertex ids to dense 0..n-1 (order = ascending old id).
 
     Returns (relabeled_edges, mapping) where mapping is
@@ -68,6 +70,24 @@ def relabel_contiguous(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     from graphem_rapids_spark.scale import global_dense_index
 
     verts = vertices_from_edges(edges)
+    # Fast path: ids already contiguous (min..min+n-1, e.g. TPC-H part
+    # keys 1..n) → the relabel is the affine shift id-min, which needs
+    # ZERO joins (the general path pays a dense-index computation plus
+    # two edge-sized remap joins). One tiny aggregate decides.
+    stats = verts.agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi"), F.count("*").alias("n")
+    ).first()
+    if stats["n"] > 0 and stats["hi"] - stats["lo"] + 1 == stats["n"]:
+        lo = int(stats["lo"])
+        mapping = verts.select(
+            F.col("id").alias("old_id"), (F.col("id") - lo).alias("new_id")
+        )
+        out = edges.select(
+            (F.col("src") - lo).alias("src"), (F.col("dst") - lo).alias("dst")
+        )
+        # the shift preserves canonical form — skip the re-canonical
+        # distinct shuffle when the caller vouches for its input
+        return (out if canonical else canonicalize_edges(out)), mapping
     mapping = global_dense_index(verts, "id", "new_id").withColumnRenamed(
         "id", "old_id"
     )

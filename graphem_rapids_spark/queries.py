@@ -847,7 +847,7 @@ def layout_seed_selection(spark, sf_dir):
     from graphem_rapids_spark.embedding.embedder import GraphEmbedderSpark
     from graphem_rapids_spark.graph.canon import relabel_contiguous
 
-    e, mapping = relabel_contiguous(copurchase_edges(spark, sf_dir))
+    e, mapping = relabel_contiguous(copurchase_edges(spark, sf_dir), canonical=True)
     n = mapping.count()
     emb = GraphEmbedderSpark(
         e, n, n_components=2, seed=42, sample_size=128, canonical=True
@@ -962,7 +962,7 @@ def eigenvector_copurchase(spark, sf_dir):
     verts, mapping = None, None
     from graphem_rapids_spark.graph.canon import relabel_contiguous
 
-    e2, mapping = relabel_contiguous(e)
+    e2, mapping = relabel_contiguous(e, canonical=True)
     n = mapping.count()
     x = A.eigenvector_centrality(e2, n, max_iter=_EIG_ITERS, tol=0.0)
     return (
