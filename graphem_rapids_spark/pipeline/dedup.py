@@ -209,6 +209,11 @@ def minhash_lsh_pairs(
     ).filter(
         F.col("n_common").cast("double") >= F.lit(threshold) * F.col("n_union")
     )
+    # the verified pair set is small (near-dups) — materialize it so
+    # the shingle cache (O(corpus) rows) can be released instead of
+    # lingering for the session (it has no further consumers)
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
     return out
 
 
@@ -296,8 +301,13 @@ def simhash_near_pairs(
         .distinct()
     )
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (
+    out = (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        # small near-pair set — materialize so the O(corpus)
+        # fingerprint cache can be released (no further consumers)
+        .localCheckpoint(eager=True)
     )
+    fp.unpersist()
+    return out

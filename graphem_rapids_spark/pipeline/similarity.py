@@ -273,7 +273,14 @@ def ivf_build(
         d2.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .select(id_col, "cell")
+        # the assignment table must be computed anyway; materializing
+        # it releases the cached vector projection (no more consumers)
+        .localCheckpoint(eager=True)
     )
+    # cents is k×dim (tiny) but its lineage is the whole Lloyd chain
+    # over v — pin it before dropping the cache it reads
+    cents = cents.localCheckpoint(eager=True)
+    v.unpersist()
     return assign, cents
 
 
