@@ -377,9 +377,15 @@ def closeness_centrality(
     Batched multi-source BFS: all sources advance in the same frontier
     join per step (source column ``s``)."""
     spark = edges.sparkSession
-    sym = symmetrize_edges(edges).persist()
+    # src-partitioned once: broadcast rounds ignore it; shuffle rounds
+    # join the frontier against this partitioning without re-shuffling
+    # the edge table
+    sym = symmetrize_edges(edges).repartition(F.col("src")).persist()
     if sources is None:
         sources = spark.range(n_vertices).select(F.col("id").cast("long"))
+    from graphem_rapids_spark import session
+
+    broadcast_max = session.BROADCAST_POSITIONS_MAX
     # localCheckpoint per round — see influence.independent_cascade:
     # the visited set nests inside each anti-join, so without plan
     # truncation the plan grows exponentially with BFS depth.
@@ -387,14 +393,15 @@ def closeness_centrality(
         F.col("id").alias("s"), F.col("id"), F.lit(0).alias("d")
     ).localCheckpoint(eager=True)
     frontier = visited
+    frontier_n = frontier.count()
     for _ in range(max_iter):
-        # broadcast the (checkpointed, hence size-known) frontier into
-        # the persisted edge table: messages are generated map-side, the
-        # 2m-row edge list never shuffles per BFS round — only the
-        # message stream shuffles for its min-distance aggregation
+        # a multi-source frontier is O(sources·reach) — broadcast only
+        # while provably small (count is free on the eagerly-
+        # checkpointed table), else shuffle-join (see IC cascade)
+        fr = F.broadcast(frontier) if frontier_n <= broadcast_max else frontier
         nxt = (
             sym.withColumnRenamed("src", "id")
-            .join(F.broadcast(frontier), "id")
+            .join(fr, "id")
             .select("s", F.col("dst").alias("id"), (F.col("d") + 1).alias("d"))
             .groupBy("s", "id")
             .agg(F.min("d").alias("d"))
@@ -402,7 +409,8 @@ def closeness_centrality(
         new_v = nxt.join(visited.select("s", "id"), ["s", "id"], "left_anti").localCheckpoint(
             eager=True
         )
-        if new_v.isEmpty():
+        frontier_n = new_v.count()
+        if frontier_n == 0:
             break
         # flat union of already-checkpointed frontiers — no lineage
         # growth, so no extra checkpoint job per BFS round
@@ -448,28 +456,38 @@ def betweenness_sampled(
     convention, normalized = delta_sum/((n-1)(n-2)) for undirected).
     """
     spark = edges.sparkSession
-    sym = symmetrize_edges(edges).persist()
+    # src-partitioned once — shuffle-strategy rounds reuse it (see
+    # closeness_centrality / independent_cascade)
+    sym = symmetrize_edges(edges).repartition(F.col("src")).persist()
     if sources is None:
         sources = spark.range(n_vertices).select(F.col("id").cast("long"))
     n_sources = sources.count()
+    from graphem_rapids_spark import session
+
+    broadcast_max = session.BROADCAST_POSITIONS_MAX
 
     frontier = sources.select(
         F.col("id").alias("s"), F.col("id"), F.lit(1.0).alias("sigma")
     ).localCheckpoint(eager=True)
     levels = [frontier]
+    level_counts = [n_sources]  # frontier sizes, reused by the backward pass
     seen = frontier.select("s", "id").localCheckpoint(eager=True)
+    frontier_n = n_sources
     for _ in range(max_depth):
+        fr = F.broadcast(frontier) if frontier_n <= broadcast_max else frontier
         msgs = (
             sym.withColumnRenamed("src", "id")
-            .join(F.broadcast(frontier), "id")
+            .join(fr, "id")
             .select("s", F.col("dst").alias("id"), "sigma")
             .groupBy("s", "id")
             .agg(F.sum("sigma").alias("sigma"))
         )
         frontier = msgs.join(seen, ["s", "id"], "left_anti").localCheckpoint(eager=True)
-        if frontier.isEmpty():
+        frontier_n = frontier.count()
+        if frontier_n == 0:
             break
         levels.append(frontier)
+        level_counts.append(frontier_n)
         # seen is a flat union of already-checkpointed frontiers — no
         # lineage growth, so no extra checkpoint job per round
         seen = seen.unionAll(frontier.select("s", "id"))
@@ -478,16 +496,14 @@ def betweenness_sampled(
     acc = None
     delta_next = levels[-1].withColumn("delta", F.lit(0.0))
     for d in range(len(levels) - 2, -1, -1):
+        # level sizes were counted in the forward pass — same
+        # broadcast↔shuffle decision, no extra jobs
+        dn = delta_next.select(
+            "s", "id", F.col("sigma").alias("sigma_w"), F.col("delta").alias("delta_w")
+        )
         up = (
             sym.withColumnRenamed("src", "id")
-            .join(
-                F.broadcast(
-                    delta_next.select(
-                        "s", "id", F.col("sigma").alias("sigma_w"), F.col("delta").alias("delta_w")
-                    )
-                ),
-                "id",
-            )
+            .join(F.broadcast(dn) if level_counts[d + 1] <= broadcast_max else dn, "id")
             .select("s", F.col("dst").alias("id"), "sigma_w", "delta_w")
         )
         cur = levels[d]

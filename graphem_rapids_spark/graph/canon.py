@@ -91,7 +91,10 @@ def relabel_contiguous(
     mapping = global_dense_index(verts, "id", "new_id").withColumnRenamed(
         "id", "old_id"
     )
-    m = F.broadcast(mapping)
+    # no forced broadcast: the mapping is O(n) vertices — at 10⁹ ids a
+    # broadcast hint is an executor-memory scale-killer. AQE broadcasts
+    # it automatically whenever it measures under the threshold.
+    m = mapping
     out = (
         edges.join(m, edges.src == m.old_id)
         .select(F.col("new_id").alias("src"), "dst")

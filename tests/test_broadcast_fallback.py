@@ -94,3 +94,21 @@ def test_pagerank_shuffle_plan_has_no_broadcast(linked_triangles):
         assert "BroadcastHashJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_closeness_shuffle_path_matches_broadcast(linked_triangles, monkeypatch):
+    from graphem_rapids_spark.analytics import closeness_centrality
+
+    bc = _collect_map(closeness_centrality(linked_triangles, 6))
+    monkeypatch.setattr(session, "BROADCAST_POSITIONS_MAX", 0)
+    sh = _collect_map(closeness_centrality(linked_triangles, 6))
+    assert bc == sh
+
+
+def test_betweenness_shuffle_path_matches_broadcast(linked_triangles, monkeypatch):
+    from graphem_rapids_spark.analytics import betweenness_sampled
+
+    bc = _collect_map(betweenness_sampled(linked_triangles, 6))
+    monkeypatch.setattr(session, "BROADCAST_POSITIONS_MAX", 0)
+    sh = _collect_map(betweenness_sampled(linked_triangles, 6))
+    assert bc == sh
