@@ -2905,8 +2905,17 @@ def doc_pipeline_funnel(spark, sf_dir):
     hash-checks their composition. One row out: stage counts + the
     surviving token mass."""
     docs = _t(spark, sf_dir, "documents")
-    q = T.quality_score(docs).filter(F.col("quality") >= 0.5).select("doc_id", "n_tokens")
-    lang = T.language_id(docs).filter(F.col("pred_lang") == "en").select("doc_id")
+    # ONE tokenize pass: quality_score already computes the stopword
+    # ratio that language_id re-derives, so both funnel stages filter
+    # the same materialized per-doc scalar table (at 100 TB this drops
+    # a full corpus scan + regex tokenize, and turns the quality∩lang
+    # semi-join into a conjunctive filter — no join at all)
+    scored = (
+        T.quality_score(docs)
+        .select("doc_id", "n_tokens", "stopword_ratio", "quality")
+        .localCheckpoint(eager=True)
+    )
+    q = scored.filter(F.col("quality") >= 0.5).select("doc_id", "n_tokens")
     keep = D.exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
     near = D.minhash_lsh_pairs(
         docs, n=4, threshold=0.5, num_perm=128, bands=64,
@@ -2914,7 +2923,10 @@ def doc_pipeline_funnel(spark, sf_dir):
     )
     drop_b = near.select(F.col("doc_b").alias("doc_id")).distinct()
 
-    ql = q.join(lang, "doc_id", "left_semi")
+    # pred_lang == 'en'  ⇔  stopword_ratio ≥ 0.08 (language_id's rule)
+    ql = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("stopword_ratio") >= 0.08)
+    ).select("doc_id", "n_tokens")
     qle = ql.join(keep, "doc_id", "left_semi")
     qled = qle.join(drop_b, "doc_id", "left_anti")
     return (
