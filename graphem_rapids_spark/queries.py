@@ -295,11 +295,23 @@ def copurchase_edges(spark, sf_dir) -> DataFrame:
     cached = _COPURCHASE_CACHE.get(key)
     if cached is not None:
         return cached
-    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
-    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
-    raw = a.join(b, (a.l_orderkey == b.ok2) & (a.src < b.dst)).select("src", "dst")
-    edges = canonicalize_edges(raw).persist()
+    # co-occurrence via ONE groupBy: collect the (deduped) part set per
+    # order, generate the i<j pairs map-side with array functions, then
+    # one distinct — 2 shuffles total vs 4 for the self-join form (the
+    # join re-hashed both sides on orderkey). Per-row fanout is k² on
+    # an order's k parts; line counts are bounded (≤7 in TPC-H-shape
+    # data), so no single-row skew bomb.
+    li = _t(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    raw = parts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, x -> "
+                "transform(filter(ps, y -> y > x), y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    edges = raw.distinct().persist()
     edges.count()
     _COPURCHASE_CACHE[key] = edges
     return edges
