@@ -13,7 +13,7 @@ at 100 TB these run at scan speed with full column pruning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny English stopword list for the language-ID heuristic; keep in
@@ -80,6 +80,61 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         id_col,
         ratio.alias("en_stopword_ratio"),
         F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample — the curation
+    primitive that rebalances a corpus (e.g. per-language quotas)
+    WITHOUT a shuffle: keep row ⇔ mixer_uniform(id, seed) < fraction
+    of its stratum. The mixer (functions.mix_uniform) is exact integer
+    arithmetic on both engines, so the sample — not just its size — is
+    oracle-reproducible, and re-runs are stable (adding data never
+    flips earlier keep decisions, the property a training-data
+    pipeline needs for incremental curation). Strata missing from
+    ``fractions`` are dropped (fraction 0)."""
+    from graphem_rapids_spark.functions import mix_uniform
+
+    u = mix_uniform(F.col(id_col), seed)
+    frac = F.lit(0.0)
+    for value, f in fractions.items():
+        frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
+    return docs.filter(u < frac)
+
+
+def pack_token_chunks(
+    doc_tokens: DataFrame,
+    budget: int,
+    part_col: str,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(part, chunk_id, n_docs, chunk_tokens) — greedy sequence
+    packing: within each partition (e.g. language), documents in
+    ``id_col`` order are packed into consecutive chunks of at most
+    ``budget`` tokens (a document starts a new chunk when its
+    exclusive prefix sum crosses the budget boundary — the standard
+    approximation of context-window packing that needs ONE window
+    pass, no sequential driver loop). Per-partition window only —
+    no global sort."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum0 = (F.sum(tokens_col).over(w) - F.col(tokens_col)).alias("_cum0")
+    staged = doc_tokens.select(
+        F.col(part_col), F.col(id_col), F.col(tokens_col), cum0
+    ).withColumn("chunk_id", F.expr(f"_cum0 div {int(budget)}"))
+    return staged.groupBy(part_col, "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tokens_col).cast("long").alias("chunk_tokens"),
     )
 
 

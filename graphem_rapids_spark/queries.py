@@ -599,6 +599,73 @@ SELECT doc_id,
 FROM documents
 """
 
+_SAMPLE_SEED = 1337
+_SAMPLE_FRACS = {"en": 0.5, "other": 0.125}
+
+
+def doc_stratified_sample(spark, sf_dir):
+    """Deterministic per-language Bernoulli sample (rebalance quota:
+    keep 50% of English docs, 12.5% of the rest) — the mixer hash is
+    exact integer arithmetic on both engines, so doc-level membership
+    (not just the sample size) is oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    lang = T.language_id(docs).select("doc_id", "pred_lang")
+    return T.stratified_sample(
+        lang, _SAMPLE_FRACS, "pred_lang", seed=_SAMPLE_SEED
+    ).select("doc_id", "pred_lang")
+
+
+def _stratified_sample_sql() -> str:
+    from graphem_rapids_spark.functions import mix_sql
+
+    u = mix_sql("doc_id", _SAMPLE_SEED)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN round(CAST(len(list_filter({_TOKENS_SQL}, x -> list_contains({_SW_LIST}, x))) AS DOUBLE)
+                   / len({_TOKENS_SQL}), 6) >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang
+  FROM documents
+)
+SELECT doc_id, pred_lang FROM s
+WHERE {u} < (CASE pred_lang WHEN 'en' THEN {_SAMPLE_FRACS['en']} ELSE {_SAMPLE_FRACS['other']} END)
+"""
+
+
+_PACK_BUDGET = 2048
+
+
+def doc_pack_chunks(spark, sf_dir):
+    """Sequence packing for training: per-language, docs in id order
+    pack into ≤2048-token chunks (new chunk when the exclusive token
+    prefix-sum crosses a budget boundary). One per-language window
+    pass — no global sort, no driver loop."""
+    docs = _t(spark, sf_dir, "documents")
+    lang = T.language_id(docs).select("doc_id", "pred_lang")
+    toks = T.token_stats(docs).select("doc_id", "n_tokens")
+    dt = lang.join(toks, "doc_id")
+    return T.pack_token_chunks(dt, _PACK_BUDGET, "pred_lang")
+
+
+def _pack_chunks_sql() -> str:
+    return f"""
+WITH dt AS (
+  SELECT doc_id,
+         CASE WHEN round(CAST(len(list_filter({_TOKENS_SQL}, x -> list_contains({_SW_LIST}, x))) AS DOUBLE)
+                   / len({_TOKENS_SQL}), 6) >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang,
+         len({_TOKENS_SQL}) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT pred_lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY pred_lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum0
+  FROM dt
+)
+SELECT pred_lang, CAST(cum0 // {_PACK_BUDGET} AS BIGINT) AS chunk_id,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+FROM c GROUP BY 1, 2
+"""
+
 
 _TOKSTATS_SQL = f"""
 SELECT doc_id,
@@ -3409,8 +3476,10 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_json_extract": events_json_extract,
     "gen_caveman_stats": gen_caveman_stats,
-    # --- new this round (needs its first driver row) -----------------
+    # --- new this round (need their first driver row) ----------------
     "doc_bpe_tokens": doc_bpe_tokens,
+    "doc_stratified_sample": doc_stratified_sample,
+    "doc_pack_chunks": doc_pack_chunks,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     "pagerank_copurchase": pagerank_copurchase,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3482,6 +3551,8 @@ ORACLES = {
     "cosine_near_dup": _COS_DUP_SQL,
     "doc_token_stats": _TOKSTATS_SQL,
     "doc_bpe_tokens": _BPE_SQL,
+    "doc_stratified_sample": _stratified_sample_sql(),
+    "doc_pack_chunks": _pack_chunks_sql(),
     "doc_quality": _QUALITY_SQL,
     "doc_lang_id": _LANG_SQL,
     "doc_fingerprint": _FP_SQL,
