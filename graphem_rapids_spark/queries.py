@@ -599,6 +599,82 @@ SELECT doc_id,
 FROM documents
 """
 
+def dedup_near_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING — the step after pair generation in a real
+    curation pipeline: connected components over the verified
+    MinHash-LSH pair graph, one survivor (min doc_id) per cluster.
+    Output (cluster_rep, n_members) for every multi-doc cluster.
+    Min-label propagation over the tiny pair graph only (vertices that
+    appear in some pair), checkpointed per round; at corpus scale the
+    pair graph is orders of magnitude smaller than the corpus, so the
+    loop is cheap regardless of input size."""
+    from graphem_rapids_spark.graph.canon import symmetrize_edges
+
+    pairs = D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=4,
+        threshold=0.5,
+        num_perm=128,
+        bands=64,
+        max_shingle_df=_MAX_SHINGLE_DF,
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = symmetrize_edges(pairs)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select("id", F.least("comp", F.coalesce("nbr", "comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "old"), "id")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.groupBy(F.col("comp").alias("cluster_rep")).agg(
+        F.count("*").alias("n_members")
+    )
+
+
+def _cluster_sql() -> str:
+    # deferred: _SHINGLE_SQL is defined later in the module
+    return (
+        "WITH "
+        + _SHINGLE_SQL
+        + """,
+dup AS (SELECT doc_a, doc_b FROM j
+        WHERE CAST(n_common AS DOUBLE) >= 0.5 * n_union),
+sym2 AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+         UNION ALL SELECT doc_b, doc_a FROM dup),
+nodes AS (SELECT DISTINCT src AS id FROM sym2),
+reach AS (
+  WITH RECURSIVE r(id, v) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT r.id, sym2.dst FROM r JOIN sym2 ON sym2.src = r.v
+  )
+  SELECT id, min(v) AS comp FROM r GROUP BY id
+)
+SELECT comp AS cluster_rep, count(*) AS n_members
+FROM reach GROUP BY comp
+"""
+    )
+
+
 _SAMPLE_SEED = 1337
 _SAMPLE_FRACS = {"en": 0.5, "other": 0.125}
 
@@ -3480,6 +3556,7 @@ QUERIES = {
     "doc_bpe_tokens": doc_bpe_tokens,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_pack_chunks": doc_pack_chunks,
+    "dedup_near_clusters": dedup_near_clusters,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     "pagerank_copurchase": pagerank_copurchase,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3553,6 +3630,7 @@ ORACLES = {
     "doc_bpe_tokens": _BPE_SQL,
     "doc_stratified_sample": _stratified_sample_sql(),
     "doc_pack_chunks": _pack_chunks_sql(),
+    "dedup_near_clusters": _cluster_sql(),
     "doc_quality": _QUALITY_SQL,
     "doc_lang_id": _LANG_SQL,
     "doc_fingerprint": _FP_SQL,
