@@ -625,7 +625,11 @@ def dedup_near_clusters(spark, sf_dir):
         .select("id", F.col("id").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(20):
+    # cap ≥ any plausible cluster diameter (templated near-dup corpora
+    # can chain deeply); the fixpoint break keeps common cases at ~3-5
+    # rounds, and the oracle's recursive CTE is a true transitive
+    # closure, so only a >60-diameter chain could ever diverge
+    for _ in range(60):
         nbr = (
             sym.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
