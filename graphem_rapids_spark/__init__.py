@@ -88,6 +88,34 @@ from graphem_rapids_spark.reports import (
     plot_embedding,
 )
 from graphem_rapids_spark.session import get_backend_info
+from graphem_rapids_spark.pipeline.dedup import (
+    exact_duplicates,
+    ngram_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from graphem_rapids_spark.pipeline.similarity import (
+    cosine_topk,
+    cosine_near_dup_join,
+    ivf_cosine_topk,
+    plan_lsh_geometry,
+)
+from graphem_rapids_spark.pipeline.text import (
+    token_stats,
+    bpe_token_stats,
+    quality_score,
+    language_id,
+    fingerprint,
+    stratified_sample,
+    pack_token_chunks,
+)
+from graphem_rapids_spark.pipeline.multimodal import (
+    extract_image_features,
+    resize_images,
+    frame_sample_plan,
+    media_repartition,
+)
 
 __version__ = "0.1.0"
 
@@ -150,5 +178,26 @@ __all__ = [
     "plot_radial_vs_centrality",
     "plot_embedding",
     "get_backend_info",
+    # data-pipeline operator surface
+    "exact_duplicates",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "cosine_topk",
+    "cosine_near_dup_join",
+    "ivf_cosine_topk",
+    "plan_lsh_geometry",
+    "token_stats",
+    "bpe_token_stats",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "stratified_sample",
+    "pack_token_chunks",
+    "extract_image_features",
+    "resize_images",
+    "frame_sample_plan",
+    "media_repartition",
     "__version__",
 ]
