@@ -108,14 +108,27 @@ def knn_join_lsh(
     query_id: str = "qid",
     ref_id: str = "rid",
     vec_col: str = "vec",
-    n_bands: int = 8,
-    n_planes: int = 12,
+    n_bands: int | None = None,
+    n_planes: int | None = None,
     seed: int = 0,
     exclude_self: bool = False,
+    n_references: int | None = None,
 ) -> DataFrame:
     """Approximate kNN: hyperplane-LSH candidate generation + exact
     re-rank. May return fewer than k neighbors for out-of-bucket
-    queries (the accepted ANN trade, reference ivf_* regimes)."""
+    queries (the accepted ANN trade, reference ivf_* regimes).
+
+    Geometry defaults to the size-aware planner (plan_lsh_geometry at
+    a cos≈0.9 nearest-neighbor proxy): a fixed bands×planes grid that
+    works at 10⁵ references makes 2^planes-row buckets explode at 10⁹
+    — planes must grow with n to bound Σ bucket²."""
+    if n_bands is None or n_planes is None:
+        from graphem_rapids_spark.pipeline.similarity import plan_lsh_geometry
+
+        n = n_references if n_references is not None else references.count()
+        auto_bands, auto_planes = plan_lsh_geometry(n, 0.9)
+        n_bands = n_bands or auto_bands
+        n_planes = n_planes or auto_planes
     qs = _band_signatures(queries, query_id, vec_col, dim, n_bands, n_planes, seed)
     rs = _band_signatures(references, ref_id, vec_col, dim, n_bands, n_planes, seed)
     cand = (
@@ -148,9 +161,12 @@ def knn_join(
     """Auto strategy switch by reference count (the E7 analog of the
     reference's index-type selection, ``embedder_cuvs.py:255-272``)."""
     if method == "auto":
-        n = n_references if n_references is not None else references.count()
-        method = "exact" if n <= EXACT_KNN_MAX_ROWS else "lsh"
+        if n_references is None:
+            n_references = references.count()
+        method = "exact" if n_references <= EXACT_KNN_MAX_ROWS else "lsh"
     if method == "exact":
         kw.pop("n_bands", None), kw.pop("n_planes", None), kw.pop("seed", None)
         return knn_join_exact(queries, references, k, **kw)
-    return knn_join_lsh(queries, references, k, dim=dim, **kw)
+    return knn_join_lsh(
+        queries, references, k, dim=dim, n_references=n_references, **kw
+    )
