@@ -107,6 +107,7 @@ from graphem_rapids_spark.pipeline.text import (
     quality_score,
     language_id,
     fingerprint,
+    rolling_fingerprint,
     stratified_sample,
     pack_token_chunks,
 )
@@ -193,6 +194,7 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprint",
+    "rolling_fingerprint",
     "stratified_sample",
     "pack_token_chunks",
     "extract_image_features",

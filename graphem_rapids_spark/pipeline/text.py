@@ -83,6 +83,30 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007  # prime < 2^31: h*B + c < 2^62, exact BIGINT
+
+
+def rolling_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, rolling_fp) — Rabin–Karp polynomial rolling hash of the
+    normalized text: h ← (h·B + code(cᵢ)) mod M folded left-to-right,
+    all in exact BIGINT arithmetic, so the fingerprint is bit-identical
+    across engines (the SQL oracle folds with list_reduce, whose
+    first-element seeding equals a zero-init fold's first step).
+    Complements :func:`fingerprint` (shingle min-hash, robust to local
+    edits) with the incremental whole-content hash the brief's
+    'rolling hash' names. ASCII/codepoint semantics match on both
+    engines for the corpus alphabet."""
+    fp = F.expr(
+        f"aggregate(transform(sequence(1, length(lower(trim({text_col})))), "
+        f"i -> CAST(ascii(substring(lower(trim({text_col})), i, 1)) AS BIGINT)), "
+        f"0L, (h, c) -> (h * {ROLLING_BASE} + c) % {ROLLING_MOD})"
+    )
+    return docs.select(F.col(id_col), fp.alias("rolling_fp"))
+
+
 def stratified_sample(
     docs: DataFrame,
     fractions: dict[str, float],

@@ -679,6 +679,24 @@ FROM reach GROUP BY comp
     )
 
 
+def doc_rolling_fingerprint(spark, sf_dir):
+    """Rabin–Karp rolling-hash content fingerprint (exact BIGINT fold,
+    bit-identical on both engines)."""
+    return T.rolling_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+_ROLLING_SQL = f"""
+SELECT doc_id,
+       CASE WHEN len(lower(trim(text))) = 0 THEN 0
+            ELSE list_reduce(
+                   list_transform(range(1, len(lower(trim(text))) + 1),
+                                  i -> CAST(ascii(substr(lower(trim(text)), CAST(i AS INT), 1)) AS BIGINT)),
+                   (h, c) -> (h * {T.ROLLING_BASE} + c) % {T.ROLLING_MOD})
+       END AS rolling_fp
+FROM documents
+"""
+
+
 _SAMPLE_SEED = 1337
 _SAMPLE_FRACS = {"en": 0.5, "other": 0.125}
 
@@ -3562,9 +3580,14 @@ QUERIES = {
     "doc_pack_chunks": doc_pack_chunks,
     "dedup_near_clusters": dedup_near_clusters,
     # --- (c) round-1 greens kept in-window as regression canaries ----
+    # (cosine_near_dup stays inside the 50-entry window — its
+    # execution path changed this round)
     "pagerank_copurchase": pagerank_copurchase,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "cosine_near_dup": cosine_near_dup,
+    # --- past the 50-entry cut: gets its driver row in the round-3
+    # rotation; strict local gate + pytest parity cover it this round
+    "doc_rolling_fingerprint": doc_rolling_fingerprint,
     "knn_exact": knn_exact,
     "influence_ic": influence_ic,
     "multimodal_features": multimodal_features,
@@ -3635,6 +3658,7 @@ ORACLES = {
     "doc_stratified_sample": _stratified_sample_sql(),
     "doc_pack_chunks": _pack_chunks_sql(),
     "dedup_near_clusters": _cluster_sql(),
+    "doc_rolling_fingerprint": _ROLLING_SQL,
     "doc_quality": _QUALITY_SQL,
     "doc_lang_id": _LANG_SQL,
     "doc_fingerprint": _FP_SQL,
