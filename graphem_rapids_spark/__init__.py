@@ -100,6 +100,7 @@ from graphem_rapids_spark.pipeline.similarity import (
     cosine_near_dup_join,
     ivf_cosine_topk,
     plan_lsh_geometry,
+    semdedup,
 )
 from graphem_rapids_spark.pipeline.text import (
     token_stats,
@@ -110,6 +111,11 @@ from graphem_rapids_spark.pipeline.text import (
     rolling_fingerprint,
     stratified_sample,
     pack_token_chunks,
+    repetition_stats,
+    decontaminate,
+    pii_scrub,
+    sliding_chunks,
+    curation_signals,
 )
 from graphem_rapids_spark.pipeline.multimodal import (
     extract_image_features,
@@ -197,6 +203,12 @@ __all__ = [
     "rolling_fingerprint",
     "stratified_sample",
     "pack_token_chunks",
+    "repetition_stats",
+    "decontaminate",
+    "pii_scrub",
+    "sliding_chunks",
+    "curation_signals",
+    "semdedup",
     "extract_image_features",
     "resize_images",
     "frame_sample_plan",

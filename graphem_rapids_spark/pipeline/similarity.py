@@ -202,6 +202,59 @@ def cosine_near_dup_join(
     )
 
 
+def semdedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    iters: int = 0,
+    init: str = "mix",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell, keep) — SemDeDup (Abbas et al. 2023, public
+    arXiv): semantic deduplication by clustering embeddings, then
+    dropping every vector that has a within-cluster neighbor with
+    cosine ≥ ``threshold`` and a smaller id (the canonical survivor
+    rule). Returns ALL vectors with their cell and a keep flag so the
+    caller can both filter and audit the drop rate.
+
+    Scale shape: the O(n²) cosine matrix of naive near-dup becomes
+    Σ(cell²) — cells partition the corpus, so pair generation is a
+    self-join co-partitioned on ``cell`` (one shuffle on a balanced
+    key), never a crossJoin. With ``init='mix', iters=0`` the
+    clustering is exact integer arithmetic and the whole operator is
+    bit-reproducible across engines; Lloyd-refined cells (iters>0)
+    are the quality default at production scale."""
+    assign, _ = ivf_build(
+        vectors, n_cells, dim, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col, init=init,
+    )
+    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).join(
+        assign, id_col
+    )
+    a = v.select(F.col(id_col).alias("_ida"), "cell", F.col("_v").alias("_va"))
+    b = v.select(F.col(id_col).alias("_idb"), "cell", F.col("_v").alias("_vb"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn(
+            "_cos",
+            _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+        )
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        v.select(id_col, "cell")
+        .join(dropped, id_col, "left")
+        .select(id_col, "cell", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
+    )
+
+
 def ivf_build(
     vectors: DataFrame,
     n_cells: int = 16,
@@ -226,13 +279,15 @@ def ivf_build(
         from graphem_rapids_spark.functions import mix_uniform
 
         u = mix_uniform(F.col(id_col), seed)
-        cents = (
-            v.withColumn(
-                "cell",
-                F.row_number().over(Window.orderBy(u.asc(), F.col(id_col).asc())) - 1,
-            )
-            .filter(F.col("cell") < n_cells)
-            .select("cell", F.col("_v").alias("centroid"))
+        # orderBy().limit() → TakeOrdered (per-partition top-n + tiny
+        # driver merge), NOT a single-partition global window; the
+        # row_number window then runs over n_cells rows only
+        top = v.withColumn("_u", u).orderBy(F.col("_u").asc(), F.col(id_col).asc()).limit(n_cells)
+        cents = top.select(
+            (
+                F.row_number().over(Window.orderBy(F.col("_u").asc(), F.col(id_col).asc())) - 1
+            ).alias("cell"),
+            F.col("_v").alias("centroid"),
         )
     else:
         cents = (

@@ -193,6 +193,189 @@ def bpe_token_stats(
     )
 
 
+def word_ngrams_col(tokens, n: int):
+    """Array column of word n-grams (space-joined) over a token array.
+
+    Guarded so that a document with fewer than ``n`` tokens yields an
+    empty array (Spark's ``sequence(1, 0)`` would DESCEND, not stop):
+    ``slice`` past the end returns a short array, filtered out by the
+    exact-size check. Narrow transformation — no shuffle."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
+        lambda i: F.slice(tokens, i, n),
+    )
+    return F.transform(
+        F.filter(grams, lambda g: F.size(g) == n), lambda g: F.array_join(g, " ")
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_2grams, dup_2gram_frac, top_2gram_frac,
+    dup_3gram_frac) — Gopher-style repetition quality signals: the
+    fraction of repeated word 2-/3-grams and the share of the single
+    most frequent 2-gram. Documents dominated by boilerplate or
+    looping generations score high and get filtered before training.
+
+    Entirely narrow (per-row higher-order functions, zero shuffles —
+    the top-gram mode is computed with an in-array count, O(d·n) per
+    row on ~10²-token documents): at 100 TB this runs at scan speed.
+    Mirrors the repetition-removal rules of Rae et al. (Gopher, 2021)
+    §A1.1 on public record."""
+    t = docs.select(F.col(id_col), tokens_col(text_col).alias("_t"))
+    g2 = word_ngrams_col(F.col("_t"), 2)
+    g3 = word_ngrams_col(F.col("_t"), 3)
+    d = t.select(id_col, g2.alias("_g2"), g3.alias("_g3"))
+    n2 = F.size("_g2")
+    n3 = F.size("_g3")
+    top2 = F.array_max(
+        F.transform(
+            F.array_distinct("_g2"),
+            lambda dg: F.size(F.filter("_g2", lambda x: x == dg)),
+        )
+    )
+    return d.select(
+        id_col,
+        n2.alias("n_2grams"),
+        F.when(n2 > 0, F.round(1.0 - F.size(F.array_distinct("_g2")) / n2, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_frac"),
+        F.when(n2 > 0, F.round(top2 / n2, 6)).otherwise(F.lit(0.0)).alias("top_2gram_frac"),
+        F.when(n3 > 0, F.round(1.0 - F.size(F.array_distinct("_g3")) / n3, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_frac"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shared) — benchmark decontamination: training
+    documents that share at least one word ``n``-gram with any
+    benchmark/eval document, with the count of distinct shared grams.
+    The standard leakage guard before an LLM training run (GPT-3
+    appendix C / PaLM-style n-gram overlap on public record).
+
+    Scale shape: the benchmark side is the SMALL side by construction
+    (eval suites are ~10⁶ grams vs a 100 TB corpus) — its distinct
+    grams are broadcast, so the corpus side stays a narrow
+    explode + broadcast-hash-join + per-doc aggregate; no corpus-wide
+    shuffle on the gram key."""
+    tg = train.select(
+        F.col(id_col), F.explode(word_ngrams_col(tokens_col(text_col), n)).alias("gram")
+    )
+    bg = (
+        benchmark.select(
+            F.explode(word_ngrams_col(tokens_col(text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    return (
+        tg.join(F.broadcast(bg), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_shared"))
+    )
+
+
+# PII patterns — deliberately written in the common subset of Java
+# regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9() .-]{6,}[0-9]"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_emails, n_phones, n_ips, clean_text) — PII
+    redaction: emails, phone-like digit runs, and IPv4 literals are
+    replaced with typed placeholder tokens, with per-document match
+    counts for audit. Pure JVM-side regexes (no Python), narrow —
+    scan-speed at 100 TB. Phones are redacted first so an IP-like
+    digit run inside a phone match cannot double-count."""
+    # F.lit patterns sidestep SQL string-literal backslash processing
+    email_n = F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL), F.lit(0)))
+    phone_n = F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_PHONE), F.lit(0)))
+    ip_n = F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_IPV4), F.lit(0)))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col),
+        email_n.alias("n_emails"),
+        phone_n.alias("n_phones"),
+        ip_n.alias("n_ips"),
+        clean.alias("clean_text"),
+    )
+
+
+def sliding_chunks(
+    docs: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_chunk_tokens, head_token) — RAG-style
+    sliding-window chunking: token windows of ``size`` starting every
+    ``stride`` tokens (overlap = size-stride), last window may be
+    short. One narrow explode per document — chunking a 100 TB corpus
+    is a map-only job."""
+    t = docs.select(F.col(id_col), tokens_col(text_col).alias("_t"))
+    n = F.size("_t")
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(F.col("_t"), s + 1, size))
+    d = t.select(id_col, F.posexplode(chunks).alias("chunk_idx", "_c"))
+    return d.select(
+        id_col,
+        "chunk_idx",
+        F.size("_c").alias("n_chunk_tokens"),
+        F.element_at("_c", 1).alias("head_token"),
+    )
+
+
+def curation_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fp_md5, quality, dup_2gram_frac) — the per-document
+    signals a curation funnel filters on, FUSED into one narrow select
+    (one pass over the text, zero shuffles) instead of three separate
+    operators joined on doc_id: at 100 TB, three per-doc signal joins
+    would be three co-partitioned shuffles for no reason."""
+    t = docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("fp_md5"),
+        F.length(F.col(text_col)).alias("_nc"),
+        tokens_col(text_col).alias("_t"),
+    )
+    sw = F.array([F.lit(s) for s in EN_STOPWORDS])
+    nt = F.size("_t")
+    ttr = F.round(F.size(F.array_distinct("_t")) / nt, 6)
+    swr = F.round(F.size(F.filter("_t", lambda x: F.array_contains(sw, x))) / nt, 6)
+    quality = F.round(
+        F.least(nt / 100.0, F.lit(1.0)) * 0.4 + ttr * 0.4 + F.least(swr * 4.0, F.lit(1.0)) * 0.2,
+        6,
+    )
+    g2 = word_ngrams_col(F.col("_t"), 2)
+    d = t.withColumn("_g2", g2)
+    n2 = F.size("_g2")
+    dup2 = F.when(n2 > 0, F.round(1.0 - F.size(F.array_distinct("_g2")) / n2, 6)).otherwise(
+        F.lit(0.0)
+    )
+    return d.select(id_col, "fp_md5", quality.alias("quality"), dup2.alias("dup_2gram_frac"))
+
+
 def char_shingles(
     docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

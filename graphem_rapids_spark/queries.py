@@ -799,6 +799,397 @@ FROM s
 """
 
 
+def _ngram_sql(n: int, toks: str = "toks") -> str:
+    """DuckDB word-n-gram list over a token-list column — mirrors
+    pipeline.text.word_ngrams_col (guarded slice + exact-size filter)."""
+    return (
+        f"list_transform(list_filter("
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> {toks}[i:i+{n - 1}]), g -> len(g) = {n}), "
+        f"g -> array_to_string(g, ' '))"
+    )
+
+
+def doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filter signals: repeated word 2-/3-gram
+    fractions and the most-frequent-2-gram share. Entirely narrow
+    (per-row higher-order functions, zero shuffles) — scan-speed at
+    100 TB."""
+    return T.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+_REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, {_ngram_sql(2)} AS g2, {_ngram_sql(3)} AS g3 FROM t)
+SELECT doc_id,
+       len(g2) AS n_2grams,
+       CASE WHEN len(g2) > 0
+            THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+            ELSE 0.0 END AS dup_2gram_frac,
+       CASE WHEN len(g2) > 0
+            THEN round(CAST(list_max(list_transform(list_distinct(g2),
+                         d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE) / len(g2), 6)
+            ELSE 0.0 END AS top_2gram_frac,
+       CASE WHEN len(g3) > 0
+            THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+            ELSE 0.0 END AS dup_3gram_frac
+FROM g
+"""
+
+
+_DECONTAM_N = 4
+_DECONTAM_MOD = 20  # doc_id % 20 == 0 → the held-out "benchmark" split
+
+
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 20 != 0)
+    sharing at least one word 4-gram with the held-out eval split
+    (doc_id % 20 == 0), with distinct-shared-gram counts. The eval
+    side is broadcast — the corpus side never shuffles on the gram
+    key."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _DECONTAM_MOD == 0)
+    train = docs.filter(F.col("doc_id") % _DECONTAM_MOD != 0)
+    return T.decontaminate(train, bench, n=_DECONTAM_N)
+
+
+_DECONTAM_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, unnest({_ngram_sql(_DECONTAM_N)}) AS gram FROM t),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECONTAM_MOD} = 0),
+train AS (SELECT doc_id, gram FROM g WHERE doc_id % {_DECONTAM_MOD} <> 0)
+SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_shared
+FROM train JOIN bench USING (gram) GROUP BY doc_id
+"""
+
+
+def doc_pii_scrub(spark, sf_dir):
+    """PII redaction audit: emails / phone-like digit runs / IPv4
+    literals replaced with typed placeholders, per-doc match counts.
+    (The synthetic corpus contains no PII, so counts are zero here —
+    tests/test_text_pipeline.py exercises the patterns on crafted
+    rows; the registry entry oracle-checks the full redaction text.)"""
+    return T.pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+_PII_SQL = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{T.PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{T.PII_PHONE}')) AS n_phones,
+       len(regexp_extract_all(text, '{T.PII_IPV4}')) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{T.PII_EMAIL}', '<EMAIL>', 'g'),
+           '{T.PII_IPV4}', '<IP>', 'g'),
+           '{T.PII_PHONE}', '<PHONE>', 'g') AS clean_text
+FROM documents
+"""
+
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+def doc_sliding_chunks(spark, sf_dir):
+    """RAG-style sliding-window chunking: 32-token windows every 24
+    tokens (8-token overlap), last window short. One narrow explode —
+    map-only at any scale."""
+    return T.sliding_chunks(
+        _t(spark, sf_dir, "documents"), size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+
+
+_CHUNKS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+s AS (SELECT doc_id, toks, unnest(range(0, len(toks), {_CHUNK_STRIDE})) AS st FROM t),
+c AS (SELECT doc_id, CAST(st // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+             toks[st + 1 : st + {_CHUNK_SIZE}] AS ck
+      FROM s)
+SELECT doc_id, chunk_idx, len(ck) AS n_chunk_tokens, ck[1] AS head_token FROM c
+"""
+
+
+_SEMDEDUP_CELLS = 8
+_SEMDEDUP_TAU = 0.4
+_SEMDEDUP_SEED = 7
+
+
+def semdedup_embeddings(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings into cells
+    (mixer-seeded data-vector centroids, no Lloyd refinement → exact
+    integer clustering, bit-reproducible), drop any vector with a
+    same-cell neighbor at cosine ≥ 0.4 and a smaller id. Pair cost is
+    Σ(cell²), never O(n²)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.semdedup(
+        emb, threshold=_SEMDEDUP_TAU, n_cells=_SEMDEDUP_CELLS, seed=_SEMDEDUP_SEED
+    )
+
+
+def _semdedup_sql() -> str:
+    from graphem_rapids_spark.functions import mix_sql
+
+    u = mix_sql("vec_id", _SEMDEDUP_SEED)
+    return f"""
+WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cent AS MATERIALIZED (
+  SELECT cell, emb AS cvec FROM (
+    SELECT emb, row_number() OVER (ORDER BY {u} ASC, vec_id ASC) - 1 AS cell
+    FROM v
+  ) WHERE cell < {_SEMDEDUP_CELLS}
+),
+vc AS MATERIALIZED (
+  SELECT vec_id, cell, unnest(emb) AS x, unnest(cvec) AS c FROM v, cent
+),
+vd AS MATERIALIZED (
+  SELECT vec_id, cell, sum((x - c) * (x - c)) AS d2 FROM vc GROUP BY vec_id, cell
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+    FROM vd
+  ) WHERE rk = 1
+),
+pr AS MATERIALIZED (
+  SELECT a.vec_id AS ida, b.vec_id AS idb, va.emb AS ea, vb.emb AS eb
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+),
+flat AS (SELECT ida, idb, unnest(ea) AS x, unnest(eb) AS y FROM pr),
+cosd AS (
+  SELECT ida, idb, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+  FROM flat GROUP BY ida, idb
+),
+dropped AS (SELECT DISTINCT idb AS vec_id FROM cosd WHERE c >= {_SEMDEDUP_TAU})
+SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+FROM assign a LEFT JOIN dropped d USING (vec_id)
+"""
+
+
+_CURATION_QUALITY_MIN = 0.45
+_CURATION_DUP2_MAX = 0.05
+
+
+def doc_curation_report(spark, sf_dir):
+    """End-to-end curation funnel REPORT — the observability artifact
+    a 100 TB curation run ships with: per-stage surviving-document
+    counts for total → quality floor → repetition cap → benchmark
+    decontamination → exact dedup. All per-doc signals come from ONE
+    fused narrow pass (text.curation_signals); the contamination flag
+    is one broadcast join against the eval split's 4-grams; the final
+    stage counts distinct content hashes among survivors. The whole
+    report is a single aggregate — five output rows regardless of
+    corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _DECONTAM_MOD == 0)
+    train = docs.filter(F.col("doc_id") % _DECONTAM_MOD != 0)
+    sig = T.curation_signals(train)
+    contaminated = (
+        T.decontaminate(train, bench, n=_DECONTAM_N)
+        .select("doc_id")
+        .withColumn("_cont", F.lit(True))
+    )
+    flags = sig.join(contaminated, "doc_id", "left").select(
+        "doc_id",
+        "fp_md5",
+        (F.col("quality") >= _CURATION_QUALITY_MIN).alias("f_q"),
+        (F.col("dup_2gram_frac") <= _CURATION_DUP2_MAX).alias("f_r"),
+        F.coalesce(~F.col("_cont"), F.lit(True)).alias("f_d"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("c1"),
+        F.count_if(F.col("f_q")).alias("c2"),
+        F.count_if(F.col("f_q") & F.col("f_r")).alias("c3"),
+        F.count_if(F.col("f_q") & F.col("f_r") & F.col("f_d")).alias("c4"),
+        F.count_distinct(
+            F.when(F.col("f_q") & F.col("f_r") & F.col("f_d"), F.col("fp_md5"))
+        ).alias("c5"),
+    )
+    stages = F.array(
+        F.struct(F.lit("1_total").alias("stage"), F.col("c1").alias("n_docs")),
+        F.struct(F.lit("2_quality").alias("stage"), F.col("c2").alias("n_docs")),
+        F.struct(F.lit("3_repetition").alias("stage"), F.col("c3").alias("n_docs")),
+        F.struct(F.lit("4_decontaminated").alias("stage"), F.col("c4").alias("n_docs")),
+        F.struct(F.lit("5_exact_dedup").alias("stage"), F.col("c5").alias("n_docs")),
+    )
+    return agg.select(F.inline(stages))
+
+
+def _curation_report_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, md5(text) AS fp_md5, {_TOKENS_SQL} AS toks FROM documents
+  WHERE doc_id % {_DECONTAM_MOD} <> 0
+),
+sig AS (
+  SELECT doc_id, fp_md5,
+         round(least(len(toks) / 100.0, 1.0) * 0.4
+               + round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) * 0.4
+               + least(round(CAST(len(list_filter(toks, x -> list_contains({_SW_LIST}, x))) AS DOUBLE)
+                             / len(toks), 6) * 4.0, 1.0) * 0.2, 6) AS quality,
+         CASE WHEN len({_ngram_sql(2)}) > 0
+              THEN round(1.0 - CAST(len(list_distinct({_ngram_sql(2)})) AS DOUBLE)
+                         / len({_ngram_sql(2)}), 6)
+              ELSE 0.0 END AS dup2
+  FROM t
+),
+g AS (SELECT doc_id, unnest({_ngram_sql(_DECONTAM_N)}) AS gram
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECONTAM_MOD} = 0),
+cont AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (gram)
+         WHERE doc_id % {_DECONTAM_MOD} <> 0),
+flags AS (
+  SELECT s.doc_id, s.fp_md5,
+         (s.quality >= {_CURATION_QUALITY_MIN}) AS f_q,
+         (s.dup2 <= {_CURATION_DUP2_MAX}) AS f_r,
+         (c.doc_id IS NULL) AS f_d
+  FROM sig s LEFT JOIN cont c ON s.doc_id = c.doc_id
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS c1,
+         CAST(count(*) FILTER (f_q) AS BIGINT) AS c2,
+         CAST(count(*) FILTER (f_q AND f_r) AS BIGINT) AS c3,
+         CAST(count(*) FILTER (f_q AND f_r AND f_d) AS BIGINT) AS c4,
+         CAST(count(DISTINCT CASE WHEN f_q AND f_r AND f_d THEN fp_md5 END) AS BIGINT) AS c5
+  FROM flags
+)
+SELECT '1_total' AS stage, c1 AS n_docs FROM a
+UNION ALL SELECT '2_quality', c2 FROM a
+UNION ALL SELECT '3_repetition', c3 FROM a
+UNION ALL SELECT '4_decontaminated', c4 FROM a
+UNION ALL SELECT '5_exact_dedup', c5 FROM a
+"""
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def lineitem_profile(spark, sf_dir):
+    """Data-quality profiler — per-column null count, exact distinct
+    count, min and max over the numeric lineitem measures, in ONE
+    aggregate pass (no per-column jobs); the row-pivot is an inline
+    over the single aggregated row. The 100 TB shape: profiling is a
+    single scan + one aggregate regardless of column count (distinct
+    counts become approx_count_distinct sketches at real scale — the
+    exact variant here is the oracle-checkable twin)."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("_n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"_nn_{c}"),
+            F.count_distinct(c).alias(f"_nd_{c}"),
+            F.min(c).alias(f"_mn_{c}"),
+            F.max(c).alias(f"_mx_{c}"),
+        ]
+    a = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_mn_{c}").alias("min_val"),
+                F.col(f"_mx_{c}").alias("max_val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return a.select(F.inline(rows))
+
+
+def _profile_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       min({c}) AS min_val, max({c}) AS max_val
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL ".join(parts)
+
+
+_ANOM_WINDOW = 60
+_ANOM_MIN_HISTORY = 30
+_ANOM_TOPK = 10
+
+
+def events_minute_anomaly(spark, sf_dir):
+    """Time-series anomaly detection on the event stream: per
+    (event_type, minute) counts scored against a trailing
+    60-observed-minute mean with a Poisson z-score
+    (cnt - mean)/sqrt(mean); the top-10 most deviant minutes are
+    reported. The trailing mean of INTEGER counts is bit-exact on
+    both engines (integer sums are exact in double, one IEEE
+    divide/sqrt each side), so the anomaly ranking — not just its
+    size — is oracle-checked; a stddev-based band would diverge in
+    the last ulp. Windows are partitioned by event_type (never
+    global); minutes need ≥30 observed-minute history to be scored."""
+    e = _events(spark, sf_dir)
+    minute = F.timestamp_micros(F.expr("(ts div 60000000000) * 60000000"))
+    cnt = (
+        e.groupBy(F.col("event_type"), minute.alias("_m"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("_m")
+        .rowsBetween(-_ANOM_WINDOW, -1)
+    )
+    s = cnt.select(
+        "event_type",
+        F.date_format("_m", "yyyy-MM-dd HH:mm:ss").alias("minute"),
+        "n_events",
+        F.sum("n_events").over(w).alias("_ts"),
+        F.count("n_events").over(w).alias("_tc"),
+    ).withColumn("_mean", F.col("_ts") / F.col("_tc"))
+    z = F.round((F.col("n_events") - F.col("_mean")) / F.sqrt(F.col("_mean")), 6)
+    ranked = (
+        s.filter(F.col("_tc") >= _ANOM_MIN_HISTORY)
+        .select(
+            "event_type",
+            "minute",
+            "n_events",
+            F.round("_mean", 6).alias("trailing_mean"),
+            z.alias("z_score"),
+        )
+        # orderBy().limit() = TakeOrdered — per-partition top-k +
+        # driver merge, never a global window; the cut orders on the
+        # ROUNDED z so it is identical across engines
+        .orderBy(F.abs(F.col("z_score")).desc(), F.col("event_type"), F.col("minute"))
+        .limit(_ANOM_TOPK)
+    )
+    return ranked
+
+
+_ANOMALY_SQL = f"""
+WITH c AS (
+  SELECT event_type, date_trunc('minute', ts) AS m, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, m, n_events,
+         sum(n_events) OVER (PARTITION BY event_type ORDER BY m
+                             ROWS BETWEEN {_ANOM_WINDOW} PRECEDING AND 1 PRECEDING) AS ts,
+         count(n_events) OVER (PARTITION BY event_type ORDER BY m
+                               ROWS BETWEEN {_ANOM_WINDOW} PRECEDING AND 1 PRECEDING) AS tc
+  FROM c
+)
+SELECT event_type, strftime(m, '%Y-%m-%d %H:%M:%S') AS minute,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(CAST(ts AS DOUBLE) / tc, 6) AS trailing_mean,
+       round((n_events - CAST(ts AS DOUBLE) / tc)
+             / sqrt(CAST(ts AS DOUBLE) / tc), 6) AS z_score
+FROM s
+WHERE tc >= {_ANOM_MIN_HISTORY}
+ORDER BY abs(round((n_events - CAST(ts AS DOUBLE) / tc)
+                   / sqrt(CAST(ts AS DOUBLE) / tc), 6)) DESC,
+         event_type, minute
+LIMIT {_ANOM_TOPK}
+"""
+
+
 def doc_lang_id(spark, sf_dir):
     return T.language_id(_t(spark, sf_dir, "documents"))
 
@@ -3579,6 +3970,16 @@ QUERIES = {
     "doc_stratified_sample": doc_stratified_sample,
     "doc_pack_chunks": doc_pack_chunks,
     "dedup_near_clusters": dedup_near_clusters,
+    # (most novel first — the driver gate may cap at 50 entries, and
+    # pii_scrub is zero-count on the synthetic corpus anyway)
+    "doc_repetition_stats": doc_repetition_stats,
+    "doc_decontaminate": doc_decontaminate,
+    "semdedup_embeddings": semdedup_embeddings,
+    "doc_curation_report": doc_curation_report,
+    "lineitem_profile": lineitem_profile,
+    "events_minute_anomaly": events_minute_anomaly,
+    "doc_sliding_chunks": doc_sliding_chunks,
+    "doc_pii_scrub": doc_pii_scrub,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -3658,6 +4059,14 @@ ORACLES = {
     "doc_stratified_sample": _stratified_sample_sql(),
     "doc_pack_chunks": _pack_chunks_sql(),
     "dedup_near_clusters": _cluster_sql(),
+    "doc_repetition_stats": _REPETITION_SQL,
+    "doc_decontaminate": _DECONTAM_SQL,
+    "doc_pii_scrub": _PII_SQL,
+    "doc_sliding_chunks": _CHUNKS_SQL,
+    "semdedup_embeddings": _semdedup_sql(),
+    "doc_curation_report": _curation_report_sql(),
+    "lineitem_profile": _profile_sql(),
+    "events_minute_anomaly": _ANOMALY_SQL,
     "doc_rolling_fingerprint": _ROLLING_SQL,
     "doc_quality": _QUALITY_SQL,
     "doc_lang_id": _LANG_SQL,
