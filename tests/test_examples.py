@@ -28,3 +28,9 @@ def test_data_pipeline_example():
     stdout = _run("examples/data_pipeline.py", "/root/testdata/sf0.001")
     assert "minhash near-dup pairs:" in stdout
     assert "pred_lang" in stdout
+
+
+def test_curation_pipeline_example():
+    stdout = _run("examples/curation_pipeline.py", "/root/testdata/sf0.001")
+    assert "train docs sharing a 4-gram with eval:" in stdout
+    assert "chunks:" in stdout
