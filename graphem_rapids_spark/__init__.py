@@ -101,6 +101,8 @@ from graphem_rapids_spark.pipeline.similarity import (
     ivf_cosine_topk,
     plan_lsh_geometry,
     semdedup,
+    quantize_int8,
+    project_jl,
 )
 from graphem_rapids_spark.pipeline.text import (
     token_stats,
@@ -209,6 +211,8 @@ __all__ = [
     "sliding_chunks",
     "curation_signals",
     "semdedup",
+    "quantize_int8",
+    "project_jl",
     "extract_image_features",
     "resize_images",
     "frame_sample_plan",

@@ -40,6 +40,19 @@ def mix_sql(t_expr: str, seed: int) -> str:
     return f"({h4} / {MIX_M}.0)"
 
 
+def mix_py(key: int, seed: int) -> float:
+    """Driver-side Python twin of :func:`mix_uniform` — exact integer
+    arithmetic, used to precompute small deterministic literal tables
+    (e.g. a random-projection sign matrix) that are then inlined
+    VERBATIM into both the Spark expression and the SQL oracle, so
+    cross-engine parity is by construction."""
+    h1 = (1103515245 * ((key + seed) % 2147483647) + 12345) % MIX_M
+    h2 = h1 ^ (h1 >> 13)
+    h3 = (134775813 * h2 + 1) % MIX_M
+    h4 = h3 ^ (h3 >> 17)
+    return h4 / MIX_M
+
+
 def edge_coin_key(u, v, trial):
     """Collision-free bigint key for a per-(directed-edge, trial) coin
     (ids < 2^20, trials < 64 — beyond that keys wrap deterministically

@@ -202,6 +202,79 @@ def cosine_near_dup_join(
     )
 
 
+def quantize_int8(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, scale, q) — per-vector symmetric int8 scalar
+    quantization, the standard ANN index compression (4× over f32):
+    scale = max|x|/127, q_i = round(x_i/scale) ∈ [-127, 127].
+    Entirely narrow (one higher-order-function pass, zero shuffles —
+    quantizing a 100 TB embedding table is a map-only job). The
+    rounding (half-away-from-zero) and IEEE divide are identical
+    across engines, so q — the full integer codes, not a summary — is
+    oracle-checked. Zero vectors quantize to all-zero codes."""
+    v = _as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.when(
+        amax > 0,
+        F.transform(v, lambda x: F.round(x / scale).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return vectors.select(
+        F.col(id_col), F.round(scale, 9).alias("scale"), q.alias("q")
+    )
+
+
+def jl_sign_matrix(k: int, dim: int, seed: int = 5) -> list[list[float]]:
+    """k×dim Rademacher (±1) sign matrix from the deterministic mixer
+    (Achlioptas 2001 database-friendly JL projections, public record):
+    row j, column i gets sign(mix(i·k + j) - 0.5). Computed driver-
+    side as plain literals — k·dim ≤ a few thousand — and inlined
+    verbatim into both engines."""
+    from graphem_rapids_spark.functions import mix_py
+
+    return [
+        [1.0 if mix_py(i * k + j, seed) < 0.5 else -1.0 for i in range(dim)]
+        for j in range(k)
+    ]
+
+
+def project_jl(
+    vectors: DataFrame,
+    k: int = 16,
+    dim: int = 64,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, proj) — Johnson–Lindenstrauss random projection to k
+    dims: proj_j = Σ_i x_i·s_ji / √k with a Rademacher sign matrix.
+    The dimensionality-reduction step before ANN indexing at scale.
+    Narrow map-only pass; the sign matrix is a broadcast-free literal
+    (k·dim doubles baked into the plan). The left-fold dot product
+    matches the SQL oracle's list_reduce fold order exactly, so proj
+    is bit-stable across engines before its 6-decimal rounding."""
+    sgn = F.array(
+        *[
+            F.array(*[F.lit(s) for s in row])
+            for row in jl_sign_matrix(k, dim, seed)
+        ]
+    )
+    v = _as_double(F.col(vec_col))
+    inv_sqrt_k = 1.0 / (k**0.5)
+    proj = F.transform(
+        sgn,
+        lambda row: F.round(
+            F.aggregate(
+                F.zip_with(v, row, lambda x, s: x * s), F.lit(0.0), lambda a, b: a + b
+            )
+            * F.lit(inv_sqrt_k),
+            6,
+        ),
+    )
+    return vectors.select(F.col(id_col), proj.alias("proj"))
+
+
 def semdedup(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -967,6 +967,56 @@ FROM assign a LEFT JOIN dropped d USING (vec_id)
 """
 
 
+def embedding_quantize_int8(spark, sf_dir):
+    """Per-vector symmetric int8 scalar quantization (ANN index
+    compression) — full integer codes oracle-checked."""
+    return S.quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+_QUANTIZE_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+m AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS amax FROM v)
+SELECT vec_id,
+       round(amax / 127.0, 9) AS scale,
+       CASE WHEN amax > 0
+            THEN list_transform(emb, x -> CAST(round(x / (amax / 127.0)) AS INT))
+            ELSE list_transform(emb, x -> 0) END AS q
+FROM m
+"""
+
+
+_JL_K = 16
+_JL_DIM = 64
+_JL_SEED = 5
+
+
+def embedding_project_jl(spark, sf_dir):
+    """Johnson–Lindenstrauss Rademacher projection 64→16 dims — the
+    dim-reduction step before ANN indexing; bit-stable left-fold dot
+    products against the oracle."""
+    return S.project_jl(
+        _t(spark, sf_dir, "embeddings"), k=_JL_K, dim=_JL_DIM, seed=_JL_SEED
+    )
+
+
+def _jl_sql() -> str:
+    rows = S.jl_sign_matrix(_JL_K, _JL_DIM, _JL_SEED)
+    mat = "[" + ", ".join(
+        "[" + ", ".join(str(s) for s in row) + "]" for row in rows
+    ) + "]"
+    inv_sqrt_k = repr(1.0 / (_JL_K**0.5))
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT vec_id,
+       list_transform({mat}::DOUBLE[][],
+           row -> round(list_reduce(
+                      list_transform(range(1, {_JL_DIM} + 1),
+                                     i -> emb[CAST(i AS INT)] * row[CAST(i AS INT)]),
+                      (a, b) -> a + b) * {inv_sqrt_k}, 6)) AS proj
+FROM v
+"""
+
+
 _CURATION_QUALITY_MIN = 0.45
 _CURATION_DUP2_MAX = 0.05
 
@@ -3975,6 +4025,8 @@ QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "doc_decontaminate": doc_decontaminate,
     "semdedup_embeddings": semdedup_embeddings,
+    "embedding_quantize_int8": embedding_quantize_int8,
+    "embedding_project_jl": embedding_project_jl,
     "doc_curation_report": doc_curation_report,
     "lineitem_profile": lineitem_profile,
     "events_minute_anomaly": events_minute_anomaly,
@@ -4064,6 +4116,8 @@ ORACLES = {
     "doc_pii_scrub": _PII_SQL,
     "doc_sliding_chunks": _CHUNKS_SQL,
     "semdedup_embeddings": _semdedup_sql(),
+    "embedding_quantize_int8": _QUANTIZE_SQL,
+    "embedding_project_jl": _jl_sql(),
     "doc_curation_report": _curation_report_sql(),
     "lineitem_profile": _profile_sql(),
     "events_minute_anomaly": _ANOMALY_SQL,
