@@ -1017,6 +1017,45 @@ FROM v
 """
 
 
+def events_stream_anomaly(spark, sf_dir):
+    """Streaming twin of events_minute_anomaly: a CUSTOM STATEFUL
+    operator (applyInPandasWithState — rolling per-minute statistics
+    are inexpressible with built-in streaming aggregations) carries
+    the trailing 60 observed minute-counts per event_type as bounded
+    group state and scores each arriving minute incrementally. The
+    availableNow drain replays the batch query bit-for-bit, so the
+    batch SQL oracle applies; the top-10 ranking happens on the
+    drained (batch) sink."""
+    from graphem_rapids_spark.streaming.anomaly import anomaly_stream
+    from graphem_rapids_spark.streaming.events import (
+        run_available_now,
+        stream_events,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = run_available_now(
+        anomaly_stream(
+            stream_events(spark, sf_dir),
+            window=_ANOM_WINDOW,
+            min_history=_ANOM_MIN_HISTORY,
+        ),
+        output_mode="append",
+    )
+    return (
+        out.select(
+            "event_type",
+            F.date_format(F.timestamp_micros("minute_us"), "yyyy-MM-dd HH:mm:ss").alias(
+                "minute"
+            ),
+            "n_events",
+            "trailing_mean",
+            "z_score",
+        )
+        .orderBy(F.abs(F.col("z_score")).desc(), F.col("event_type"), F.col("minute"))
+        .limit(_ANOM_TOPK)
+    )
+
+
 _CURATION_QUALITY_MIN = 0.45
 _CURATION_DUP2_MAX = 0.05
 
@@ -4030,6 +4069,7 @@ QUERIES = {
     "doc_curation_report": doc_curation_report,
     "lineitem_profile": lineitem_profile,
     "events_minute_anomaly": events_minute_anomaly,
+    "events_stream_anomaly": events_stream_anomaly,
     "doc_sliding_chunks": doc_sliding_chunks,
     "doc_pii_scrub": doc_pii_scrub,
     # --- (c) round-1 greens kept in-window as regression canaries ----
@@ -4121,6 +4161,7 @@ ORACLES = {
     "doc_curation_report": _curation_report_sql(),
     "lineitem_profile": _profile_sql(),
     "events_minute_anomaly": _ANOMALY_SQL,
+    "events_stream_anomaly": _ANOMALY_SQL,
     "doc_rolling_fingerprint": _ROLLING_SQL,
     "doc_quality": _QUALITY_SQL,
     "doc_lang_id": _LANG_SQL,
