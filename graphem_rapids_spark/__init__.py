@@ -119,6 +119,10 @@ from graphem_rapids_spark.pipeline.text import (
     sliding_chunks,
     curation_signals,
 )
+from graphem_rapids_spark.pipeline.sinks import (
+    write_training_shards,
+    read_training_shards,
+)
 from graphem_rapids_spark.pipeline.multimodal import (
     extract_image_features,
     resize_images,
@@ -213,6 +217,8 @@ __all__ = [
     "semdedup",
     "quantize_int8",
     "project_jl",
+    "write_training_shards",
+    "read_training_shards",
     "extract_image_features",
     "resize_images",
     "frame_sample_plan",
