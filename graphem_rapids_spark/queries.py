@@ -1056,6 +1056,104 @@ def events_stream_anomaly(spark, sf_dir):
     )
 
 
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (product analytics): users who did
+    view → click → purchase IN TIME ORDER; each stage's timestamp must
+    strictly follow the user's earliest qualifying previous-stage
+    event (min-timestamp chaining, the standard funnel semantics).
+    Per-stage aggregates are per-user scalars joined co-partitioned on
+    user_id — the event table is scanned once per stage with the type
+    filter pushed to the parquet scan; nanosecond-long comparisons are
+    exact integers on both engines."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    t1 = (
+        e.filter(F.col("event_type") == _FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == _FUNNEL_STAGES[1])
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == _FUNNEL_STAGES[2])
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def _stage(df, name):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+    return (
+        _stage(t1, "1_view")
+        .unionAll(_stage(t2, "2_click"))
+        .unionAll(_stage(t3, "3_purchase"))
+    )
+
+
+_EVENTS_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1
+)
+SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM t1
+UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM t2
+UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM t3
+"""
+
+
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen epoch-day
+    (cohort), counted on each later active day as an offset from their
+    cohort day — the standard retention triangle. Day indexing is
+    exact integer division of nanosecond timestamps (no
+    double-quotient boundary drift); the activity table is distinct
+    (user, day) pairs, so the matrix aggregate is over per-user-day
+    scalars, never raw events."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.expr("ts div 86400000000000").alias("_day")
+    )
+    first = e.groupBy("user_id").agg(F.min("_day").alias("cohort_day"))
+    act = e.distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("_day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_COHORT_SQL = """
+WITH d AS (
+  SELECT user_id,
+         datediff('day', TIMESTAMP '1970-01-01', date_trunc('day', ts)) AS day
+  FROM events
+),
+first AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+act AS (SELECT DISTINCT user_id, day FROM d)
+SELECT cohort_day, day - cohort_day AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 _CURATION_QUALITY_MIN = 0.45
 _CURATION_DUP2_MAX = 0.05
 
@@ -4070,6 +4168,8 @@ QUERIES = {
     "lineitem_profile": lineitem_profile,
     "events_minute_anomaly": events_minute_anomaly,
     "events_stream_anomaly": events_stream_anomaly,
+    "events_funnel": events_funnel,
+    "events_cohort_retention": events_cohort_retention,
     "doc_sliding_chunks": doc_sliding_chunks,
     "doc_pii_scrub": doc_pii_scrub,
     # --- (c) round-1 greens kept in-window as regression canaries ----
@@ -4162,6 +4262,8 @@ ORACLES = {
     "lineitem_profile": _profile_sql(),
     "events_minute_anomaly": _ANOMALY_SQL,
     "events_stream_anomaly": _ANOMALY_SQL,
+    "events_funnel": _EVENTS_FUNNEL_SQL,
+    "events_cohort_retention": _COHORT_SQL,
     "doc_rolling_fingerprint": _ROLLING_SQL,
     "doc_quality": _QUALITY_SQL,
     "doc_lang_id": _LANG_SQL,
