@@ -118,6 +118,8 @@ from graphem_rapids_spark.pipeline.text import (
     pii_scrub,
     sliding_chunks,
     curation_signals,
+    inverted_index,
+    bm25_topk,
 )
 from graphem_rapids_spark.pipeline.sinks import (
     write_training_shards,
@@ -214,6 +216,8 @@ __all__ = [
     "pii_scrub",
     "sliding_chunks",
     "curation_signals",
+    "inverted_index",
+    "bm25_topk",
     "semdedup",
     "quantize_int8",
     "project_jl",

@@ -345,6 +345,95 @@ def sliding_chunks(
     )
 
 
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(term, df, postings) — inverted index over whitespace tokens:
+    document frequency and the sorted posting list per term (terms
+    below ``min_df`` dropped). One explode + one groupBy — a single
+    shuffle partitioned by term; posting lists sort inside the
+    aggregate (sort_array over collect_list), so no extra window. At
+    retrieval scale, postings for stopword-grade terms are the skew
+    bombs — cap them upstream with ``min_df``'s dual (a max-df cut,
+    cf. the MinHash shingle df-cap) or store tiered postings."""
+    t = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("term")
+    )
+    return (
+        t.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sort_array(F.collect_list(id_col)).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score) — BM25 ranking of documents against a bag of
+    query terms (Robertson–Spärck Jones, public record):
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·len/avglen)),
+    idf = ln((N-df+0.5)/(df+0.5) + 1).
+
+    Scale shape: per-doc term frequencies come from one narrow pass
+    (in-array counts for the handful of query terms — no corpus-wide
+    term explode); the df/N/avglen statistics are scalar aggregates
+    broadcast into the scoring expression; top-k is TakeOrdered on
+    the ROUNDED score (deterministic cut). Only documents containing
+    ≥1 query term are scored."""
+    qt = [t.lower() for t in query_terms]
+    t = docs.select(F.col(id_col), tokens_col(text_col).alias("_t"))
+    stats = t.agg(
+        F.count("*").alias("_n"),
+        F.avg(F.size("_t")).alias("_avglen"),
+        *[
+            F.count_if(F.array_contains("_t", qt_i)).alias(f"_df{i}")
+            for i, qt_i in enumerate(qt)
+        ],
+    )
+    scored = t.crossJoin(F.broadcast(stats))
+
+    def _tf(term):
+        # NB: a two-arg lambda would be read as the (element, index)
+        # HOF signature — bind the term via an enclosing scope instead
+        return F.size(F.filter("_t", lambda x: x == F.lit(term)))
+
+    score = F.lit(0.0)
+    for i, term in enumerate(qt):
+        tf = _tf(term)
+        idf = F.log(
+            (F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5) + 1.0
+        )
+        denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.size("_t") / F.col("_avglen"))
+        score = score + idf * (tf * (BM25_K1 + 1.0)) / denom
+    out = scored.select(
+        F.col(id_col),
+        F.round(score, 6).alias("score"),
+        F.size(
+            F.filter("_t", lambda x: F.array_contains(F.array(*[F.lit(q) for q in qt]), x))
+        ).alias("_hits"),
+    )
+    return (
+        out.filter(F.col("_hits") > 0)
+        .select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def curation_signals(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1056,6 +1056,67 @@ def events_stream_anomaly(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ["join", "filter", "stream"]
+_BM25_K = 10
+
+
+def doc_bm25_topk(spark, sf_dir):
+    """BM25 retrieval scoring against a fixed bag of query terms —
+    top-10 documents by the rounded score (TakeOrdered, ties by
+    doc_id). Per-doc term frequencies are in-array counts (narrow);
+    corpus stats (N, avg length, per-term df) are one scalar
+    aggregate broadcast into the scoring expression."""
+    return T.bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=_BM25_K)
+
+
+def _bm25_sql() -> str:
+    from graphem_rapids_spark.pipeline.text import BM25_B, BM25_K1
+
+    dfs = ", ".join(
+        f"CAST(count(*) FILTER (list_contains(toks, '{t}')) AS BIGINT) AS df{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    terms = " + ".join(
+        f"(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * (len(list_filter(toks, x -> x = '{t}')) * ({BM25_K1} + 1.0))"
+        f" / (len(list_filter(toks, x -> x = '{t}'))"
+        f" + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * len(toks) / avglen)))"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    anyhit = " + ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))" for t in _BM25_TERMS
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(len(toks)) AS avglen, {dfs} FROM t),
+sc AS (
+  SELECT doc_id, round(0.0 + {terms}, 6) AS score, ({anyhit}) AS hits
+  FROM t, s
+)
+SELECT doc_id, score FROM sc WHERE hits > 0
+ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
+_INDEX_MIN_DF = 2
+
+
+def doc_inverted_index(spark, sf_dir):
+    """Inverted index: term → document frequency + sorted posting
+    list (min_df = 2). One explode + one term-partitioned groupBy."""
+    return T.inverted_index(_t(spark, sf_dir, "documents"), min_df=_INDEX_MIN_DF)
+
+
+_INDEX_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS term FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM t GROUP BY term HAVING count(*) >= {_INDEX_MIN_DF}
+"""
+
+
 _FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
@@ -4170,6 +4231,8 @@ QUERIES = {
     "events_stream_anomaly": events_stream_anomaly,
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
+    "doc_bm25_topk": doc_bm25_topk,
+    "doc_inverted_index": doc_inverted_index,
     "doc_sliding_chunks": doc_sliding_chunks,
     "doc_pii_scrub": doc_pii_scrub,
     # --- (c) round-1 greens kept in-window as regression canaries ----
@@ -4264,6 +4327,8 @@ ORACLES = {
     "events_stream_anomaly": _ANOMALY_SQL,
     "events_funnel": _EVENTS_FUNNEL_SQL,
     "events_cohort_retention": _COHORT_SQL,
+    "doc_bm25_topk": _bm25_sql(),
+    "doc_inverted_index": _INDEX_SQL,
     "doc_rolling_fingerprint": _ROLLING_SQL,
     "doc_quality": _QUALITY_SQL,
     "doc_lang_id": _LANG_SQL,

@@ -12,7 +12,7 @@ import sys
 def _run(script: str, *args: str) -> str:
     out = subprocess.run(
         [sys.executable, script, *args],
-        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
     )
     assert out.returncode == 0, out.stderr[-2000:]
     return out.stdout
