@@ -103,6 +103,7 @@ from graphem_rapids_spark.pipeline.similarity import (
     semdedup,
     quantize_int8,
     project_jl,
+    kmeans_int8,
 )
 from graphem_rapids_spark.pipeline.text import (
     token_stats,
@@ -221,6 +222,7 @@ __all__ = [
     "semdedup",
     "quantize_int8",
     "project_jl",
+    "kmeans_int8",
     "write_training_shards",
     "read_training_shards",
     "extract_image_features",

@@ -466,3 +466,85 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, "rid", F.round("_cos", 6).alias("cosine"), "rank")
     )
+
+
+def kmeans_int8(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster, n_members, inertia, centroid) — Lloyd k-means over
+    int8-quantized codes (:func:`quantize_int8`) with EXACT integer
+    arithmetic: squared-L2 assignment, floor-mean centroid updates,
+    BIGINT inertia. Quantized k-means is the production coarse-
+    quantizer trainer for IVF ANN indexes (the int8 lattice keeps
+    every engine bit-identical — no float summation-order drift).
+
+    Engine shape: centroids live on the driver (k×dim ints — the same
+    bounded-collect contract as MLlib KMeans) and enter each pass as
+    array literals; one iteration = ONE scan + ONE k-row hash
+    aggregate computing all per-dimension sums columnar (no dim
+    explode, no shuffle beyond the k-row agg). Initialization =
+    the k smallest ids (deterministic). Empty clusters keep their
+    previous centroid. Output: per surviving cluster, member count,
+    inertia (Σ squared distance to the assignment centroids), and the
+    post-update centroid.
+
+    Spark-first analog of the reference's IVF index build
+    (``embedder_cuvs.py:274-313`` trains an IVF coarse quantizer);
+    distributed Lloyd via broadcast centroids replaces cuVS's on-GPU
+    k-means."""
+    spark = vectors.sparkSession
+    q = (
+        quantize_int8(vectors, id_col, vec_col)
+        .select(F.col(id_col).alias("_id"), F.col("q").cast("array<long>").alias("_q"))
+        .persist()
+    )
+    init = q.orderBy("_id").limit(k).collect()
+    cents = [[int(x) for x in r["_q"]] for r in init]
+    dim = len(cents[0])
+
+    def assign():
+        cs = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+        d = F.expr(
+            "transform(_cs, c -> aggregate(zip_with(_q, c, "
+            "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x))"
+        )
+        return (
+            q.withColumn("_cs", cs)
+            .withColumn("_d", d)
+            .select(
+                "_id",
+                "_q",
+                F.array_min("_d").alias("dist"),
+                (F.array_position("_d", F.array_min("_d")) - 1).cast("long").alias("cluster"),
+            )
+        )
+
+    stats: list = []
+    for _ in range(iters):
+        rows = (
+            assign()
+            .groupBy("cluster")
+            .agg(
+                F.count("*").alias("n_members"),
+                F.sum("dist").alias("inertia"),
+                *[F.sum(F.element_at("_q", i + 1)).alias(f"_s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new = {
+            int(r["cluster"]): [int(r[f"_s{i}"]) // int(r["n_members"]) for i in range(dim)]
+            for r in rows
+        }
+        cents = [new.get(j, cents[j]) for j in range(k)]
+        stats = sorted(
+            (int(r["cluster"]), int(r["n_members"]), int(r["inertia"])) for r in rows
+        )
+    q.unpersist()
+    final = [(c, n, i, cents[c]) for (c, n, i) in stats]
+    return spark.createDataFrame(
+        final, "cluster long, n_members long, inertia long, centroid array<long>"
+    )

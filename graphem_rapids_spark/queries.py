@@ -4618,6 +4618,74 @@ ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
 """
 
 
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+_KMEANS_DIM = 64
+
+
+def embedding_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means on int8-quantized embedding codes
+    (see :func:`pipeline.similarity.kmeans_int8`): broadcast-centroid
+    iterations, exact BIGINT assignment/update math — the IVF coarse-
+    quantizer trainer, bit-identical across engines and runs."""
+    return S.kmeans_int8(
+        _t(spark, sf_dir, "embeddings"), k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+
+
+def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS, dim: int = _KMEANS_DIM) -> str:
+    """Lloyd unrolled to ``iters`` rounds — every quantity is exact
+    integer math (BIGINT distances/sums, floor means), so the unroll
+    matches the Spark loop bit-for-bit."""
+    parts = [
+        f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+mm AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS amax FROM v),
+q AS (SELECT vec_id,
+        CASE WHEN amax > 0
+             THEN list_transform(emb, x -> CAST(round(x / (amax / 127.0)) AS BIGINT))
+             ELSE list_transform(emb, x -> CAST(0 AS BIGINT)) END AS q
+      FROM mm),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, q AS c
+       FROM q ORDER BY vec_id LIMIT {k})"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+d{t} AS (
+  SELECT q.vec_id, q.q, c.cl,
+         CAST(list_sum(list_transform(generate_series(1, {dim}),
+              i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS BIGINT) AS dist
+  FROM q CROSS JOIN c{t - 1} c
+),
+a{t} AS (
+  SELECT vec_id, q, cl, dist FROM (
+    SELECT d{t}.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+),
+s{t} AS (
+  SELECT cl, i, CAST(sum(q[i]) AS BIGINT) AS s, count(*) AS n
+  FROM a{t} CROSS JOIN unnest(generate_series(1, {dim})) AS t(i)
+  GROUP BY cl, i
+),
+cn{t} AS (
+  SELECT cl, list(CAST(floor(s / n) AS BIGINT) ORDER BY i) AS c FROM s{t} GROUP BY cl
+),
+c{t} AS (
+  SELECT p.cl, coalesce(cn{t}.c, p.c) AS c FROM c{t - 1} p LEFT JOIN cn{t} ON p.cl = cn{t}.cl
+)"""
+        )
+    parts.append(
+        f"""
+SELECT a.cl AS cluster, count(*) AS n_members,
+       CAST(sum(a.dist) AS BIGINT) AS inertia, c.c AS centroid
+FROM a{iters} a JOIN c{iters} c ON a.cl = c.cl
+GROUP BY a.cl, c.c"""
+    )
+    return "".join(parts)
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Round 1 checked entries 1-50 of the old order;
 # round 2 front-loads (a) the 39 queries that have never had a driver
@@ -4702,6 +4770,7 @@ QUERIES = {
     "events_transition_topk": events_transition_topk,
     "doc_tfidf_topk": doc_tfidf_topk,
     "doc_pmi_bigrams": doc_pmi_bigrams,
+    "embedding_kmeans": embedding_kmeans,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -4872,6 +4941,7 @@ ORACLES = {
     "events_transition_topk": _TRANSITION_SQL,
     "doc_tfidf_topk": _TFIDF_SQL,
     "doc_pmi_bigrams": _PMI_SQL,
+    "embedding_kmeans": _kmeans_sql(),
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades

@@ -74,3 +74,29 @@ def test_jl_projection_preserves_distances_on_average(emb):
     assert 0.7 < mean < 1.3, mean
     # and individual pairs stay within a loose JL band
     assert sum(1 for r in ratios if 0.2 < r < 2.5) / len(ratios) > 0.9
+
+
+def test_kmeans_int8_invariants(emb):
+    from graphem_rapids_spark.pipeline.similarity import kmeans_int8
+
+    out = kmeans_int8(emb, k=4, iters=2).collect()
+    n_total = emb.count()
+    assert 1 <= len(out) <= 4
+    assert sum(r.n_members for r in out) == n_total
+    assert all(r.inertia >= 0 for r in out)
+    # centroids are valid int8-lattice points
+    for r in out:
+        assert all(-127 <= c <= 127 for c in r.centroid)
+    # deterministic: a second run is bit-identical
+    again = kmeans_int8(emb, k=4, iters=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_kmeans_int8_more_iters_not_worse(emb):
+    from graphem_rapids_spark.pipeline.similarity import kmeans_int8
+
+    i1 = sum(r.inertia for r in kmeans_int8(emb, k=4, iters=1).collect())
+    i3 = sum(r.inertia for r in kmeans_int8(emb, k=4, iters=3).collect())
+    # Lloyd on the integer lattice is monotone up to floor-rounding
+    # noise; allow a 1% slack for the floor-mean quantization
+    assert i3 <= i1 * 1.01
