@@ -105,6 +105,11 @@ from graphem_rapids_spark.pipeline.similarity import (
     project_jl,
     kmeans_int8,
 )
+from graphem_rapids_spark.pipeline.corpus_io import (
+    read_jsonl_corpus,
+    write_jsonl_corpus,
+    corrupt_record_count,
+)
 from graphem_rapids_spark.pipeline.text import (
     token_stats,
     bpe_token_stats,
@@ -223,6 +228,9 @@ __all__ = [
     "quantize_int8",
     "project_jl",
     "kmeans_int8",
+    "read_jsonl_corpus",
+    "write_jsonl_corpus",
+    "corrupt_record_count",
     "write_training_shards",
     "read_training_shards",
     "extract_image_features",

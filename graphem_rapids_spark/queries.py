@@ -4618,6 +4618,62 @@ ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
 """
 
 
+_CORENESS_ROUNDS = 12
+
+
+def graph_coreness_hindex(spark, sf_dir):
+    """Per-vertex coreness refinement: 12 synchronous h-index rounds
+    from degrees (Lü et al. 2016 — iterating neighbor h-indices
+    converges to the exact core number; ``analytics.coreness`` runs
+    the same kernel to fixpoint and is networkx-parity tested). The
+    registered query pins a FIXED depth so both engines compute the
+    identical intermediate — exact integer math, hash-checkable at
+    any scale factor regardless of convergence depth. Output column
+    ``core_ub``: a monotone upper bound that equals coreness once
+    converged."""
+    from graphem_rapids_spark.graph.canon import symmetrize_edges
+
+    e = copurchase_edges(spark, sf_dir)
+    sym = symmetrize_edges(e).localCheckpoint(eager=True)
+    c = (
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    # checkpoint every 4th round — the fixed-depth loop needs lineage
+    # truncation (not caching) and 3-deep join+window+agg chains plan
+    # fine; eager per-round checkpoints triple the wall time here
+    last_ckpt = c
+    for i in range(_CORENESS_ROUNDS):
+        c = A.hindex_round(sym, c)
+        if (i + 1) % 4 == 0:
+            c = c.localCheckpoint(eager=True)
+            last_ckpt.unpersist()
+            last_ckpt = c
+    sym.unpersist()
+    return c.select("id", F.col("c").alias("core_ub"))
+
+
+def _coreness_sql(rounds: int = _CORENESS_ROUNDS) -> str:
+    parts = [
+        _COPURCHASE_SQL_CTE,
+        """, sym AS MATERIALIZED (SELECT src, dst FROM ge UNION ALL SELECT dst AS src, src AS dst FROM ge),
+h0 AS MATERIALIZED (SELECT src AS id, count(*) AS c FROM sym GROUP BY src)""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""", h{t} AS MATERIALIZED (
+  SELECT src AS id, max(least(cv, rk)) AS c FROM (
+    SELECT sym.src, h{t - 1}.c AS cv,
+           CAST(row_number() OVER (PARTITION BY sym.src ORDER BY h{t - 1}.c DESC) AS BIGINT) AS rk
+    FROM sym JOIN h{t - 1} ON sym.dst = h{t - 1}.id
+  ) GROUP BY src
+)"""
+        )
+    parts.append(f"\nSELECT id, c AS core_ub FROM h{rounds}")
+    return "".join(parts)
+
+
 _KMEANS_K = 8
 _KMEANS_ITERS = 3
 _KMEANS_DIM = 64
@@ -4771,6 +4827,7 @@ QUERIES = {
     "doc_tfidf_topk": doc_tfidf_topk,
     "doc_pmi_bigrams": doc_pmi_bigrams,
     "embedding_kmeans": embedding_kmeans,
+    "graph_coreness_hindex": graph_coreness_hindex,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -4942,6 +4999,7 @@ ORACLES = {
     "doc_tfidf_topk": _TFIDF_SQL,
     "doc_pmi_bigrams": _PMI_SQL,
     "embedding_kmeans": _kmeans_sql(),
+    "graph_coreness_hindex": _coreness_sql(),
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades

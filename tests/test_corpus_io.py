@@ -1,0 +1,60 @@
+"""JSONL corpus source/sink: round-trip, corrupt-record capture,
+shard bounding."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+import tempfile
+
+from graphem_rapids_spark.pipeline.corpus_io import (
+    corrupt_record_count,
+    read_jsonl_corpus,
+    write_jsonl_corpus,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "corpus")
+    write_jsonl_corpus(docs, out, max_records_per_file=20)
+    back = read_jsonl_corpus(spark, out)
+    assert corrupt_record_count(back) == 0
+    a = sorted((r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in docs.collect())
+    b = sorted((r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in back.collect())
+    assert a == b
+    # shard bounding: >1 gzip part at 20 records/file for 50 docs
+    parts = glob.glob(os.path.join(out, "part-*.json.gz"))
+    assert len(parts) >= 3
+
+
+def test_jsonl_corrupt_lines_are_captured_not_fatal(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "fine", "lang": "en", "source": "s", "n_chars": 4}\n'
+    )
+    df = read_jsonl_corpus(spark, str(p))
+    assert df.count() == 3
+    assert corrupt_record_count(df) == 1
+    good = df.filter(df["_corrupt_record"].isNull())
+    assert sorted(r.doc_id for r in good.collect()) == [1, 2]
+    dropped = read_jsonl_corpus(spark, str(p), keep_corrupt=False)
+    assert sorted(r.doc_id for r in dropped.collect()) == [1, 2]
+
+
+def test_jsonl_gzip_input(spark, tmp_path):
+    p = tmp_path / "c.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        for i in range(5):
+            f.write(
+                '{"doc_id": %d, "text": "t%d", "lang": "en", "source": "x", "n_chars": 2}\n'
+                % (i, i)
+            )
+    df = read_jsonl_corpus(spark, str(p))
+    assert df.count() == 5
+    assert corrupt_record_count(df) == 0
