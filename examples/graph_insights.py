@@ -1,0 +1,63 @@
+"""Graph-topology and behavioral analytics over the co-purchase
+graph and TPC-H-ish tables: clustering coefficient, assortativity,
+Adamic-Adar link prediction, core decomposition, RFM segmentation,
+market-basket affinity, and event-sequence transitions.
+
+Usage: python examples/graph_insights.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from graphem_rapids_spark.session import get_spark  # noqa: E402
+from graphem_rapids_spark import queries as Q  # noqa: E402
+from graphem_rapids_spark.analytics import coreness  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="graphem-graph-insights")
+
+    top_cc = Q.graph_clustering_coeff(spark, sf_dir)
+    print("most clustered parts (top 5):")
+    for r in top_cc.limit(5).collect():
+        print(f"  part {r.id}: C={r.clustering} (deg {r.deg}, {r.n_tri} triangles)")
+
+    rho = Q.graph_assortativity(spark, sf_dir).first()["assortativity"]
+    print(f"degree assortativity: {rho}")
+
+    aa = Q.link_adamic_adar(spark, sf_dir)
+    print("top predicted links (Adamic-Adar):")
+    for r in aa.limit(5).collect():
+        print(f"  ({r.u}, {r.v}): score={r.aa_score} over {r.n_common} common neighbors")
+
+    core = coreness(Q.copurchase_edges(spark, sf_dir))
+    hist = core.groupBy("core").count().orderBy("core").collect()
+    print("core-number histogram:", {r.core: r["count"] for r in hist})
+
+    rfm = Q.customer_rfm(spark, sf_dir)
+    print("largest RFM segments:")
+    for r in rfm.orderBy(rfm.n_customers.desc()).limit(3).collect():
+        print(
+            f"  R{r.r_score}F{r.f_score}M{r.m_score}: "
+            f"{r.n_customers} customers, avg spend {r.avg_monetary}"
+        )
+
+    basket = Q.market_basket_pairs(spark, sf_dir)
+    print("strongest part affinities:")
+    for r in basket.limit(3).collect():
+        print(f"  parts ({r.a}, {r.b}): support={r.support} lift={r.lift}")
+
+    trans = Q.events_transition_topk(spark, sf_dir)
+    print("top event transitions:")
+    for r in trans.limit(3).collect():
+        print(f"  {r.from_type} -> {r.to_type}: {r.n_transitions}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

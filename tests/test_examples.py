@@ -34,3 +34,10 @@ def test_curation_pipeline_example():
     stdout = _run("examples/curation_pipeline.py", "/root/testdata/sf0.001")
     assert "train docs sharing a 4-gram with eval:" in stdout
     assert "chunks:" in stdout
+
+
+def test_graph_insights_example():
+    stdout = _run("examples/graph_insights.py", "/root/testdata/sf0.001")
+    assert "degree assortativity:" in stdout
+    assert "core-number histogram:" in stdout
+    assert "strongest part affinities:" in stdout
