@@ -4618,6 +4618,43 @@ ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
 """
 
 
+def docs_stream_curation(spark, sf_dir):
+    """Streaming curation monitor: readStream over the documents
+    table, per-language quality/repetition aggregate (bounded state =
+    language cardinality), availableNow drain — the continuous-ingest
+    observability twin of the batch curation report. Signal formulas
+    are the exact batch definitions, so the batch oracle applies."""
+    from graphem_rapids_spark.streaming.corpus import run_curation_monitor
+
+    return run_curation_monitor(spark, sf_dir)
+
+
+_STREAM_CURATION_SQL = f"""
+WITH t AS (SELECT lang, {_TOKENS_SQL} AS toks FROM documents),
+s AS (
+  SELECT lang,
+         round(least(len(toks) / 100.0, 1.0) * 0.4
+               + round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) * 0.4
+               + least(round(CAST(len(list_filter(toks, x -> list_contains({_SW_LIST}, x))) AS DOUBLE)
+                             / len(toks), 6) * 4.0, 1.0) * 0.2, 6) AS quality,
+         {_ngram_sql(2)} AS g2
+  FROM t
+),
+s2 AS (
+  SELECT lang, quality,
+         CASE WHEN len(g2) > 0
+              THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+              ELSE 0.0 END AS dup2
+  FROM s
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN quality >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+       round(sum(quality), 4) AS sum_quality,
+       round(max(dup2), 6) AS max_dup2
+FROM s2 GROUP BY lang
+"""
+
+
 _CORENESS_ROUNDS = 12
 
 
@@ -4828,6 +4865,7 @@ QUERIES = {
     "doc_pmi_bigrams": doc_pmi_bigrams,
     "embedding_kmeans": embedding_kmeans,
     "graph_coreness_hindex": graph_coreness_hindex,
+    "docs_stream_curation": docs_stream_curation,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -5000,6 +5038,7 @@ ORACLES = {
     "doc_pmi_bigrams": _PMI_SQL,
     "embedding_kmeans": _kmeans_sql(),
     "graph_coreness_hindex": _coreness_sql(),
+    "docs_stream_curation": _STREAM_CURATION_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades

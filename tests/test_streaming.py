@@ -55,3 +55,20 @@ def test_stream_dedup_first_seen(spark, sf_dir):
     batch = exact_duplicates(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     want = {(r.text_hash, r.keep_id) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_curation_monitor_matches_batch(spark, sf_dir):
+    # per-language curation monitor drained with availableNow equals
+    # the same aggregate computed over the batch read
+    from graphem_rapids_spark.streaming.corpus import (
+        curation_monitor_stream,
+        run_curation_monitor,
+    )
+
+    out = run_curation_monitor(spark, sf_dir)
+    batch = curation_monitor_stream(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
