@@ -4618,6 +4618,47 @@ ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
 """
 
 
+_HIST_BUCKETS = 20
+
+
+def events_value_histogram(spark, sf_dir):
+    """Equi-width histogram of purchase values: 20 buckets between
+    the observed min/max (the profiling primitive behind range
+    pruning and UI distributions). Two passes — a min/max aggregate
+    broadcast as scalars, then one bucketing aggregate; bucket edges
+    are IEEE-identical across engines, and on-edge values clamp into
+    the last bucket (width_bucket semantics without relying on either
+    engine's builtin)."""
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    mm = e.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+    b = F.least(
+        F.lit(_HIST_BUCKETS - 1),
+        F.floor(
+            (F.col("value") - F.col("_lo"))
+            / ((F.col("_hi") - F.col("_lo")) / _HIST_BUCKETS)
+        ).cast("long"),
+    )
+    return (
+        e.crossJoin(F.broadcast(mm))
+        .select(b.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+_VALUE_HIST_SQL = f"""
+WITH e AS (SELECT value FROM events WHERE event_type = 'purchase'),
+mm AS (SELECT min(value) AS lo, max(value) AS hi FROM e)
+SELECT least({_HIST_BUCKETS - 1},
+             CAST(floor((value - lo) / ((hi - lo) / {_HIST_BUCKETS})) AS BIGINT)) AS bucket,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM e CROSS JOIN mm GROUP BY 1
+"""
+
+
 def docs_stream_curation(spark, sf_dir):
     """Streaming curation monitor: readStream over the documents
     table, per-language quality/repetition aggregate (bounded state =
@@ -4866,6 +4907,7 @@ QUERIES = {
     "embedding_kmeans": embedding_kmeans,
     "graph_coreness_hindex": graph_coreness_hindex,
     "docs_stream_curation": docs_stream_curation,
+    "events_value_histogram": events_value_histogram,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -5039,6 +5081,7 @@ ORACLES = {
     "embedding_kmeans": _kmeans_sql(),
     "graph_coreness_hindex": _coreness_sql(),
     "docs_stream_curation": _STREAM_CURATION_SQL,
+    "events_value_histogram": _VALUE_HIST_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
