@@ -4618,6 +4618,95 @@ ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
 """
 
 
+_INCR_MOD = 4  # doc_id % 4 == 3 → the "newly arrived" shard
+
+
+def dedup_incremental(spark, sf_dir):
+    """Incremental ingestion dedup — the production pattern: a newly
+    arrived shard checks its content hashes against the accumulated
+    fingerprint store and only novel documents survive. Here history =
+    docs with doc_id % 4 != 3, the new shard is the rest; the store is
+    a distinct-hash projection (at 100 TB a bucketed table keyed by
+    hash, so the anti-join is shuffle-free on the store side), and the
+    shard also self-dedups (keep the smallest doc_id per hash).
+    Output: surviving new docs (doc_id, text_hash)."""
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % _INCR_MOD != _INCR_MOD - 1)
+    new = docs.filter(F.col("doc_id") % _INCR_MOD == _INCR_MOD - 1)
+    store = history.select(F.md5("text").alias("text_hash")).distinct()
+    fresh = new.select("doc_id", F.md5("text").alias("text_hash")).join(
+        store, "text_hash", "left_anti"
+    )
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "text_hash")
+    )
+
+
+_INCR_DEDUP_SQL = f"""
+WITH history AS (SELECT md5(text) AS text_hash FROM documents
+                 WHERE doc_id % {_INCR_MOD} != {_INCR_MOD - 1} GROUP BY 1),
+new AS (SELECT doc_id, md5(text) AS text_hash FROM documents
+        WHERE doc_id % {_INCR_MOD} = {_INCR_MOD - 1}),
+fresh AS (
+  SELECT n.doc_id, n.text_hash FROM new n
+  WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.text_hash = n.text_hash)
+)
+SELECT doc_id, text_hash FROM (
+  SELECT fresh.*, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+  FROM fresh
+) WHERE rn = 1
+"""
+
+
+def customer_running_spend(spark, sf_dir):
+    """Per-customer running cumulative revenue over their order
+    history (unbounded-preceding window frame, partitioned by
+    customer — the LTV/cumulative-metric primitive). Output bounded:
+    the 50 highest-value customers' order timelines."""
+    o = _t(spark, sf_dir, "orders")
+    top = (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("_tot"))
+        .orderBy(F.desc("_tot"), F.asc("o_custkey"))
+        .limit(50)
+        .select("o_custkey")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.join(F.broadcast(top), "o_custkey")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+            F.row_number()
+            .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+            .alias("order_seq"),
+        )
+    )
+
+
+_RUNNING_SPEND_SQL = """
+WITH top AS (
+  SELECT o_custkey FROM orders GROUP BY o_custkey
+  ORDER BY round(sum(o_totalprice), 2) DESC, o_custkey ASC LIMIT 50
+)
+SELECT o.o_custkey, o.o_orderkey,
+       round(sum(o.o_totalprice) OVER (
+         PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       row_number() OVER (
+         PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey) AS order_seq
+FROM orders o JOIN top ON o.o_custkey = top.o_custkey
+"""
+
+
 _HIST_BUCKETS = 20
 
 
@@ -4908,6 +4997,8 @@ QUERIES = {
     "graph_coreness_hindex": graph_coreness_hindex,
     "docs_stream_curation": docs_stream_curation,
     "events_value_histogram": events_value_histogram,
+    "dedup_incremental": dedup_incremental,
+    "customer_running_spend": customer_running_spend,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -5082,6 +5173,8 @@ ORACLES = {
     "graph_coreness_hindex": _coreness_sql(),
     "docs_stream_curation": _STREAM_CURATION_SQL,
     "events_value_histogram": _VALUE_HIST_SQL,
+    "dedup_incremental": _INCR_DEDUP_SQL,
+    "customer_running_spend": _RUNNING_SPEND_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
