@@ -4618,6 +4618,83 @@ ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
 """
 
 
+_SSSP_ROUNDS = 12
+
+
+def graph_weighted_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths on the co-purchase graph
+    by synchronous Bellman–Ford relaxation (12 fixed rounds): edge
+    cost = rarity (max multiplicity + 1 − multiplicity, so frequent
+    co-purchases are cheap to traverse), source = the smallest part
+    id. All-integer min-plus arithmetic → bit-exact at any depth;
+    each round is ONE edge-stream shuffle (union + min-aggregate),
+    the same one-edge-shuffle discipline as the other iterative
+    kernels. Output: (id, dist) for vertices reached within 12 hops."""
+    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
+    we = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("src") < F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    mx = we.agg(F.max("w").alias("_mx"))
+    cost = we.crossJoin(F.broadcast(mx)).select(
+        "src", "dst", (F.col("_mx") + 1 - F.col("w")).alias("cost")
+    )
+    sym = cost.unionAll(
+        cost.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cost")
+    ).localCheckpoint(eager=True)
+    src0 = we.agg(F.least(F.min("src"), F.min("dst")).alias("s"))
+    d = src0.select(F.col("s").alias("id"), F.lit(0).cast("long").alias("d"))
+    d = d.localCheckpoint(eager=True)
+    last_ckpt = d
+    for i in range(_SSSP_ROUNDS):
+        relaxed = sym.join(d.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), (F.col("d") + F.col("cost")).alias("d")
+        )
+        d = d.unionAll(relaxed).groupBy("id").agg(F.min("d").alias("d"))
+        if (i + 1) % 4 == 0:
+            d = d.localCheckpoint(eager=True)
+            last_ckpt.unpersist()
+            last_ckpt = d
+    sym.unpersist()
+    return d.select("id", F.col("d").alias("dist"))
+
+
+def _sssp_sql(rounds: int = _SSSP_ROUNDS) -> str:
+    parts = [
+        """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+we AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+mx AS (SELECT max(w) AS mx FROM we),
+cost AS MATERIALIZED (
+  SELECT src, dst, mx + 1 - w AS cost FROM we CROSS JOIN mx
+),
+sym AS MATERIALIZED (
+  SELECT src, dst, cost FROM cost
+  UNION ALL SELECT dst AS src, src AS dst, cost FROM cost
+),
+d0 AS (SELECT least(min(src), min(dst)) AS id, CAST(0 AS BIGINT) AS d FROM we)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""", d{t} AS MATERIALIZED (
+  SELECT id, min(d) AS d FROM (
+    SELECT id, d FROM d{t - 1}
+    UNION ALL
+    SELECT e.dst AS id, p.d + e.cost AS d FROM sym e JOIN d{t - 1} p ON e.src = p.id
+  ) GROUP BY id
+)"""
+        )
+    parts.append(f"\nSELECT id, d AS dist FROM d{rounds}")
+    return "".join(parts)
+
+
 _INCR_MOD = 4  # doc_id % 4 == 3 → the "newly arrived" shard
 
 
@@ -4999,6 +5076,7 @@ QUERIES = {
     "events_value_histogram": events_value_histogram,
     "dedup_incremental": dedup_incremental,
     "customer_running_spend": customer_running_spend,
+    "graph_weighted_sssp": graph_weighted_sssp,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -5175,6 +5253,7 @@ ORACLES = {
     "events_value_histogram": _VALUE_HIST_SQL,
     "dedup_incremental": _INCR_DEDUP_SQL,
     "customer_running_spend": _RUNNING_SPEND_SQL,
+    "graph_weighted_sssp": _sssp_sql(),
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades

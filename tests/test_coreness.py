@@ -40,3 +40,28 @@ def test_coreness_consistent_with_k_core(spark):
     members = {r.id for r in k_core(e, k).collect()}
     # the k-core members are exactly the vertices with core number >= k
     assert members == {v for v, c in cn.items() if c >= k}
+
+
+def test_weighted_sssp_matches_dijkstra(spark):
+    # the fixed-round Bellman-Ford query equals true shortest paths
+    # once converged — verify against networkx dijkstra at sf0.001
+    import duckdb
+
+    from graphem_rapids_spark.queries import graph_weighted_sssp
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')")
+    rows = con.execute("""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey, b.l_partkey, count(*) FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2
+    """).fetchall()
+    mx = max(w for _, _, w in rows)
+    g = nx.Graph()
+    for u, v, w in rows:
+        g.add_edge(u, v, weight=mx + 1 - w)
+    src = min(min(u, v) for u, v, _ in rows)
+    want = nx.single_source_dijkstra_path_length(g, src)
+    got = {r.id: r.dist for r in graph_weighted_sssp(spark, sf).collect()}
+    assert got == want
