@@ -4618,6 +4618,42 @@ ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
 """
 
 
+def events_active_users(spark, sf_dir):
+    """DAU + rolling 7-day WAU per day — the product-metric staple
+    that needs DISTINCT over a sliding window. The rolling distinct is
+    NOT a window function (distinct isn't decomposable): each (day,
+    user) pair explodes onto the ≤7 window-END days it can serve, then
+    one distinct-count per end day — at 100 TB the explode is a
+    bounded ×7 fanout of the already-deduplicated per-day user table,
+    far smaller than the raw event stream."""
+    e = _events(spark, sf_dir)
+    day = F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+    du = e.select(day.alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    ends = du.select(
+        F.explode(F.expr("transform(sequence(0, 6), i -> date_add(day, i))")).alias("day"),
+        "user_id",
+    )
+    wau = ends.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau")
+    )
+
+
+_ACTIVE_USERS_SQL = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day),
+ends AS (
+  SELECT day + CAST(i AS INTEGER) AS day, user_id
+  FROM du CROSS JOIN unnest(generate_series(0, 6)) AS t(i)
+),
+wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM ends GROUP BY day)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau AS dau, wau.wau AS wau
+FROM dau JOIN wau ON dau.day = wau.day
+"""
+
+
 _SSSP_ROUNDS = 12
 
 
@@ -5077,6 +5113,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "customer_running_spend": customer_running_spend,
     "graph_weighted_sssp": graph_weighted_sssp,
+    "events_active_users": events_active_users,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -5254,6 +5291,7 @@ ORACLES = {
     "dedup_incremental": _INCR_DEDUP_SQL,
     "customer_running_spend": _RUNNING_SPEND_SQL,
     "graph_weighted_sssp": _sssp_sql(),
+    "events_active_users": _ACTIVE_USERS_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
