@@ -490,3 +490,29 @@ def fingerprint(
     oracle, so the fingerprint is engine-portable)."""
     sh = char_shingles(docs, n, id_col, text_col)
     return sh.groupBy(id_col).agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))
+
+
+def quality_col(text_col: str = "text"):
+    """Column twin of :func:`quality_score`'s ``quality`` output —
+    for callers that need the score inline (streaming monitor,
+    grouped statistics) without the full per-doc projection."""
+    t = tokens_col(text_col)
+    sw = F.array([F.lit(s) for s in EN_STOPWORDS])
+    nt = F.size(t)
+    ttr = F.round(F.size(F.array_distinct(t)) / nt, 6)
+    swr = F.round(F.size(F.filter(t, lambda x: F.array_contains(sw, x))) / nt, 6)
+    return F.round(
+        F.least(nt / 100.0, F.lit(1.0)) * 0.4
+        + ttr * 0.4
+        + F.least(swr * 4.0, F.lit(1.0)) * 0.2,
+        6,
+    )
+
+
+def dup2_col(text_col: str = "text"):
+    """Column twin of the repetition stats' ``dup_2gram_frac``."""
+    g2 = word_ngrams_col(tokens_col(text_col), 2)
+    n2 = F.size(g2)
+    return F.when(
+        n2 > 0, F.round(1.0 - F.size(F.array_distinct(g2)) / n2, 6)
+    ).otherwise(F.lit(0.0))

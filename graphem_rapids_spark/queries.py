@@ -4618,6 +4618,49 @@ ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
 """
 
 
+def lang_quality_quantiles(spark, sf_dir):
+    """Per-language quality quartiles (grouped interpolated
+    percentiles — the per-segment distribution profile a curation run
+    reports). One narrow signal pass + one grouped percentile
+    aggregate; at 100 TB the exact grouped percentile becomes
+    approx_percentile (mergeable t-digest-style summaries), same
+    plan shape."""
+    # quantiles computed over INTEGER micro-quality units (quality is
+    # already 6-decimal): interpolation at quarter fractions on
+    # integer-valued doubles is binary-exact, so both engines emit the
+    # identical double — no cross-engine interpolation-formula ulp,
+    # no rounding-boundary hash risk (observed at sf0.001 with the
+    # naive round(percentile(q), 6) formulation)
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.round(T.quality_col("text") * 1e6).cast("long").alias("qm"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.percentile("qm", F.lit(0.25)).alias("q25_micro"),
+        F.percentile("qm", F.lit(0.5)).alias("q50_micro"),
+        F.percentile("qm", F.lit(0.75)).alias("q75_micro"),
+    )
+
+
+_LANG_QUANT_SQL = f"""
+WITH t AS (SELECT lang, {_TOKENS_SQL} AS toks FROM documents),
+s AS (
+  SELECT lang,
+         CAST(round(round(least(len(toks) / 100.0, 1.0) * 0.4
+               + round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) * 0.4
+               + least(round(CAST(len(list_filter(toks, x -> list_contains({_SW_LIST}, x))) AS DOUBLE)
+                             / len(toks), 6) * 4.0, 1.0) * 0.2, 6) * 1e6) AS BIGINT) AS qm
+  FROM t
+)
+SELECT lang, count(*) AS n_docs,
+       quantile_cont(qm, 0.25) AS q25_micro,
+       quantile_cont(qm, 0.5) AS q50_micro,
+       quantile_cont(qm, 0.75) AS q75_micro
+FROM s GROUP BY lang
+"""
+
+
 def events_active_users(spark, sf_dir):
     """DAU + rolling 7-day WAU per day — the product-metric staple
     that needs DISTINCT over a sliding window. The rolling distinct is
@@ -5114,6 +5157,7 @@ QUERIES = {
     "customer_running_spend": customer_running_spend,
     "graph_weighted_sssp": graph_weighted_sssp,
     "events_active_users": events_active_users,
+    "lang_quality_quantiles": lang_quality_quantiles,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -5292,6 +5336,7 @@ ORACLES = {
     "customer_running_spend": _RUNNING_SPEND_SQL,
     "graph_weighted_sssp": _sssp_sql(),
     "events_active_users": _ACTIVE_USERS_SQL,
+    "lang_quality_quantiles": _LANG_QUANT_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
