@@ -4624,6 +4624,66 @@ ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
 """
 
 
+_RECOVERY_WINDOW_US = 3_600_000_000  # purchases within 1h after an error
+
+
+def events_recovery_pairs(spark, sf_dir):
+    """Temporal interval join — the range-join pattern Spark has no
+    native operator for: count (error → purchase) pairs by the same
+    user within one hour. A naive theta join is O(n²); the scale shape is
+    the BINNED interval join: both sides key on (user, minute-bin),
+    the error side duplicates into its hour-bin and the next one, the
+    equi-join co-partitions, and the exact range predicate filters
+    residuals. Each qualifying pair matches in exactly one bin, so no
+    dedup pass is needed. Output: one summary row (pair count, users
+    affected, mean gap)."""
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("us")
+    )
+    bin_us = _RECOVERY_WINDOW_US
+    err = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("us").alias("e_us"), F.expr(f"us div {bin_us}").alias("b")
+    )
+    err2 = err.select(
+        "user_id", "e_us", F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("b")
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("p_us"), F.expr(f"us div {bin_us}").alias("b")
+    )
+    pairs = (
+        err2.join(pur, ["user_id", "b"])
+        .filter(
+            (F.col("p_us") >= F.col("e_us"))
+            & (F.col("p_us") - F.col("e_us") <= bin_us)
+        )
+        .select("user_id", (F.col("p_us") - F.col("e_us")).alias("gap_us"))
+    )
+    # mean as exact BIGINT sum ÷ count (one IEEE division — engine-
+    # identical; DuckDB's avg() accumulates doubles and drifts an ulp
+    # at 1e9-scale values, below round()'s resolution). coalesce: an
+    # empty join must yield 0.0, not NULL (the oracle's NULL round-
+    # trips through pandas as NaN and hash-mismatches None).
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.coalesce(
+            F.sum("gap_us").cast("double") / F.count("*"), F.lit(0.0)
+        ).alias("avg_gap_us"),
+    )
+
+
+_RECOVERY_SQL = f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events)
+SELECT count(*) AS n_pairs,
+       count(DISTINCT er.user_id) AS n_users,
+       coalesce(CAST(sum(p.us - er.us) AS DOUBLE) / count(*), 0.0) AS avg_gap_us
+FROM (SELECT user_id, us FROM e WHERE event_type = 'error') er
+JOIN (SELECT user_id, us FROM e WHERE event_type = 'purchase') p
+  ON er.user_id = p.user_id
+ AND p.us >= er.us AND p.us - er.us <= {_RECOVERY_WINDOW_US}
+"""
+
+
 def lang_quality_quantiles(spark, sf_dir):
     """Per-language quality quartiles (grouped interpolated
     percentiles — the per-segment distribution profile a curation run
@@ -5168,6 +5228,7 @@ QUERIES = {
     "graph_weighted_sssp": graph_weighted_sssp,
     "events_active_users": events_active_users,
     "lang_quality_quantiles": lang_quality_quantiles,
+    "events_recovery_pairs": events_recovery_pairs,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -5347,6 +5408,7 @@ ORACLES = {
     "graph_weighted_sssp": _sssp_sql(),
     "events_active_users": _ACTIVE_USERS_SQL,
     "lang_quality_quantiles": _LANG_QUANT_SQL,
+    "events_recovery_pairs": _RECOVERY_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
