@@ -4624,6 +4624,59 @@ ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
 """
 
 
+def data_quality_audit(spark, sf_dir):
+    """Constraint-check audit (the deequ/great-expectations pattern):
+    referential integrity (orphan lineitems / orders), domain ranges
+    (discount ∈ [0,1], positive quantity/price), and null keys — each
+    check one aggregate, FK checks as anti-join counts (left_anti
+    co-partitions on the key; at 100 TB the dimension side broadcasts
+    or AQE picks shuffle). Output: (check, n_violations) — the table
+    a pipeline gates a publish on."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+
+    def one(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("check"), F.count("*").alias("n_violations")
+        )
+
+    checks = [
+        one("lineitem_orphan_orderkey", li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")),
+        one("orders_orphan_custkey", o.join(c, o.o_custkey == c.c_custkey, "left_anti")),
+        one("lineitem_nonpositive_quantity", li.filter(F.col("l_quantity") <= 0)),
+        one("lineitem_discount_out_of_range",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1))),
+        one("lineitem_nonpositive_price", li.filter(F.col("l_extendedprice") <= 0)),
+        one("orders_null_custkey", o.filter(F.col("o_custkey").isNull())),
+        one("lineitem_tax_out_of_range",
+            li.filter((F.col("l_tax") < 0) | (F.col("l_tax") > 1))),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionAll(ch)
+    return out
+
+
+_DQ_AUDIT_SQL = """
+SELECT 'lineitem_orphan_orderkey' AS check, count(*) AS n_violations
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_orphan_custkey', count(*) FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_nonpositive_quantity', count(*) FROM lineitem WHERE l_quantity <= 0
+UNION ALL
+SELECT 'lineitem_discount_out_of_range', count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+UNION ALL
+SELECT 'lineitem_nonpositive_price', count(*) FROM lineitem WHERE l_extendedprice <= 0
+UNION ALL
+SELECT 'orders_null_custkey', count(*) FROM orders WHERE o_custkey IS NULL
+UNION ALL
+SELECT 'lineitem_tax_out_of_range', count(*) FROM lineitem WHERE l_tax < 0 OR l_tax > 1
+"""
+
+
 _RECOVERY_WINDOW_US = 3_600_000_000  # purchases within 1h after an error
 
 
@@ -5229,6 +5282,7 @@ QUERIES = {
     "events_active_users": events_active_users,
     "lang_quality_quantiles": lang_quality_quantiles,
     "events_recovery_pairs": events_recovery_pairs,
+    "data_quality_audit": data_quality_audit,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -5409,6 +5463,7 @@ ORACLES = {
     "events_active_users": _ACTIVE_USERS_SQL,
     "lang_quality_quantiles": _LANG_QUANT_SQL,
     "events_recovery_pairs": _RECOVERY_SQL,
+    "data_quality_audit": _DQ_AUDIT_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
