@@ -105,6 +105,7 @@ from graphem_rapids_spark.pipeline.similarity import (
     project_jl,
     kmeans_int8,
 )
+from graphem_rapids_spark.sql import register_tables, run_sql
 from graphem_rapids_spark.pipeline.corpus_io import (
     read_jsonl_corpus,
     write_jsonl_corpus,
@@ -229,6 +230,8 @@ __all__ = [
     "project_jl",
     "kmeans_int8",
     "read_jsonl_corpus",
+    "register_tables",
+    "run_sql",
     "write_jsonl_corpus",
     "corrupt_record_count",
     "write_training_shards",

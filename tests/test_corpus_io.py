@@ -58,3 +58,38 @@ def test_jsonl_gzip_input(spark, tmp_path):
     df = read_jsonl_corpus(spark, str(p))
     assert df.count() == 5
     assert corrupt_record_count(df) == 0
+
+
+def test_sql_interface_matches_dataframe(spark):
+    from graphem_rapids_spark.sql import run_sql
+
+    df = run_sql(
+        spark,
+        SF_DIR,
+        """
+        SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+    )
+    rows = df.collect()
+    assert [r.l_returnflag for r in rows] == sorted({r.l_returnflag for r in rows})
+    import pyspark.sql.functions as F
+
+    want = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in want]
+
+
+def test_sql_interface_pushdown(spark):
+    from graphem_rapids_spark.sql import run_sql
+
+    df = run_sql(spark, SF_DIR, "SELECT o_orderkey FROM orders WHERE o_custkey = 7")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "o_custkey" in plan
