@@ -135,3 +135,41 @@ def test_q11_semi_join_broadcast(spark, sf_dir, queries):
     # grand-total reuses the per-part aggregate, not a second scan
     assert info["broadcast_joins"] >= 2
     assert info["sortmerge_joins"] == 0
+
+
+def test_tfidf_no_global_window_and_no_forced_vocab_broadcast(spark, sf_dir, queries):
+    info = audit_plan(queries["doc_tfidf_topk"](spark, sf_dir))
+    # the top-3 cut is per-doc, never a partition-less window
+    assert info["global_windows"] == 0
+    # the count-star N scalar broadcast is the only hinted broadcast —
+    # the vocabulary (df) join must stay AQE-decided (≤2 total here
+    # since AQE may elect to broadcast the small local vocab)
+    assert info["exchanges"] >= 2
+
+
+def test_running_spend_candidates_broadcast(spark, sf_dir, queries):
+    info = audit_plan(queries["customer_running_spend"](spark, sf_dir))
+    # top-50 candidate list joins broadcast; windows are per-customer
+    assert info["broadcast_joins"] >= 1
+    assert info["global_windows"] == 0
+
+
+def test_recovery_pairs_bin_join_not_theta(spark, sf_dir, queries):
+    info = audit_plan(queries["events_recovery_pairs"](spark, sf_dir))
+    # the interval join must plan as an equi-join on (user, bin) —
+    # a naive theta join would appear as a nested-loop/cartesian
+    assert "CartesianProduct" not in info["plan"]
+    assert "BroadcastNestedLoopJoin" not in info["plan"]
+
+
+def test_market_basket_pair_generation_is_mapside(spark, sf_dir, queries):
+    info = audit_plan(queries["market_basket_pairs"](spark, sf_dir))
+    # pairs come from per-order collected sets (explode), not an
+    # op×op self-join: no sort-merge join of two fact-sized sides
+    assert info["global_windows"] == 0
+    assert "CartesianProduct" not in info["plan"]
+
+
+def test_active_users_bounded_fanout(spark, sf_dir, queries):
+    info = audit_plan(queries["events_active_users"](spark, sf_dir))
+    assert info["global_windows"] == 0
