@@ -4624,6 +4624,46 @@ ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
 """
 
 
+def orders_monthly_growth(spark, sf_dir):
+    """Month-over-month revenue growth (time-series lag + pct-change):
+    one month rollup, then a lag window over the ~tens-of-rows month
+    table — the window runs on an already-aggregated table, so the
+    'global' ordering costs nothing at any scale (the aggregate is
+    the shuffle; the month table is bounded by the calendar). Growth
+    is a ratio of 2-decimal-rounded sums — engine-identical."""
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        "n_orders",
+        # coalesce: the first month must emit 0.0, not NULL (NULL →
+        # pandas NaN on the oracle side → canon mismatch vs None)
+        F.coalesce(F.round((F.col("revenue") - prev) / prev, 6), F.lit(0.0)).alias(
+            "mom_growth"
+        ),
+    ).orderBy("month")
+
+
+_MONTHLY_GROWTH_SQL = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue, n_orders,
+       coalesce(round((revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month), 6), 0.0) AS mom_growth
+FROM m ORDER BY month
+"""
+
+
 def data_quality_audit(spark, sf_dir):
     """Constraint-check audit (the deequ/great-expectations pattern):
     referential integrity (orphan lineitems / orders), domain ranges
@@ -5283,6 +5323,7 @@ QUERIES = {
     "lang_quality_quantiles": lang_quality_quantiles,
     "events_recovery_pairs": events_recovery_pairs,
     "data_quality_audit": data_quality_audit,
+    "orders_monthly_growth": orders_monthly_growth,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -5464,6 +5505,7 @@ ORACLES = {
     "lang_quality_quantiles": _LANG_QUANT_SQL,
     "events_recovery_pairs": _RECOVERY_SQL,
     "data_quality_audit": _DQ_AUDIT_SQL,
+    "orders_monthly_growth": _MONTHLY_GROWTH_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
