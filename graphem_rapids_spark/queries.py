@@ -4624,6 +4624,138 @@ ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
 """
 
 
+def brand_discount_quantity_corr(spark, sf_dir):
+    """Per-brand Pearson correlation of discount vs quantity — grouped
+    correlation computed from EXACT integer sufficient statistics:
+    quantity is integral and discount is 2-decimal, so both scale to
+    BIGINT (qty, disc×100) and the five sums (Σx Σy Σxy Σx² Σy²) are
+    exact; r assembles from them with a handful of IEEE ops, identical
+    on every engine — no float-accumulation drift, which a naive
+    grouped corr() WOULD hit (one boundary lottery per group). One
+    broadcast dim join + one grouped aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+    s = j.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select(
+        "p_brand",
+        "n",
+        F.round(num.cast("double") / den, 6).alias("corr_qty_disc"),
+    )
+
+
+_BRAND_CORR_SQL = """
+WITH j AS (
+  SELECT p.p_brand,
+         CAST(round(l.l_quantity) AS BIGINT) AS x,
+         CAST(round(l.l_discount * 100) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+s AS (
+  SELECT p_brand, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM j GROUP BY p_brand
+)
+SELECT p_brand, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_qty_disc
+FROM s
+"""
+
+
+def supplier_lead_time(spark, sf_dir):
+    """Top-20 suppliers by mean order→ship lead time (operational
+    analytics): lead days are exact integers (date_diff), the mean is
+    exact-sum ÷ count (one IEEE division — engine-identical), and the
+    orders side joins pre-projected. Ties broken by supplier key."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey", F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lead")
+    )
+    return (
+        j.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            (F.sum("lead").cast("double") / F.count("*")).alias("avg_lead_days"),
+        )
+        .orderBy(F.asc("avg_lead_days"), F.asc("l_suppkey"))
+        .limit(20)
+    )
+
+
+_LEAD_TIME_SQL = """
+SELECT l.l_suppkey, count(*) AS n_lines,
+       CAST(sum(date_diff('day', o.o_orderdate, l.l_shipdate)) AS DOUBLE) / count(*)
+         AS avg_lead_days
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_suppkey
+ORDER BY avg_lead_days ASC, l_suppkey ASC LIMIT 20
+"""
+
+
+def doc_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty: the fraction of a doc's distinct
+    3-grams that appear in NO other document (a memorization /
+    boilerplate proxy used in curation). One distinct explode feeds
+    the corpus df aggregate; novelty joins df back on the gram —
+    inverted-index cost (Σ postings), never pairwise. Exact integer
+    counts; the ratio is one division, rounded."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(T.word_ngrams_col(T.tokens_col("text"), 3))
+        ).alias("g"),
+    )
+    df = grams.groupBy("g").agg(F.count("*").alias("_df"))
+    per = grams.join(df, "g").groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum((F.col("_df") == 1).cast("long")).alias("n_unique"),
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_unique",
+        F.round(F.col("n_unique").cast("double") / F.col("n_grams"), 6).alias("novelty"),
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct({_ngram_sql(3)})) AS g FROM t
+),
+df AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+per AS (
+  SELECT grams.doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+  FROM grams JOIN df ON grams.g = df.g GROUP BY grams.doc_id
+)
+SELECT doc_id, n_grams, n_unique,
+       round(CAST(n_unique AS DOUBLE) / n_grams, 6) AS novelty
+FROM per
+"""
+
+
 def orders_monthly_growth(spark, sf_dir):
     """Month-over-month revenue growth (time-series lag + pct-change):
     one month rollup, then a lag window over the ~tens-of-rows month
@@ -5324,6 +5456,9 @@ QUERIES = {
     "events_recovery_pairs": events_recovery_pairs,
     "data_quality_audit": data_quality_audit,
     "orders_monthly_growth": orders_monthly_growth,
+    "brand_discount_quantity_corr": brand_discount_quantity_corr,
+    "supplier_lead_time": supplier_lead_time,
+    "doc_ngram_novelty": doc_ngram_novelty,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -5506,6 +5641,9 @@ ORACLES = {
     "events_recovery_pairs": _RECOVERY_SQL,
     "data_quality_audit": _DQ_AUDIT_SQL,
     "orders_monthly_growth": _MONTHLY_GROWTH_SQL,
+    "brand_discount_quantity_corr": _BRAND_CORR_SQL,
+    "supplier_lead_time": _LEAD_TIME_SQL,
+    "doc_ngram_novelty": _NOVELTY_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
