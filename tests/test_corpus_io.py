@@ -93,3 +93,42 @@ def test_sql_interface_pushdown(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters" in plan and "o_custkey" in plan
+
+
+def test_end_to_end_jsonl_curate_shard_roundtrip(spark, tmp_path):
+    """Integration: JSONL ingest → quality/lang curation → hive-
+    partitioned parquet shards → pruned read-back. The full ingest
+    path a training-data pipeline runs, on real operators end to end."""
+    import pyspark.sql.functions as F
+
+    from graphem_rapids_spark.pipeline.sinks import (
+        read_training_shards,
+        write_training_shards,
+    )
+    from graphem_rapids_spark.pipeline.text import quality_col
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    jsonl_dir = str(tmp_path / "incoming")
+    write_jsonl_corpus(docs, jsonl_dir, max_records_per_file=25)
+
+    ingested = read_jsonl_corpus(spark, jsonl_dir)
+    assert corrupt_record_count(ingested) == 0
+    curated = (
+        ingested.drop("_corrupt_record")
+        .withColumn("quality", quality_col("text"))
+        .filter(F.col("quality") >= 0.3)
+    )
+    n_curated = curated.count()
+    assert 0 < n_curated <= docs.count()
+
+    shard_dir = str(tmp_path / "shards")
+    write_training_shards(
+        curated, shard_dir, partition_by="lang", shard_records=40, sort_within="doc_id"
+    )
+    back = read_training_shards(spark, shard_dir)
+    assert back.count() == n_curated
+    # partition pruning: a lang filter reads only that directory
+    en = read_training_shards(spark, shard_dir, "lang = 'en'")
+    assert en.count() == curated.filter("lang = 'en'").count()
+    plan = en._sc._jvm.PythonSQLUtils.explainString(en._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan
