@@ -18,6 +18,7 @@ Oracle-parity rules used throughout (see tests/test_oracle_parity.py):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -4624,6 +4625,60 @@ ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
 """
 
 
+def events_value_mad(spark, sf_dir):
+    """Per-event-type median + MAD (median absolute deviation) of
+    purchase value — robust statistics that are NOT decomposable
+    aggregates, implemented as an Arrow-batched GROUPED_AGG pandas
+    UDF (the UDAF surface; one Arrow transfer per group, numpy
+    median inside). Values scale to integer micro-units first, so
+    every median is an exact integer or exact .5 — bit-identical to
+    the DuckDB oracle despite crossing the Python boundary. Groups
+    are event types (bounded); per-group data must fit one executor —
+    the standard GROUPED_AGG contract (beyond that, switch to the
+    two-pass percentile path)."""
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: the pd.Series hints resolve through module globals — this
+    # file uses `from __future__ import annotations`, so a
+    # function-local pandas import would break pandas_udf's
+    # signature inference
+    @pandas_udf("double")
+    def _median(v: pd.Series) -> float:
+        return float(v.median())
+
+    @pandas_udf("double")
+    def _mad(v: pd.Series) -> float:
+        return float((v - v.median()).abs().median())
+
+    # GROUPED_AGG UDFs can't mix with JVM aggregates in one agg —
+    # the row count rides through the same Arrow batch
+    @pandas_udf("long")
+    def _n(v: pd.Series) -> int:
+        return int(len(v))
+
+    e = _events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 1e6).cast("long").alias("vm")
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            _n("vm").alias("n"),
+            _median("vm").alias("median_micro"),
+            _mad("vm").alias("mad_micro"),
+        )
+    )
+
+
+_VALUE_MAD_SQL = """
+WITH e AS (SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS vm FROM events)
+SELECT event_type, count(*) AS n,
+       median(vm) AS median_micro,
+       median(abs(vm - (SELECT median(vm) FROM e e2 WHERE e2.event_type = e.event_type)))
+         AS mad_micro
+FROM e GROUP BY event_type
+"""
+
+
 def brand_discount_quantity_corr(spark, sf_dir):
     """Per-brand Pearson correlation of discount vs quantity — grouped
     correlation computed from EXACT integer sufficient statistics:
@@ -5459,6 +5514,7 @@ QUERIES = {
     "brand_discount_quantity_corr": brand_discount_quantity_corr,
     "supplier_lead_time": supplier_lead_time,
     "doc_ngram_novelty": doc_ngram_novelty,
+    "events_value_mad": events_value_mad,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -5644,6 +5700,7 @@ ORACLES = {
     "brand_discount_quantity_corr": _BRAND_CORR_SQL,
     "supplier_lead_time": _LEAD_TIME_SQL,
     "doc_ngram_novelty": _NOVELTY_SQL,
+    "events_value_mad": _VALUE_MAD_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
