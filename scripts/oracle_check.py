@@ -95,6 +95,9 @@ def main():
     extra = {}
     if os.environ.get("GRAPHEM_ARROW", "1").lower() in ("0", "false", "no"):
         extra["spark.sql.execution.arrow.pyspark.enabled"] = "false"
+    # GRAPHEM_AQE=0 → prove results are not adaptive-planning-dependent
+    if os.environ.get("GRAPHEM_AQE", "1").lower() in ("0", "false", "no"):
+        extra["spark.sql.adaptive.enabled"] = "false"
     spark = get_spark(extra_conf=extra)
     con = duckdb.connect()
     for t in TABLES:
