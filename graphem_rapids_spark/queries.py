@@ -4625,6 +4625,113 @@ ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
 """
 
 
+def graph_degree_powerlaw_fit(spark, sf_dir):
+    """Log-log OLS fit of the co-purchase degree distribution (the
+    scale-free diagnostic the reference's generators are tested
+    against): regress ln(count) on ln(degree) over the degree
+    histogram — a bounded table, so the regression is a single
+    aggregate of sufficient statistics. Output: slope, intercept, r²
+    (rounded; inputs to the fit are the same doubles on both engines
+    since ln of identical integers is IEEE-identical per libm
+    contract on these magnitudes)."""
+    from graphem_rapids_spark.graph.canon import symmetrize_edges
+
+    e = copurchase_edges(spark, sf_dir)
+    hist = (
+        symmetrize_edges(e)
+        .groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .groupBy("deg")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pts = hist.select(F.log("deg").alias("x"), F.log("cnt").alias("y"))
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "n",
+        F.round(cov / varx, 6).alias("slope"),
+        F.round((F.col("sy") - (cov / varx) * F.col("sx")) / n, 6).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
+_POWERLAW_SQL = (
+    _COPURCHASE_SQL_CTE
+    + """
+, sym AS (SELECT src, dst FROM ge UNION ALL SELECT dst, src FROM ge),
+deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+hist AS (SELECT deg, count(*) AS cnt FROM deg GROUP BY deg),
+pts AS (SELECT ln(deg) AS x, ln(cnt) AS y FROM hist),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pts
+)
+SELECT n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+)
+
+
+def events_error_burstiness(spark, sf_dir):
+    """Fano factor (variance-to-mean ratio) of per-minute error
+    counts — the overdispersion/burstiness diagnostic behind alert
+    tuning. Computed from exact integer sufficient statistics
+    (Σc, Σc² over the minute histogram are BIGINT), assembled with a
+    fixed handful of IEEE ops — engine-identical. Population
+    variance; minutes with zero errors excluded (gap-fill exists as
+    its own operator)."""
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "error")
+    per_min = e.groupBy(F.expr("ts div 60000000000").alias("m")).agg(
+        F.count("*").alias("c")
+    )
+    s = per_min.agg(
+        F.count("*").alias("n_minutes"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    mean = F.col("sc").cast("double") / F.col("n_minutes")
+    var = F.col("scc").cast("double") / F.col("n_minutes") - mean * mean
+    return s.select(
+        "n_minutes",
+        F.round(mean, 6).alias("mean_per_min"),
+        F.round(var / mean, 6).alias("fano"),
+    )
+
+
+_BURSTINESS_SQL = """
+WITH per_min AS (
+  SELECT epoch_ns(ts) // 60000000000 AS m, count(*) AS c
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+s AS (
+  SELECT count(*) AS n_minutes, CAST(sum(c) AS BIGINT) AS sc,
+         CAST(sum(c * c) AS BIGINT) AS scc
+  FROM per_min
+)
+SELECT n_minutes,
+       round(CAST(sc AS DOUBLE) / n_minutes, 6) AS mean_per_min,
+       round((CAST(scc AS DOUBLE) / n_minutes
+              - (CAST(sc AS DOUBLE) / n_minutes) * (CAST(sc AS DOUBLE) / n_minutes))
+             / (CAST(sc AS DOUBLE) / n_minutes), 6) AS fano
+FROM s
+"""
+
+
 def events_value_mad(spark, sf_dir):
     """Per-event-type median + MAD (median absolute deviation) of
     purchase value — robust statistics that are NOT decomposable
@@ -5515,6 +5622,8 @@ QUERIES = {
     "supplier_lead_time": supplier_lead_time,
     "doc_ngram_novelty": doc_ngram_novelty,
     "events_value_mad": events_value_mad,
+    "graph_degree_powerlaw_fit": graph_degree_powerlaw_fit,
+    "events_error_burstiness": events_error_burstiness,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -5701,6 +5810,8 @@ ORACLES = {
     "supplier_lead_time": _LEAD_TIME_SQL,
     "doc_ngram_novelty": _NOVELTY_SQL,
     "events_value_mad": _VALUE_MAD_SQL,
+    "graph_degree_powerlaw_fit": _POWERLAW_SQL,
+    "events_error_burstiness": _BURSTINESS_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
