@@ -3236,6 +3236,74 @@ SELECT within_block, count(*) AS n_edges FROM edges GROUP BY within_block
 """
 
 
+def gen_sbm_modularity(spark, sf_dir):
+    """Newman modularity of the TRUE block labels on the generated
+    SBM graph — community-quality metric + generator determinism in
+    one check: Q = Σ_c [e_c/m − (d_c/2m)²] assembled from exact
+    integer edge/degree counts (engine-identical doubles). Labels,
+    coins, and block arithmetic match `gen_sbm_block_density`; the
+    whole computation is two tiny aggregates over the generated edge
+    stream (per-block stats are bounded by the block count, not n)."""
+    n, npb, p_in, p_out, seed = 200, 50, 0.15, 0.02, 7
+    t = F.col("i") * n + F.col("j")
+    same = (F.col("i") / npb).cast("long") == (F.col("j") / npb).cast("long")
+    prob = F.when(same, p_in).otherwise(p_out)
+    edges = _range_pairs(spark, n).filter(_lcg_uniform(t, seed) < prob)
+    e = edges.select(
+        (F.col("i") / npb).cast("long").alias("ci"),
+        (F.col("j") / npb).cast("long").alias("cj"),
+    )
+    m_df = e.agg(F.count("*").alias("m"))
+    ec = (
+        e.filter(F.col("ci") == F.col("cj"))
+        .groupBy(F.col("ci").alias("c"))
+        .agg(F.count("*").alias("ec"))
+    )
+    dc = (
+        e.select(F.col("ci").alias("c"))
+        .unionAll(e.select(F.col("cj").alias("c")))
+        .groupBy("c")
+        .agg(F.count("*").alias("dc"))
+    )
+    per = (
+        dc.join(ec, "c", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select("c", F.coalesce("ec", F.lit(0)).alias("ec"), "dc", "m")
+    )
+    half = F.col("dc").cast("double") / (2 * F.col("m"))
+    term = F.col("ec").cast("double") / F.col("m") - half * half
+    return per.agg(
+        F.round(F.sum(term), 6).alias("modularity"), F.max("m").alias("n_edges")
+    )
+
+
+_GEN_SBM_MOD_SQL = f"""
+WITH pairs AS (
+  SELECT i.range AS i, j.range AS j
+  FROM range(200) i, range(200) j WHERE i.range < j.range
+),
+e AS (
+  SELECT i // 50 AS ci, j // 50 AS cj
+  FROM pairs
+  WHERE {_lcg_sql("i * 200 + j", 7)}
+        < CASE WHEN i // 50 = j // 50 THEN 0.15 ELSE 0.02 END
+),
+m AS (SELECT count(*) AS m FROM e),
+ec AS (SELECT ci AS c, count(*) AS ec FROM e WHERE ci = cj GROUP BY ci),
+dc AS (SELECT c, count(*) AS dc FROM (
+  SELECT ci AS c FROM e UNION ALL SELECT cj AS c FROM e) GROUP BY c),
+per AS (
+  SELECT dc.c, coalesce(ec.ec, 0) AS ec, dc.dc, m.m
+  FROM dc LEFT JOIN ec ON dc.c = ec.c CROSS JOIN m
+)
+SELECT round(sum(CAST(ec AS DOUBLE) / m
+             - (CAST(dc AS DOUBLE) / (2 * m)) * (CAST(dc AS DOUBLE) / (2 * m))), 6)
+         AS modularity,
+       max(m) AS n_edges
+FROM per
+"""
+
+
 def gen_bipartite_degree(spark, sf_dir):
     """G8 random bipartite (40 top × 80 bottom, p=0.1): per-side
     degree totals + edge count. Reference: generators.py:199-214."""
@@ -5624,6 +5692,7 @@ QUERIES = {
     "events_value_mad": events_value_mad,
     "graph_degree_powerlaw_fit": graph_degree_powerlaw_fit,
     "events_error_burstiness": events_error_burstiness,
+    "gen_sbm_modularity": gen_sbm_modularity,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -5812,6 +5881,7 @@ ORACLES = {
     "events_value_mad": _VALUE_MAD_SQL,
     "graph_degree_powerlaw_fit": _POWERLAW_SQL,
     "events_error_burstiness": _BURSTINESS_SQL,
+    "gen_sbm_modularity": _GEN_SBM_MOD_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
