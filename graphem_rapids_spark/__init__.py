@@ -62,6 +62,9 @@ from graphem_rapids_spark.analytics import (
     betweenness_centrality,
     load_centrality,
     closeness_centrality,
+    k_core,
+    coreness,
+    largest_connected_component,
 )
 from graphem_rapids_spark.graph.io import (
     read_snap_edges,
@@ -229,6 +232,9 @@ __all__ = [
     "quantize_int8",
     "project_jl",
     "kmeans_int8",
+    "k_core",
+    "coreness",
+    "largest_connected_component",
     "read_jsonl_corpus",
     "register_tables",
     "run_sql",
