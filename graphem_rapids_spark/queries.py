@@ -3236,6 +3236,75 @@ SELECT within_block, count(*) AS n_edges FROM edges GROUP BY within_block
 """
 
 
+def nation_trade_balance(spark, sf_dir):
+    """Per-nation trade balance — customer spend vs supplier revenue,
+    combined with a FULL OUTER join of the two per-nation aggregates
+    (each side aggregates its fact table BEFORE the join, so the
+    outer join runs on 25-row inputs; nations missing a side
+    coalesce to zero). Demonstrates the one outer-join variety the
+    registry lacked; both fact scans prune to 2-3 columns."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("customer_spend"))
+    )
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("supplier_revenue")
+        )
+    )
+    both = spend.join(rev, "nk", "full_outer")
+    return (
+        both.join(F.broadcast(n), both.nk == n.n_nationkey)
+        .select(
+            "n_name",
+            F.coalesce("customer_spend", F.lit(0.0)).alias("customer_spend"),
+            F.coalesce("supplier_revenue", F.lit(0.0)).alias("supplier_revenue"),
+            F.round(
+                F.coalesce("customer_spend", F.lit(0.0))
+                - F.coalesce("supplier_revenue", F.lit(0.0)),
+                2,
+            ).alias("balance"),
+        )
+    )
+
+
+_TRADE_BALANCE_SQL = """
+WITH spend AS (
+  SELECT c.c_nationkey AS nk, round(sum(o.o_totalprice), 2) AS customer_spend
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+),
+rev AS (
+  SELECT s.s_nationkey AS nk,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS supplier_revenue
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey
+),
+tb AS (
+  SELECT coalesce(spend.nk, rev.nk) AS nk, customer_spend, supplier_revenue
+  FROM spend FULL OUTER JOIN rev ON spend.nk = rev.nk
+)
+SELECT n.n_name,
+       coalesce(customer_spend, 0.0) AS customer_spend,
+       coalesce(supplier_revenue, 0.0) AS supplier_revenue,
+       round(coalesce(customer_spend, 0.0) - coalesce(supplier_revenue, 0.0), 2)
+         AS balance
+FROM tb JOIN nation n ON tb.nk = n.n_nationkey
+"""
+
+
 def gen_sbm_modularity(spark, sf_dir):
     """Newman modularity of the TRUE block labels on the generated
     SBM graph — community-quality metric + generator determinism in
@@ -5693,6 +5762,7 @@ QUERIES = {
     "graph_degree_powerlaw_fit": graph_degree_powerlaw_fit,
     "events_error_burstiness": events_error_burstiness,
     "gen_sbm_modularity": gen_sbm_modularity,
+    "nation_trade_balance": nation_trade_balance,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -5882,6 +5952,7 @@ ORACLES = {
     "graph_degree_powerlaw_fit": _POWERLAW_SQL,
     "events_error_burstiness": _BURSTINESS_SQL,
     "gen_sbm_modularity": _GEN_SBM_MOD_SQL,
+    "nation_trade_balance": _TRADE_BALANCE_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
