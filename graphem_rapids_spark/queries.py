@@ -3236,6 +3236,74 @@ SELECT within_block, count(*) AS n_edges FROM edges GROUP BY within_block
 """
 
 
+def events_weekday_hour_profile(spark, sf_dir):
+    """Activity profile by (weekday, hour) — the temporal heatmap
+    behind load forecasting. Weekday comes from EXACT epoch-day
+    arithmetic ((day + 4) mod 7; 1970-01-01 was a Thursday) rather
+    than either engine's calendar function (Spark's dayofweek is
+    1=Sunday, DuckDB's dow is 0=Sunday — the closed form sidesteps
+    the convention mismatch and stays integer-exact)."""
+    e = _events(spark, sf_dir)
+    us = F.expr("ts div 1000")
+    day = F.expr("(ts div 1000) div 86400000000")
+    dow = ((day + 4) % 7).cast("long")
+    hour = ((us - day * 86400000000) / 3600000000).cast("long")
+    return (
+        e.select(dow.alias("dow"), hour.alias("hour"))
+        .groupBy("dow", "hour")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+_WEEKDAY_HOUR_SQL = """
+WITH e AS (
+  SELECT epoch_us(ts) AS us, epoch_us(ts) // 86400000000 AS day FROM events
+)
+SELECT CAST((day + 4) % 7 AS BIGINT) AS dow,
+       CAST((us - day * 86400000000) // 3600000000 AS BIGINT) AS hour,
+       count(*) AS n_events
+FROM e GROUP BY 1, 2
+"""
+
+
+def customer_order_gap_stats(spark, sf_dir):
+    """Inter-order gap statistics: days between a customer's
+    consecutive orders (lag over customer-partitioned windows), then
+    corpus-level mean (exact sum ÷ count) and median (integer days —
+    exact .5 interpolation at worst, engine-identical)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast("long").alias(
+                "gap"
+            ),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    return gaps.agg(
+        F.count("*").alias("n_gaps"),
+        (F.sum("gap").cast("double") / F.count("*")).alias("mean_gap_days"),
+        F.percentile("gap", F.lit(0.5)).alias("median_gap_days"),
+    )
+
+
+_ORDER_GAP_SQL = """
+WITH g AS (
+  SELECT CAST(date_diff('day',
+              lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS BIGINT) AS gap
+  FROM orders
+)
+SELECT count(*) AS n_gaps,
+       CAST(sum(gap) AS DOUBLE) / count(*) AS mean_gap_days,
+       quantile_cont(gap, 0.5) AS median_gap_days
+FROM g WHERE gap IS NOT NULL
+"""
+
+
 def nation_trade_balance(spark, sf_dir):
     """Per-nation trade balance — customer spend vs supplier revenue,
     combined with a FULL OUTER join of the two per-nation aggregates
@@ -5763,6 +5831,8 @@ QUERIES = {
     "events_error_burstiness": events_error_burstiness,
     "gen_sbm_modularity": gen_sbm_modularity,
     "nation_trade_balance": nation_trade_balance,
+    "events_weekday_hour_profile": events_weekday_hour_profile,
+    "customer_order_gap_stats": customer_order_gap_stats,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -5953,6 +6023,8 @@ ORACLES = {
     "events_error_burstiness": _BURSTINESS_SQL,
     "gen_sbm_modularity": _GEN_SBM_MOD_SQL,
     "nation_trade_balance": _TRADE_BALANCE_SQL,
+    "events_weekday_hour_profile": _WEEKDAY_HOUR_SQL,
+    "customer_order_gap_stats": _ORDER_GAP_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
