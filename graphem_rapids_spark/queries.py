@@ -3236,6 +3236,37 @@ SELECT within_block, count(*) AS n_edges FROM edges GROUP BY within_block
 """
 
 
+def events_user_entropy_topk(spark, sf_dir):
+    """Top-20 users by event-type Shannon entropy (behavioral
+    diversity): per-(user, type) counts → -Σ p·ln p assembled from
+    exact integer counts (identical doubles both engines — the p's
+    are exact-int ratios and ln is IEEE-identical on them). Two hash
+    aggregates; the per-user fold is over ≤5 type rows."""
+    e = _events(spark, sf_dir)
+    ct = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    tot = ct.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    ent = (
+        ct.join(tot, "user_id")
+        .select("user_id", "n", (-p * F.log(p)).alias("term"))
+        .groupBy("user_id")
+        .agg(F.max("n").alias("n_events"), F.round(F.sum("term"), 6).alias("entropy"))
+    )
+    return ent.orderBy(F.desc("entropy"), F.asc("user_id")).limit(20)
+
+
+_USER_ENTROPY_SQL = """
+WITH ct AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM ct GROUP BY user_id)
+SELECT ct.user_id, max(tot.n) AS n_events,
+       round(sum(-(CAST(ct.c AS DOUBLE) / tot.n) * ln(CAST(ct.c AS DOUBLE) / tot.n)), 6)
+         AS entropy
+FROM ct JOIN tot ON ct.user_id = tot.user_id
+GROUP BY ct.user_id
+ORDER BY entropy DESC, ct.user_id ASC LIMIT 20
+"""
+
+
 def events_weekday_hour_profile(spark, sf_dir):
     """Activity profile by (weekday, hour) — the temporal heatmap
     behind load forecasting. Weekday comes from EXACT epoch-day
@@ -5833,6 +5864,7 @@ QUERIES = {
     "nation_trade_balance": nation_trade_balance,
     "events_weekday_hour_profile": events_weekday_hour_profile,
     "customer_order_gap_stats": customer_order_gap_stats,
+    "events_user_entropy_topk": events_user_entropy_topk,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -6025,6 +6057,7 @@ ORACLES = {
     "nation_trade_balance": _TRADE_BALANCE_SQL,
     "events_weekday_hour_profile": _WEEKDAY_HOUR_SQL,
     "customer_order_gap_stats": _ORDER_GAP_SQL,
+    "events_user_entropy_topk": _USER_ENTROPY_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
