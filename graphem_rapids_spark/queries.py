@@ -3236,6 +3236,47 @@ SELECT within_block, count(*) AS n_edges FROM edges GROUP BY within_block
 """
 
 
+def region_revenue_share(spark, sf_dir):
+    """Revenue share-of-total per region through the full dimension
+    chain (customer → nation → region, all broadcast): the
+    share-of-total is a ratio against a 1-row broadcast total — NOT
+    `ratio_to_report` over a partition-less window, which would
+    single-task the whole table at scale. Shares are ratios of
+    2-decimal-rounded sums — engine-identical."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    per = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    tot = per.agg(F.sum("revenue").alias("_t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "r_name",
+        "revenue",
+        F.round(F.col("revenue") / F.col("_t"), 6).alias("share"),
+    )
+
+
+_REGION_SHARE_SQL = """
+WITH per AS (
+  SELECT r.r_name, round(sum(o.o_totalprice), 2) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name
+),
+tot AS (SELECT sum(revenue) AS t FROM per)
+SELECT r_name, revenue, round(revenue / tot.t, 6) AS share
+FROM per CROSS JOIN tot
+"""
+
+
 def events_user_entropy_topk(spark, sf_dir):
     """Top-20 users by event-type Shannon entropy (behavioral
     diversity): per-(user, type) counts → -Σ p·ln p assembled from
@@ -5865,6 +5906,7 @@ QUERIES = {
     "events_weekday_hour_profile": events_weekday_hour_profile,
     "customer_order_gap_stats": customer_order_gap_stats,
     "events_user_entropy_topk": events_user_entropy_topk,
+    "region_revenue_share": region_revenue_share,
     # --- (c) round-1 greens kept in-window as regression canaries ----
     # (cosine_near_dup stays inside the 50-entry window — its
     # execution path changed this round)
@@ -6058,6 +6100,7 @@ ORACLES = {
     "events_weekday_hour_profile": _WEEKDAY_HOUR_SQL,
     "customer_order_gap_stats": _ORDER_GAP_SQL,
     "events_user_entropy_topk": _USER_ENTROPY_SQL,
+    "region_revenue_share": _REGION_SHARE_SQL,
     # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent), influence_greedy (batched cascades
