@@ -56,6 +56,12 @@ def main() -> None:
     for r in trans.limit(3).collect():
         print(f"  {r.from_type} -> {r.to_type}: {r.n_transitions}")
 
+    fit = Q.graph_degree_powerlaw_fit(spark, sf_dir).first()
+    print(f"degree distribution log-log fit: slope={fit.slope} r2={fit.r2}")
+
+    far = Q.graph_weighted_sssp(spark, sf_dir)
+    print("weighted-SSSP reach:", far.count(), "parts from the min-id source")
+
     spark.stop()
 
 
