@@ -21,6 +21,7 @@ correlation matrix.
 from __future__ import annotations
 
 import math
+import warnings
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -738,5 +739,16 @@ def coreness(edges: DataFrame, max_rounds: int = 60) -> DataFrame:
         prev.unpersist()
         if changed == 0:
             break
+    else:
+        # loop exhausted max_rounds with changed > 0: values are still
+        # upper bounds, not exact coreness — surface it instead of
+        # silently returning (the docstring promises exactness)
+        warnings.warn(
+            f"coreness: not converged after {max_rounds} rounds "
+            f"({changed} vertices still changing); returned values are "
+            "upper bounds — raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     sym.unpersist()
     return c.select("id", F.col("c").alias("core"))

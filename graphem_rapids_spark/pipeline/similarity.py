@@ -503,6 +503,12 @@ def kmeans_int8(
         .persist()
     )
     init = q.orderBy("_id").limit(k).collect()
+    if not init:
+        q.unpersist()
+        raise ValueError("kmeans_int8: input table is empty")
+    # fewer rows than k: every point seeds its own cluster (matches
+    # the MLlib contract of k <= n)
+    k = min(k, len(init))
     cents = [[int(x) for x in r["_q"]] for r in init]
     dim = len(cents[0])
 

@@ -1593,14 +1593,15 @@ SELECT round(corr(ra, rb), 6) AS rho FROM r
 def connected_components_copurchase(spark, sf_dir):
     e = copurchase_edges(spark, sf_dir)
     verts = vertices_from_edges(e)
-    ids = [r.id for r in verts.collect()]
-    spark_local = verts.sparkSession
-    vdf = spark_local.createDataFrame([(i,) for i in ids], "id long")
-    # min-label propagation over the sparse vertex set
+    # min-label propagation over the sparse vertex set; labels start
+    # as the vertex DataFrame itself (no driver round-trip — the
+    # localCheckpoint truncates the co-purchase CTE lineage once)
     from graphem_rapids_spark.graph.canon import symmetrize_edges
 
     sym = symmetrize_edges(e)
-    labels = vdf.select("id", F.col("id").alias("component"))
+    labels = verts.select("id", F.col("id").alias("component")).localCheckpoint(
+        eager=True
+    )
     for _ in range(30):
         nbr = (
             labels.join(sym.withColumnRenamed("src", "id"), "id")
@@ -4907,10 +4908,12 @@ def graph_degree_powerlaw_fit(spark, sf_dir):
     scale-free diagnostic the reference's generators are tested
     against): regress ln(count) on ln(degree) over the degree
     histogram — a bounded table, so the regression is a single
-    aggregate of sufficient statistics. Output: slope, intercept, r²
-    (rounded; inputs to the fit are the same doubles on both engines
-    since ln of identical integers is IEEE-identical per libm
-    contract on these magnitudes)."""
+    aggregate of sufficient statistics. Parity discipline: ln values
+    are scaled to 1e9 fixed-point BIGINT before summing (ln of
+    identical integers is IEEE-identical; the SUMS then carry no
+    engine-specific accumulation order — exact integers, products in
+    DECIMAL(38,0)/HUGEINT), and the regression assembles from those
+    exact integers with a fixed handful of IEEE double ops."""
     from graphem_rapids_spark.graph.canon import symmetrize_edges
 
     e = copurchase_edges(spark, sf_dir)
@@ -4921,23 +4924,33 @@ def graph_degree_powerlaw_fit(spark, sf_dir):
         .groupBy("deg")
         .agg(F.count("*").alias("cnt"))
     )
-    pts = hist.select(F.log("deg").alias("x"), F.log("cnt").alias("y"))
+    pts = hist.select(
+        F.round(F.log("deg") * F.lit(1e9)).cast("long").alias("x"),
+        F.round(F.log("cnt") * F.lit(1e9)).cast("long").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     s = pts.agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
     )
     n = F.col("n")
-    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = (n * F.col("sxy") - dec("sx") * F.col("sy")).cast("double")
+    varx = (n * F.col("sxx") - dec("sx") * F.col("sx")).cast("double")
+    vary = (n * F.col("syy") - dec("sy") * F.col("sy")).cast("double")
+    slope = cov / varx
     return s.select(
         "n",
-        F.round(cov / varx, 6).alias("slope"),
-        F.round((F.col("sy") - (cov / varx) * F.col("sx")) / n, 6).alias("intercept"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / n
+            / F.lit(1e9),
+            6,
+        ).alias("intercept"),
         F.round(cov * cov / (varx * vary), 6).alias("r2"),
     )
 
@@ -4948,18 +4961,28 @@ _POWERLAW_SQL = (
 , sym AS (SELECT src, dst FROM ge UNION ALL SELECT dst, src FROM ge),
 deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
 hist AS (SELECT deg, count(*) AS cnt FROM deg GROUP BY deg),
-pts AS (SELECT ln(deg) AS x, ln(cnt) AS y FROM hist),
+pts AS (SELECT CAST(round(ln(deg) * 1e9) AS BIGINT) AS x,
+               CAST(round(ln(cnt) * 1e9) AS BIGINT) AS y FROM hist),
 s AS (
   SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
   FROM pts
+),
+d AS (
+  SELECT n,
+         CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS cov,
+         CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS varx,
+         CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS vary,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM s
 )
 SELECT n,
-       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
-       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
-FROM s
+       round(cov / varx, 6) AS slope,
+       round((syd - (cov / varx) * sxd) / n / 1e9, 6) AS intercept,
+       round(cov * cov / (varx * vary), 6) AS r2
+FROM d
 """
 )
 
@@ -5606,13 +5629,18 @@ def events_value_histogram(spark, sf_dir):
     engine's builtin)."""
     e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
     mm = e.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
-    b = F.least(
-        F.lit(_HIST_BUCKETS - 1),
-        F.floor(
-            (F.col("value") - F.col("_lo"))
-            / ((F.col("_hi") - F.col("_lo")) / _HIST_BUCKETS)
-        ).cast("long"),
-    )
+    # hi == lo guard: Spark 0/0 is NaN (floor -> cast misbehaves) while
+    # DuckDB yields NULL and least(19, NULL) = 19 — pin both to bucket 0
+    b = F.when(
+        F.col("_hi") > F.col("_lo"),
+        F.least(
+            F.lit(_HIST_BUCKETS - 1),
+            F.floor(
+                (F.col("value") - F.col("_lo"))
+                / ((F.col("_hi") - F.col("_lo")) / _HIST_BUCKETS)
+            ).cast("long"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
     return (
         e.crossJoin(F.broadcast(mm))
         .select(b.alias("bucket"), "value")
@@ -5627,8 +5655,9 @@ def events_value_histogram(spark, sf_dir):
 _VALUE_HIST_SQL = f"""
 WITH e AS (SELECT value FROM events WHERE event_type = 'purchase'),
 mm AS (SELECT min(value) AS lo, max(value) AS hi FROM e)
-SELECT least({_HIST_BUCKETS - 1},
-             CAST(floor((value - lo) / ((hi - lo) / {_HIST_BUCKETS})) AS BIGINT)) AS bucket,
+SELECT CASE WHEN hi > lo THEN least({_HIST_BUCKETS - 1},
+             CAST(floor((value - lo) / ((hi - lo) / {_HIST_BUCKETS})) AS BIGINT))
+       ELSE 0 END AS bucket,
        count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM e CROSS JOIN mm GROUP BY 1
 """
@@ -5796,18 +5825,71 @@ GROUP BY a.cl, c.c"""
 
 
 # Registry order = the round driver's check order (it samples the
-# FIRST 50 entries). Round 1 checked entries 1-50 of the old order;
-# round 2 front-loads (a) the 39 queries that have never had a driver
-# row, (b) the 4 queries that failed/errored in round 1 (now fixed) —
-# those 43 fill most of the window; positions 44-50 go to the most
-# novel round-2 additions. Everything after position 50 (later
-# round-2/continuation additions, then round-1 greens with rows on
-# file) waits for the round-3 rotation: next round, front-load the
-# still-unchecked block. Every entry regardless of position is
-# hash-verified each session by scripts/oracle_check.py and
-# tests/test_oracle_parity.py.
+# FIRST 50 entries). Round-3 rotation: positions 1-45 are the 45
+# entries that have never had a driver correctness row (everything
+# the r2 VERDICT lists as local-pass only); positions 46-50 are
+# prior driver-greens kept in-window as regression canaries —
+# connected_components_copurchase because its execution path
+# changed this round (driver collect removed), the two most
+# expensive pipelines (pagerank, minhash-LSH), the strategy-switch
+# canary (cosine_near_dup), and the TPC-H bellwether (q1). All
+# 141 entries regardless of position are hash-verified each
+# session by scripts/oracle_check.py and tests/test_oracle_parity.py.
 QUERIES = {
-    # --- (a) never driver-checked in round 1 -------------------------
+    # --- (a) never driver-checked through round 2 — first-50 window -
+    "embedding_quantize_int8": embedding_quantize_int8,
+    "embedding_project_jl": embedding_project_jl,
+    "doc_curation_report": doc_curation_report,
+    "lineitem_profile": lineitem_profile,
+    "events_minute_anomaly": events_minute_anomaly,
+    "events_stream_anomaly": events_stream_anomaly,
+    "events_funnel": events_funnel,
+    "events_cohort_retention": events_cohort_retention,
+    "doc_bm25_topk": doc_bm25_topk,
+    "doc_inverted_index": doc_inverted_index,
+    "doc_sliding_chunks": doc_sliding_chunks,
+    "doc_pii_scrub": doc_pii_scrub,
+    "graph_clustering_coeff": graph_clustering_coeff,
+    "graph_assortativity": graph_assortativity,
+    "link_adamic_adar": link_adamic_adar,
+    "customer_rfm": customer_rfm,
+    "market_basket_pairs": market_basket_pairs,
+    "events_transition_topk": events_transition_topk,
+    "doc_tfidf_topk": doc_tfidf_topk,
+    "doc_pmi_bigrams": doc_pmi_bigrams,
+    "embedding_kmeans": embedding_kmeans,
+    "graph_coreness_hindex": graph_coreness_hindex,
+    "docs_stream_curation": docs_stream_curation,
+    "events_value_histogram": events_value_histogram,
+    "dedup_incremental": dedup_incremental,
+    "customer_running_spend": customer_running_spend,
+    "graph_weighted_sssp": graph_weighted_sssp,
+    "events_active_users": events_active_users,
+    "lang_quality_quantiles": lang_quality_quantiles,
+    "events_recovery_pairs": events_recovery_pairs,
+    "data_quality_audit": data_quality_audit,
+    "orders_monthly_growth": orders_monthly_growth,
+    "brand_discount_quantity_corr": brand_discount_quantity_corr,
+    "supplier_lead_time": supplier_lead_time,
+    "doc_ngram_novelty": doc_ngram_novelty,
+    "events_value_mad": events_value_mad,
+    "graph_degree_powerlaw_fit": graph_degree_powerlaw_fit,
+    "events_error_burstiness": events_error_burstiness,
+    "gen_sbm_modularity": gen_sbm_modularity,
+    "nation_trade_balance": nation_trade_balance,
+    "events_weekday_hour_profile": events_weekday_hour_profile,
+    "customer_order_gap_stats": customer_order_gap_stats,
+    "events_user_entropy_topk": events_user_entropy_topk,
+    "region_revenue_share": region_revenue_share,
+    "doc_rolling_fingerprint": doc_rolling_fingerprint,
+    # --- (b) prior driver-greens kept in-window as canaries ----------
+    "connected_components_copurchase": connected_components_copurchase,
+    "pagerank_copurchase": pagerank_copurchase,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "cosine_near_dup": cosine_near_dup,
+    "q1_pricing_summary": q1_pricing_summary,
+    # --- past the 50-entry cut: driver rows already on file (r1/r2); -
+    # --- strict local gate + pytest parity re-verify them each session
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
@@ -5847,81 +5929,21 @@ QUERIES = {
     "nation_revenue_percentiles": nation_revenue_percentiles,
     "events_minute_fill": events_minute_fill,
     "kcore_copurchase": kcore_copurchase,
-    # --- (b) round-1 failures, fixed this round ----------------------
     "layout_seed_selection": layout_seed_selection,
     "events_sessionize": events_sessionize,
     "events_json_extract": events_json_extract,
     "gen_caveman_stats": gen_caveman_stats,
-    # --- new this round (need their first driver row) ----------------
     "doc_bpe_tokens": doc_bpe_tokens,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_pack_chunks": doc_pack_chunks,
     "dedup_near_clusters": dedup_near_clusters,
-    # (most novel first — the driver gate may cap at 50 entries, and
-    # pii_scrub is zero-count on the synthetic corpus anyway)
     "doc_repetition_stats": doc_repetition_stats,
     "doc_decontaminate": doc_decontaminate,
     "semdedup_embeddings": semdedup_embeddings,
-    "embedding_quantize_int8": embedding_quantize_int8,
-    "embedding_project_jl": embedding_project_jl,
-    "doc_curation_report": doc_curation_report,
-    "lineitem_profile": lineitem_profile,
-    "events_minute_anomaly": events_minute_anomaly,
-    "events_stream_anomaly": events_stream_anomaly,
-    "events_funnel": events_funnel,
-    "events_cohort_retention": events_cohort_retention,
-    "doc_bm25_topk": doc_bm25_topk,
-    "doc_inverted_index": doc_inverted_index,
-    "doc_sliding_chunks": doc_sliding_chunks,
-    "doc_pii_scrub": doc_pii_scrub,
-    # --- new this session (round-3 rotation gets them a driver row) --
-    "graph_clustering_coeff": graph_clustering_coeff,
-    "graph_assortativity": graph_assortativity,
-    "link_adamic_adar": link_adamic_adar,
-    "customer_rfm": customer_rfm,
-    "market_basket_pairs": market_basket_pairs,
-    "events_transition_topk": events_transition_topk,
-    "doc_tfidf_topk": doc_tfidf_topk,
-    "doc_pmi_bigrams": doc_pmi_bigrams,
-    "embedding_kmeans": embedding_kmeans,
-    "graph_coreness_hindex": graph_coreness_hindex,
-    "docs_stream_curation": docs_stream_curation,
-    "events_value_histogram": events_value_histogram,
-    "dedup_incremental": dedup_incremental,
-    "customer_running_spend": customer_running_spend,
-    "graph_weighted_sssp": graph_weighted_sssp,
-    "events_active_users": events_active_users,
-    "lang_quality_quantiles": lang_quality_quantiles,
-    "events_recovery_pairs": events_recovery_pairs,
-    "data_quality_audit": data_quality_audit,
-    "orders_monthly_growth": orders_monthly_growth,
-    "brand_discount_quantity_corr": brand_discount_quantity_corr,
-    "supplier_lead_time": supplier_lead_time,
-    "doc_ngram_novelty": doc_ngram_novelty,
-    "events_value_mad": events_value_mad,
-    "graph_degree_powerlaw_fit": graph_degree_powerlaw_fit,
-    "events_error_burstiness": events_error_burstiness,
-    "gen_sbm_modularity": gen_sbm_modularity,
-    "nation_trade_balance": nation_trade_balance,
-    "events_weekday_hour_profile": events_weekday_hour_profile,
-    "customer_order_gap_stats": customer_order_gap_stats,
-    "events_user_entropy_topk": events_user_entropy_topk,
-    "region_revenue_share": region_revenue_share,
-    # --- (c) round-1 greens kept in-window as regression canaries ----
-    # (cosine_near_dup stays inside the 50-entry window — its
-    # execution path changed this round)
-    "pagerank_copurchase": pagerank_copurchase,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "cosine_near_dup": cosine_near_dup,
-    # --- past the 50-entry cut: gets its driver row in the round-3
-    # rotation; strict local gate + pytest parity cover it this round
-    "doc_rolling_fingerprint": doc_rolling_fingerprint,
     "knn_exact": knn_exact,
     "influence_ic": influence_ic,
     "multimodal_features": multimodal_features,
     "graph_stats": graph_stats_q,
-    # --- round-1 greens (driver row already on file) -----------------
-    "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
     "top_customers": top_customers,
@@ -5941,7 +5963,6 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "spearman_qty_price": spearman_qty_price,
-    "connected_components_copurchase": connected_components_copurchase,
     "q6_forecast_revenue": q6_forecast_revenue,
     "eigenvector_copurchase": eigenvector_copurchase,
     "spearman_matrix": spearman_matrix,

@@ -65,3 +65,15 @@ def test_weighted_sssp_matches_dijkstra(spark):
     want = nx.single_source_dijkstra_path_length(g, src)
     got = {r.id: r.dist for r in graph_weighted_sssp(spark, sf).collect()}
     assert got == want
+
+
+def test_coreness_warns_when_not_converged(spark):
+    import warnings as _w
+
+    g = nx.erdos_renyi_graph(60, 0.1, seed=11)
+    edges = [(min(u, v), max(u, v)) for u, v in g.edges() if u != v]
+    e = _spark_edges(spark, edges)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        coreness(e, max_rounds=1).collect()
+    assert any("not converged" in str(r.message) for r in rec)

@@ -100,3 +100,19 @@ def test_kmeans_int8_more_iters_not_worse(emb):
     # Lloyd on the integer lattice is monotone up to floor-rounding
     # noise; allow a 1% slack for the floor-mean quantization
     assert i3 <= i1 * 1.01
+
+
+def test_kmeans_int8_empty_and_small_inputs(spark):
+    from graphem_rapids_spark.pipeline.similarity import kmeans_int8
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_int8(empty, k=4)
+    # fewer rows than k: k clamps to n, every point its own cluster
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = kmeans_int8(tiny, k=8, iters=1).collect()
+    assert len(out) == 2
+    assert sum(r.n_members for r in out) == 2
+    assert all(r.inertia == 0 for r in out)
