@@ -281,10 +281,107 @@ def eigenvector_centrality(
 
 
 # ------------------------------------------------------------------- A7
-def connected_components(edges: DataFrame, n_vertices: int, max_iter: int = 50) -> DataFrame:
-    """(id, component) — min-label propagation to convergence
-    (GraphFrames-free; reference uses it for LCC extraction,
-    ``benchmarks/run_benchmarks.py:256-270``)."""
+def _connected_components_star(
+    edges: DataFrame, n_vertices: int, max_iter: int = 50
+) -> DataFrame:
+    """(id, component) — alternating large-star/small-star contraction
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond"): converges in O(log d) rounds instead of min-label's
+    O(d), so a 100×-scale path-ish component costs tens of rounds,
+    not millions.
+
+    One round = large-star (every vertex u links its larger neighbors
+    to m = min(N(u) ∪ {u})) then small-star (every vertex links its
+    smaller neighbors and itself to its min neighbor). Both phases
+    keep edges canonically oriented (x > y), so each is one
+    groupBy-min plus one join — ~3 shuffles/round vs min-label's 1,
+    which is why small graphs stay on the min-label path (the
+    ``GRAPHEM_CC_STAR_MIN`` switch). Convergence = stable edge set,
+    detected by a (count, Σxxhash64) signature and confirmed with an
+    exact exceptAll before exiting (runs once, at the fixpoint)."""
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("x"), F.least("src", "dst").alias("y")
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig: tuple | None = None
+    for _ in range(max_iter):
+        # large-star: emitted pairs (b, m) keep b > m since m ≤ a < b
+        sym = e.select(F.col("x").alias("a"), F.col("y").alias("b")).unionAll(
+            e.select(F.col("y").alias("a"), F.col("x").alias("b"))
+        )
+        lmins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("a", "mb").alias("m"))
+        )
+        e1 = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(lmins, "a")
+            .select(F.col("b").alias("x"), F.col("m").alias("y"))
+            .distinct()
+        )
+        # small-star over the canonical orientation: every neighbor of
+        # x (all < x) and x itself link to x's min neighbor
+        smins = e1.groupBy("x").agg(F.min("y").alias("m"))
+        e2 = (
+            e1.join(smins, "x")
+            .filter(F.col("y") != F.col("m"))
+            .select(F.col("y").alias("x"), F.col("m").alias("y"))
+            .unionAll(smins.select("x", F.col("m").alias("y")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        row = e2.agg(
+            F.count("*").alias("c"),
+            # decimal sum: Σ of 64-bit hashes overflows BIGINT (ANSI)
+            F.sum(F.xxhash64("x", "y").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        new_sig = (row["c"], row["h"])
+        prev, e = e, e2
+        done = sig == new_sig and prev.exceptAll(e2).isEmpty()
+        prev.unpersist()
+        sig = new_sig
+        if done:
+            break
+    stars = e.groupBy(F.col("x").alias("id")).agg(F.min("y").alias("component"))
+    e.unpersist()
+    ids = spark.range(n_vertices).select(F.col("id").cast("long"))
+    return ids.join(stars, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    n_vertices: int,
+    max_iter: int = 50,
+    algorithm: str = "auto",
+) -> DataFrame:
+    """(id, component) — component label = the component's min vertex
+    id (GraphFrames-free; reference uses it for LCC extraction,
+    ``benchmarks/run_benchmarks.py:256-270``).
+
+    ``algorithm``: ``"minlabel"`` (O(diameter) rounds, 1 shuffle each
+    — the small-graph fast path), ``"star"`` (alternating
+    large-star/small-star, O(log d) rounds of ~3 shuffles — the
+    100 TB path), or ``"auto"`` (star above
+    ``session.CC_STAR_MIN_VERTICES``). Both produce identical
+    labels (pinned by test_star_cc_matches_minlabel)."""
+    if algorithm == "auto":
+        from graphem_rapids_spark import session
+
+        algorithm = (
+            "star" if n_vertices > session.CC_STAR_MIN_VERTICES else "minlabel"
+        )
+    if algorithm == "star":
+        return _connected_components_star(edges, n_vertices, max_iter)
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     spark = edges.sparkSession
     sym = symmetrize_edges(edges).persist()
     labels = spark.range(n_vertices).select(

@@ -25,6 +25,11 @@ from pyspark.sql import SparkSession
 EXACT_KNN_MAX_ROWS = int(os.environ.get("GRAPHEM_EXACT_KNN_MAX", "100000"))
 DRIVER_EIG_MAX_VERTICES = int(os.environ.get("GRAPHEM_DRIVER_EIG_MAX", "1000000"))
 BROADCAST_POSITIONS_MAX = int(os.environ.get("GRAPHEM_BROADCAST_POS_MAX", "10000000"))
+# connected_components auto-switch: vertex counts above this use the
+# O(log d)-round alternating star algorithm instead of O(diameter)
+# min-label propagation (each star round costs ~3 shuffles vs
+# min-label's 1, so small graphs stay on the cheap path)
+CC_STAR_MIN_VERTICES = int(os.environ.get("GRAPHEM_CC_STAR_MIN", "5000000"))
 
 VERBOSE = os.environ.get("GRAPHEM_VERBOSE", "").lower() in ("1", "true", "yes")
 
@@ -100,6 +105,7 @@ def get_backend_info(spark: SparkSession | None = None) -> dict:
         "strategy_thresholds": {
             "exact_knn_max_rows": EXACT_KNN_MAX_ROWS,
             "driver_eig_max_vertices": DRIVER_EIG_MAX_VERTICES,
+            "cc_star_min_vertices": CC_STAR_MIN_VERTICES,
             "broadcast_positions_max": BROADCAST_POSITIONS_MAX,
         },
     }

@@ -1,0 +1,95 @@
+"""Connected components: alternating large-star/small-star (O(log d)
+rounds) vs min-label propagation (O(d)) — identical labels on graphs
+with very different diameters, and networkx ground-truth parity.
+Reference relies on CC for LCC extraction
+(benchmarks/run_benchmarks.py:256-270)."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from graphem_rapids_spark.analytics import (
+    connected_components,
+    largest_connected_component,
+)
+
+
+def _spark_edges(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def _nx_components(g, n):
+    lab = {}
+    for comp in nx.connected_components(g):
+        m = min(comp)
+        for v in comp:
+            lab[v] = m
+    for v in range(n):
+        lab.setdefault(v, v)
+    return lab
+
+
+@pytest.mark.parametrize(
+    "gen,n",
+    [
+        # long diameter: the case min-label is O(n) rounds on and the
+        # star algorithm collapses in O(log n)
+        (lambda: nx.path_graph(200), 200),
+        # SBM-ish: two dense blocks plus a bridge
+        (
+            lambda: nx.stochastic_block_model(
+                [40, 40], [[0.3, 0.01], [0.01, 0.3]], seed=5
+            ),
+            80,
+        ),
+        # disconnected + isolated vertices (n exceeds max edge id)
+        (lambda: nx.erdos_renyi_graph(60, 0.03, seed=9), 70),
+        (lambda: nx.caveman_graph(6, 8), 48),
+    ],
+)
+def test_star_cc_matches_minlabel_and_networkx(spark, gen, n):
+    g = gen()
+    g = nx.convert_node_labels_to_integers(g)
+    edges = [(min(u, v), max(u, v)) for u, v in g.edges() if u != v]
+    e = _spark_edges(spark, edges)
+    want = _nx_components(g, n)
+    # path_graph(200) with max_iter=50: min-label would NOT converge in
+    # 50 rounds, star must — use it as the log-round evidence
+    star = {
+        r.id: r.component
+        for r in connected_components(e, n, max_iter=20, algorithm="star").collect()
+    }
+    assert star == want
+    minlabel = {
+        r.id: r.component
+        for r in connected_components(e, n, max_iter=250, algorithm="minlabel").collect()
+    }
+    assert minlabel == want
+
+
+def test_cc_auto_switch_respects_threshold(spark, monkeypatch):
+    from graphem_rapids_spark import session
+
+    g = nx.caveman_graph(4, 5)
+    edges = [(min(u, v), max(u, v)) for u, v in g.edges()]
+    e = _spark_edges(spark, edges)
+    want = _nx_components(g, 20)
+    monkeypatch.setattr(session, "CC_STAR_MIN_VERTICES", 0)  # force star
+    got = {r.id: r.component for r in connected_components(e, 20).collect()}
+    assert got == want
+    monkeypatch.setattr(session, "CC_STAR_MIN_VERTICES", 10**9)  # force minlabel
+    got = {r.id: r.component for r in connected_components(e, 20).collect()}
+    assert got == want
+    with pytest.raises(ValueError):
+        connected_components(e, 20, algorithm="bogus")
+
+
+def test_lcc_extraction_unchanged(spark):
+    # two components, sizes 5 (cycle) and 3 (triangle): LCC = the cycle
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 4), (10, 11), (11, 12), (10, 12)]
+    e = _spark_edges(spark, edges)
+    lcc = largest_connected_component(e, 13)
+    got = {(r.src, r.dst) for r in lcc.collect()}
+    assert got == {(0, 1), (1, 2), (2, 3), (3, 4), (0, 4)}
