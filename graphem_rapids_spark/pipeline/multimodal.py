@@ -3,11 +3,18 @@ with typed metadata, processed by Arrow-batched Pandas UDFs over
 ``mapInPandas``.
 
 The Spark-side plumbing — schemas, partition sizing, UDF signatures,
-batch shapes — is real and tested. The actual media decode is STUBBED
-(this container has no image/audio libraries): ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (seeded by content hash) produces plausible
-metadata so the downstream dataflow can be exercised end-to-end.
+batch shapes — is real and tested. Decoder tiers, by capability:
+
+- **metadata** (``extract_image_features``): PIL when installed, else
+  a pure-Python header sniffer (PNG/JPEG/GIF/BMP dimensions from the
+  container header — no codec needed, works in this container and is
+  golden-tested against crafted files);
+- **rasterization** (``resize_images``): PIL when installed
+  (auto-detected at import), else ``NotImplementedError`` — pixel
+  work genuinely needs a codec;
+- **pinned stub** (``fake=True`` on either): a deterministic fake
+  decoder seeded by content hash, so hash-checked oracle queries are
+  immune to environment changes.
 
 Scale notes: media blobs dominate row size, so `media_repartition`
 targets a byte budget per partition (not a row count); feature
@@ -19,6 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -88,23 +96,61 @@ def _pil_dims(content: bytes) -> tuple[int, int]:
         return 0, 0
 
 
+def _sniff_dims(content: bytes) -> tuple[int, int]:
+    """Pure-Python container-header parse for PNG / JPEG / GIF / BMP —
+    dimensions without any codec library (format specs are public:
+    PNG IHDR big-endian u32 pair, GIF logical-screen little-endian
+    u16, BMP BITMAPINFOHEADER little-endian i32, JPEG SOFn segment
+    walk). Unknown or corrupt input → (0, 0), the same contract as
+    the PIL path's exception fallback."""
+    b = content
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return int(w), int(h)
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return int(w), int(h)
+    if len(b) >= 26 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        return int(w), abs(int(h))  # negative height = top-down DIB
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2  # walk marker segments to the first SOFn frame header
+        sof = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+                i += 2 if marker != 0xFF else 1
+                continue
+            if i + 4 > len(b):
+                break
+            seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if marker in sof and i + 9 <= len(b):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return int(w), int(h)
+            i += 2 + seglen
+    return 0, 0
+
+
 def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """mapInPandas feature extraction: (media_id, width, height,
     n_bytes, phash). Arrow-batched; one pass, no shuffle.
 
     Decoder selection: ``fake=True`` pins the deterministic stub
-    (oracle-reproducible — PIL must not silently take over a
+    (oracle-reproducible — a real codec must not silently take over a
     hash-checked query); otherwise PIL when installed (auto-detected
-    at import), else NotImplementedError — the plumbing (schema,
-    Arrow batching, byte-budget partitioning) is identical on every
-    path."""
-    use_pil = HAS_PIL and not fake
-    if not use_pil and not fake:
-        raise NotImplementedError(
-            "real image decode needs PIL/opencv (absent in this container, "
-            "auto-used when installed); pass fake=True for the "
-            "deterministic stub decoder"
-        )
+    at import), else the pure-Python header sniffer
+    (:func:`_sniff_dims` — dimensions need no codec). The plumbing
+    (schema, Arrow batching, byte-budget partitioning) is identical
+    on every path."""
+    if fake:
+        dims_fn = _fake_decode
+    elif HAS_PIL:
+        dims_fn = _pil_dims
+    else:
+        dims_fn = _sniff_dims
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -115,10 +161,7 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
             contents = [
                 bytes(c) if c is not None else b"" for c in pdf["content"].to_numpy()
             ]
-            if use_pil:
-                dims = [_pil_dims(c) for c in contents]
-            else:
-                dims = [_fake_decode(c) for c in contents]
+            dims = [dims_fn(c) for c in contents]
             wh = np.asarray(dims, dtype=np.int64).reshape(len(contents), 2)
             yield pd.DataFrame(
                 {
