@@ -28,6 +28,13 @@ from pyspark.sql import functions as F
 
 from graphem_rapids_spark.graph.canon import symmetrize_edges, vertex_degrees
 
+# Brandes dependency accumulation quantum (power of two, so integer
+# deltas — e.g. on trees — stay bit-exact through the scaling): each
+# σ(v)/σ(w)·(1+δ) contribution is rounded to a multiple of 2⁻⁴⁰ and
+# summed as exact BIGINT, making results independent of summation
+# order (partitioning, engine, rerun).
+DELTA_FP_SCALE = 1 << 40
+
 _HASH_BUCKETS = 1 << 30
 
 
@@ -549,6 +556,16 @@ def betweenness_sampled(
     again one broadcast-join + groupBy per level. Every per-level
     table is ``localCheckpoint``-ed so plans stay flat.
 
+    Dependencies accumulate in **2⁻⁴⁰ fixed point**: each successor
+    contribution is quantized to a BIGINT before summing, so the
+    per-vertex sums are exact integers with no float accumulation
+    order — results are bit-identical across partitionings, engines,
+    and reruns (the property the cross-engine oracle relies on).
+    Quantization error is ≤ 2⁻⁴¹ per edge contribution — orders of
+    magnitude below the 1e-6 output rounding. On exact-integer
+    dependency graphs (trees: every σ ratio is 1) the fixed-point
+    path reproduces the float path bit-for-bit.
+
     With all vertices as sources this is exact Brandes; with k sampled
     sources the result is rescaled by n/k (networkx ``_rescale``
     convention, normalized = delta_sum/((n-1)(n-2)) for undirected).
@@ -592,37 +609,49 @@ def betweenness_sampled(
 
     # backward accumulation, deepest level has delta = 0
     acc = None
-    delta_next = levels[-1].withColumn("delta", F.lit(0.0))
+    delta_next = levels[-1].withColumn("delta_fp", F.lit(0).cast("long"))
     for d in range(len(levels) - 2, -1, -1):
         # level sizes were counted in the forward pass — same
         # broadcast↔shuffle decision, no extra jobs
         dn = delta_next.select(
-            "s", "id", F.col("sigma").alias("sigma_w"), F.col("delta").alias("delta_w")
+            "s", "id", F.col("sigma").alias("sigma_w"), F.col("delta_fp").alias("dfp_w")
         )
         up = (
             sym.withColumnRenamed("src", "id")
             .join(F.broadcast(dn) if level_counts[d + 1] <= broadcast_max else dn, "id")
-            .select("s", F.col("dst").alias("id"), "sigma_w", "delta_w")
+            .select("s", F.col("dst").alias("id"), "sigma_w", "dfp_w")
         )
         cur = levels[d]
+        # σ(v)/σ(w)·(1+delta_w) in 2⁻⁴⁰ fixed point: (FP + dfp_w) is an
+        # exact BIGINT sum converted once to double, the ratio·scale
+        # product is one IEEE multiply, and round→BIGINT makes the
+        # groupBy sum order-free (exact integer arithmetic)
         contrib = (
             cur.join(up, ["s", "id"])
             .groupBy("s", "id")
             .agg(
-                F.sum((F.col("sigma") / F.col("sigma_w")) * (1.0 + F.col("delta_w"))).alias(
-                    "delta"
-                )
+                F.sum(
+                    F.round(
+                        (F.col("sigma") / F.col("sigma_w"))
+                        * (F.lit(DELTA_FP_SCALE) + F.col("dfp_w")).cast("double")
+                    ).cast("long")
+                ).alias("delta_fp")
             )
         )
         # LEFT join: BFS dead-ends at this level (no successors below)
         # must stay with delta=0 — they still feed (1+0) upstream
         delta_next = (
             cur.join(contrib, ["s", "id"], "left")
-            .select("s", "id", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            .select(
+                "s",
+                "id",
+                "sigma",
+                F.coalesce("delta_fp", F.lit(0).cast("long")).alias("delta_fp"),
+            )
             .localCheckpoint(eager=True)
         )
         if d > 0:  # level 0 is the sources themselves — excluded by Brandes
-            part = delta_next.select("id", "delta")
+            part = delta_next.select("id", "delta_fp")
             acc = part if acc is None else acc.unionAll(part)
         # non-predecessor joins (same-level neighbors) were filtered by
         # the inner join against `cur` (exactly the level-d vertices)
@@ -632,13 +661,14 @@ def betweenness_sampled(
         return spark.range(n_vertices).select(
             F.col("id").cast("long"), F.lit(0.0).alias("value")
         )
-    raw = acc.groupBy("id").agg(F.sum("delta").alias("delta_sum"))
+    raw = acc.groupBy("id").agg(F.sum("delta_fp").alias("dfp_sum"))
+    dsum = F.col("dfp_sum").cast("double") / F.lit(float(DELTA_FP_SCALE))
     scale = float(n_vertices) / float(n_sources)  # sampling rescale (nx convention)
     if normalized:
         denom = float(max((n_vertices - 1) * (n_vertices - 2), 1))
-        val = F.col("delta_sum") * scale / denom
+        val = dsum * scale / denom
     else:
-        val = F.col("delta_sum") * scale / 2.0
+        val = dsum * scale / 2.0
     vertices = spark.range(n_vertices).select(F.col("id").cast("long"))
     return vertices.join(raw, "id", "left").select(
         "id", F.coalesce(val, F.lit(0.0)).alias("value")
