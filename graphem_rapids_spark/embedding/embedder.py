@@ -66,6 +66,7 @@ class GraphEmbedderSpark:
         checkpoint_every: int = 4,
         verbose: bool = False,
         canonical: bool = False,
+        weight_col: str | None = None,
     ):
         if n_vertices <= 0:
             raise ValueError("graph must be non-empty")
@@ -90,9 +91,32 @@ class GraphEmbedderSpark:
         # global sort (the reference's implicit array index).
         # canonical=True skips the dedupe shuffle when the caller
         # guarantees src<dst distinct edges (generators, relabel).
-        base_edges = edges if canonical else canonicalize_edges(edges)
+        # weight_col: weighted spring layout — the reference declares
+        # edge weights future work (SURVEY §1.2); spring magnitude
+        # scales by the (canonicalized, duplicate-summed) weight while
+        # the repulsion/kNN machinery is weight-agnostic.
+        self.weighted = weight_col is not None
+        if self.weighted:
+            w = F.col(weight_col).cast("double").alias("weight")
+            if canonical:
+                base_edges = edges.select("src", "dst", w)
+            else:
+                base_edges = (
+                    edges.select(
+                        F.least("src", "dst").cast("long").alias("src"),
+                        F.greatest("src", "dst").cast("long").alias("dst"),
+                        w,
+                    )
+                    .filter(F.col("src") < F.col("dst"))
+                    .groupBy("src", "dst")
+                    .agg(F.sum("weight").alias("weight"))
+                )
+            cols = ["src", "dst", "weight"]
+        else:
+            base_edges = edges if canonical else canonicalize_edges(edges)
+            cols = ["src", "dst"]
         self.edges = (
-            base_edges.select("src", "dst")
+            base_edges.select(*cols)
             .withColumn("edge_id", F.xxhash64("src", "dst"))
             .persist()
         )
@@ -152,6 +176,8 @@ class GraphEmbedderSpark:
         dist = F.sqrt(sum(F.col(f"_df{i}") * F.col(f"_df{i}") for i in dims))
         d = d.withColumn("_dist", dist + F.lit(_EPS))
         mag = F.lit(-self.k_attr) * (F.col("_dist") - F.lit(self.L_min))
+        if self.weighted:  # heavier edges pull proportionally harder
+            mag = mag * F.col("weight")
         d = d.withColumn("_mag", mag)
         return d.select(
             F.explode(
@@ -199,6 +225,7 @@ class GraphEmbedderSpark:
             "dst",
             "p1",
             "p2",
+            *(["weight"] if self.weighted else []),  # spring pass reads cache
             *[
                 ((F.col("p1").getItem(i) + F.col("p2").getItem(i)) / 2.0).alias(
                     f"m{i}"

@@ -1681,6 +1681,54 @@ def layout_seed_selection(spark, sf_dir):
     return top
 
 
+def graph_weighted_layout(spark, sf_dir):
+    """Weighted force layout: co-purchase multiplicity (how many
+    orders share the pair) scales the spring magnitude, so frequently
+    co-bought parts settle at tighter equilibrium — the weighted
+    variant the reference declares future work (SURVEY §1.2). Radial
+    top-10. Float-iterative ⇒ rows-only; the weighted force law is
+    pinned exactly by test_weighted_spring_force_oracle and the
+    unit-weight path is bit-identical to the flagship's."""
+    from graphem_rapids_spark.embedding.embedder import GraphEmbedderSpark
+    from graphem_rapids_spark.graph.canon import relabel_contiguous
+
+    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
+    we = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("src") < F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    e, mapping = relabel_contiguous(we.select("src", "dst"), canonical=True)
+    n = mapping.count()
+    m = mapping
+    # remap endpoints (monotone relabel keeps src < dst canonical)
+    wre = (
+        we.join(m, we.src == m.old_id)
+        .select(F.col("new_id").alias("src"), "dst", "w")
+        .join(m, F.col("dst") == m.old_id)
+        .select("src", F.col("new_id").alias("dst"), "w")
+    )
+    emb = GraphEmbedderSpark(
+        wre,
+        n,
+        n_components=2,
+        seed=42,
+        sample_size=128,
+        canonical=True,
+        weight_col="w",
+    )
+    emb.run_layout(2)
+    r = emb.radial_distances()
+    return (
+        r.orderBy(F.col("radius").desc(), F.col("id").asc())
+        .limit(10)
+        .join(mapping, r.id == mapping.new_id)
+        .select(F.col("old_id").alias("part_id"), F.round("radius", 4).alias("radius"))
+    )
+
+
 def influence_ic(spark, sf_dir):
     """IC spread of the top-5-degree seeds on the co-purchase graph.
     Deterministic AND oracle-checked: each directed edge gets exactly
@@ -6030,6 +6078,7 @@ QUERIES = {
     "events_minute_fill": events_minute_fill,
     "kcore_copurchase": kcore_copurchase,
     "layout_seed_selection": layout_seed_selection,
+    "graph_weighted_layout": graph_weighted_layout,
     "events_sessionize": events_sessionize,
     "events_json_extract": events_json_extract,
     "gen_caveman_stats": gen_caveman_stats,

@@ -123,3 +123,59 @@ def test_invalid_inputs(spark, k4):
         GraphEmbedderSpark(k4, 4, n_components=0)
     with pytest.raises(ValueError):
         GraphEmbedderSpark(k4, 4, k_attr=-1.0)
+
+
+def test_weighted_layout_unit_weights_match_unweighted(spark, k4):
+    """weight=1 everywhere must reproduce the unweighted layout
+    bit-for-bit (the weighted magnitude is mag*1.0 — IEEE no-op)."""
+    kw = dict(n_components=2, sample_size=4, seed=7)
+    un = GraphEmbedderSpark(k4, 4, **kw)
+    un.run_layout(3)
+    w1 = k4.withColumn("w", F.lit(1.0))
+    we = GraphEmbedderSpark(w1, 4, weight_col="w", **kw)
+    we.run_layout(3)
+    a = {r.id: tuple(r.pos) for r in un.positions.collect()}
+    b = {r.id: tuple(r.pos) for r in we.positions.collect()}
+    assert a == b
+
+
+def test_weighted_spring_force_oracle(spark):
+    """One weighted update with k_inter=0 against the closed-form law:
+    the reference magnitude −k_attr·(dist−L_min) scaled by the edge
+    weight (embedder_pytorch.py:617-634 semantics + the weight factor
+    the reference declares future work)."""
+    weights = {(0, 1): 2.0, (1, 2): 0.5, (0, 2): 1.0}
+    e = spark.createDataFrame(
+        [(s, d, w) for (s, d), w in weights.items()],
+        "src long, dst long, w double",
+    )
+    emb = GraphEmbedderSpark(
+        e, 3, n_components=2, weight_col="w", k_inter=0.0, seed=3
+    )
+    P0 = emb.get_positions()
+    emb.update_positions()
+    P1 = emb.get_positions()
+
+    F_ = np.zeros_like(P0)
+    for (s, d), w in weights.items():
+        diff = P0[d] - P0[s]
+        dist = np.linalg.norm(diff) + 1e-6
+        f = -0.2 * (dist - 1.0) * w * diff / dist
+        F_[s] += f
+        F_[d] -= f
+    want = P0 + F_
+    want = want - want.mean(0)
+    want = want / (want.std(0, ddof=1) + 1e-6)
+    assert np.allclose(P1, want, atol=1e-9)
+
+
+def test_weighted_layout_duplicate_edges_sum(spark):
+    """Non-canonical duplicate rows (both orientations) must collapse
+    to one canonical edge with the summed weight."""
+    dup = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 0, 3.0)], "src long, dst long, w double"
+    )
+    emb = GraphEmbedderSpark(dup, 2, weight_col="w", sample_size=1)
+    rows = emb.edges.collect()
+    assert len(rows) == 1
+    assert (rows[0].src, rows[0].dst, rows[0].weight) == (0, 1, 5.0)
