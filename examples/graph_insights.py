@@ -62,6 +62,24 @@ def main() -> None:
     far = Q.graph_weighted_sssp(spark, sf_dir)
     print("weighted-SSSP reach:", far.count(), "parts from the min-id source")
 
+    # O(log d) star-contraction CC — the 100 TB path (identical labels
+    # to min-label propagation; auto-selected above GRAPHEM_CC_STAR_MIN)
+    from graphem_rapids_spark.analytics import connected_components
+    from graphem_rapids_spark.graph.canon import relabel_contiguous
+
+    e, mapping = relabel_contiguous(Q.copurchase_edges(spark, sf_dir), canonical=True)
+    n = mapping.count()
+    comp = connected_components(e, n, algorithm="star")
+    sizes = comp.groupBy("component").count().orderBy(comp.component)
+    print("components (star contraction):", sizes.count(), "largest:",
+          sizes.orderBy(sizes["count"].desc()).first()["count"])
+
+    # weighted force layout: order multiplicity pulls co-bought parts
+    wl = Q.graph_weighted_layout(spark, sf_dir)
+    print("weighted-layout radial seeds:")
+    for r in wl.limit(3).collect():
+        print(f"  part {r.part_id}: radius={r.radius}")
+
     spark.stop()
 
 

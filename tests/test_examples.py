@@ -41,3 +41,5 @@ def test_graph_insights_example():
     assert "degree assortativity:" in stdout
     assert "core-number histogram:" in stdout
     assert "strongest part affinities:" in stdout
+    assert "components (star contraction):" in stdout
+    assert "weighted-layout radial seeds:" in stdout
