@@ -316,6 +316,7 @@ def _connected_components_star(
         .localCheckpoint(eager=True)
     )
     sig: tuple | None = None
+    done = False
     for _ in range(max_iter):
         # large-star: emitted pairs (b, m) keep b > m since m ≤ a < b
         sym = e.select(F.col("x").alias("a"), F.col("y").alias("b")).unionAll(
@@ -355,6 +356,14 @@ def _connected_components_star(
         sig = new_sig
         if done:
             break
+    if not done:
+        warnings.warn(
+            f"connected_components(star): edge set not stable after "
+            f"{max_iter} rounds; labels may split components — raise "
+            "max_iter",
+            RuntimeWarning,
+            stacklevel=3,
+        )
     stars = e.groupBy(F.col("x").alias("id")).agg(F.min("y").alias("component"))
     e.unpersist()
     ids = spark.range(n_vertices).select(F.col("id").cast("long"))
@@ -557,10 +566,13 @@ def betweenness_sampled(
     table is ``localCheckpoint``-ed so plans stay flat.
 
     Dependencies accumulate in **2⁻⁴⁰ fixed point**: each successor
-    contribution is quantized to a BIGINT before summing, so the
-    per-vertex sums are exact integers with no float accumulation
-    order — results are bit-identical across partitionings, engines,
-    and reruns (the property the cross-engine oracle relies on).
+    contribution is quantized to a DECIMAL(38,0) integer before
+    summing (σ path counts are DECIMAL too), so the per-vertex sums
+    are exact integers with no float accumulation order — results are
+    bit-identical across partitionings, engines, and reruns (the
+    property the cross-engine oracle relies on), and stay exact to
+    10³⁸ where 64-bit (or 2⁵³-double) accumulators would overflow on
+    billion-vertex hubs or dense-graph path counts.
     Quantization error is ≤ 2⁻⁴¹ per edge contribution — orders of
     magnitude below the 1e-6 output rounding. On exact-integer
     dependency graphs (trees: every σ ratio is 1) the fixed-point
@@ -581,8 +593,11 @@ def betweenness_sampled(
 
     broadcast_max = session.BROADCAST_POSITIONS_MAX
 
+    # sigma as DECIMAL(38,0): path counts are exact integers up to
+    # 10³⁸ (a double would silently lose exactness past 2⁵³ on dense
+    # graphs, reintroducing summation-order drift)
     frontier = sources.select(
-        F.col("id").alias("s"), F.col("id"), F.lit(1.0).alias("sigma")
+        F.col("id").alias("s"), F.col("id"), F.lit(1).cast("decimal(38,0)").alias("sigma")
     ).localCheckpoint(eager=True)
     levels = [frontier]
     level_counts = [n_sources]  # frontier sizes, reused by the backward pass
@@ -607,9 +622,12 @@ def betweenness_sampled(
         # lineage growth, so no extra checkpoint job per round
         seen = seen.unionAll(frontier.select("s", "id"))
 
-    # backward accumulation, deepest level has delta = 0
+    # backward accumulation, deepest level has delta = 0.
+    # delta_fp as DECIMAL(38,0): a hub vertex's delta can reach
+    # n·2⁴⁰ ≈ 10²¹ at 10⁹ vertices — far past BIGINT — while the
+    # oracle sums HUGEINT; DECIMAL keeps both engines exact to 10³⁸.
     acc = None
-    delta_next = levels[-1].withColumn("delta_fp", F.lit(0).cast("long"))
+    delta_next = levels[-1].withColumn("delta_fp", F.lit(0).cast("decimal(38,0)"))
     for d in range(len(levels) - 2, -1, -1):
         # level sizes were counted in the forward pass — same
         # broadcast↔shuffle decision, no extra jobs
@@ -623,18 +641,20 @@ def betweenness_sampled(
         )
         cur = levels[d]
         # σ(v)/σ(w)·(1+delta_w) in 2⁻⁴⁰ fixed point: (FP + dfp_w) is an
-        # exact BIGINT sum converted once to double, the ratio·scale
-        # product is one IEEE multiply, and round→BIGINT makes the
-        # groupBy sum order-free (exact integer arithmetic)
+        # exact DECIMAL sum converted once to double, the ratio·scale
+        # product is one IEEE multiply, and round→DECIMAL makes the
+        # groupBy sum order-free (exact integer arithmetic; both the
+        # ratio operands and the scaled delta convert decimal→double
+        # identically to the oracle's HUGEINT→DOUBLE)
         contrib = (
             cur.join(up, ["s", "id"])
             .groupBy("s", "id")
             .agg(
                 F.sum(
                     F.round(
-                        (F.col("sigma") / F.col("sigma_w"))
+                        (F.col("sigma").cast("double") / F.col("sigma_w").cast("double"))
                         * (F.lit(DELTA_FP_SCALE) + F.col("dfp_w")).cast("double")
-                    ).cast("long")
+                    ).cast("decimal(38,0)")
                 ).alias("delta_fp")
             )
         )
@@ -646,7 +666,9 @@ def betweenness_sampled(
                 "s",
                 "id",
                 "sigma",
-                F.coalesce("delta_fp", F.lit(0).cast("long")).alias("delta_fp"),
+                F.coalesce("delta_fp", F.lit(0).cast("decimal(38,0)")).alias(
+                    "delta_fp"
+                ),
             )
             .localCheckpoint(eager=True)
         )
@@ -855,6 +877,7 @@ def coreness(edges: DataFrame, max_rounds: int = 60) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=True)
     )
+    changed = -1  # "never iterated" sentinel for the max_rounds=0 case
     for _ in range(max_rounds):
         new = hindex_round(sym, c).localCheckpoint(eager=True)
         changed = (
@@ -870,10 +893,11 @@ def coreness(edges: DataFrame, max_rounds: int = 60) -> DataFrame:
         # loop exhausted max_rounds with changed > 0: values are still
         # upper bounds, not exact coreness — surface it instead of
         # silently returning (the docstring promises exactness)
+        still = "never iterated" if changed < 0 else f"{changed} vertices still changing"
         warnings.warn(
             f"coreness: not converged after {max_rounds} rounds "
-            f"({changed} vertices still changing); returned values are "
-            "upper bounds — raise max_rounds",
+            f"({still}); returned values are upper bounds — raise "
+            "max_rounds",
             RuntimeWarning,
             stacklevel=2,
         )

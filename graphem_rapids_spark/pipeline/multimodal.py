@@ -110,26 +110,37 @@ def _sniff_dims(content: bytes) -> tuple[int, int]:
     if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", b[6:10])
         return int(w), int(h)
-    if len(b) >= 26 and b[:2] == b"BM":
-        w, h = struct.unpack("<ii", b[18:26])
-        return int(w), abs(int(h))  # negative height = top-down DIB
+    if len(b) >= 22 and b[:2] == b"BM":
+        hdr = struct.unpack("<I", b[14:18])[0]  # DIB header size field
+        if hdr == 12:  # OS/2 BITMAPCOREHEADER: u16 dims
+            w, h = struct.unpack("<HH", b[18:22])
+            return int(w), int(h)
+        if hdr >= 40 and len(b) >= 26:  # BITMAPINFOHEADER family: i32
+            w, h = struct.unpack("<ii", b[18:26])
+            return int(w), abs(int(h))  # negative height = top-down DIB
+        return 0, 0
     if len(b) >= 4 and b[:2] == b"\xff\xd8":
         i = 2  # walk marker segments to the first SOFn frame header
         sof = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
-        while i + 9 < len(b):
+        while i + 1 < len(b):
             if b[i] != 0xFF:
                 i += 1
                 continue
             marker = b[i + 1]
-            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
-                i += 2 if marker != 0xFF else 1
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone
+                i += 2
                 continue
             if i + 4 > len(b):
                 break
             seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
-            if marker in sof and i + 9 <= len(b):
-                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
-                return int(w), int(h)
+            if marker in sof:
+                if i + 9 <= len(b):
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    return int(w), int(h)
+                break
             i += 2 + seglen
     return 0, 0
 

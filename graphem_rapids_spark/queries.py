@@ -1699,8 +1699,12 @@ def graph_weighted_layout(spark, sf_dir):
         a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("src") < F.col("dst")))
         .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("w"))
+        # materialized once: the relabel stats, mapping counts and both
+        # remap joins all read this checkpoint instead of re-running
+        # the order-pair self-join
+        .localCheckpoint(eager=True)
     )
-    e, mapping = relabel_contiguous(we.select("src", "dst"), canonical=True)
+    _, mapping = relabel_contiguous(we.select("src", "dst"), canonical=True)
     n = mapping.count()
     m = mapping
     # remap endpoints (monotone relabel keeps src < dst canonical)
@@ -3736,10 +3740,12 @@ def betweenness_copurchase(spark, sf_dir):
 def _betw_copurchase_sql(depth: int = _BETW_DEPTH) -> str:
     """Depth-bounded Brandes unrolled to SQL, mirroring
     ``analytics.betweenness_sampled`` level by level: forward BFS
-    CTEs carry (s, id, sigma) per level with a visited anti-join;
+    CTEs carry (s, id, sigma) per level with a visited anti-join
+    (sigma = HUGEINT, matching Spark's DECIMAL(38,0) path counts);
     backward CTEs quantize each σᵥ/σ_w·(1+δ_w) contribution to 2⁻⁴⁰
-    fixed point and sum exact BIGINTs (identical doubles → identical
-    rounded integers → order-free sums on both engines)."""
+    fixed point and sum exact HUGEINTs (identical doubles → identical
+    rounded integers → order-free sums on both engines, exact past
+    the BIGINT/2⁵³ range)."""
     from graphem_rapids_spark.analytics import DELTA_FP_SCALE
 
     fp = DELTA_FP_SCALE
@@ -3755,7 +3761,7 @@ def _betw_copurchase_sql(depth: int = _BETW_DEPTH) -> str:
   WHERE CAST((t.range * 2654435761) % nv.n AS BIGINT) IN (SELECT id FROM verts)
 )
 , kk AS (SELECT count(*) AS k FROM s0)
-, f0 AS MATERIALIZED (SELECT id AS s, id, CAST(1 AS DOUBLE) AS sigma FROM s0)
+, f0 AS MATERIALIZED (SELECT id AS s, id, CAST(1 AS HUGEINT) AS sigma FROM s0)
 , vis0 AS MATERIALIZED (SELECT s, id FROM f0)""",
     ]
     for d in range(1, depth + 1):
@@ -3777,7 +3783,7 @@ def _betw_copurchase_sql(depth: int = _BETW_DEPTH) -> str:
     parts.append(
         f"""
 , del{depth} AS MATERIALIZED (
-  SELECT s, id, sigma, CAST(0 AS BIGINT) AS delta_fp FROM f{depth}
+  SELECT s, id, sigma, CAST(0 AS HUGEINT) AS delta_fp FROM f{depth}
 )"""
     )
     for d in range(depth - 1, -1, -1):
@@ -3789,12 +3795,13 @@ def _betw_copurchase_sql(depth: int = _BETW_DEPTH) -> str:
 )
 , con{d} AS (
   SELECT c.s, c.id,
-         sum(CAST(round(c.sigma / u.sigma_w * CAST({fp} + u.dfp_w AS DOUBLE)) AS BIGINT)) AS dfp
+         sum(CAST(round(CAST(c.sigma AS DOUBLE) / CAST(u.sigma_w AS DOUBLE)
+                        * CAST({fp} + u.dfp_w AS DOUBLE)) AS HUGEINT)) AS dfp
   FROM f{d} c JOIN up{d} u ON c.s = u.s AND c.id = u.id
   GROUP BY c.s, c.id
 )
 , del{d} AS MATERIALIZED (
-  SELECT c.s, c.id, c.sigma, coalesce(n.dfp, CAST(0 AS BIGINT)) AS delta_fp
+  SELECT c.s, c.id, c.sigma, coalesce(n.dfp, CAST(0 AS HUGEINT)) AS delta_fp
   FROM f{d} c LEFT JOIN con{d} n ON c.s = n.s AND c.id = n.id
 )"""
         )
@@ -5977,9 +5984,11 @@ GROUP BY a.cl, c.c"""
 # connected_components_copurchase because its execution path
 # changed this round (driver collect removed), the two most
 # expensive pipelines (pagerank, minhash-LSH), the strategy-switch
-# canary (cosine_near_dup), and the TPC-H bellwether (q1). All
-# 141 entries regardless of position are hash-verified each
-# session by scripts/oracle_check.py and tests/test_oracle_parity.py.
+# canary (cosine_near_dup), and betweenness_copurchase (execution
+# semantics changed this round: pinned depth + fixed-point deltas +
+# first-ever hash oracle). All 142 entries regardless of position are
+# hash-verified each session by scripts/oracle_check.py and
+# tests/test_oracle_parity.py.
 QUERIES = {
     # --- (a) never driver-checked through round 2 — first-50 window -
     "embedding_quantize_int8": embedding_quantize_int8,
@@ -6037,8 +6046,8 @@ QUERIES = {
     # and it now carries a full hash oracle instead of rows-only
     "betweenness_copurchase": betweenness_copurchase,
     # --- past the 50-entry cut: driver rows already on file (r1/r2); -
-    "q1_pricing_summary": q1_pricing_summary,
     # --- strict local gate + pytest parity re-verify them each session
+    "q1_pricing_summary": q1_pricing_summary,
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,

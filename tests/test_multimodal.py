@@ -87,10 +87,24 @@ def test_header_sniffer_goldens():
 
     assert _sniff_dims(_png_bytes(5, 3)) == (5, 3)
     assert _sniff_dims(_jpeg_header_bytes(640, 480)) == (640, 480)
+    # SOF dimension bytes ending exactly at the buffer end: keep
+    # SOI(2) + APP0(18) + marker/len/precision/height/width(9) = 29
+    truncated = _jpeg_header_bytes(33, 22)[:29]
+    assert _sniff_dims(truncated) == (33, 22)
     gif = b"GIF89a" + struct.pack("<HH", 12, 7) + b"\x00" * 4
     assert _sniff_dims(gif) == (12, 7)
-    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 9, -4) + b"\x00" * 4
+    # BITMAPINFOHEADER (header-size field 40 at offset 14, i32 dims)
+    bmp = (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+        + struct.pack("<ii", 9, -4) + b"\x00" * 4
+    )
     assert _sniff_dims(bmp) == (9, 4)  # top-down DIB: |height|
+    # OS/2 BITMAPCOREHEADER (header-size 12, u16 dims)
+    core = b"BM" + b"\x00" * 12 + struct.pack("<I", 12) + struct.pack("<HH", 100, 50)
+    assert _sniff_dims(core) == (100, 50)
+    # unknown DIB header size -> contract fallback, not garbage
+    junk = b"BM" + b"\x00" * 12 + struct.pack("<I", 7) + b"\x00" * 8
+    assert _sniff_dims(junk) == (0, 0)
     assert _sniff_dims(b"not an image") == (0, 0)
     assert _sniff_dims(b"") == (0, 0)
 
