@@ -288,14 +288,13 @@ def eigenvector_centrality(
 
 
 # ------------------------------------------------------------------- A7
-def _connected_components_star(
-    edges: DataFrame, n_vertices: int, max_iter: int = 50
-) -> DataFrame:
-    """(id, component) — alternating large-star/small-star contraction
-    (Kiveris et al. 2014, "Connected Components in MapReduce and
-    Beyond"): converges in O(log d) rounds instead of min-label's
-    O(d), so a 100×-scale path-ish component costs tens of rounds,
-    not millions.
+def star_contract_edges(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(x, y) star forest — alternating large-star/small-star
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") run to its edge-set fixpoint: every
+    non-root vertex x appears with y = its component's minimum id.
+    Converges in O(log d) rounds instead of min-label's O(d), so a
+    100×-scale path-ish component costs tens of rounds, not millions.
 
     One round = large-star (every vertex u links its larger neighbors
     to m = min(N(u) ∪ {u})) then small-star (every vertex links its
@@ -306,7 +305,6 @@ def _connected_components_star(
     ``GRAPHEM_CC_STAR_MIN`` switch). Convergence = stable edge set,
     detected by a (count, Σxxhash64) signature and confirmed with an
     exact exceptAll before exiting (runs once, at the fixpoint)."""
-    spark = edges.sparkSession
     e = (
         edges.select(
             F.greatest("src", "dst").alias("x"), F.least("src", "dst").alias("y")
@@ -364,6 +362,16 @@ def _connected_components_star(
             RuntimeWarning,
             stacklevel=3,
         )
+    return e
+
+
+def _connected_components_star(
+    edges: DataFrame, n_vertices: int, max_iter: int = 50
+) -> DataFrame:
+    """(id, component) over ids 0..n-1 from the star forest of
+    :func:`star_contract_edges` (isolated ids label themselves)."""
+    spark = edges.sparkSession
+    e = star_contract_edges(edges, max_iter)
     stars = e.groupBy(F.col("x").alias("id")).agg(F.min("y").alias("component"))
     e.unpersist()
     ids = spark.range(n_vertices).select(F.col("id").cast("long"))

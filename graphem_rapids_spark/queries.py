@@ -1659,6 +1659,28 @@ def _cc_sql(rounds: int = _CC_ROUNDS) -> str:
     return "\n".join(parts)
 
 
+def connected_components_star(spark, sf_dir):
+    """Component size histogram via the O(log d) alternating
+    large-star/small-star contraction (``star_contract_edges`` — the
+    100 TB CC path). Star labels equal min-label labels (both =
+    component minimum id), so this query shares the unrolled
+    min-label SQL oracle: the driver hash-gates the star kernel
+    itself, not just its pytest parity."""
+    from graphem_rapids_spark.analytics import star_contract_edges
+
+    e = copurchase_edges(spark, sf_dir)
+    verts = vertices_from_edges(e)
+    stars = (
+        star_contract_edges(e)
+        .groupBy(F.col("x").alias("id"))
+        .agg(F.min("y").alias("component"))
+    )
+    labels = verts.join(stars, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    return labels.groupBy("component").agg(F.count("*").alias("size"))
+
+
 def layout_seed_selection(spark, sf_dir):
     """Flagship: co-purchase graph → spectral init → force layout →
     radial top-10 (the reference's headline query, README.md:170-189)."""
@@ -5986,7 +6008,7 @@ GROUP BY a.cl, c.c"""
 # expensive pipelines (pagerank, minhash-LSH), the strategy-switch
 # canary (cosine_near_dup), and betweenness_copurchase (execution
 # semantics changed this round: pinned depth + fixed-point deltas +
-# first-ever hash oracle). All 142 entries regardless of position are
+# first-ever hash oracle). All 143 entries regardless of position are
 # hash-verified each session by scripts/oracle_check.py and
 # tests/test_oracle_parity.py.
 QUERIES = {
@@ -6087,6 +6109,7 @@ QUERIES = {
     "events_minute_fill": events_minute_fill,
     "kcore_copurchase": kcore_copurchase,
     "layout_seed_selection": layout_seed_selection,
+    "connected_components_star": connected_components_star,
     "graph_weighted_layout": graph_weighted_layout,
     "events_sessionize": events_sessionize,
     "events_json_extract": events_json_extract,
@@ -6230,6 +6253,8 @@ ORACLES = {
     "betweenness_copurchase": _betw_copurchase_sql(),
     "spearman_bootstrap_ci": _boot_sql(),
     "connected_components_copurchase": _cc_sql(),
+    # star contraction produces the same min-id labels — same oracle
+    "connected_components_star": _cc_sql(),
     "influence_ic": _ic_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "doc_pipeline_funnel": _FUNNEL_SQL,
