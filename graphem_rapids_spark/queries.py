@@ -2138,6 +2138,53 @@ SELECT qid, rid, round(cos, 6) AS cosine, rank FROM (
 """
 
 
+def ann_recall_at_k(spark, sf_dir):
+    """ANN quality gate: recall@5 of the IVF index against the exact
+    brute-force cosine top-5 over the same query set — the metric an
+    embedding pipeline tunes n_cells/n_probe against before trusting
+    an index at scale. Composes the two oracle-checked registry
+    queries (`ann_ivf_topk`, `ann_cosine_topk`); hit counts and the
+    query count are exact integers, so the output is one exact
+    division. Output: (n_queries, recall_at_5)."""
+    approx = ann_ivf_topk(spark, sf_dir).select("qid", "rid")
+    exact = ann_cosine_topk(spark, sf_dir).select("qid", "rid")
+    hits = (
+        approx.join(exact, ["qid", "rid"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("hits"))
+    )
+    per = (
+        exact.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select("qid", F.coalesce("hits", F.lit(0)).alias("hits"))
+    )
+    return per.agg(
+        F.count("*").alias("n_queries"),
+        F.round(
+            F.sum("hits").cast("double") / (F.count("*") * F.lit(5)).cast("double"),
+            6,
+        ).alias("recall_at_5"),
+    )
+
+
+_RECALL_SQL = f"""
+WITH approx AS (SELECT qid, rid FROM ({_ivf_sql()})),
+exact AS (SELECT qid, rid FROM ({_ANN_SQL})),
+hit AS (
+  SELECT a.qid, count(*) AS hits FROM approx a JOIN exact e
+  ON a.qid = e.qid AND a.rid = e.rid GROUP BY a.qid
+),
+per AS (
+  SELECT e.qid, coalesce(h.hits, 0) AS hits
+  FROM (SELECT DISTINCT qid FROM exact) e LEFT JOIN hit h ON e.qid = h.qid
+)
+SELECT count(*) AS n_queries,
+       round(CAST(sum(hits) AS DOUBLE) / CAST(count(*) * 5 AS DOUBLE), 6) AS recall_at_5
+FROM per
+"""
+
+
 def influence_greedy(spark, sf_dir):
     """I3 greedy seed selection (candidate-batched IC) on the top-20-
     degree subset of the co-purchase graph; k=3. Iterative + hash-coin
@@ -6008,7 +6055,7 @@ GROUP BY a.cl, c.c"""
 # expensive pipelines (pagerank, minhash-LSH), the strategy-switch
 # canary (cosine_near_dup), and betweenness_copurchase (execution
 # semantics changed this round: pinned depth + fixed-point deltas +
-# first-ever hash oracle). All 143 entries regardless of position are
+# first-ever hash oracle). All 144 entries regardless of position are
 # hash-verified each session by scripts/oracle_check.py and
 # tests/test_oracle_parity.py.
 QUERIES = {
@@ -6110,6 +6157,7 @@ QUERIES = {
     "kcore_copurchase": kcore_copurchase,
     "layout_seed_selection": layout_seed_selection,
     "connected_components_star": connected_components_star,
+    "ann_recall_at_k": ann_recall_at_k,
     "graph_weighted_layout": graph_weighted_layout,
     "events_sessionize": events_sessionize,
     "events_json_extract": events_json_extract,
@@ -6255,6 +6303,7 @@ ORACLES = {
     "connected_components_copurchase": _cc_sql(),
     # star contraction produces the same min-id labels — same oracle
     "connected_components_star": _cc_sql(),
+    "ann_recall_at_k": _RECALL_SQL,
     "influence_ic": _ic_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "doc_pipeline_funnel": _FUNNEL_SQL,
