@@ -6048,15 +6048,15 @@ GROUP BY a.cl, c.c"""
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Round-3 rotation: positions 1-45 are the 45
 # entries that have never had a driver correctness row (everything
-# the r2 VERDICT lists as local-pass only); positions 46-50 are
-# prior driver-greens kept in-window as regression canaries —
-# connected_components_copurchase because its execution path
-# changed this round (driver collect removed), the two most
-# expensive pipelines (pagerank, minhash-LSH), the strategy-switch
-# canary (cosine_near_dup), and betweenness_copurchase (execution
-# semantics changed this round: pinned depth + fixed-point deltas +
-# first-ever hash oracle). All 144 entries regardless of position are
-# hash-verified each session by scripts/oracle_check.py and
+# the r2 VERDICT lists as local-pass only); positions 46-50 maximize
+# fresh verification yield — the two queries whose execution paths
+# changed this round (connected_components_copurchase: driver collect
+# removed; betweenness_copurchase: pinned depth + fixed-point deltas
+# + first-ever hash oracle), the two new round-3 oracle queries
+# (connected_components_star, ann_recall_at_k), and one prior
+# double-green regression canary (dedup_minhash_lsh, the most complex
+# pipeline). All 144 entries regardless of position are hash-verified
+# each session by scripts/oracle_check.py and
 # tests/test_oracle_parity.py.
 QUERIES = {
     # --- (a) never driver-checked through round 2 — first-50 window -
@@ -6105,17 +6105,22 @@ QUERIES = {
     "events_user_entropy_topk": events_user_entropy_topk,
     "region_revenue_share": region_revenue_share,
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
-    # --- (b) prior driver-greens kept in-window as canaries ----------
+    # --- (b) positions 46-50: changed paths, new oracles, one canary -
+    # connected_components_copurchase: driver collect removed this round
     "connected_components_copurchase": connected_components_copurchase,
-    "pagerank_copurchase": pagerank_copurchase,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "cosine_near_dup": cosine_near_dup,
-    # betweenness_copurchase re-enters the window: its execution
-    # semantics changed this round (pinned depth + fixed-point deltas)
-    # and it now carries a full hash oracle instead of rows-only
+    # betweenness_copurchase: semantics changed (pinned depth +
+    # fixed-point deltas) and it now carries a full hash oracle
     "betweenness_copurchase": betweenness_copurchase,
+    # new this round — need their first driver row
+    "connected_components_star": connected_components_star,
+    "ann_recall_at_k": ann_recall_at_k,
+    # prior driver-green kept as the regression canary (the most
+    # complex pipeline in the registry)
+    "dedup_minhash_lsh": dedup_minhash_lsh,
     # --- past the 50-entry cut: driver rows already on file (r1/r2); -
     # --- strict local gate + pytest parity re-verify them each session
+    "pagerank_copurchase": pagerank_copurchase,
+    "cosine_near_dup": cosine_near_dup,
     "q1_pricing_summary": q1_pricing_summary,
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -6156,8 +6161,6 @@ QUERIES = {
     "events_minute_fill": events_minute_fill,
     "kcore_copurchase": kcore_copurchase,
     "layout_seed_selection": layout_seed_selection,
-    "connected_components_star": connected_components_star,
-    "ann_recall_at_k": ann_recall_at_k,
     "graph_weighted_layout": graph_weighted_layout,
     "events_sessionize": events_sessionize,
     "events_json_extract": events_json_extract,
