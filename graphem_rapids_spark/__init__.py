@@ -53,6 +53,7 @@ from graphem_rapids_spark.analytics import (
     pagerank_weighted,
     eigenvector_centrality,
     connected_components,
+    star_contract_edges,
     graph_stats,
     spearman_correlation,
     rank_column,
@@ -177,6 +178,7 @@ __all__ = [
     "pagerank_weighted",
     "eigenvector_centrality",
     "connected_components",
+    "star_contract_edges",
     "graph_stats",
     "spearman_correlation",
     "rank_column",
