@@ -10,8 +10,11 @@ batch shapes — is real and tested. Decoder tiers, by capability:
   container header — no codec needed, works in this container and is
   golden-tested against crafted files);
 - **rasterization** (``resize_images``): PIL when installed
-  (auto-detected at import), else ``NotImplementedError`` — pixel
-  work genuinely needs a codec;
+  (auto-detected at import), else a stdlib PNG rasterizer
+  (zlib inflate + per-scanline unfilter + nearest-neighbor resize +
+  PNG re-encode — golden-tested against hand-unfiltered scanlines);
+  non-PNG pixel work without a codec lib yields the (0, 0, b"")
+  corrupt-input contract;
 - **pinned stub** (``fake=True`` on either): a deterministic fake
   decoder seeded by content hash, so hash-checked oracle queries are
   immune to environment changes.
@@ -189,6 +192,113 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+def _png_decode(content: bytes) -> "np.ndarray | None":
+    """stdlib PNG rasterizer (public spec, RFC 2083): 8-bit
+    gray / gray+alpha / RGB / RGBA, non-interlaced → H×W×C uint8
+    array. Returns None for anything else (palette, 16-bit, Adam7,
+    other formats) — the caller falls back to its corrupt-input
+    contract. zlib inflate is stdlib; unfiltering (None/Sub/Up/
+    Average/Paeth) runs per scanline with the sequential left
+    dependency the spec requires."""
+    import zlib
+
+    if len(content) < 33 or content[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w = h = bits = color = interlace = None
+    idat = b""
+    i = 8
+    try:
+        while i + 8 <= len(content):
+            (clen,) = struct.unpack(">I", content[i : i + 4])
+            typ = content[i + 4 : i + 8]
+            data = content[i + 8 : i + 8 + clen]
+            if typ == b"IHDR":
+                w, h, bits, color, _, _, interlace = struct.unpack(">IIBBBBB", data)
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            i += 12 + clen  # len + type + crc
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+        if not (w and h and bits == 8 and channels and interlace == 0 and idat):
+            return None
+        raw = zlib.decompress(idat)
+        stride = w * channels
+        if len(raw) < h * (stride + 1):
+            return None
+        out = np.zeros((h, stride), np.uint8)
+        pos = 0
+        for y in range(h):
+            f = raw[pos]
+            line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], np.uint8).astype(
+                np.int32
+            )
+            pos += 1 + stride
+            pr = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+            if f == 0:
+                cur = line
+            elif f == 2:  # Up — fully vectorized
+                cur = (line + pr) & 0xFF
+            elif f in (1, 3, 4):  # Sub/Average/Paeth: left dependency
+                cur = np.empty(stride, np.int32)
+                for j in range(stride):
+                    a = cur[j - channels] if j >= channels else 0
+                    b = pr[j]
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + b) // 2
+                    else:
+                        c = int(out[y - 1][j - channels]) if (y and j >= channels) else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[j] = (line[j] + pred) & 0xFF
+            else:
+                return None
+            out[y] = cur.astype(np.uint8)
+        return out.reshape(h, w, channels)
+    except Exception:
+        return None
+
+
+def _png_encode(arr: "np.ndarray") -> bytes:
+    """Minimal spec-valid PNG writer (filter 0 rows, one zlib IDAT)
+    for 8-bit gray / gray+alpha / RGB / RGBA arrays."""
+    import zlib
+
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _resize_nearest(arr: "np.ndarray", max_side: int) -> "np.ndarray":
+    """Deterministic nearest-neighbor downscale, longer side clamped
+    to max_side, aspect preserved (floor semantics of the stub)."""
+    h, w = arr.shape[:2]
+    scale = min(1.0, max_side / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    ys = (np.arange(nh) * h) // nh
+    xs = (np.arange(nw) * w) // nw
+    return arr[ys][:, xs]
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -206,15 +316,12 @@ def resize_images(
     longer side clamped to ``max_side`` (aspect preserved).
     ``fake=True`` pins the deterministic stub (aspect-correct target
     dimensions + content-hash payload); otherwise PIL when installed
-    (real thumbnail re-encoded as PNG), else NotImplementedError.
+    (real thumbnail re-encoded as PNG), else the stdlib PNG rasterizer
+    (:func:`_png_decode` → nearest-neighbor → :func:`_png_encode` —
+    codec-free, PNG only). Undecodable blobs yield (0, 0, b"") on
+    every real path — the same contract as PIL's exception fallback.
     Arrow-batched, one pass, no shuffle."""
     use_pil = HAS_PIL and not fake
-    if not use_pil and not fake:
-        raise NotImplementedError(
-            "real image resize needs PIL/opencv (absent in this container, "
-            "auto-used when installed); pass fake=True for the "
-            "deterministic stub"
-        )
 
     def _pil_resize(content: bytes) -> tuple[int, int, bytes]:
         try:
@@ -232,7 +339,19 @@ def resize_images(
         nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
         return nw, nh, hashlib.md5(content + f"{nw}x{nh}".encode()).digest()
 
-    kernel = _pil_resize if use_pil else _fake_resize
+    def _stdlib_resize(content: bytes) -> tuple[int, int, bytes]:
+        arr = _png_decode(content)
+        if arr is None:
+            return 0, 0, b""  # non-PNG rasterization needs a codec lib
+        small = _resize_nearest(arr, max_side)
+        return small.shape[1], small.shape[0], _png_encode(small)
+
+    if fake:
+        kernel = _fake_resize
+    elif use_pil:
+        kernel = _pil_resize
+    else:
+        kernel = _stdlib_resize
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
