@@ -2068,6 +2068,57 @@ FROM documents
 """
 
 
+_RESIZE_MAX_SIDE = 64
+
+
+def multimodal_resize(spark, sf_dir):
+    """Resize plumbing end-to-end: the same binary media column
+    through ``resize_images`` (deterministic stub kernel — aspect-
+    preserving target dims + md5 payload), with the emitted bytes
+    hex-encoded so the whole Arrow batch path is hash-gated. The
+    stub's arithmetic (hash-derived dims → scale → floor) is
+    replayed exactly in the SQL oracle."""
+    from graphem_rapids_spark.pipeline.multimodal import resize_images
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("image/fake").alias("mime"),
+    )
+    out = resize_images(media, max_side=_RESIZE_MAX_SIDE, fake=True)
+    return out.select(
+        "media_id", "width", "height", F.lower(F.hex("content")).alias("content_md5")
+    )
+
+
+_RESIZE_SQL = f"""
+WITH dims AS (
+  SELECT doc_id AS media_id, text,
+         16 + ('0x' || substr(md5(text), 1, 2))::INT % 240 AS w,
+         16 + ('0x' || substr(md5(text), 3, 2))::INT % 240 AS h
+  FROM documents
+),
+s AS (
+  SELECT media_id, text,
+         least(1.0, {_RESIZE_MAX_SIDE}.0 / greatest(w, h)) AS sc, w, h
+  FROM dims
+),
+t AS (
+  SELECT media_id, text,
+         greatest(1, CAST(floor(w * sc) AS INT)) AS nw,
+         greatest(1, CAST(floor(h * sc) AS INT)) AS nh
+  FROM s
+)
+-- md5 over VARCHAR concat == md5 over the UTF-8 byte concat the stub
+-- hashes (the dims suffix is ASCII)
+SELECT media_id, nw AS width, nh AS height,
+       md5(text || nw || 'x' || nh) AS content_md5
+FROM t
+"""
+
+
 def ann_ivf_topk(spark, sf_dir):
     """E7 analog: IVF-accelerated approximate cosine top-k (inverted
     cells, n_probe nearest cells searched per query). This registry
@@ -6055,7 +6106,7 @@ GROUP BY a.cl, c.c"""
 # + first-ever hash oracle), the two new round-3 oracle queries
 # (connected_components_star, ann_recall_at_k), and one prior
 # double-green regression canary (dedup_minhash_lsh, the most complex
-# pipeline). All 144 entries regardless of position are hash-verified
+# pipeline). All 145 entries regardless of position are hash-verified
 # each session by scripts/oracle_check.py and
 # tests/test_oracle_parity.py.
 QUERIES = {
@@ -6175,6 +6226,7 @@ QUERIES = {
     "knn_exact": knn_exact,
     "influence_ic": influence_ic,
     "multimodal_features": multimodal_features,
+    "multimodal_resize": multimodal_resize,
     "graph_stats": graph_stats_q,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
@@ -6307,6 +6359,7 @@ ORACLES = {
     # star contraction produces the same min-id labels — same oracle
     "connected_components_star": _cc_sql(),
     "ann_recall_at_k": _RECALL_SQL,
+    "multimodal_resize": _RESIZE_SQL,
     "influence_ic": _ic_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "doc_pipeline_funnel": _FUNNEL_SQL,
