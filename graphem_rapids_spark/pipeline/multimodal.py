@@ -194,18 +194,19 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
 
 def _png_decode(content: bytes) -> "np.ndarray | None":
     """stdlib PNG rasterizer (public spec, RFC 2083): 8-bit
-    gray / gray+alpha / RGB / RGBA, non-interlaced → H×W×C uint8
-    array. Returns None for anything else (palette, 16-bit, Adam7,
-    other formats) — the caller falls back to its corrupt-input
-    contract. zlib inflate is stdlib; unfiltering (None/Sub/Up/
-    Average/Paeth) runs per scanline with the sequential left
-    dependency the spec requires."""
+    gray / gray+alpha / RGB / RGBA / palette, non-interlaced → H×W×C
+    uint8 array (palette indices expand to RGB via PLTE). Returns
+    None for anything else (16-bit, Adam7, other formats) — the
+    caller falls back to its corrupt-input contract. zlib inflate is
+    stdlib; unfiltering (None/Sub/Up/Average/Paeth) runs per scanline
+    with the sequential left dependency the spec requires."""
     import zlib
 
     if len(content) < 33 or content[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     w = h = bits = color = interlace = None
     idat = b""
+    plte = None
     i = 8
     try:
         while i + 8 <= len(content):
@@ -214,13 +215,17 @@ def _png_decode(content: bytes) -> "np.ndarray | None":
             data = content[i + 8 : i + 8 + clen]
             if typ == b"IHDR":
                 w, h, bits, color, _, _, interlace = struct.unpack(">IIBBBBB", data)
+            elif typ == b"PLTE":
+                plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
             elif typ == b"IDAT":
                 idat += data
             elif typ == b"IEND":
                 break
             i += 12 + clen  # len + type + crc
-        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
         if not (w and h and bits == 8 and channels and interlace == 0 and idat):
+            return None
+        if color == 3 and plte is None:
             return None
         raw = zlib.decompress(idat)
         stride = w * channels
@@ -257,7 +262,12 @@ def _png_decode(content: bytes) -> "np.ndarray | None":
             else:
                 return None
             out[y] = cur.astype(np.uint8)
-        return out.reshape(h, w, channels)
+        img = out.reshape(h, w, channels)
+        if color == 3:  # palette lookup expands indices to RGB
+            if int(img.max()) >= len(plte):
+                return None
+            img = plte[img[:, :, 0]]
+        return img
     except Exception:
         return None
 

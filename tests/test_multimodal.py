@@ -276,3 +276,41 @@ def test_resize_real_png_codec_free(spark):
     assert (back == arr[::2, ::2]).all()
     bad = rows[2]
     assert (bad.width, bad.height, bytes(bad.content)) == (0, 0, b"")
+
+
+def test_png_decode_palette():
+    """Color-type-3 (palette) PNG: indices expand to RGB via PLTE."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from graphem_rapids_spark.pipeline.multimodal import _png_decode
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)  # 3x2 palette
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    raw = b"\x00" + bytes([0, 1, 2]) + b"\x00" + bytes([2, 2, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    got = _png_decode(png)
+    want = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[0, 0, 255], [0, 0, 255], [255, 0, 0]]],
+        dtype=np.uint8,
+    )
+    assert got is not None and (got == want).all()
+    # out-of-range palette index -> corrupt-input contract
+    bad_raw = b"\x00" + bytes([0, 7, 2]) + b"\x00" + bytes([2, 2, 0])
+    bad = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(bad_raw)) + chunk(b"IEND", b"")
+    )
+    assert _png_decode(bad) is None
