@@ -1,6 +1,8 @@
-"""Multimodal plumbing — schemas, batch shapes, partition sizing and
-the stubbed decode/resize contract (the real codecs are absent by
-design; the Spark-side dataflow is what's under test)."""
+"""Multimodal plumbing — schemas, batch shapes, partition sizing —
+plus the decoder tiers: pinned stub (fake=True), PIL when installed,
+and the codec-free paths (container-header sniffer for metadata,
+stdlib PNG rasterizer for resize), golden-tested against hand-built
+spec-valid files."""
 
 from __future__ import annotations
 
