@@ -54,6 +54,7 @@ from graphem_rapids_spark.analytics import (
     eigenvector_centrality,
     connected_components,
     star_contract_edges,
+    label_propagation,
     graph_stats,
     spearman_correlation,
     rank_column,
@@ -179,6 +180,7 @@ __all__ = [
     "eigenvector_centrality",
     "connected_components",
     "star_contract_edges",
+    "label_propagation",
     "graph_stats",
     "spearman_correlation",
     "rank_column",

@@ -436,6 +436,59 @@ def connected_components(
     return labels
 
 
+def label_propagation(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
+    """(id, label) — semi-synchronous label-propagation community
+    detection (Raghavan et al. 2007) with fully deterministic
+    tie-breaking: every round each vertex adopts the most frequent
+    label among its neighbors, ties broken by the smallest label;
+    initial labels are the vertex ids. Deterministic ⇒ the fixed-round
+    output unrolls to an exact SQL oracle (same argmax window), and
+    results are partitioning-independent.
+
+    Engine shape: one round = the edge stream joined to the O(n)
+    label table, a (vertex, label) count aggregate, and a
+    vertex-partitioned top-1 window — two shuffles, no driver data
+    work; convergence is a changed-row count (once a round changes
+    nothing, further rounds are idempotent, so a deeper fixed unroll
+    matches exactly). At 100 TB this is the same one-edge-shuffle
+    discipline as PageRank; hot vertices skew the count aggregate the
+    same way every neighborhood aggregation here does (AQE skew
+    splitting applies)."""
+    sym = symmetrize_edges(edges).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        votes = (
+            sym.withColumnRenamed("src", "id")
+            .join(labels, "id")
+            .select(F.col("dst").alias("id"), "label")
+            .groupBy("id", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("label").asc())
+        new = (
+            votes.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("id", "label")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.select("id", F.col("label").alias("_o")), "id")
+            .filter(F.col("label") != F.col("_o"))
+            .count()
+        )
+        prev, labels = labels, new
+        prev.unpersist()
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
 def k_core(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
     """(id, core_degree) — the k-core: the maximal subgraph where every
     vertex has degree ≥ k within the subgraph, by iterative peeling

@@ -1659,6 +1659,55 @@ def _cc_sql(rounds: int = _CC_ROUNDS) -> str:
     return "\n".join(parts)
 
 
+_LPA_ROUNDS = 4
+
+
+def community_lpa(spark, sf_dir):
+    """Community sizes from semi-synchronous label propagation on the
+    co-purchase graph, pinned to ``_LPA_ROUNDS`` rounds — the
+    deterministic min-label tie-break makes every round an exact
+    integer argmax, so the whole run unrolls to a SQL oracle (same
+    per-round window). If the Spark loop converges earlier, later
+    rounds are idempotent, so the deeper oracle unroll still
+    matches. Output: (community, size)."""
+    from graphem_rapids_spark.analytics import label_propagation
+
+    e = copurchase_edges(spark, sf_dir)
+    labels = label_propagation(e, max_rounds=_LPA_ROUNDS)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("size")
+    )
+
+
+def _lpa_sql(rounds: int = _LPA_ROUNDS) -> str:
+    parts = [
+        _COPURCHASE_SQL_CTE,
+        """
+, sym AS MATERIALIZED (SELECT src, dst FROM ge UNION ALL SELECT dst AS src, src AS dst FROM ge)
+, lab0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM sym)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+, v{r} AS (
+  SELECT s.dst AS id, l.label, count(*) AS cnt
+  FROM sym s JOIN lab{r - 1} l ON s.src = l.id
+  GROUP BY s.dst, l.label
+)
+, lab{r} AS MATERIALIZED (
+  SELECT id, label FROM (
+    SELECT id, label,
+           row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rk
+    FROM v{r}
+  ) WHERE rk = 1
+)"""
+        )
+    parts.append(
+        f"\nSELECT label AS community, count(*) AS size FROM lab{rounds} GROUP BY label"
+    )
+    return "".join(parts)
+
+
 def connected_components_star(spark, sf_dir):
     """Component size histogram via the O(log d) alternating
     large-star/small-star contraction (``star_contract_edges`` — the
@@ -6106,7 +6155,7 @@ GROUP BY a.cl, c.c"""
 # + first-ever hash oracle), the two new round-3 oracle queries
 # (connected_components_star, ann_recall_at_k), and one prior
 # double-green regression canary (dedup_minhash_lsh, the most complex
-# pipeline). All 145 entries regardless of position are hash-verified
+# pipeline). All 146 entries regardless of position are hash-verified
 # each session by scripts/oracle_check.py and
 # tests/test_oracle_parity.py.
 QUERIES = {
@@ -6227,6 +6276,7 @@ QUERIES = {
     "influence_ic": influence_ic,
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
+    "community_lpa": community_lpa,
     "graph_stats": graph_stats_q,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
@@ -6360,6 +6410,7 @@ ORACLES = {
     "connected_components_star": _cc_sql(),
     "ann_recall_at_k": _RECALL_SQL,
     "multimodal_resize": _RESIZE_SQL,
+    "community_lpa": _lpa_sql(),
     "influence_ic": _ic_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "doc_pipeline_funnel": _FUNNEL_SQL,

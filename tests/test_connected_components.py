@@ -93,3 +93,18 @@ def test_lcc_extraction_unchanged(spark):
     lcc = largest_connected_component(e, 13)
     got = {(r.src, r.dst) for r in lcc.collect()}
     assert got == {(0, 1), (1, 2), (2, 3), (3, 4), (0, 4)}
+
+
+def test_label_propagation_caveman_cliques(spark):
+    """LPA on disjoint 6-cliques: each clique collapses to one
+    community labeled by its minimum id (deterministic min tie-break),
+    and communities never span components."""
+    from graphem_rapids_spark.analytics import label_propagation
+
+    g = nx.caveman_graph(5, 6)
+    edges = [(min(u, v), max(u, v)) for u, v in g.edges()]
+    e = _spark_edges(spark, edges)
+    got = {r.id: r.label for r in label_propagation(e, max_rounds=10).collect()}
+    for c in range(5):
+        members = set(range(c * 6, (c + 1) * 6))
+        assert {got[v] for v in members} == {min(members)}
