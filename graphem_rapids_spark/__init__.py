@@ -65,6 +65,7 @@ from graphem_rapids_spark.analytics import (
     load_centrality,
     closeness_centrality,
     k_core,
+    k_truss,
     coreness,
     largest_connected_component,
 )
@@ -237,6 +238,7 @@ __all__ = [
     "project_jl",
     "kmeans_int8",
     "k_core",
+    "k_truss",
     "coreness",
     "largest_connected_component",
     "read_jsonl_corpus",

@@ -1659,6 +1659,67 @@ def _cc_sql(rounds: int = _CC_ROUNDS) -> str:
     return "\n".join(parts)
 
 
+_TRUSS_K = 4
+_TRUSS_ROUNDS = 4
+
+
+def ktruss_copurchase(spark, sf_dir):
+    """4-truss of the co-purchase graph (every surviving edge in ≥2
+    triangles) by fixed-round support peeling, summarized as
+    (n_edges, n_vertices). Exact integers throughout
+    ⇒ the peel unrolls to a SQL oracle; the Spark loop may stop early
+    at the fixpoint (idempotent under the deeper oracle unroll)."""
+    from graphem_rapids_spark.analytics import k_truss
+
+    e = copurchase_edges(spark, sf_dir)
+    t = k_truss(e, k=_TRUSS_K, max_rounds=_TRUSS_ROUNDS)
+    verts = t.select(F.col("src").alias("id")).unionAll(
+        t.select(F.col("dst").alias("id"))
+    )
+    return t.agg(F.count("*").alias("n_edges")).crossJoin(
+        verts.distinct().agg(F.count("*").alias("n_vertices"))
+    )
+
+
+def _ktruss_sql(k: int = _TRUSS_K, rounds: int = _TRUSS_ROUNDS) -> str:
+    parts = [
+        _COPURCHASE_SQL_CTE,
+        ", cur0 AS MATERIALIZED (SELECT src, dst FROM ge)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+, tri{r} AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM cur{r - 1} e1
+  JOIN cur{r - 1} e2 ON e1.dst = e2.src
+  JOIN cur{r - 1} e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+, sup{r} AS (
+  SELECT src, dst, count(*) AS sup FROM (
+    SELECT a AS src, b AS dst FROM tri{r}
+    UNION ALL SELECT b AS src, c AS dst FROM tri{r}
+    UNION ALL SELECT a AS src, c AS dst FROM tri{r}
+  ) GROUP BY src, dst
+)
+, cur{r} AS MATERIALIZED (
+  SELECT c.src, c.dst FROM cur{r - 1} c
+  -- inner join drops zero-support edges, correct for k > 2
+  JOIN sup{r} s ON c.src = s.src AND c.dst = s.dst
+  WHERE s.sup >= {k - 2}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT (SELECT count(*) FROM cur{rounds}) AS n_edges,
+       (SELECT count(*) FROM (
+          SELECT DISTINCT id FROM (
+            SELECT src AS id FROM cur{rounds}
+            UNION ALL SELECT dst AS id FROM cur{rounds}))) AS n_vertices"""
+    )
+    return "".join(parts)
+
+
 _LPA_ROUNDS = 4
 
 
@@ -6155,7 +6216,7 @@ GROUP BY a.cl, c.c"""
 # + first-ever hash oracle), the two new round-3 oracle queries
 # (connected_components_star, ann_recall_at_k), and one prior
 # double-green regression canary (dedup_minhash_lsh, the most complex
-# pipeline). All 146 entries regardless of position are hash-verified
+# pipeline). All 147 entries regardless of position are hash-verified
 # each session by scripts/oracle_check.py and
 # tests/test_oracle_parity.py.
 QUERIES = {
@@ -6277,6 +6338,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
     "community_lpa": community_lpa,
+    "ktruss_copurchase": ktruss_copurchase,
     "graph_stats": graph_stats_q,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
@@ -6411,6 +6473,7 @@ ORACLES = {
     "ann_recall_at_k": _RECALL_SQL,
     "multimodal_resize": _RESIZE_SQL,
     "community_lpa": _lpa_sql(),
+    "ktruss_copurchase": _ktruss_sql(),
     "influence_ic": _ic_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "doc_pipeline_funnel": _FUNNEL_SQL,

@@ -108,3 +108,16 @@ def test_label_propagation_caveman_cliques(spark):
     for c in range(5):
         members = set(range(c * 6, (c + 1) * 6))
         assert {got[v] for v in members} == {min(members)}
+
+
+@pytest.mark.parametrize("k", [3, 4, 5])
+def test_k_truss_matches_networkx(spark, k):
+    from graphem_rapids_spark.analytics import k_truss
+
+    for g in [nx.karate_club_graph(), nx.erdos_renyi_graph(60, 0.15, seed=4)]:
+        g = nx.convert_node_labels_to_integers(g)
+        edges = [(min(u, v), max(u, v)) for u, v in g.edges() if u != v]
+        e = _spark_edges(spark, edges)
+        want = {(min(u, v), max(u, v)) for u, v in nx.k_truss(g, k).edges()}
+        got = {(r.src, r.dst) for r in k_truss(e, k).collect()}
+        assert got == want
