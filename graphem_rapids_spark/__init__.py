@@ -50,6 +50,7 @@ from graphem_rapids_spark.influence import (
 from graphem_rapids_spark.analytics import (
     degree_centrality,
     pagerank,
+    pagerank_personalized,
     pagerank_weighted,
     eigenvector_centrality,
     connected_components,
@@ -177,6 +178,7 @@ __all__ = [
     "random_seed_baseline",
     "degree_centrality",
     "pagerank",
+    "pagerank_personalized",
     "pagerank_weighted",
     "eigenvector_centrality",
     "connected_components",

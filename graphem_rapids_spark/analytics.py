@@ -164,6 +164,83 @@ def pagerank(
     return pr.select("id", "value")
 
 
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float = 0.85,
+    max_iter: int = 10,
+    vertices: DataFrame | None = None,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """(id, value) — personalized PageRank: restart mass distributed
+    uniformly over ``seeds`` (id column) instead of all vertices, the
+    standard seed-relevance ranking for recommendation and local
+    community scoring. Fixed-iteration (no convergence job): the run
+    unrolls to a SQL oracle exactly like plain PageRank. Same
+    broadcast↔shuffle strategy switch and one-edge-shuffle-per-
+    iteration discipline as :func:`pagerank`; dangling mass restarts
+    to the seed distribution (networkx ``personalization``
+    semantics)."""
+    spark = edges.sparkSession
+    if vertices is not None:
+        verts = vertices.select(F.col("id").cast("long"))
+    else:
+        from graphem_rapids_spark.graph.canon import vertices_from_edges
+
+        verts = vertices_from_edges(edges)
+    n = verts.count()
+    s = seeds.select(F.col("id").cast("long")).distinct()
+    k = s.count()
+    if k == 0:
+        raise ValueError("pagerank_personalized: empty seed set")
+    use_broadcast = _vertex_table_fits_broadcast(n, broadcast_max)
+    part_key = F.col("dst") if use_broadcast else F.col("src")
+    sym = symmetrize_edges(edges).repartition(part_key).persist()
+    out_deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("od"))
+    base = (
+        verts.join(out_deg, "id", "left")
+        .join(s.select("id", F.lit(1).alias("_seed")), "id", "left")
+        .select(
+            "id",
+            F.coalesce("od", F.lit(0)).alias("od"),
+            (F.coalesce("_seed", F.lit(0)) / F.lit(float(k))).alias("e"),
+        )
+        .persist()
+    )
+    pr = base.select("id", "od", "e", F.col("e").alias("value")).localCheckpoint(
+        eager=True
+    )
+    has_dangling = base.filter(F.col("od") == 0).limit(1).count() > 0
+    for _ in range(max_iter):
+        if has_dangling:
+            dangling = pr.filter(F.col("od") == 0).agg(F.sum("value")).first()[0] or 0.0
+        else:
+            dangling = 0.0
+        ranks = pr.filter(F.col("od") > 0)
+        contrib = (
+            sym.withColumnRenamed("src", "id")
+            .join(F.broadcast(ranks) if use_broadcast else ranks, "id")
+            .select(F.col("dst").alias("id"), (F.col("value") / F.col("od")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr_new = base.join(contrib, "id", "left").select(
+            "id",
+            "od",
+            "e",
+            (
+                F.lit(1.0 - alpha) * F.col("e")
+                + F.lit(alpha)
+                * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dangling) * F.col("e"))
+            ).alias("value"),
+        ).localCheckpoint(eager=True)
+        pr.unpersist()
+        pr = pr_new
+    base.unpersist()
+    sym.unpersist()
+    return pr.select("id", "value")
+
+
 def pagerank_weighted(
     edges: DataFrame,
     alpha: float = 0.85,

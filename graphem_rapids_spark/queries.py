@@ -385,6 +385,56 @@ def pagerank_copurchase(spark, sf_dir):
     return pr.select("id", F.round("value", 9).alias("pagerank"))
 
 
+_PPR_SEEDS = 5
+
+
+def ppr_copurchase(spark, sf_dir):
+    """Personalized PageRank from the 5 smallest part ids — the
+    seed-relevance ranking behind "customers who bought these also
+    value..." recommendations. Fixed 10 iterations, restart mass
+    uniform over the seeds; same unrolled-CTE oracle discipline as
+    plain PageRank (no dangling vertices on this graph)."""
+    e = copurchase_edges(spark, sf_dir)
+    verts = vertices_from_edges(e)
+    seeds = verts.orderBy("id").limit(_PPR_SEEDS)
+    pr = A.pagerank_personalized(
+        e, seeds, alpha=0.85, max_iter=_PAGERANK_ITERS, vertices=verts
+    )
+    return pr.select("id", F.round("value", 9).alias("ppr"))
+
+
+def _ppr_sql(iters: int = _PAGERANK_ITERS, k: int = _PPR_SEEDS) -> str:
+    """Unrolled personalized PageRank: teleport vector e = 1/k on the
+    k smallest vertex ids, 0 elsewhere (graph has no dangling
+    vertices, so the dangling term is exactly 0 every iteration)."""
+    parts = [
+        _COPURCHASE_SQL_CTE,
+        ", sym AS (SELECT src, dst FROM ge UNION ALL SELECT dst AS src, src AS dst FROM ge)",
+        ", od AS (SELECT src AS id, count(*) AS od FROM sym GROUP BY src)",
+        f", sd AS (SELECT id FROM od ORDER BY id ASC LIMIT {k})",
+        f""", base AS MATERIALIZED (
+  SELECT od.id, od.od,
+         CASE WHEN sd.id IS NOT NULL THEN 1 ELSE 0 END / CAST({k} AS DOUBLE) AS e
+  FROM od LEFT JOIN sd ON od.id = sd.id
+)""",
+        ", pr0 AS (SELECT id, od, e, e AS v FROM base)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", pr{i + 1} AS (
+  SELECT b.id, b.od, b.e,
+         (1 - 0.85) * b.e + 0.85 * (coalesce(t.s, 0) + 0.0 * b.e) AS v
+  FROM base b LEFT JOIN (
+    SELECT sym.dst AS id, sum(p.v / p.od) AS s
+    FROM sym JOIN pr{i} p ON p.id = sym.src
+    GROUP BY sym.dst
+  ) t ON t.id = b.id
+)"""
+        )
+    parts.append(f"SELECT id, round(v, 9) AS ppr FROM pr{iters}")
+    return "\n".join(parts)
+
+
 def _pagerank_sql(iters: int = _PAGERANK_ITERS) -> str:
     """Unrolled fixed-iteration PageRank as chained CTEs (no dangling
     nodes: every graph vertex has degree ≥ 1)."""
@@ -6216,7 +6266,7 @@ GROUP BY a.cl, c.c"""
 # + first-ever hash oracle), the two new round-3 oracle queries
 # (connected_components_star, ann_recall_at_k), and one prior
 # double-green regression canary (dedup_minhash_lsh, the most complex
-# pipeline). All 147 entries regardless of position are hash-verified
+# pipeline). All 148 entries regardless of position are hash-verified
 # each session by scripts/oracle_check.py and
 # tests/test_oracle_parity.py.
 QUERIES = {
@@ -6339,6 +6389,7 @@ QUERIES = {
     "multimodal_resize": multimodal_resize,
     "community_lpa": community_lpa,
     "ktruss_copurchase": ktruss_copurchase,
+    "ppr_copurchase": ppr_copurchase,
     "graph_stats": graph_stats_q,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
@@ -6474,6 +6525,7 @@ ORACLES = {
     "multimodal_resize": _RESIZE_SQL,
     "community_lpa": _lpa_sql(),
     "ktruss_copurchase": _ktruss_sql(),
+    "ppr_copurchase": _ppr_sql(),
     "influence_ic": _ic_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "doc_pipeline_funnel": _FUNNEL_SQL,

@@ -112,3 +112,46 @@ def test_betweenness_shuffle_path_matches_broadcast(linked_triangles, monkeypatc
     monkeypatch.setattr(session, "BROADCAST_POSITIONS_MAX", 0)
     sh = _collect_map(betweenness_sampled(linked_triangles, 6))
     assert bc == sh
+
+
+def _ppr_reference(edge_list, seeds, alpha=0.85, iters=200):
+    """Independent pure-Python PPR power iteration (networkx
+    personalization semantics; nx itself needs scipy here)."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for u, v in edge_list:
+        adj[u].append(v)
+        adj[v].append(u)
+    e = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in adj}
+    x = dict(e)
+    for _ in range(iters):
+        x = {
+            v: (1 - alpha) * e[v] + alpha * sum(x[u] / len(adj[u]) for u in adj[v])
+            for v in adj
+        }
+    return x
+
+
+def test_ppr_matches_reference_and_shuffle_path(spark, linked_triangles, monkeypatch):
+    from graphem_rapids_spark.analytics import pagerank_personalized
+    from tests.conftest import TWO_TRIANGLES_LINKED
+
+    seeds = spark.createDataFrame([(0,), (3,)], "id long")
+    out = pagerank_personalized(linked_triangles, seeds, max_iter=100)
+    got = _collect_map(out, nd=6)
+    want = _ppr_reference(TWO_TRIANGLES_LINKED, {0, 3})
+    assert got == {v: round(x, 6) for v, x in want.items()}
+    # forced shuffle path is bit-identical
+    sh = pagerank_personalized(linked_triangles, seeds, max_iter=100, broadcast_max=0)
+    assert _collect_map(sh) == _collect_map(
+        pagerank_personalized(linked_triangles, seeds, max_iter=100)
+    )
+
+
+def test_ppr_empty_seeds_raises(spark, linked_triangles):
+    from graphem_rapids_spark.analytics import pagerank_personalized
+
+    empty = spark.createDataFrame([], "id long")
+    with pytest.raises(ValueError, match="empty seed"):
+        pagerank_personalized(linked_triangles, empty)
