@@ -2568,6 +2568,43 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def graph_monthly_new_edges(spark, sf_dir):
+    """Temporal graph growth: every canonical co-purchase pair stamped
+    with the FIRST order month it appears, counted per month — the
+    edge-arrival curve a streaming graph system monitors (and the
+    input to incremental-recompute decisions at 100 TB: months with
+    few new edges can skip full kernel reruns). One pair self-join +
+    two aggregates; month strings are identical date_format/strftime
+    renderings."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM").alias("m")
+    )
+    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("src") < F.col("dst")))
+        .join(o, F.col("ok") == F.col("o_orderkey"))
+        .select("src", "dst", "m")
+    )
+    first = pairs.groupBy("src", "dst").agg(F.min("m").alias("month"))
+    return first.groupBy("month").agg(F.count("*").alias("n_new_edges"))
+
+
+_MONTHLY_EDGES_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         strftime(o.o_orderdate, '%Y-%m') AS m
+  FROM op a
+  JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN orders o ON a.l_orderkey = o.o_orderkey
+),
+first AS (SELECT src, dst, min(m) AS month FROM pairs GROUP BY src, dst)
+SELECT month, count(*) AS n_new_edges FROM first GROUP BY month
+"""
+
+
 def graph_triangles(spark, sf_dir):
     """Triangle count on the co-purchase graph — the canonical
     multi-way self-join: canonical edges (a<b), (b<c), (a<c) joined on
@@ -6266,7 +6303,7 @@ GROUP BY a.cl, c.c"""
 # + first-ever hash oracle), the two new round-3 oracle queries
 # (connected_components_star, ann_recall_at_k), and one prior
 # double-green regression canary (dedup_minhash_lsh, the most complex
-# pipeline). All 148 entries regardless of position are hash-verified
+# pipeline). All 149 entries regardless of position are hash-verified
 # each session by scripts/oracle_check.py and
 # tests/test_oracle_parity.py.
 QUERIES = {
@@ -6390,6 +6427,7 @@ QUERIES = {
     "community_lpa": community_lpa,
     "ktruss_copurchase": ktruss_copurchase,
     "ppr_copurchase": ppr_copurchase,
+    "graph_monthly_new_edges": graph_monthly_new_edges,
     "graph_stats": graph_stats_q,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
@@ -6526,6 +6564,7 @@ ORACLES = {
     "community_lpa": _lpa_sql(),
     "ktruss_copurchase": _ktruss_sql(),
     "ppr_copurchase": _ppr_sql(),
+    "graph_monthly_new_edges": _MONTHLY_EDGES_SQL,
     "influence_ic": _ic_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "doc_pipeline_funnel": _FUNNEL_SQL,
