@@ -65,6 +65,8 @@ from graphem_rapids_spark.analytics import (
     betweenness_centrality,
     load_centrality,
     closeness_centrality,
+    harmonic_centrality,
+    bfs_distances,
     k_core,
     k_truss,
     coreness,
@@ -193,6 +195,8 @@ __all__ = [
     "betweenness_centrality",
     "load_centrality",
     "closeness_centrality",
+    "harmonic_centrality",
+    "bfs_distances",
     "read_snap_edges",
     "read_mtx_edges",
     "read_edges_file",

@@ -666,20 +666,16 @@ def largest_connected_component(edges: DataFrame, n_vertices: int) -> DataFrame:
 
 
 # ------------------------------------------------------------------- A5
-def closeness_centrality(
-    edges: DataFrame, n_vertices: int, sources: DataFrame | None = None, max_iter: int = 100
+def bfs_distances(
+    edges: DataFrame, sources: DataFrame, max_depth: int = 100
 ) -> DataFrame:
-    """(id, value) — networkx (Wasserman-Faust–free) convention:
-    ``(r-1)/total_dist · (r-1)/(n-1)`` with r = reachable count.
-    Batched multi-source BFS: all sources advance in the same frontier
-    join per step (source column ``s``)."""
-    spark = edges.sparkSession
-    # src-partitioned once: broadcast rounds ignore it; shuffle rounds
-    # join the frontier against this partitioning without re-shuffling
-    # the edge table
+    """(s, id, d) — exact hop distances from every source to every
+    vertex it reaches within ``max_depth``, by batched multi-source
+    BFS (all sources advance in the same frontier join per step).
+    The shared kernel under closeness and harmonic centrality; same
+    broadcast↔shuffle frontier switch and per-round localCheckpoint
+    discipline as the IC cascade."""
     sym = symmetrize_edges(edges).repartition(F.col("src")).persist()
-    if sources is None:
-        sources = spark.range(n_vertices).select(F.col("id").cast("long"))
     from graphem_rapids_spark import session
 
     broadcast_max = session.BROADCAST_POSITIONS_MAX
@@ -691,7 +687,7 @@ def closeness_centrality(
     ).localCheckpoint(eager=True)
     frontier = visited
     frontier_n = frontier.count()
-    for _ in range(max_iter):
+    for _ in range(max_depth):
         # a multi-source frontier is O(sources·reach) — broadcast only
         # while provably small (count is free on the eagerly-
         # checkpointed table), else shuffle-join (see IC cascade)
@@ -714,6 +710,19 @@ def closeness_centrality(
         visited = visited.unionAll(new_v)
         frontier = new_v
     sym.unpersist()
+    return visited
+
+
+def closeness_centrality(
+    edges: DataFrame, n_vertices: int, sources: DataFrame | None = None, max_iter: int = 100
+) -> DataFrame:
+    """(id, value) — networkx (Wasserman-Faust–free) convention:
+    ``(r-1)/total_dist · (r-1)/(n-1)`` with r = reachable count.
+    BFS kernel shared with harmonic centrality (:func:`bfs_distances`)."""
+    spark = edges.sparkSession
+    if sources is None:
+        sources = spark.range(n_vertices).select(F.col("id").cast("long"))
+    visited = bfs_distances(edges, sources, max_depth=max_iter)
     n = n_vertices
     per_src = visited.groupBy("s").agg(
         F.sum("d").alias("tot"), (F.count("*") - 1).alias("r")
@@ -724,6 +733,37 @@ def closeness_centrality(
             F.col("tot") > 0,
             (F.col("r") / F.col("tot")) * (F.col("r") / float(max(n - 1, 1))),
         ).otherwise(F.lit(0.0)).alias("value"),
+    )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    n_vertices: int | None = None,
+    max_depth: int = 10,
+) -> DataFrame:
+    """(id, value) — harmonic centrality h(v) = Σ_s 1/d(s, v) over the
+    (possibly sampled) sources that reach v within ``max_depth``
+    (networkx convention; robust to disconnection where closeness is
+    not). Exactness trick: every 1/d with d ≤ max_depth is summed as
+    the exact integer lcm(1..max_depth)/d, so the per-vertex sums are
+    order-free integers and the single final division is
+    engine-identical — the same fixed-point discipline as the Brandes
+    deltas, with an exact lcm instead of 2⁻⁴⁰."""
+    spark = edges.sparkSession
+    if sources is None:
+        if n_vertices is None:
+            raise ValueError("harmonic_centrality: pass sources or n_vertices")
+        sources = spark.range(n_vertices).select(F.col("id").cast("long"))
+    lcm = math.lcm(*range(1, max_depth + 1))
+    visited = bfs_distances(edges, sources, max_depth=max_depth)
+    return (
+        visited.filter(F.col("d") > 0)
+        .groupBy("id")
+        .agg(F.sum(F.expr(f"{lcm} div d")).alias("h_fp"))
+        .select(
+            "id", (F.col("h_fp").cast("double") / F.lit(float(lcm))).alias("value")
+        )
     )
 
 

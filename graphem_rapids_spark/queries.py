@@ -2202,6 +2202,47 @@ FROM per
     )
 
 
+def harmonic_sampled(spark, sf_dir):
+    """Harmonic centrality per TARGET vertex from the same 20 pinned
+    sources / depth-10 horizon as ``closeness_sampled``: h(v) =
+    Σ_s 1/d(s, v). Each 1/d sums as the exact integer lcm(1..10)/d =
+    2520/d, so the aggregation is order-free and the oracle is the
+    same recursive-walk CTE with one exact division at the end."""
+    e = copurchase_edges(spark, sf_dir)
+    verts = vertices_from_edges(e)
+    sources = verts.orderBy("id").limit(_CLOSENESS_SOURCES)
+    h = A.harmonic_centrality(e, sources=sources, max_depth=_CLOSENESS_DEPTH)
+    return h.select(
+        F.col("id").alias("part_id"), F.round("value", 9).alias("harmonic")
+    )
+
+
+def _harmonic_sql() -> str:
+    import math as _math
+
+    lcm = _math.lcm(*range(1, _CLOSENESS_DEPTH + 1))
+    return (
+        _COPURCHASE_SQL_CTE
+        + f"""
+, sym AS (SELECT src, dst FROM ge UNION ALL SELECT dst, src FROM ge),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+srcs AS (SELECT id FROM verts ORDER BY id LIMIT {_CLOSENESS_SOURCES}),
+walks AS (
+  WITH RECURSIVE r(s, id, d) AS (
+    SELECT id AS s, id, 0 FROM srcs
+    UNION
+    SELECT r.s, sym.dst, r.d + 1 FROM r JOIN sym ON sym.src = r.id
+    WHERE r.d < {_CLOSENESS_DEPTH}
+  )
+  SELECT s, id, min(d) AS d FROM r GROUP BY s, id
+)
+SELECT id AS part_id,
+       round(CAST(sum({lcm} // d) AS DOUBLE) / {float(lcm)!r}, 9) AS harmonic
+FROM walks WHERE d > 0 GROUP BY id
+"""
+    )
+
+
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing end-to-end: documents → binary media column
     → Arrow-batched feature extraction (deterministic stub decoder —
@@ -6303,7 +6344,7 @@ GROUP BY a.cl, c.c"""
 # + first-ever hash oracle), the two new round-3 oracle queries
 # (connected_components_star, ann_recall_at_k), and one prior
 # double-green regression canary (dedup_minhash_lsh, the most complex
-# pipeline). All 149 entries regardless of position are hash-verified
+# pipeline). All 150 entries regardless of position are hash-verified
 # each session by scripts/oracle_check.py and
 # tests/test_oracle_parity.py.
 QUERIES = {
@@ -6428,6 +6469,7 @@ QUERIES = {
     "ktruss_copurchase": ktruss_copurchase,
     "ppr_copurchase": ppr_copurchase,
     "graph_monthly_new_edges": graph_monthly_new_edges,
+    "harmonic_sampled": harmonic_sampled,
     "graph_stats": graph_stats_q,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
@@ -6565,6 +6607,7 @@ ORACLES = {
     "ktruss_copurchase": _ktruss_sql(),
     "ppr_copurchase": _ppr_sql(),
     "graph_monthly_new_edges": _MONTHLY_EDGES_SQL,
+    "harmonic_sampled": _harmonic_sql(),
     "influence_ic": _ic_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "doc_pipeline_funnel": _FUNNEL_SQL,

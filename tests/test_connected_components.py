@@ -121,3 +121,17 @@ def test_k_truss_matches_networkx(spark, k):
         want = {(min(u, v), max(u, v)) for u, v in nx.k_truss(g, k).edges()}
         got = {(r.src, r.dst) for r in k_truss(e, k).collect()}
         assert got == want
+
+
+def test_harmonic_centrality_matches_networkx(spark):
+    from graphem_rapids_spark.analytics import harmonic_centrality
+
+    g = nx.karate_club_graph()
+    edges = [(min(u, v), max(u, v)) for u, v in g.edges()]
+    e = _spark_edges(spark, edges)
+    got = {
+        r.id: round(r.value, 9)
+        for r in harmonic_centrality(e, n_vertices=34, max_depth=20).collect()
+    }
+    want = {v: round(x, 9) for v, x in nx.harmonic_centrality(g).items()}
+    assert got == want
