@@ -2243,6 +2243,45 @@ FROM walks WHERE d > 0 GROUP BY id
     )
 
 
+def graph_eccentricity_sampled(spark, sf_dir):
+    """Per-source eccentricity (max BFS distance within the depth-10
+    horizon) for the 20 pinned sources, plus reach — max(ecc) lower-
+    bounds the graph diameter, the classic sampled-diameter estimate.
+    Pure integer BFS ⇒ same recursive-walk oracle as closeness."""
+    from graphem_rapids_spark.analytics import bfs_distances
+
+    e = copurchase_edges(spark, sf_dir)
+    verts = vertices_from_edges(e)
+    sources = verts.orderBy("id").limit(_CLOSENESS_SOURCES)
+    vis = bfs_distances(e, sources, max_depth=_CLOSENESS_DEPTH)
+    return vis.groupBy(F.col("s").alias("part_id")).agg(
+        F.max("d").alias("eccentricity"), (F.count("*") - 1).alias("n_reached")
+    )
+
+
+def _eccentricity_sql() -> str:
+    return (
+        _COPURCHASE_SQL_CTE
+        + f"""
+, sym AS (SELECT src, dst FROM ge UNION ALL SELECT dst, src FROM ge),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+srcs AS (SELECT id FROM verts ORDER BY id LIMIT {_CLOSENESS_SOURCES}),
+walks AS (
+  WITH RECURSIVE r(s, id, d) AS (
+    SELECT id AS s, id, 0 FROM srcs
+    UNION
+    SELECT r.s, sym.dst, r.d + 1 FROM r JOIN sym ON sym.src = r.id
+    WHERE r.d < {_CLOSENESS_DEPTH}
+  )
+  SELECT s, id, min(d) AS d FROM r GROUP BY s, id
+)
+SELECT s AS part_id, max(d) AS eccentricity,
+       CAST(count(*) - 1 AS BIGINT) AS n_reached
+FROM walks GROUP BY s
+"""
+    )
+
+
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing end-to-end: documents → binary media column
     → Arrow-batched feature extraction (deterministic stub decoder —
@@ -6344,7 +6383,7 @@ GROUP BY a.cl, c.c"""
 # + first-ever hash oracle), the two new round-3 oracle queries
 # (connected_components_star, ann_recall_at_k), and one prior
 # double-green regression canary (dedup_minhash_lsh, the most complex
-# pipeline). All 150 entries regardless of position are hash-verified
+# pipeline). All 151 entries regardless of position are hash-verified
 # each session by scripts/oracle_check.py and
 # tests/test_oracle_parity.py.
 QUERIES = {
@@ -6470,6 +6509,7 @@ QUERIES = {
     "ppr_copurchase": ppr_copurchase,
     "graph_monthly_new_edges": graph_monthly_new_edges,
     "harmonic_sampled": harmonic_sampled,
+    "graph_eccentricity_sampled": graph_eccentricity_sampled,
     "graph_stats": graph_stats_q,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
@@ -6608,6 +6648,7 @@ ORACLES = {
     "ppr_copurchase": _ppr_sql(),
     "graph_monthly_new_edges": _MONTHLY_EDGES_SQL,
     "harmonic_sampled": _harmonic_sql(),
+    "graph_eccentricity_sampled": _eccentricity_sql(),
     "influence_ic": _ic_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "doc_pipeline_funnel": _FUNNEL_SQL,
