@@ -80,6 +80,21 @@ def main() -> None:
     for r in wl.limit(3).collect():
         print(f"  part {r.part_id}: radius={r.radius}")
 
+    lpa = Q.community_lpa(spark, sf_dir)
+    print("label-propagation communities:", lpa.count())
+
+    kt = Q.ktruss_copurchase(spark, sf_dir).first()
+    print(f"4-truss core: {kt.n_edges} edges over {kt.n_vertices} parts")
+
+    ppr = Q.ppr_copurchase(spark, sf_dir)
+    print("personalized-PageRank top parts (seeded by the 5 smallest ids):")
+    for r in ppr.orderBy(ppr.ppr.desc()).limit(3).collect():
+        print(f"  part {r.id}: ppr={r.ppr}")
+
+    ecc = Q.graph_eccentricity_sampled(spark, sf_dir)
+    print("sampled diameter lower bound:",
+          ecc.agg({"eccentricity": "max"}).first()[0])
+
     spark.stop()
 
 

@@ -43,3 +43,6 @@ def test_graph_insights_example():
     assert "strongest part affinities:" in stdout
     assert "components (star contraction):" in stdout
     assert "weighted-layout radial seeds:" in stdout
+    assert "label-propagation communities:" in stdout
+    assert "4-truss core:" in stdout
+    assert "sampled diameter lower bound:" in stdout
