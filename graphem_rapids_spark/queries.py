@@ -5162,6 +5162,75 @@ ORDER BY aa_score DESC, u ASC, v ASC LIMIT 20
 )
 
 
+def link_jaccard(spark, sf_dir):
+    """Jaccard-coefficient link prediction: top-20 non-adjacent pairs
+    by |N(u)∩N(v)| / |N(u)∪N(v)| over the same candidate block as
+    Adamic–Adar. All-integer counts + ONE exact division — the
+    engine-identical variant of the AA score. Same map-side wedge
+    expansion (collect_set + array transform), shuffle carries only
+    candidate-block pairs."""
+    from graphem_rapids_spark.graph.canon import symmetrize_edges
+
+    e = copurchase_edges(spark, sf_dir)
+    sym = symmetrize_edges(e)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    nbrs = (
+        sym.filter(F.col("dst") < _AA_BLOCK)
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("ns"))
+    )
+    wed = nbrs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ns, x -> "
+                "transform(filter(ns, y -> y > x), y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    c = wed.groupBy("u", "v").agg(F.count("*").alias("n_common"))
+    scored = (
+        c.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("du") + F.col("dv") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+    cand = scored.join(
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    return cand.orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v")).limit(20)
+
+
+_JACCARD_LINK_SQL = (
+    _COPURCHASE_SQL_CTE
+    + f"""
+, sym AS (SELECT src, dst FROM ge UNION ALL SELECT dst, src FROM ge),
+deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+wed AS (
+  SELECT a.dst AS u, b.dst AS v
+  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+  WHERE a.dst < {_AA_BLOCK} AND b.dst < {_AA_BLOCK}
+),
+c AS (SELECT u, v, count(*) AS n_common FROM wed GROUP BY u, v),
+scored AS (
+  SELECT c.u, c.v, c.n_common,
+         round(c.n_common / (du.deg + dv.deg - c.n_common), 6) AS jaccard
+  FROM c JOIN deg du ON du.id = c.u JOIN deg dv ON dv.id = c.v
+)
+SELECT u, v, n_common, jaccard FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM ge WHERE ge.src = s.u AND ge.dst = s.v)
+ORDER BY jaccard DESC, u ASC, v ASC LIMIT 20
+"""
+)
+
+
 def customer_rfm(spark, sf_dir):
     """RFM segmentation: per customer recency (days since last order,
     against the corpus max date), frequency (order count), monetary
@@ -6383,7 +6452,7 @@ GROUP BY a.cl, c.c"""
 # + first-ever hash oracle), the two new round-3 oracle queries
 # (connected_components_star, ann_recall_at_k), and one prior
 # double-green regression canary (dedup_minhash_lsh, the most complex
-# pipeline). All 151 entries regardless of position are hash-verified
+# pipeline). All 152 entries regardless of position are hash-verified
 # each session by scripts/oracle_check.py and
 # tests/test_oracle_parity.py.
 QUERIES = {
@@ -6510,6 +6579,7 @@ QUERIES = {
     "graph_monthly_new_edges": graph_monthly_new_edges,
     "harmonic_sampled": harmonic_sampled,
     "graph_eccentricity_sampled": graph_eccentricity_sampled,
+    "link_jaccard": link_jaccard,
     "graph_stats": graph_stats_q,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
@@ -6649,6 +6719,7 @@ ORACLES = {
     "graph_monthly_new_edges": _MONTHLY_EDGES_SQL,
     "harmonic_sampled": _harmonic_sql(),
     "graph_eccentricity_sampled": _eccentricity_sql(),
+    "link_jaccard": _JACCARD_LINK_SQL,
     "influence_ic": _ic_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "doc_pipeline_funnel": _FUNNEL_SQL,
