@@ -181,7 +181,6 @@ def pagerank_personalized(
     iteration discipline as :func:`pagerank`; dangling mass restarts
     to the seed distribution (networkx ``personalization``
     semantics)."""
-    spark = edges.sparkSession
     if vertices is not None:
         verts = vertices.select(F.col("id").cast("long"))
     else:
@@ -437,7 +436,7 @@ def star_contract_edges(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             f"{max_iter} rounds; labels may split components — raise "
             "max_iter",
             RuntimeWarning,
-            stacklevel=3,
+            stacklevel=2,
         )
     return e
 
@@ -630,10 +629,20 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
         e2 = cur.select(F.col("src").alias("b"), F.col("dst").alias("c"))
         e3 = cur.select(F.col("src").alias("a"), F.col("dst").alias("c"))
         tri = e1.join(e2, "b").join(e3, ["a", "c"])  # triangles a<b<c
+        # explode each triangle into its 3 edges so the Σdeg² triangle
+        # join runs ONCE per round (three unionAll branches would
+        # re-execute it three times — Spark shares shuffles, not probes)
         sup = (
-            tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-            .unionAll(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
-            .unionAll(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                        F.struct(F.col("b").alias("src"), F.col("c").alias("dst")),
+                        F.struct(F.col("a").alias("src"), F.col("c").alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .select("e.*")
             .groupBy("src", "dst")
             .agg(F.count("*").alias("sup"))
         )
@@ -755,12 +764,17 @@ def harmonic_centrality(
         if n_vertices is None:
             raise ValueError("harmonic_centrality: pass sources or n_vertices")
         sources = spark.range(n_vertices).select(F.col("id").cast("long"))
+    if not 1 <= max_depth <= 40:
+        # lcm(1..43) exceeds BIGINT; keep headroom below that cliff
+        raise ValueError("harmonic_centrality: max_depth must be in 1..40")
     lcm = math.lcm(*range(1, max_depth + 1))
     visited = bfs_distances(edges, sources, max_depth=max_depth)
     return (
         visited.filter(F.col("d") > 0)
         .groupBy("id")
-        .agg(F.sum(F.expr(f"{lcm} div d")).alias("h_fp"))
+        # DECIMAL sum: Σ lcm/d over many sources can pass 2⁶³ at deep
+        # horizons (lcm(1..40) ≈ 5.3e15) — same discipline as Brandes
+        .agg(F.sum(F.expr(f"{lcm} div d").cast("decimal(38,0)")).alias("h_fp"))
         .select(
             "id", (F.col("h_fp").cast("double") / F.lit(float(lcm))).alias("value")
         )

@@ -1739,7 +1739,7 @@ def _ktruss_sql(k: int = _TRUSS_K, rounds: int = _TRUSS_ROUNDS) -> str:
     for r in range(1, rounds + 1):
         parts.append(
             f"""
-, tri{r} AS (
+, tri{r} AS MATERIALIZED (
   SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
   FROM cur{r - 1} e1
   JOIN cur{r - 1} e2 ON e1.dst = e2.src
