@@ -6069,6 +6069,100 @@ FROM dau JOIN wau ON dau.day = wau.day
 
 
 _SSSP_ROUNDS = 12
+_WCLOSE_SOURCES = 8
+_WCLOSE_ROUNDS = 10
+
+
+def weighted_closeness_sampled(spark, sf_dir):
+    """Weighted closeness centrality for the 8 smallest part ids:
+    rarity-cost shortest distances (the SSSP edge costs) via batched
+    multi-source Bellman–Ford, ``_WCLOSE_ROUNDS`` fixed relaxation
+    rounds, then the networkx convention (r−1)/tot · (r−1)/(n−1) on
+    the exact BIGINT distance sums. Min-plus arithmetic is all
+    integer, so the run unrolls to a SQL oracle at the same depth —
+    the weighted twin of ``closeness_sampled``."""
+    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
+    we = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("src") < F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    mx = we.agg(F.max("w").alias("_mx"))
+    cost = we.crossJoin(F.broadcast(mx)).select(
+        "src", "dst", (F.col("_mx") + 1 - F.col("w")).alias("cost")
+    )
+    sym = cost.unionAll(
+        cost.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cost")
+    ).localCheckpoint(eager=True)
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    n = verts.count()
+    srcs = verts.orderBy("id").limit(_WCLOSE_SOURCES)
+    d = srcs.select(
+        F.col("id").alias("s"), F.col("id"), F.lit(0).cast("long").alias("d")
+    ).localCheckpoint(eager=True)
+    last_ckpt = d
+    for i in range(_WCLOSE_ROUNDS):
+        relaxed = sym.join(d.withColumnRenamed("id", "src"), "src").select(
+            "s", F.col("dst").alias("id"), (F.col("d") + F.col("cost")).alias("d")
+        )
+        d = d.unionAll(relaxed).groupBy("s", "id").agg(F.min("d").alias("d"))
+        if (i + 1) % 4 == 0 or i == _WCLOSE_ROUNDS - 1:
+            d = d.localCheckpoint(eager=True)
+            last_ckpt.unpersist()
+            last_ckpt = d
+    per = d.groupBy("s").agg(F.sum("d").alias("tot"), (F.count("*") - 1).alias("r"))
+    return per.select(
+        F.col("s").alias("part_id"),
+        F.round(
+            (F.col("r") / F.col("tot")) * (F.col("r") / F.lit(float(n - 1))), 9
+        ).alias("wcloseness"),
+    )
+
+
+def _wcloseness_sql(rounds: int = _WCLOSE_ROUNDS, k: int = _WCLOSE_SOURCES) -> str:
+    parts = [
+        """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+we AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+mx AS (SELECT max(w) AS mx FROM we),
+cost AS MATERIALIZED (
+  SELECT src, dst, mx + 1 - w AS cost FROM we CROSS JOIN mx
+),
+sym AS MATERIALIZED (
+  SELECT src, dst, cost FROM cost
+  UNION ALL SELECT dst AS src, src AS dst, cost FROM cost
+),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+nn AS (SELECT count(*) AS n FROM verts),"""
+        + f"""
+srcs AS (SELECT id FROM verts ORDER BY id LIMIT {k}),
+d0 AS MATERIALIZED (SELECT id AS s, id, CAST(0 AS BIGINT) AS d FROM srcs)""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""", d{t} AS MATERIALIZED (
+  SELECT s, id, min(d) AS d FROM (
+    SELECT s, id, d FROM d{t - 1}
+    UNION ALL
+    SELECT p.s, e.dst AS id, p.d + e.cost AS d
+    FROM sym e JOIN d{t - 1} p ON e.src = p.id
+  ) GROUP BY s, id
+)"""
+        )
+    parts.append(
+        f"""
+, per AS (SELECT s, sum(d) AS tot, count(*) - 1 AS r FROM d{rounds} GROUP BY s)
+SELECT s AS part_id,
+       round((r / tot) * (r / CAST((SELECT n FROM nn) - 1 AS DOUBLE)), 9) AS wcloseness
+FROM per"""
+    )
+    return "".join(parts)
 
 
 def graph_weighted_sssp(spark, sf_dir):
@@ -6452,7 +6546,7 @@ GROUP BY a.cl, c.c"""
 # + first-ever hash oracle), the two new round-3 oracle queries
 # (connected_components_star, ann_recall_at_k), and one prior
 # double-green regression canary (dedup_minhash_lsh, the most complex
-# pipeline). All 152 entries regardless of position are hash-verified
+# pipeline). All 153 entries regardless of position are hash-verified
 # each session by scripts/oracle_check.py and
 # tests/test_oracle_parity.py.
 QUERIES = {
@@ -6580,6 +6674,7 @@ QUERIES = {
     "harmonic_sampled": harmonic_sampled,
     "graph_eccentricity_sampled": graph_eccentricity_sampled,
     "link_jaccard": link_jaccard,
+    "weighted_closeness_sampled": weighted_closeness_sampled,
     "graph_stats": graph_stats_q,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
@@ -6720,6 +6815,7 @@ ORACLES = {
     "harmonic_sampled": _harmonic_sql(),
     "graph_eccentricity_sampled": _eccentricity_sql(),
     "link_jaccard": _JACCARD_LINK_SQL,
+    "weighted_closeness_sampled": _wcloseness_sql(),
     "influence_ic": _ic_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "doc_pipeline_funnel": _FUNNEL_SQL,
