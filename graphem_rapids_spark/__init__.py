@@ -44,6 +44,7 @@ from graphem_rapids_spark.embedding.embedder import GraphEmbedderSpark, create_g
 from graphem_rapids_spark.influence import (
     graphem_seed_selection,
     estimated_influence,
+    ndlib_estimated_influence,
     greedy_seed_selection,
     random_seed_baseline,
 )
@@ -53,6 +54,9 @@ from graphem_rapids_spark.analytics import (
     pagerank_personalized,
     pagerank_weighted,
     eigenvector_centrality,
+    hits,
+    katz_centrality,
+    random_walks,
     connected_components,
     star_contract_edges,
     label_propagation,
@@ -176,6 +180,7 @@ __all__ = [
     "create_graphem",
     "graphem_seed_selection",
     "estimated_influence",
+    "ndlib_estimated_influence",
     "greedy_seed_selection",
     "random_seed_baseline",
     "degree_centrality",
@@ -183,6 +188,9 @@ __all__ = [
     "pagerank_personalized",
     "pagerank_weighted",
     "eigenvector_centrality",
+    "hits",
+    "katz_centrality",
+    "random_walks",
     "connected_components",
     "star_contract_edges",
     "label_propagation",

@@ -188,10 +188,17 @@ def pagerank_personalized(
 
         verts = vertices_from_edges(edges)
     n = verts.count()
-    s = seeds.select(F.col("id").cast("long")).distinct()
+    # semi-join BEFORE counting k: an out-of-graph seed would otherwise
+    # be dropped by the left join below while still diluting the 1/k
+    # restart mass (total teleport k'/k < 1 — silently wrong ranks)
+    s = seeds.select(F.col("id").cast("long")).distinct().join(
+        verts, "id", "left_semi"
+    )
     k = s.count()
     if k == 0:
-        raise ValueError("pagerank_personalized: empty seed set")
+        raise ValueError(
+            "pagerank_personalized: no seed is a vertex of the graph"
+        )
     use_broadcast = _vertex_table_fits_broadcast(n, broadcast_max)
     part_key = F.col("dst") if use_broadcast else F.col("src")
     sym = symmetrize_edges(edges).repartition(part_key).persist()
@@ -787,6 +794,7 @@ def betweenness_sampled(
     sources: DataFrame | None = None,
     normalized: bool = True,
     max_depth: int = 64,
+    vertices: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed Brandes betweenness over a batch of source vertices
     — the scale path the reference lacks (it guards betweenness to
@@ -818,6 +826,11 @@ def betweenness_sampled(
     With all vertices as sources this is exact Brandes; with k sampled
     sources the result is rescaled by n/k (networkx ``_rescale``
     convention, normalized = delta_sum/((n-1)(n-2)) for undirected).
+
+    ``vertices`` is the output universe (one row per vertex id, zero
+    filled); when None the ids are assumed dense 0..n-1. Pass the real
+    vertex table for graphs with raw/sparse ids (e.g. part keys) —
+    otherwise high-id vertices silently fall outside ``range(n)``.
     """
     spark = edges.sparkSession
     # src-partitioned once — shuffle-strategy rounds reuse it (see
@@ -916,10 +929,12 @@ def betweenness_sampled(
         # the inner join against `cur` (exactly the level-d vertices)
     sym.unpersist()
 
+    if vertices is None:
+        vertices = spark.range(n_vertices).select(F.col("id").cast("long"))
+    else:
+        vertices = vertices.select(F.col("id").cast("long"))
     if acc is None:
-        return spark.range(n_vertices).select(
-            F.col("id").cast("long"), F.lit(0.0).alias("value")
-        )
+        return vertices.select("id", F.lit(0.0).alias("value"))
     raw = acc.groupBy("id").agg(F.sum("delta_fp").alias("dfp_sum"))
     dsum = F.col("dfp_sum").cast("double") / F.lit(float(DELTA_FP_SCALE))
     scale = float(n_vertices) / float(n_sources)  # sampling rescale (nx convention)
@@ -928,7 +943,6 @@ def betweenness_sampled(
         val = dsum * scale / denom
     else:
         val = dsum * scale / 2.0
-    vertices = spark.range(n_vertices).select(F.col("id").cast("long"))
     return vertices.join(raw, "id", "left").select(
         "id", F.coalesce(val, F.lit(0.0)).alias("value")
     )
@@ -1140,3 +1154,168 @@ def coreness(edges: DataFrame, max_rounds: int = 60) -> DataFrame:
         )
     sym.unpersist()
     return c.select("id", F.col("c").alias("core"))
+
+
+def katz_centrality(
+    edges: DataFrame,
+    alpha: float = 0.001,
+    beta: float = 1.0,
+    max_iter: int = 8,
+    vertices: DataFrame | None = None,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """(id, value) — Katz centrality by fixed-iteration expansion
+    x ← β + α·A·x (attenuated path-count form; networkx
+    ``katz_centrality`` semantics without the final L2 normalization,
+    which adds no information to a ranking). A §2.5-adjacent
+    centrality the reference's benchmark harness lacks; same physical
+    shape as :func:`pagerank`: one message join + one groupBy per
+    iteration over a symmetrized edge table partitioned ONCE on the
+    key the chosen strategy reuses, ``localCheckpoint`` per iteration
+    to keep plans flat. Fixed iterations → unrolls to a SQL oracle."""
+    from graphem_rapids_spark.graph.canon import vertices_from_edges
+
+    verts = (
+        vertices.select(F.col("id").cast("long"))
+        if vertices is not None
+        else vertices_from_edges(edges)
+    )
+    n = verts.count()
+    use_broadcast = _vertex_table_fits_broadcast(n, broadcast_max)
+    sym = symmetrize_edges(edges).repartition(
+        F.col("dst") if use_broadcast else F.col("src")
+    ).persist()
+    x = verts.select("id", F.lit(beta).alias("value")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msg = (
+            sym.withColumnRenamed("src", "id")
+            .join(F.broadcast(x) if use_broadcast else x, "id")
+            .select(F.col("dst").alias("id"), F.col("value").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        x_new = verts.join(msg, "id", "left").select(
+            "id",
+            (F.lit(beta) + F.lit(alpha) * F.coalesce("s", F.lit(0.0))).alias("value"),
+        ).localCheckpoint(eager=True)
+        x.unpersist()
+        x = x_new
+    sym.unpersist()
+    return x
+
+
+def hits(
+    edges: DataFrame,
+    max_iter: int = 4,
+) -> DataFrame:
+    """(role, id, score) — HITS hubs & authorities on a DIRECTED
+    bipartite edge table ``(src, dst)`` (hub = src side, authority =
+    dst side): unnormalized power iteration a ← Aᵀh, h ← A·a for
+    ``max_iter`` rounds, then ONE normalization by the max score per
+    role (scale-free ranking; per-iteration normalization would cost
+    a global float reduce per round and adds nothing to a fixed-
+    iteration run — doubles hold the unnormalized growth easily).
+    Each half-step is one join + one groupBy on the edge table,
+    partitioned once; same broadcast discipline as the other
+    centralities. On an undirected graph HITS degenerates to
+    eigenvector centrality — use :func:`eigenvector_centrality`
+    there."""
+    if max_iter < 1:
+        raise ValueError("hits: max_iter must be >= 1")
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).persist()
+    h = (
+        e.select(F.col("src").alias("id")).distinct()
+        .select("id", F.lit(1.0).alias("score"))
+        .localCheckpoint(eager=True)
+    )
+    a = None
+    for _ in range(max_iter):
+        a = (
+            e.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("score").alias("score"))
+            .localCheckpoint(eager=True)
+        )
+        h_new = (
+            e.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("score").alias("score"))
+            .localCheckpoint(eager=True)
+        )
+        h.unpersist()
+        h = h_new
+    e.unpersist()
+
+    def _norm(df, role):
+        mx = df.agg(F.max("score")).first()[0] or 1.0
+        return df.select(
+            F.lit(role).alias("role"),
+            "id",
+            (F.col("score") / F.lit(mx)).alias("score"),
+        )
+
+    return _norm(h, "hub").unionAll(_norm(a, "authority"))
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    steps: int = 8,
+    reps: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """(walker, step, id) — deterministic hash-driven uniform random
+    walks over the symmetrized graph: ``reps`` walkers start at each
+    seed vertex, and at step t walker w at vertex v moves to the
+    ``idx``-th neighbor of v (neighbors ordered by id) where
+    idx = 1 + ⌊mix(v·4096 + w·16 + t)·deg(v)⌋ — the mixer's [0,1)
+    output times an integer degree is EXACT double arithmetic
+    (k·deg < 2⁵³), so both engines pick the identical neighbor and
+    the whole trajectory set is integer-reproducible (the sampling
+    primitive behind node2vec-style embedding corpora at scale).
+
+    Physical shape: the neighbor table (src-partitioned window for
+    per-source neighbor ranks) is built ONCE; each step joins the
+    tiny walker-state table (|seeds|·reps rows, broadcast) against it
+    — the edge table never re-shuffles. Returns every visited
+    position including step 0."""
+    from graphem_rapids_spark.functions import mix_uniform
+
+    sym = symmetrize_edges(edges)
+    w_nbr = Window.partitionBy("src").orderBy(F.col("dst").asc())
+    nbr = (
+        sym.select("src", "dst")
+        .withColumn("rn", F.row_number().over(w_nbr))
+        .withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+        .persist()
+    )
+    rep = seeds.sparkSession.range(reps).select(F.col("id").cast("long").alias("rep"))
+    state = (
+        seeds.select(F.col("id").cast("long").alias("v0"))
+        .crossJoin(rep)
+        .select(
+            (F.col("v0") * reps + F.col("rep")).alias("walker"),
+            F.lit(0).alias("step"),
+            F.col("v0").alias("id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = state
+    for t in range(1, steps + 1):
+        # current vertex is "src" after the rename-join below
+        key = F.col("src") * 4096 + F.col("walker") * 16 + F.lit(t)
+        idx = (
+            F.lit(1)
+            + F.floor(mix_uniform(key, seed) * F.col("deg").cast("double"))
+        ).cast("int")
+        state = (
+            nbr.join(
+                F.broadcast(state.withColumnRenamed("id", "src")), "src"
+            )
+            .filter(F.col("rn") == idx)
+            .select("walker", F.lit(t).alias("step"), F.col("dst").alias("id"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionAll(state)
+    nbr.unpersist()
+    return out

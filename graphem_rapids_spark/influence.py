@@ -142,6 +142,11 @@ def estimated_influence(
     return float(out or 0.0)
 
 
+# exact-name alias so reference call sites (``ndlib_estimated_influence``,
+# reference influence.py:40) translate 1:1
+ndlib_estimated_influence = estimated_influence
+
+
 def greedy_seed_selection(
     edges: DataFrame,
     n_vertices: int,

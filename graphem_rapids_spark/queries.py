@@ -406,7 +406,13 @@ def ppr_copurchase(spark, sf_dir):
 def _ppr_sql(iters: int = _PAGERANK_ITERS, k: int = _PPR_SEEDS) -> str:
     """Unrolled personalized PageRank: teleport vector e = 1/k on the
     k smallest vertex ids, 0 elsewhere (graph has no dangling
-    vertices, so the dangling term is exactly 0 every iteration)."""
+    vertices, so the dangling term is exactly 0 every iteration).
+    The teleport factor is interpolated as the Python double repr —
+    a bare ``(1 - 0.85)`` would be DuckDB exact-DECIMAL 0.15 (double
+    0.1499…944) while Spark computes 1.0-0.85 = 0.1500…002, a 1-ulp
+    mismatch injected every iteration."""
+    teleport = repr(1.0 - 0.85)
+    alpha = repr(0.85)
     parts = [
         _COPURCHASE_SQL_CTE,
         ", sym AS (SELECT src, dst FROM ge UNION ALL SELECT dst AS src, src AS dst FROM ge)",
@@ -423,7 +429,7 @@ def _ppr_sql(iters: int = _PAGERANK_ITERS, k: int = _PPR_SEEDS) -> str:
         parts.append(
             f""", pr{i + 1} AS (
   SELECT b.id, b.od, b.e,
-         (1 - 0.85) * b.e + 0.85 * (coalesce(t.s, 0) + 0.0 * b.e) AS v
+         {teleport} * b.e + {alpha} * (coalesce(t.s, 0) + 0.0 * b.e) AS v
   FROM base b LEFT JOIN (
     SELECT sym.dst AS id, sum(p.v / p.od) AS s
     FROM sym JOIN pr{i} p ON p.id = sym.src
@@ -437,7 +443,10 @@ def _ppr_sql(iters: int = _PAGERANK_ITERS, k: int = _PPR_SEEDS) -> str:
 
 def _pagerank_sql(iters: int = _PAGERANK_ITERS) -> str:
     """Unrolled fixed-iteration PageRank as chained CTEs (no dangling
-    nodes: every graph vertex has degree ≥ 1)."""
+    nodes: every graph vertex has degree ≥ 1). Teleport interpolated
+    as the Python double repr — DuckDB's exact-DECIMAL ``(1 - 0.85)``
+    is 1 ulp off Spark's ``1.0 - alpha`` (see ``_ppr_sql``)."""
+    teleport = repr(1.0 - 0.85)
     parts = [
         _COPURCHASE_SQL_CTE,
         ", sym AS (SELECT src, dst FROM ge UNION ALL SELECT dst AS src, src AS dst FROM ge)",
@@ -449,7 +458,7 @@ def _pagerank_sql(iters: int = _PAGERANK_ITERS) -> str:
         parts.append(
             f""", pr{i + 1} AS (
   SELECT od.id, od.od,
-         (1 - 0.85) / (SELECT n FROM nn)
+         {teleport} / CAST((SELECT n FROM nn) AS DOUBLE)
          + 0.85 * coalesce(t.s, 0) AS v
   FROM od LEFT JOIN (
     SELECT sym.dst AS id, sum(p.v / p.od) AS s
@@ -1020,8 +1029,19 @@ FROM assign a LEFT JOIN dropped d USING (vec_id)
 
 def embedding_quantize_int8(spark, sf_dir):
     """Per-vector symmetric int8 scalar quantization (ANN index
-    compression) — full integer codes oracle-checked."""
-    return S.quantize_int8(_t(spark, sf_dir, "embeddings"))
+    compression) — full integer codes oracle-checked. The registry
+    wrapper serializes the code array to a CSV string (``q_csv``):
+    the driver's canonicalizer sorts pandas frames and cannot hash
+    list cells, so registered outputs must be scalar columns; the
+    rich array-typed API (:func:`pipeline.similarity.quantize_int8`)
+    is unchanged. Integer→string casts are byte-identical across
+    engines."""
+    q = S.quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.col("q").cast("array<string>")).alias("q_csv"),
+    )
 
 
 _QUANTIZE_SQL = """
@@ -1029,9 +1049,9 @@ WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 m AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS amax FROM v)
 SELECT vec_id,
        round(amax / 127.0, 9) AS scale,
-       CASE WHEN amax > 0
+       array_to_string((CASE WHEN amax > 0
             THEN list_transform(emb, x -> CAST(round(x / (amax / 127.0)) AS INT))
-            ELSE list_transform(emb, x -> 0) END AS q
+            ELSE list_transform(emb, x -> 0) END)::VARCHAR[], ',') AS q_csv
 FROM m
 """
 
@@ -1044,9 +1064,23 @@ _JL_SEED = 5
 def embedding_project_jl(spark, sf_dir):
     """Johnson–Lindenstrauss Rademacher projection 64→16 dims — the
     dim-reduction step before ANN indexing; bit-stable left-fold dot
-    products against the oracle."""
-    return S.project_jl(
+    products against the oracle. Registry output is driver-canon-safe
+    scalars: each 6-decimal-rounded coordinate is quantized to an
+    exact micro-unit BIGINT (×10⁶ — binary-exact, no float→string
+    formatting divergence) and the vector serialized to ``proj_fp``
+    CSV; the array-typed API (:func:`pipeline.similarity.project_jl`)
+    is unchanged."""
+    p = S.project_jl(
         _t(spark, sf_dir, "embeddings"), k=_JL_K, dim=_JL_DIM, seed=_JL_SEED
+    )
+    return p.select(
+        "vec_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "proj", lambda x: F.round(x * 1e6).cast("bigint").cast("string")
+            ),
+        ).alias("proj_fp"),
     )
 
 
@@ -1059,11 +1093,12 @@ def _jl_sql() -> str:
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
 SELECT vec_id,
-       list_transform({mat}::DOUBLE[][],
-           row -> round(list_reduce(
+       array_to_string(list_transform({mat}::DOUBLE[][],
+           row -> CAST(CAST(round(round(list_reduce(
                       list_transform(range(1, {_JL_DIM} + 1),
                                      i -> emb[CAST(i AS INT)] * row[CAST(i AS INT)]),
-                      (a, b) -> a + b) * {inv_sqrt_k}, 6)) AS proj
+                      (a, b) -> a + b) * {inv_sqrt_k}, 6) * 1000000.0) AS BIGINT)
+                  AS VARCHAR)), ',') AS proj_fp
 FROM v
 """
 
@@ -1154,8 +1189,19 @@ _INDEX_MIN_DF = 2
 
 def doc_inverted_index(spark, sf_dir):
     """Inverted index: term → document frequency + sorted posting
-    list (min_df = 2). One explode + one term-partitioned groupBy."""
-    return T.inverted_index(_t(spark, sf_dir, "documents"), min_df=_INDEX_MIN_DF)
+    list (min_df = 2). One explode + one term-partitioned groupBy.
+    The registry wrapper serializes the sorted posting list to a CSV
+    string (``postings_csv``) so the driver canonicalizer — which
+    cannot hash list cells — gets scalar columns; the array-typed API
+    (:func:`pipeline.text.inverted_index`) is unchanged."""
+    ix = T.inverted_index(_t(spark, sf_dir, "documents"), min_df=_INDEX_MIN_DF)
+    return ix.select(
+        "term",
+        "df",
+        F.concat_ws(",", F.col("postings").cast("array<string>")).alias(
+            "postings_csv"
+        ),
+    )
 
 
 _INDEX_SQL = f"""
@@ -1163,7 +1209,7 @@ WITH t AS (
   SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS term FROM documents
 )
 SELECT term, CAST(count(*) AS BIGINT) AS df,
-       list(doc_id ORDER BY doc_id) AS postings
+       array_to_string((list(doc_id ORDER BY doc_id))::VARCHAR[], ',') AS postings_csv
 FROM t GROUP BY term HAVING count(*) >= {_INDEX_MIN_DF}
 """
 
@@ -4124,8 +4170,12 @@ def betweenness_copurchase(spark, sf_dir):
         .distinct()
         .join(verts, "id", "left_semi")
     )
+    # rank over the REAL vertex table — co-purchase ids are raw part
+    # keys, not dense 0..n-1, so a range(n) universe would silently
+    # drop the highest-id products from the top-20
     bc = betweenness_sampled(
-        edges, n, sources=sources, normalized=True, max_depth=_BETW_DEPTH
+        edges, n, sources=sources, normalized=True, max_depth=_BETW_DEPTH,
+        vertices=verts,
     )
     return (
         bc.select("id", F.round("value", 6).alias("value"))
@@ -4211,15 +4261,11 @@ def _betw_copurchase_sql(depth: int = _BETW_DEPTH) -> str:
   {acc_union}
 )
 , agg AS (SELECT id, CAST(sum(delta_fp) AS DOUBLE) AS dfp_sum FROM accu GROUP BY id)
-, allv AS (
-  -- range() takes only constants in DuckDB: over-generate and filter
-  SELECT t.range AS id FROM range(10000000) t CROSS JOIN nv WHERE t.range < nv.n
-)
 SELECT a.id,
        round(((coalesce(g.dfp_sum, 0.0) / {float(fp)!r})
               * (CAST(nv.n AS DOUBLE) / CAST(kk.k AS DOUBLE)))
              / CAST(greatest((nv.n - 1) * (nv.n - 2), 1) AS DOUBLE), 6) AS value
-FROM allv a LEFT JOIN agg g ON a.id = g.id CROSS JOIN nv CROSS JOIN kk
+FROM verts a LEFT JOIN agg g ON a.id = g.id CROSS JOIN nv CROSS JOIN kk
 ORDER BY value DESC, a.id ASC LIMIT 20"""
     )
     return "".join(parts)
@@ -4270,18 +4316,7 @@ def spearman_bootstrap_ci(spark, sf_dir):
         .join(F.broadcast(rep), F.col("rep") < F.col("cnt"))
     )
 
-    def rho_of(df, part):
-        # a2/b2 = 2×mean-rank (integers); Pearson on ranks via exact
-        # integer sums, one float expression at the end
-        wq = Window.partitionBy(*part).orderBy(F.col("l_quantity").asc())
-        wqt = Window.partitionBy(*part, "l_quantity")
-        wp = Window.partitionBy(*part).orderBy(F.col("l_extendedprice").asc())
-        wpt = Window.partitionBy(*part, "l_extendedprice")
-        ranked = df.withColumn(
-            "a2", (2 * F.rank().over(wq) + F.count("*").over(wqt) - 1).cast("long")
-        ).withColumn(
-            "b2", (2 * F.rank().over(wp) + F.count("*").over(wpt) - 1).cast("long")
-        )
+    def rho_agg(ranked, part):
         agg = ranked.groupBy(*[F.col(c) for c in part] if part else []).agg(
             F.count("*").alias("n"),
             F.sum("a2").alias("sa"),
@@ -4296,8 +4331,36 @@ def spearman_bootstrap_ci(spark, sf_dir):
         ) * F.sqrt((F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double"))
         return agg.withColumn("rho", num.cast("double") / den)
 
-    point = rho_of(li, []).select(F.round("rho", 9).alias("rho_point"))
-    per_trial = rho_of(resampled, ["trial"])
+    # point estimate: a2/b2 = 2×mean-rank as exact integers via the
+    # DISTRIBUTED prefix-sum (scale.py) — 2·_less + ties + 1 equals
+    # 2·rank() + count_ties − 1 row for row, so the result is
+    # bit-identical to the window formulation (and the oracle) with
+    # no partition-less window over the sample
+    from graphem_rapids_spark.scale import _prefix_counts
+
+    qa = _prefix_counts(li, "l_quantity").select(
+        "l_quantity",
+        (2 * F.col("_less") + F.col("_c") + 1).cast("long").alias("a2"),
+    )
+    pb = _prefix_counts(li, "l_extendedprice").select(
+        "l_extendedprice",
+        (2 * F.col("_less") + F.col("_c") + 1).cast("long").alias("b2"),
+    )
+    point_ranked = li.join(qa, "l_quantity").join(pb, "l_extendedprice")
+    point = rho_agg(point_ranked, []).select(F.round("rho", 9).alias("rho_point"))
+
+    # per-trial ranks stay windowed — partitioned by trial (each
+    # trial's resample is the bounded unit of work here)
+    wq = Window.partitionBy("trial").orderBy(F.col("l_quantity").asc())
+    wqt = Window.partitionBy("trial", "l_quantity")
+    wp = Window.partitionBy("trial").orderBy(F.col("l_extendedprice").asc())
+    wpt = Window.partitionBy("trial", "l_extendedprice")
+    trial_ranked = resampled.withColumn(
+        "a2", (2 * F.rank().over(wq) + F.count("*").over(wqt) - 1).cast("long")
+    ).withColumn(
+        "b2", (2 * F.rank().over(wp) + F.count("*").over(wpt) - 1).cast("long")
+    )
+    per_trial = rho_agg(trial_ranked, ["trial"])
     ci = per_trial.agg(
         F.round(F.expr("percentile(rho, 0.025)"), 9).alias("ci_lo"),
         F.round(F.expr("percentile(rho, 0.975)"), 9).alias("ci_hi"),
@@ -4451,7 +4514,7 @@ def _wpr_sql(iters: int = _WPR_ITERS, alpha: float = 0.85) -> str:
         parts.append(
             f""", wpr{i} AS MATERIALIZED (
   SELECT b.id, b.st,
-         (1.0 - {alpha!r}) / (SELECT n FROM nn)
+         {(1.0 - alpha)!r} / CAST((SELECT n FROM nn) AS DOUBLE)
          + {alpha!r} * coalesce(c.s, 0.0) AS v
   FROM st b LEFT JOIN (
     SELECT e.dst AS id, sum(p.v * e.weight / p.st) AS s
@@ -6477,9 +6540,20 @@ def embedding_kmeans(spark, sf_dir):
     """Distributed Lloyd k-means on int8-quantized embedding codes
     (see :func:`pipeline.similarity.kmeans_int8`): broadcast-centroid
     iterations, exact BIGINT assignment/update math — the IVF coarse-
-    quantizer trainer, bit-identical across engines and runs."""
-    return S.kmeans_int8(
+    quantizer trainer, bit-identical across engines and runs. The
+    registry wrapper serializes the centroid vector to a CSV string
+    (``centroid_csv``) so the driver canonicalizer gets scalar
+    columns only; the array-typed API is unchanged."""
+    km = S.kmeans_int8(
         _t(spark, sf_dir, "embeddings"), k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+    return km.select(
+        "cluster",
+        "n_members",
+        "inertia",
+        F.concat_ws(",", F.col("centroid").cast("array<string>")).alias(
+            "centroid_csv"
+        ),
     )
 
 
@@ -6529,30 +6603,326 @@ c{t} AS (
     parts.append(
         f"""
 SELECT a.cl AS cluster, count(*) AS n_members,
-       CAST(sum(a.dist) AS BIGINT) AS inertia, c.c AS centroid
+       CAST(sum(a.dist) AS BIGINT) AS inertia,
+       array_to_string(c.c::VARCHAR[], ',') AS centroid_csv
 FROM a{iters} a JOIN c{iters} c ON a.cl = c.cl
 GROUP BY a.cl, c.c"""
     )
     return "".join(parts)
 
 
+
+# =====================================================================
+# Round-4 §2-adjacent additions: Katz centrality, HITS hubs &
+# authorities, resource-allocation link prediction, deterministic
+# random walks (the node2vec-style sampling primitive)
+# =====================================================================
+
+_KATZ_ALPHA = 0.001
+_KATZ_ITERS = 8
+
+
+def katz_copurchase(spark, sf_dir):
+    """Katz centrality on the co-purchase graph — fixed 8 iterations
+    of x ← 1 + α·A·x (see :func:`analytics.katz_centrality`), full
+    vertex output rounded to 9 decimals. Same unrolled-CTE oracle
+    discipline as PageRank; the α literal is interpolated as the
+    Python double repr on both engines."""
+    e = copurchase_edges(spark, sf_dir)
+    verts = vertices_from_edges(e)
+    kz = A.katz_centrality(
+        e, alpha=_KATZ_ALPHA, beta=1.0, max_iter=_KATZ_ITERS, vertices=verts
+    )
+    return kz.select("id", F.round("value", 9).alias("katz"))
+
+
+def _katz_sql(iters: int = _KATZ_ITERS, alpha: float = _KATZ_ALPHA) -> str:
+    parts = [
+        _COPURCHASE_SQL_CTE,
+        ", sym AS MATERIALIZED (SELECT src, dst FROM ge UNION ALL SELECT dst AS src, src AS dst FROM ge)",
+        ", verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)",
+        ", k0 AS (SELECT id, 1.0 AS v FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", k{i} AS (
+  SELECT b.id, 1.0 + CAST({alpha!r} AS DOUBLE) * coalesce(t.s, 0.0) AS v
+  FROM verts b LEFT JOIN (
+    SELECT sym.dst AS id, sum(p.v) AS s
+    FROM sym JOIN k{i - 1} p ON p.id = sym.src
+    GROUP BY sym.dst
+  ) t ON t.id = b.id
+)"""
+        )
+    parts.append(f"SELECT id, round(v, 9) AS katz FROM k{iters}")
+    return "\n".join(parts)
+
+
+_HITS_ITERS = 4
+
+
+def hits_customer_part(spark, sf_dir):
+    """HITS on the DIRECTED customer→part purchase bipartite graph:
+    hub scores for customers, authority scores for parts — top-20 per
+    role by max-normalized score. Every iteration value is an exact
+    integer (unnormalized a ← Aᵀh, h ← A·a sums of 1.0-seeded counts
+    stay < 2⁵³ through 4 rounds at these scales), so both engines are
+    bit-identical up to the single final division. Top-k per role via
+    two TakeOrdered limits, not a role-partitioned window (which
+    would funnel each role's full vertex set into one partition)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .distinct()
+    )
+    res = A.hits(cp, max_iter=_HITS_ITERS).select(
+        "role", "id", F.round("score", 6).alias("score")
+    )
+    top = lambda r: (  # noqa: E731
+        res.filter(F.col("role") == r)
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(20)
+    )
+    return top("hub").unionAll(top("authority"))
+
+
+def _hits_sql(iters: int = _HITS_ITERS) -> str:
+    parts = [
+        """
+WITH cp AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+h0 AS (SELECT DISTINCT src AS id, 1.0 AS s FROM cp)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+a{i} AS MATERIALIZED (
+  SELECT cp.dst AS id, sum(h{i - 1}.s) AS s FROM cp JOIN h{i - 1} ON cp.src = h{i - 1}.id GROUP BY cp.dst
+),
+h{i} AS MATERIALIZED (
+  SELECT cp.src AS id, sum(a{i}.s) AS s FROM cp JOIN a{i} ON cp.dst = a{i}.id GROUP BY cp.src
+)"""
+        )
+    parts.append(
+        f""",
+hn AS (SELECT 'hub' AS role, id,
+              round(CAST(s AS DOUBLE) / (SELECT CAST(max(s) AS DOUBLE) FROM h{iters}), 6) AS score
+       FROM h{iters}),
+an AS (SELECT 'authority' AS role, id,
+              round(CAST(s AS DOUBLE) / (SELECT CAST(max(s) AS DOUBLE) FROM a{iters}), 6) AS score
+       FROM a{iters})
+SELECT * FROM (SELECT role, id, score FROM hn ORDER BY score DESC, id ASC LIMIT 20)
+UNION ALL
+SELECT * FROM (SELECT role, id, score FROM an ORDER BY score DESC, id ASC LIMIT 20)"""
+    )
+    return "".join(parts)
+
+
+def link_resource_allocation(spark, sf_dir):
+    """Resource-allocation link prediction (Zhou et al. 2009):
+    Σ_w 1/deg(w) over common neighbors of non-adjacent part pairs —
+    the harder-decaying sibling of Adamic–Adar, same map-side wedge
+    expansion and candidate block (see :func:`link_adamic_adar`)."""
+    from graphem_rapids_spark.graph.canon import symmetrize_edges
+
+    e = copurchase_edges(spark, sf_dir)
+    sym = symmetrize_edges(e)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    nbrs = (
+        sym.filter(F.col("dst") < _AA_BLOCK)
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("ns"))
+    )
+    wed = (
+        nbrs.join(deg.select(F.col("id").alias("src"), "deg"), "src")
+        .select(
+            (F.lit(1.0) / F.col("deg").cast("double")).alias("w"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, x -> "
+                    "transform(filter(ns, y -> y > x), y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p"),
+        )
+        .select("p.u", "p.v", "w")
+    )
+    scores = wed.groupBy("u", "v").agg(
+        F.round(F.sum("w"), 6).alias("ra_score"), F.count("*").alias("n_common")
+    )
+    cand = scores.join(
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v")), ["u", "v"], "left_anti"
+    )
+    return cand.orderBy(F.desc("ra_score"), F.asc("u"), F.asc("v")).limit(20)
+
+
+_RA_SQL = (
+    _COPURCHASE_SQL_CTE
+    + f"""
+, sym AS (SELECT src, dst FROM ge UNION ALL SELECT dst, src FROM ge),
+deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+wed AS (
+  SELECT a.dst AS u, b.dst AS v, 1.0 / CAST(d.deg AS DOUBLE) AS w
+  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+  JOIN deg d ON d.id = a.src
+  WHERE a.dst < {_AA_BLOCK} AND b.dst < {_AA_BLOCK}
+),
+scores AS (
+  SELECT u, v, round(sum(w), 6) AS ra_score, count(*) AS n_common
+  FROM wed GROUP BY u, v
+)
+SELECT u, v, ra_score, n_common FROM scores s
+WHERE NOT EXISTS (SELECT 1 FROM ge WHERE ge.src = s.u AND ge.dst = s.v)
+ORDER BY ra_score DESC, u ASC, v ASC LIMIT 20
+"""
+)
+
+
+_WALK_SEEDS = 64
+_WALK_REPS = 4
+_WALK_STEPS = 8
+_WALK_SEED = 11
+
+
+def graph_random_walks(spark, sf_dir):
+    """Deterministic uniform random walks on the co-purchase graph
+    (see :func:`analytics.random_walks`): 4 walkers from each of the
+    64 smallest vertex ids, 8 steps; output = top-20 most-visited
+    vertices (visit counts over all steps incl. step 0). Every
+    trajectory is integer-reproducible via the shared mixer, so the
+    full visit histogram hash-matches the unrolled SQL oracle."""
+    e = copurchase_edges(spark, sf_dir)
+    seeds = vertices_from_edges(e).orderBy("id").limit(_WALK_SEEDS)
+    walks = A.random_walks(
+        e, seeds, steps=_WALK_STEPS, reps=_WALK_REPS, seed=_WALK_SEED
+    )
+    return (
+        walks.groupBy("id")
+        .agg(F.count("*").alias("visits"))
+        .orderBy(F.desc("visits"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def _walks_sql(
+    seeds: int = _WALK_SEEDS,
+    reps: int = _WALK_REPS,
+    steps: int = _WALK_STEPS,
+    seed: int = _WALK_SEED,
+) -> str:
+    from graphem_rapids_spark.functions import mix_sql
+
+    parts = [
+        _COPURCHASE_SQL_CTE,
+        ", sym AS MATERIALIZED (SELECT src, dst FROM ge UNION ALL SELECT dst AS src, src AS dst FROM ge)",
+        f", sd AS (SELECT DISTINCT src AS id FROM sym ORDER BY id ASC LIMIT {seeds})",
+        """, nbr AS MATERIALIZED (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst ASC) AS rn,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM sym
+)""",
+        f""", w0 AS (
+  SELECT sd.id * {reps} + r.range AS walker, sd.id AS id
+  FROM sd CROSS JOIN range({reps}) r
+)""",
+    ]
+    for t in range(1, steps + 1):
+        u = mix_sql(f"w.id * 4096 + w.walker * 16 + {t}", seed)
+        parts.append(
+            f""", w{t} AS MATERIALIZED (
+  SELECT w.walker, n.dst AS id
+  FROM w{t - 1} w JOIN nbr n
+    ON n.src = w.id AND n.rn = 1 + CAST(floor({u} * n.deg) AS BIGINT)
+)"""
+        )
+    union = "\n  UNION ALL ".join(f"SELECT id FROM w{t}" for t in range(steps + 1))
+    parts.append(
+        f""", visits AS (
+  {union}
+)
+SELECT id, CAST(count(*) AS BIGINT) AS visits
+FROM visits GROUP BY id
+ORDER BY visits DESC, id ASC LIMIT 20"""
+    )
+    return "".join(parts)
+
+
 # Registry order = the round driver's check order (it samples the
-# FIRST 50 entries). Round-3 rotation: positions 1-45 are the 45
-# entries that have never had a driver correctness row (everything
-# the r2 VERDICT lists as local-pass only); positions 46-50 maximize
-# fresh verification yield — the two queries whose execution paths
-# changed this round (connected_components_copurchase: driver collect
-# removed; betweenness_copurchase: pinned depth + fixed-point deltas
-# + first-ever hash oracle), the two new round-3 oracle queries
-# (connected_components_star, ann_recall_at_k), and one prior
-# double-green regression canary (dedup_minhash_lsh, the most complex
-# pipeline). All 153 entries regardless of position are hash-verified
-# each session by scripts/oracle_check.py and
-# tests/test_oracle_parity.py.
+# FIRST 50 entries). Round-4 rotation below; all 153 entries
+# regardless of position are hash-verified each session by
+# scripts/oracle_check.py and tests/test_oracle_parity.py.
 QUERIES = {
-    # --- (a) never driver-checked through round 2 — first-50 window -
+    # --- (a) positions 1-4: the four r3 driver-gate ERRORS, now
+    # reshaped to scalar (CSV) output columns — need their first
+    # hash-green driver rows
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_project_jl": embedding_project_jl,
+    "doc_inverted_index": doc_inverted_index,
+    "embedding_kmeans": embedding_kmeans,
+    # --- (b) positions 5-14: round-3 additions never driver-checked
+    "community_lpa": community_lpa,
+    "ktruss_copurchase": ktruss_copurchase,
+    "ppr_copurchase": ppr_copurchase,
+    "harmonic_sampled": harmonic_sampled,
+    "graph_eccentricity_sampled": graph_eccentricity_sampled,
+    "weighted_closeness_sampled": weighted_closeness_sampled,
+    "link_jaccard": link_jaccard,
+    "graph_monthly_new_edges": graph_monthly_new_edges,
+    "multimodal_resize": multimodal_resize,
+    "graph_weighted_layout": graph_weighted_layout,
+    # --- (c) positions 15-17: execution/oracle paths changed this
+    # round (betweenness ranks over the real vertex table; PageRank
+    # oracles interpolate the double teleport literal)
+    "betweenness_copurchase": betweenness_copurchase,
+    "pagerank_copurchase": pagerank_copurchase,
+    "pagerank_weighted_copurchase": pagerank_weighted_copurchase,
+    # --- (d) positions 18-21: NEW round-4 operators — first driver rows
+    "katz_copurchase": katz_copurchase,
+    "hits_customer_part": hits_customer_part,
+    "link_resource_allocation": link_resource_allocation,
+    "graph_random_walks": graph_random_walks,
+    # --- (e) positions 22-50: stalest greens — driver rows from r1
+    # only, re-checked as regression canaries
+    "cosine_near_dup": cosine_near_dup,
+    "q1_pricing_summary": q1_pricing_summary,
+    "knn_exact": knn_exact,
+    "influence_ic": influence_ic,
+    "multimodal_features": multimodal_features,
+    "graph_stats": graph_stats_q,
+    "q3_top_orders": q3_top_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "top_customers": top_customers,
+    "part_brand_stats": part_brand_stats,
+    "events_hourly": events_hourly,
+    "graph_edges": graph_edges,
+    "graph_degree": graph_degree,
+    "graph_degree_topk": graph_degree_topk,
+    "seed_radial_topk": seed_radial_topk,
+    "label_centroids": label_centroids,
+    "ann_cosine_topk": ann_cosine_topk,
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "spearman_qty_price": spearman_qty_price,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "eigenvector_copurchase": eigenvector_copurchase,
+    "spearman_matrix": spearman_matrix,
+    "closeness_sampled": closeness_sampled,
+    # --- past the 50-entry cut: driver rows on file from r1/r2/r3;
+    # the strict local gate + pytest parity re-verify them each
+    # session
+    "gen_grid_degree": gen_grid_degree,
+    "gen_tree_degree": gen_tree_degree,
+    "ann_ivf_topk": ann_ivf_topk,
+    "influence_greedy": influence_greedy,
     "doc_curation_report": doc_curation_report,
     "lineitem_profile": lineitem_profile,
     "events_minute_anomaly": events_minute_anomaly,
@@ -6560,7 +6930,6 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
     "doc_bm25_topk": doc_bm25_topk,
-    "doc_inverted_index": doc_inverted_index,
     "doc_sliding_chunks": doc_sliding_chunks,
     "doc_pii_scrub": doc_pii_scrub,
     "graph_clustering_coeff": graph_clustering_coeff,
@@ -6571,7 +6940,6 @@ QUERIES = {
     "events_transition_topk": events_transition_topk,
     "doc_tfidf_topk": doc_tfidf_topk,
     "doc_pmi_bigrams": doc_pmi_bigrams,
-    "embedding_kmeans": embedding_kmeans,
     "graph_coreness_hindex": graph_coreness_hindex,
     "docs_stream_curation": docs_stream_curation,
     "events_value_histogram": events_value_histogram,
@@ -6596,23 +6964,10 @@ QUERIES = {
     "events_user_entropy_topk": events_user_entropy_topk,
     "region_revenue_share": region_revenue_share,
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
-    # --- (b) positions 46-50: changed paths, new oracles, one canary -
-    # connected_components_copurchase: driver collect removed this round
     "connected_components_copurchase": connected_components_copurchase,
-    # betweenness_copurchase: semantics changed (pinned depth +
-    # fixed-point deltas) and it now carries a full hash oracle
-    "betweenness_copurchase": betweenness_copurchase,
-    # new this round — need their first driver row
     "connected_components_star": connected_components_star,
     "ann_recall_at_k": ann_recall_at_k,
-    # prior driver-green kept as the regression canary (the most
-    # complex pipeline in the registry)
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    # --- past the 50-entry cut: driver rows already on file (r1/r2); -
-    # --- strict local gate + pytest parity re-verify them each session
-    "pagerank_copurchase": pagerank_copurchase,
-    "cosine_near_dup": cosine_near_dup,
-    "q1_pricing_summary": q1_pricing_summary,
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
@@ -6639,7 +6994,6 @@ QUERIES = {
     "events_stream_sessions": events_stream_sessions,
     "customer_retention_setops": customer_retention_setops,
     "graph_weighted_degree": graph_weighted_degree,
-    "pagerank_weighted_copurchase": pagerank_weighted_copurchase,
     "events_stream_join": events_stream_join,
     "orders_salted_join": orders_salted_join,
     "sketch_kmv_distinct": sketch_kmv_distinct,
@@ -6652,7 +7006,6 @@ QUERIES = {
     "events_minute_fill": events_minute_fill,
     "kcore_copurchase": kcore_copurchase,
     "layout_seed_selection": layout_seed_selection,
-    "graph_weighted_layout": graph_weighted_layout,
     "events_sessionize": events_sessionize,
     "events_json_extract": events_json_extract,
     "gen_caveman_stats": gen_caveman_stats,
@@ -6663,46 +7016,6 @@ QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "doc_decontaminate": doc_decontaminate,
     "semdedup_embeddings": semdedup_embeddings,
-    "knn_exact": knn_exact,
-    "influence_ic": influence_ic,
-    "multimodal_features": multimodal_features,
-    "multimodal_resize": multimodal_resize,
-    "community_lpa": community_lpa,
-    "ktruss_copurchase": ktruss_copurchase,
-    "ppr_copurchase": ppr_copurchase,
-    "graph_monthly_new_edges": graph_monthly_new_edges,
-    "harmonic_sampled": harmonic_sampled,
-    "graph_eccentricity_sampled": graph_eccentricity_sampled,
-    "link_jaccard": link_jaccard,
-    "weighted_closeness_sampled": weighted_closeness_sampled,
-    "graph_stats": graph_stats_q,
-    "q3_top_orders": q3_top_orders,
-    "q5_nation_revenue": q5_nation_revenue,
-    "top_customers": top_customers,
-    "part_brand_stats": part_brand_stats,
-    "events_hourly": events_hourly,
-    "graph_edges": graph_edges,
-    "graph_degree": graph_degree,
-    "graph_degree_topk": graph_degree_topk,
-    "seed_radial_topk": seed_radial_topk,
-    "label_centroids": label_centroids,
-    "ann_cosine_topk": ann_cosine_topk,
-    "doc_token_stats": doc_token_stats,
-    "doc_quality": doc_quality,
-    "doc_lang_id": doc_lang_id,
-    "doc_fingerprint": doc_fingerprint,
-    "dedup_exact": dedup_exact,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_simhash": dedup_simhash,
-    "spearman_qty_price": spearman_qty_price,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "eigenvector_copurchase": eigenvector_copurchase,
-    "spearman_matrix": spearman_matrix,
-    "gen_grid_degree": gen_grid_degree,
-    "gen_tree_degree": gen_tree_degree,
-    "closeness_sampled": closeness_sampled,
-    "ann_ivf_topk": ann_ivf_topk,
-    "influence_greedy": influence_greedy,
     "events_stream_hourly": events_stream_hourly,
     "q4_order_priority": q4_order_priority,
     "customers_without_orders": customers_without_orders,
@@ -6802,6 +7115,10 @@ ORACLES = {
     "gen_geometric_edges": _GEN_GEO_SQL,
     "betweenness_tree": _BETW_TREE_SQL,
     "betweenness_copurchase": _betw_copurchase_sql(),
+    "katz_copurchase": _katz_sql(),
+    "hits_customer_part": _hits_sql(),
+    "link_resource_allocation": _RA_SQL,
+    "graph_random_walks": _walks_sql(),
     "spearman_bootstrap_ci": _boot_sql(),
     "connected_components_copurchase": _cc_sql(),
     # star contraction produces the same min-id labels — same oracle
@@ -6867,9 +7184,8 @@ ORACLES = {
     "customer_order_gap_stats": _ORDER_GAP_SQL,
     "events_user_entropy_topk": _USER_ENTROPY_SQL,
     "region_revenue_share": _REGION_SHARE_SQL,
-    # betweenness_copurchase: sampled+iterative — rows-only check
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
-    # float-iteration dependent), influence_greedy (batched cascades
-    # over candidate sets), betweenness_copurchase (sampled sources;
-    # the algorithm itself is hash-gated by betweenness_tree)
+    # float-iteration dependent), graph_weighted_layout (same), and
+    # influence_greedy (batched cascades over candidate sets) —
+    # justifications in COVERAGE.md
 }

@@ -49,6 +49,13 @@ def _prefix_counts(df: DataFrame, col: str) -> DataFrame:
         .persist()
     )
     tot = part.groupBy("_pid").agg(F.sum("_c").alias("_t"))
+    # INTENTIONAL bounded single-partition window: Catalyst folds the
+    # constant partitionBy(lit(0)) into an empty partition spec, so
+    # executing plans show one SinglePartition WindowExec and Spark
+    # logs "No Partition Defined" — expected and safe here, because
+    # the input is the per-partition totals table (≤ shuffle-partition
+    # count rows, i.e. ≤ npart regardless of data scale), never the
+    # data itself.
     w_off = (
         Window.partitionBy(F.lit(0))
         .orderBy("_pid")

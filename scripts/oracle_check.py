@@ -114,6 +114,24 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            # The round driver's canonicalizer sort_values a pandas
+            # frame of the result and crashes on list/dict cells
+            # (CORRECTNESS_r03: 4 array-output queries errored) —
+            # reject nested output types here so that class of
+            # failure can never reach the driver again.
+            nested = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if nested:
+                print(
+                    f"FAIL  {name}: nested output columns {nested} — "
+                    "driver canon cannot hash list cells; serialize to "
+                    "scalars (CSV/explode) in the registry wrapper"
+                )
+                n_fail += 1
+                continue
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001

@@ -153,5 +153,22 @@ def test_ppr_empty_seeds_raises(spark, linked_triangles):
     from graphem_rapids_spark.analytics import pagerank_personalized
 
     empty = spark.createDataFrame([], "id long")
-    with pytest.raises(ValueError, match="empty seed"):
+    with pytest.raises(ValueError, match="no seed is a vertex"):
         pagerank_personalized(linked_triangles, empty)
+    # all seeds outside the graph → same error, not silent k'/k mass
+    ghost = spark.createDataFrame([(99,), (123,)], "id long")
+    with pytest.raises(ValueError, match="no seed is a vertex"):
+        pagerank_personalized(linked_triangles, ghost)
+
+
+def test_ppr_out_of_graph_seed_dropped(spark, linked_triangles):
+    """A seed id absent from the graph must NOT dilute the restart
+    mass: {0, 99} must rank exactly like {0} alone (r4 fix — before,
+    k counted the raw seed set and the teleport summed to k'/k)."""
+    from graphem_rapids_spark.analytics import pagerank_personalized
+
+    mixed = spark.createDataFrame([(0,), (99,)], "id long")
+    only0 = spark.createDataFrame([(0,)], "id long")
+    got = _collect_map(pagerank_personalized(linked_triangles, mixed, max_iter=20))
+    want = _collect_map(pagerank_personalized(linked_triangles, only0, max_iter=20))
+    assert got == want

@@ -54,6 +54,14 @@ def _canon_rows(rows, cols):
 @pytest.mark.parametrize("name", sorted(ORACLES.keys()))
 def test_oracle_parity(spark, duck, name):
     sdf = QUERIES[name](spark, SF_DIR)
+    # driver canon sort_values a pandas frame — list/dict cells crash
+    # it (CORRECTNESS_r03); registered outputs must be scalar columns
+    nested = [
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not nested, f"{name}: nested output columns {nested} break driver canon"
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
