@@ -56,6 +56,7 @@ from graphem_rapids_spark.analytics import (
     eigenvector_centrality,
     hits,
     katz_centrality,
+    oriented_triangles,
     random_walks,
     connected_components,
     star_contract_edges,
@@ -190,6 +191,7 @@ __all__ = [
     "eigenvector_centrality",
     "hits",
     "katz_centrality",
+    "oriented_triangles",
     "random_walks",
     "connected_components",
     "star_contract_edges",

@@ -4743,6 +4743,114 @@ FROM sk, ex
 """
 
 
+_HLL_P = 8            # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_P
+_HLL_SEED = 17
+_HLL_WBITS = 31 - _HLL_P  # rank bits left of the 31-bit mixer output
+# HLL bias constant alpha_m for m = 256 (Flajolet et al. 2007) —
+# computed once in Python and interpolated verbatim on both engines
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def _hll_rho_case(col: str) -> str:
+    """SQL CASE computing rho = 1 + leading zeros of ``col`` in a
+    ``_HLL_WBITS``-bit field — EXACT integer threshold ladder (no
+    float log2, whose libm rounding may differ across engines). The
+    same generated text is used as a Spark ``F.expr`` and spliced
+    into the DuckDB oracle, so parity is by construction."""
+    whens = " ".join(
+        f"WHEN {col} >= {1 << (_HLL_WBITS - 1 - i)} THEN {i + 1}"
+        for i in range(_HLL_WBITS)
+    )
+    return f"(CASE {whens} ELSE {_HLL_WBITS + 1} END)"
+
+
+def sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count sketch over orders.o_custkey —
+    the mergeable cardinality sketch for 100 TB pipelines (one
+    register table per partition, max-merge; here the registers come
+    out of ONE groupBy-max). Bucket = top 8 bits of the 31-bit mixer
+    hash, rho = leading-zero rank of the remaining 23 bits via an
+    exact integer CASE ladder shared verbatim with the oracle.
+    The harmonic-mean sum Σ2^−M[j] adds exact powers of two whose
+    exponent spread (≤ 24) + magnitude bits stay under the 53-bit
+    mantissa, so the sum is the same rational number in ANY order —
+    both engines are bit-identical through the final estimate.
+    Small-range branch: linear counting m·ln(m/zeros) when the raw
+    estimate ≤ 2.5m and empty registers exist (exercised at
+    sf0.001; the raw branch at sf0.01+). Output: exact distinct,
+    estimate, relative error, zero-register count."""
+    o = _t(spark, sf_dir, "orders")
+    hv_int = F.floor(
+        _mix_uniform(F.col("o_custkey"), _HLL_SEED) * F.lit(float(_LCG_M))
+    ).cast("long")
+    hashed = (
+        o.select(F.col("o_custkey")).distinct()
+        .select(hv_int.alias("hv"))
+        .select(
+            F.shiftright(F.col("hv"), _HLL_WBITS).alias("bucket"),
+            (F.col("hv") % F.lit(1 << _HLL_WBITS)).alias("w"),
+        )
+        .select("bucket", F.expr(_hll_rho_case("w")).alias("rho"))
+    )
+    regs = (
+        spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+        .join(hashed.groupBy("bucket").agg(F.max("rho").alias("m")), "bucket", "left")
+        .select(F.coalesce("m", F.lit(0)).alias("m"))
+    )
+    stats = regs.agg(
+        # 2^-M as 1/(1<<M): integer shift + divide-by-power-of-two are
+        # exact IEEE ops on both engines (no libm pow involved).
+        # expr form: the Python shiftleft() builtin only takes a
+        # literal bit count, the SQL function takes a column
+        F.sum(
+            F.expr("1.0 / CAST(shiftleft(1L, CAST(m AS INT)) AS DOUBLE)")
+        ).alias("s"),
+        F.sum((F.col("m") == 0).cast("long")).alias("zeros"),
+    )
+    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / F.col("s")
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    exact = o.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    return stats.crossJoin(exact).select(
+        "n_exact",
+        F.round(est, 4).alias("hll_estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
+        "zeros",
+    )
+
+
+def _hll_sql() -> str:
+    hv = f"CAST(floor({_mix_sql('o_custkey', _HLL_SEED)} * {_LCG_M}) AS BIGINT)"
+    rho = _hll_rho_case("w")
+    raw = f"({_HLL_ALPHA * _HLL_M * _HLL_M!r} / s)"
+    est = (
+        f"CASE WHEN {raw} <= {2.5 * _HLL_M!r} AND zeros > 0 "
+        f"THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zeros) ELSE {raw} END"
+    )
+    return f"""
+WITH ck AS (SELECT DISTINCT o_custkey FROM orders),
+h AS (SELECT {hv} AS hv FROM ck),
+bw AS (SELECT hv >> {_HLL_WBITS} AS bucket, hv % {1 << _HLL_WBITS} AS w FROM h),
+r AS (SELECT bucket, max({rho}) AS m FROM bw GROUP BY bucket),
+regs AS (
+  SELECT coalesce(r.m, 0) AS m
+  FROM range({_HLL_M}) t LEFT JOIN r ON t.range = r.bucket
+),
+st AS (SELECT sum(1.0 / CAST(1 << m AS DOUBLE)) AS s,
+              CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+       FROM regs),
+ex AS (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders)
+SELECT n_exact,
+       round({est}, 4) AS hll_estimate,
+       round(abs(({est}) - n_exact) / n_exact, 6) AS rel_err,
+       zeros
+FROM st, ex
+"""
+
+
 _QUANTILE_PS = [0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -6886,7 +6994,9 @@ QUERIES = {
     "link_resource_allocation": link_resource_allocation,
     "graph_random_walks": graph_random_walks,
     # --- (e) positions 22-50: stalest greens — driver rows from r1
-    # only, re-checked as regression canaries
+    # only, re-checked as regression canaries (one slot swapped for
+    # the new sketch_hll_distinct so it gets its first driver row;
+    # doc_fingerprint moved just past the cut)
     "cosine_near_dup": cosine_near_dup,
     "q1_pricing_summary": q1_pricing_summary,
     "knn_exact": knn_exact,
@@ -6907,7 +7017,7 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
-    "doc_fingerprint": doc_fingerprint,
+    "sketch_hll_distinct": sketch_hll_distinct,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
@@ -6919,6 +7029,7 @@ QUERIES = {
     # --- past the 50-entry cut: driver rows on file from r1/r2/r3;
     # the strict local gate + pytest parity re-verify them each
     # session
+    "doc_fingerprint": doc_fingerprint,
     "gen_grid_degree": gen_grid_degree,
     "gen_tree_degree": gen_tree_degree,
     "ann_ivf_topk": ann_ivf_topk,
@@ -7144,6 +7255,7 @@ ORACLES = {
     "events_stream_join": _STREAM_JOIN_SQL,
     "orders_salted_join": _SALTED_SQL,
     "sketch_kmv_distinct": _kmv_sql(),
+    "sketch_hll_distinct": _hll_sql(),
     "revenue_quantiles": _QUANTILES_SQL,
     "orders_decile_stats": _DECILE_SQL,
     "doc_topk_terms": _TOPK_TERMS_SQL,
