@@ -102,12 +102,19 @@ from graphem_rapids_spark.reports import (
     plot_embedding,
 )
 from graphem_rapids_spark.session import get_backend_info
+from graphem_rapids_spark.profiler import (
+    profile_query,
+    profile_python,
+    format_profile,
+)
 from graphem_rapids_spark.pipeline.dedup import (
     exact_duplicates,
     ngram_jaccard_pairs,
     minhash_lsh_pairs,
     simhash_fingerprints,
     simhash_near_pairs,
+    substring_span_dedup,
+    containment_pairs,
 )
 from graphem_rapids_spark.pipeline.similarity import (
     cosine_topk,
@@ -224,12 +231,17 @@ __all__ = [
     "plot_radial_vs_centrality",
     "plot_embedding",
     "get_backend_info",
+    "profile_query",
+    "profile_python",
+    "format_profile",
     # data-pipeline operator surface
     "exact_duplicates",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "simhash_near_pairs",
+    "substring_span_dedup",
+    "containment_pairs",
     "cosine_topk",
     "cosine_near_dup_join",
     "ivf_cosine_topk",

@@ -311,3 +311,100 @@ def simhash_near_pairs(
     )
     fp.unpersist()
     return out
+
+
+def substring_span_dedup(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, first_owner, n_dup_spans) — exact substring-span
+    dedup in the style of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better", the suffix-array ExactSubstr
+    dedup): a document is flagged when any exact ``n``-token span of
+    it also occurs in an EARLIER document (lower id = the canonical
+    owner, as in exact_duplicates). ``first_owner`` is the lowest
+    such owner, ``n_dup_spans`` the number of the document's distinct
+    spans that are owned elsewhere — the span-level duplication mass
+    the suffix-array method would cut.
+
+    Engine shape (the scale story the suffix array doesn't have): a
+    suffix array needs a global sort of every token position; here
+    the span table (one row per distinct span per doc) is hashed, the
+    per-span min-id owner comes out of ONE map-side-combinable
+    groupBy, and flagging is a self-equi-join on the span hash —
+    all shuffles key on the span, no global order anywhere. At 100 TB
+    the span table is the corpus ×n tokens; hashing spans to longs
+    (xxhash64) keeps the shuffle payload fixed-width."""
+    spans = token_shingles(docs, n, id_col, text_col).select(
+        F.col(id_col), F.xxhash64("shingle").alias("span")
+    )
+    owners = spans.groupBy("span").agg(F.min(id_col).alias("owner"))
+    return (
+        spans.join(owners, "span")
+        .filter(F.col("owner") < F.col(id_col))
+        .groupBy(id_col)
+        .agg(
+            F.min("owner").alias("first_owner"),
+            F.count("*").alias("n_dup_spans"),
+        )
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 4,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, n_common, n_a, n_b, containment) — asymmetric
+    containment join: pairs where the SMALLER document's shingle set
+    is ≥ ``threshold`` contained in the other's
+    (C = |A∩B| / min(|A|,|B|), Broder's containment measure). Catches
+    quote-inclusion / partial-copy duplication that symmetric Jaccard
+    misses: a 50-token excerpt inside a 5000-token page has J ≈ 0.01
+    but C = 1.0. Same inverted-index candidate generation as the
+    Jaccard join (cost Σ df², df-cappable), threshold evaluated on
+    exact integer counts."""
+    sh = token_shingles(docs, n, id_col, text_col)
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    shf = sh
+    if max_shingle_df is not None:
+        df_ok = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        shf = shf.join(df_ok, "shingle")
+    a = shf.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = shf.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("n_b"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(
+            F.col("n_common").cast("double")
+            >= F.lit(threshold) * F.least("n_a", "n_b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_common") / F.least("n_a", "n_b"), 6).alias(
+                "containment"
+            ),
+        )
+    )

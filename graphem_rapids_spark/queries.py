@@ -1642,6 +1642,54 @@ def dedup_minhash_lsh(spark, sf_dir):
 _MINHASH_SQL = _JACCARD_SQL
 
 
+def dedup_substring_spans(spark, sf_dir):
+    """Lee-et-al-style exact substring-span dedup (8-token spans);
+    Spark side hashes spans to fixed-width longs (xxhash64) for the
+    shuffle, the oracle joins the raw span strings — same result."""
+    return D.substring_span_dedup(_t(spark, sf_dir, "documents"), n=8)
+
+
+_SUBSTR_SPAN_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+sp AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+                               i -> array_to_string(t[i:i+7], ' '))) AS span
+  FROM toks
+),
+own AS (SELECT span, min(doc_id) AS owner FROM sp GROUP BY span)
+SELECT sp.doc_id, min(own.owner) AS first_owner,
+       CAST(count(*) AS BIGINT) AS n_dup_spans
+FROM sp JOIN own USING (span)
+WHERE own.owner < sp.doc_id
+GROUP BY sp.doc_id
+"""
+
+
+def dedup_containment(spark, sf_dir):
+    """Broder containment join C = |A∩B| / min(|A|,|B|) ≥ 0.8 —
+    catches excerpt/quote inclusion that symmetric Jaccard misses."""
+    return D.containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=4,
+        threshold=0.8,
+        max_shingle_df=_MAX_SHINGLE_DF,
+    )
+
+
+_CONTAINMENT_SQL = (
+    "WITH "
+    + _SHINGLE_SQL
+    + """SELECT c.doc_a, c.doc_b, c.n_common,
+       ca.n AS n_a, cb.n AS n_b,
+       round(CAST(c.n_common AS DOUBLE) / least(ca.n, cb.n), 6) AS containment
+FROM common c
+JOIN cnt ca ON ca.doc_id = c.doc_a
+JOIN cnt cb ON cb.doc_id = c.doc_b
+WHERE CAST(c.n_common AS DOUBLE) >= 0.8 * least(ca.n, cb.n)"""
+)
+
+
 def dedup_simhash(spark, sf_dir):
     return D.simhash60_md5(_t(spark, sf_dir, "documents"))
 
@@ -1836,7 +1884,9 @@ def community_lpa(spark, sf_dir):
     )
 
 
-def _lpa_sql(rounds: int = _LPA_ROUNDS) -> str:
+def _lpa_cte(rounds: int = _LPA_ROUNDS) -> str:
+    """The unrolled LPA round chain (CTEs ge/sym/lab0..lab{rounds}) —
+    shared by the community-size and modularity oracles."""
     parts = [
         _COPURCHASE_SQL_CTE,
         """
@@ -1859,10 +1909,107 @@ def _lpa_sql(rounds: int = _LPA_ROUNDS) -> str:
   ) WHERE rk = 1
 )"""
         )
-    parts.append(
-        f"\nSELECT label AS community, count(*) AS size FROM lab{rounds} GROUP BY label"
-    )
     return "".join(parts)
+
+
+def _lpa_sql(rounds: int = _LPA_ROUNDS) -> str:
+    return (
+        _lpa_cte(rounds)
+        + f"\nSELECT label AS community, count(*) AS size FROM lab{rounds} GROUP BY label"
+    )
+
+
+def community_modularity(spark, sf_dir):
+    """Newman modularity Q of the LPA partition on the co-purchase
+    graph — the partition-quality score that turns "LPA ran" into
+    "LPA found structure". Q = Σ_c [m_c/m − (D_c/2m)²] computed as an
+    EXACT integer numerator Σ_c (4·m·m_c − D_c²) over denominator
+    4m² (one final double division — bit-identical cross-engine;
+    every m_c, D_c, m is a BIGINT count). Engine shape: intra-edge
+    counts are one edges⋈labels⋈labels double join keyed on vertex
+    id (the same key the LPA rounds shuffle on), degree sums one
+    groupBy — nothing quadratic, nothing driver-side. Output:
+    (n_communities, m_edges, q_num, modularity)."""
+    from graphem_rapids_spark.analytics import label_propagation
+
+    e = copurchase_edges(spark, sf_dir)
+    lab = label_propagation(e, max_rounds=_LPA_ROUNDS)
+    la = lab.select(F.col("id").alias("src"), F.col("label").alias("_la"))
+    lb = lab.select(F.col("id").alias("dst"), F.col("label").alias("_lb"))
+    intra = (
+        e.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count("*").alias("mc"))
+    )
+    deg = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    dc = (
+        deg.join(lab, "id")
+        .groupBy("label")
+        .agg(F.sum("d").alias("dsum"))
+    )
+    m = e.agg(F.count("*").alias("m_edges"))
+    percomm = dc.join(intra, "label", "left").select(
+        "label", "dsum", F.coalesce("mc", F.lit(0)).alias("mc")
+    )
+    qn = (
+        F.lit(4) * F.col("m_edges") * F.col("mc")
+        - F.col("dsum") * F.col("dsum")
+    )
+    return (
+        percomm.crossJoin(F.broadcast(m))
+        .groupBy("m_edges")
+        .agg(
+            F.count("*").alias("n_communities"),
+            F.sum(qn).alias("q_num"),
+        )
+        .select(
+            "n_communities",
+            "m_edges",
+            "q_num",
+            F.round(
+                F.col("q_num").cast("double")
+                / (F.lit(4.0) * F.col("m_edges") * F.col("m_edges")),
+                6,
+            ).alias("modularity"),
+        )
+    )
+
+
+def _modularity_sql(rounds: int = _LPA_ROUNDS) -> str:
+    return (
+        _lpa_cte(rounds)
+        + f"""
+, lab AS (SELECT id, label FROM lab{rounds})
+, deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+, dc AS (
+  SELECT l.label, CAST(sum(deg.d) AS BIGINT) AS dsum
+  FROM deg JOIN lab l USING (id) GROUP BY l.label
+)
+, mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ge)
+, intra AS (
+  SELECT la.label, CAST(count(*) AS BIGINT) AS mc
+  FROM ge JOIN lab la ON ge.src = la.id JOIN lab lb ON ge.dst = lb.id
+  WHERE la.label = lb.label GROUP BY la.label
+)
+, percomm AS (
+  SELECT dc.label, dc.dsum, coalesce(intra.mc, 0) AS mc
+  FROM dc LEFT JOIN intra USING (label)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       mm.m AS m_edges,
+       CAST(sum(4 * mm.m * mc - dsum * dsum) AS BIGINT) AS q_num,
+       round(CAST(sum(4 * mm.m * mc - dsum * dsum) AS DOUBLE)
+             / (4.0 * mm.m * mm.m), 6) AS modularity
+FROM percomm, mm GROUP BY mm.m
+"""
+    )
 
 
 def connected_components_star(spark, sf_dir):
@@ -4851,6 +4998,218 @@ FROM st, ex
 """
 
 
+_CMS_D = 4            # hash rows
+_CMS_W = 512          # counters per row
+_CMS_SEED = 4242
+_CMS_TOPK = 10
+
+
+def sketch_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch (Cormode–Muthukrishnan) frequency estimates
+    for the top-10 heaviest lineitem part keys — the mergeable
+    heavy-hitter sketch of a 100 TB pipeline (d×w integer counter
+    grid; per-partition grids merge by addition, so the whole sketch
+    is ONE map-side-combined groupBy over d·w=2048 keys, never a
+    shuffle of raw rows). Buckets come from the cross-engine mixer
+    (bucket_r = hash_r(key) mod w), the estimate is min over the d
+    rows, and every number is an exact BIGINT — the sketch, not just
+    the report, is reproduced bit-for-bit by the oracle. Output:
+    part key, exact frequency, CMS estimate, overcount (≥0 by the
+    one-sided CMS guarantee — a free structural self-check)."""
+    li = _t(spark, sf_dir, "lineitem")
+    keys = li.groupBy("l_partkey").agg(F.count("*").alias("exact_cnt"))
+
+    def _bucket(col, r):
+        hv = F.floor(_mix_uniform(col, _CMS_SEED + r) * F.lit(float(_LCG_M))).cast(
+            "long"
+        )
+        return hv % F.lit(_CMS_W)
+
+    rb = keys.select(
+        "l_partkey",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _bucket(F.col("l_partkey"), r).alias("bucket"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("l_partkey", "exact_cnt", "rb.r", "rb.bucket")
+    counters = rb.groupBy("r", "bucket").agg(F.sum("exact_cnt").alias("cnt"))
+    est = (
+        rb.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("l_partkey")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    top = keys.orderBy(F.col("exact_cnt").desc(), F.col("l_partkey").asc()).limit(
+        _CMS_TOPK
+    )
+    return (
+        top.join(est, "l_partkey")
+        .select(
+            "l_partkey",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), F.col("l_partkey").asc())
+    )
+
+
+def _cms_sql() -> str:
+    def bucket(r: int) -> str:
+        hv = f"CAST(floor({_mix_sql('l_partkey', _CMS_SEED + r)} * {_LCG_M}) AS BIGINT)"
+        return f"({hv} % {_CMS_W})"
+
+    rb_rows = " UNION ALL ".join(
+        f"SELECT l_partkey, exact_cnt, {r} AS r, {bucket(r)} AS bucket FROM keys"
+        for r in range(_CMS_D)
+    )
+    return f"""
+WITH keys AS (
+  SELECT l_partkey, count(*) AS exact_cnt FROM lineitem GROUP BY l_partkey
+),
+rb AS ({rb_rows}),
+counters AS (
+  SELECT r, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cnt
+  FROM rb GROUP BY r, bucket
+),
+est AS (
+  SELECT rb.l_partkey, min(c.cnt) AS cms_est
+  FROM rb JOIN counters c ON rb.r = c.r AND rb.bucket = c.bucket
+  GROUP BY rb.l_partkey
+),
+top AS (
+  SELECT l_partkey, exact_cnt FROM keys
+  ORDER BY exact_cnt DESC, l_partkey ASC LIMIT {_CMS_TOPK}
+)
+SELECT top.l_partkey, top.exact_cnt, est.cms_est,
+       est.cms_est - top.exact_cnt AS overcount
+FROM top JOIN est ON top.l_partkey = est.l_partkey
+ORDER BY top.exact_cnt DESC, top.l_partkey ASC
+"""
+
+
+_BLOOM_M = 4096       # bits
+_BLOOM_K = 3          # hash functions
+_BLOOM_SEED = 7700
+
+
+def sketch_bloom_join(spark, sf_dir):
+    """Bloom-filter pre-join: build a 4096-bit / 3-hash Bloom filter
+    over the negative-balance customer keys and probe every distinct
+    orders.o_custkey — the runtime row-level filter that, at 100 TB,
+    runs ahead of a shuffle join so the big side drops non-matching
+    rows at the SCAN instead of shuffling them (what Spark's own
+    ``spark.sql.optimizer.runtimeFilter.bloomFilter`` injects; built
+    explicitly here so the filter itself is testable). The bit set is
+    a distinct-explode over the small side (≤ k·|build| positions,
+    broadcastable); membership = all k probed bits present, counted
+    with an exact integer join — no sketch-library opacity, the oracle
+    reproduces every bit. Output: build size, bits set, exact
+    semi-join matches, Bloom passes, false positives (≥0 — Bloom's
+    one-sided guarantee as a structural self-check), fp rate among
+    true negatives."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    build = cust.select(F.col("c_custkey").alias("key")).distinct()
+    probe = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    ).distinct()
+
+    def _pos(col, j):
+        hv = F.floor(_mix_uniform(col, _BLOOM_SEED + j) * F.lit(float(_LCG_M))).cast(
+            "long"
+        )
+        return hv % F.lit(_BLOOM_M)
+
+    def _positions(df):
+        return df.select(
+            "key",
+            F.explode(
+                F.array(*[_pos(F.col("key"), j) for j in range(_BLOOM_K)])
+            ).alias("pos"),
+        )
+
+    bits = _positions(build).select("pos").distinct()
+    hits = (
+        _positions(probe).distinct()
+        .join(F.broadcast(bits), "pos")
+        .groupBy("key")
+        .agg(F.count("*").alias("nbits"))
+        .filter(F.col("nbits") == _BLOOM_K)
+    )
+    n_build = build.agg(F.count("*").alias("n_build"))
+    n_bits = bits.agg(F.count("*").alias("n_bits_set"))
+    n_probe = probe.agg(F.count("*").alias("n_probe"))
+    exact = probe.join(build, "key", "left_semi").agg(
+        F.count("*").alias("exact_matches")
+    )
+    passed = hits.agg(F.count("*").alias("bloom_pass"))
+    return (
+        n_build.crossJoin(n_bits)
+        .crossJoin(n_probe)
+        .crossJoin(exact)
+        .crossJoin(passed)
+        .select(
+            "n_build",
+            "n_bits_set",
+            "n_probe",
+            "exact_matches",
+            "bloom_pass",
+            (F.col("bloom_pass") - F.col("exact_matches")).alias("false_positives"),
+            F.round(
+                (F.col("bloom_pass") - F.col("exact_matches"))
+                / F.greatest(F.col("n_probe") - F.col("exact_matches"), F.lit(1)),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
+
+
+def _bloom_sql() -> str:
+    def pos(col: str, j: int) -> str:
+        hv = f"CAST(floor({_mix_sql(col, _BLOOM_SEED + j)} * {_LCG_M}) AS BIGINT)"
+        return f"({hv} % {_BLOOM_M})"
+
+    build_pos = " UNION ALL ".join(
+        f"SELECT key, {pos('key', j)} AS pos FROM build" for j in range(_BLOOM_K)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT key, {pos('key', j)} AS pos FROM probe" for j in range(_BLOOM_K)
+    )
+    return f"""
+WITH build AS (
+  SELECT DISTINCT c_custkey AS key FROM customer WHERE c_acctbal < 0
+),
+probe AS (SELECT DISTINCT o_custkey AS key FROM orders),
+bits AS (SELECT DISTINCT pos FROM ({build_pos})),
+ppos AS (SELECT DISTINCT key, pos FROM ({probe_pos})),
+hits AS (
+  SELECT ppos.key FROM ppos JOIN bits ON ppos.pos = bits.pos
+  GROUP BY ppos.key HAVING count(*) = {_BLOOM_K}
+),
+stats AS (
+  SELECT
+    (SELECT count(*) FROM build) AS n_build,
+    (SELECT count(*) FROM bits) AS n_bits_set,
+    (SELECT count(*) FROM probe) AS n_probe,
+    (SELECT count(*) FROM probe WHERE key IN (SELECT key FROM build))
+      AS exact_matches,
+    (SELECT count(*) FROM hits) AS bloom_pass
+)
+SELECT n_build, n_bits_set, n_probe, exact_matches, bloom_pass,
+       bloom_pass - exact_matches AS false_positives,
+       round((bloom_pass - exact_matches)
+             / greatest(n_probe - exact_matches, 1), 6) AS fp_rate
+FROM stats
+"""
+
+
 _QUANTILE_PS = [0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -7030,6 +7389,13 @@ QUERIES = {
     # the strict local gate + pytest parity re-verify them each
     # session
     "doc_fingerprint": doc_fingerprint,
+    # new in r4 (post-HLL batch) — first driver rows due in the r5
+    # rotation window
+    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+    "sketch_bloom_join": sketch_bloom_join,
+    "dedup_substring_spans": dedup_substring_spans,
+    "dedup_containment": dedup_containment,
+    "community_modularity": community_modularity,
     "gen_grid_degree": gen_grid_degree,
     "gen_tree_degree": gen_tree_degree,
     "ann_ivf_topk": ann_ivf_topk,
@@ -7256,6 +7622,11 @@ ORACLES = {
     "orders_salted_join": _SALTED_SQL,
     "sketch_kmv_distinct": _kmv_sql(),
     "sketch_hll_distinct": _hll_sql(),
+    "sketch_cms_heavy_hitters": _cms_sql(),
+    "sketch_bloom_join": _bloom_sql(),
+    "dedup_substring_spans": _SUBSTR_SPAN_SQL,
+    "dedup_containment": _CONTAINMENT_SQL,
+    "community_modularity": _modularity_sql(),
     "revenue_quantiles": _QUANTILES_SQL,
     "orders_decile_stats": _DECILE_SQL,
     "doc_topk_terms": _TOPK_TERMS_SQL,
