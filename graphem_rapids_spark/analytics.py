@@ -1439,3 +1439,94 @@ def random_walks(
         out = out.unionAll(state)
     nbr.unpersist()
     return out
+
+def node2vec_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    steps: int = 4,
+    reps: int = 4,
+    seed: int = 13,
+    w_return: int = 1,
+    w_common: int = 4,
+    w_out: int = 16,
+) -> DataFrame:
+    """(walker, step, id) — deterministic SECOND-ORDER biased walks
+    (node2vec; Grover & Leskovec 2016): at each step the walker at
+    ``cur`` (having come from ``prev``) weighs each neighbor ``x`` by
+    1/p if ``x = prev`` (return), 1 if ``x`` is also adjacent to
+    ``prev`` (BFS-ish), 1/q otherwise (DFS-ish). Weights are INTEGER
+    (defaults 1/4/16 = p=4, q=1/4 scaled by 4) and the choice is a
+    cumulative-weight threshold ``floor(mix(key)·W)`` — W ≤ w_out·deg
+    so mix·W is exact double arithmetic and both engines walk the
+    identical trajectory (the reference samples node2vec-style
+    corpora on GPU; here the bias logic is two joins + one bounded
+    window per step). Step 1 seeds ``prev = cur``: no self-edges
+    means every candidate scores ``w_common`` — a uniform first hop
+    through the same machinery.
+
+    Physical shape: the symmetrized edge table is built once and
+    persisted; each step (a) joins the tiny broadcast walker state to
+    it for candidates, (b) left-joins candidates back to it on
+    (prev, dst) for the common-neighbor test — candidate volume is
+    Σ deg(cur) over walkers, never edge-scale — and (c) picks one row
+    per walker with a walker-partitioned running-sum window."""
+    from graphem_rapids_spark.functions import mix_uniform
+
+    sym = symmetrize_edges(edges).select("src", "dst").persist()
+    adj = sym.select(F.col("src").alias("_pa"), F.col("dst").alias("_pb"))
+    rep = seeds.sparkSession.range(reps).select(F.col("id").cast("long").alias("rep"))
+    state = (
+        seeds.select(F.col("id").cast("long").alias("v0"))
+        .crossJoin(rep)
+        .select(
+            (F.col("v0") * reps + F.col("rep")).alias("walker"),
+            F.col("v0").alias("prev"),
+            F.col("v0").alias("cur"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = state.select("walker", F.lit(0).alias("step"), F.col("cur").alias("id"))
+    w_cum = (
+        Window.partitionBy("walker")
+        .orderBy(F.col("dst").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("walker")
+    for t in range(1, steps + 1):
+        cand = (
+            sym.join(F.broadcast(state), sym["src"] == state["cur"])
+            .join(
+                adj,
+                (F.col("_pa") == F.col("prev")) & (F.col("_pb") == F.col("dst")),
+                "left",
+            )
+            .select(
+                "walker",
+                "prev",
+                "cur",
+                "dst",
+                F.when(F.col("dst") == F.col("prev"), F.lit(w_return))
+                .when(F.col("_pa").isNotNull(), F.lit(w_common))
+                .otherwise(F.lit(w_out))
+                .alias("w"),
+            )
+        )
+        key = F.col("cur") * 4096 + F.col("walker") * 16 + F.lit(t)
+        thr = F.floor(
+            mix_uniform(key, seed) * F.sum("w").over(w_tot).cast("double")
+        )
+        state = (
+            cand.withColumn("_cum", F.sum("w").over(w_cum))
+            .withColumn("_thr", thr)
+            .filter(
+                (F.col("_cum") - F.col("w") <= F.col("_thr"))
+                & (F.col("_thr") < F.col("_cum"))
+            )
+            .select("walker", F.col("cur").alias("prev"), F.col("dst").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionAll(
+            state.select("walker", F.lit(t).alias("step"), F.col("cur").alias("id"))
+        )
+    sym.unpersist()
+    return out

@@ -554,3 +554,218 @@ def kmeans_int8(
     return spark.createDataFrame(
         final, "cluster long, n_members long, inertia long, centroid array<long>"
     )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, rid, approx_d2, rank) — IVF-PQ approximate nearest
+    neighbours: the third rung of the reference's ANN ladder
+    (``embedder_cuvs.py:264-272``: brute_force < 100K, ivf_flat to
+    1M, **ivf_pq above 1M**). Product quantization over int8-
+    quantized RESIDUALS (vector − coarse centroid): ``m_sub``
+    subspaces × ``k_codes`` codewords trained by integer Lloyd
+    (BIGINT squared-L2, floor-mean updates — the
+    :func:`kmeans_int8` discipline, so the whole index and search
+    are bit-exact across engines and vs the SQL oracle), then ADC
+    search: per query, a (probed cell × subspace × codeword) integer
+    distance table; a candidate's distance is the sum of its M table
+    lookups — BIGINT end to end, no float anywhere past the int8
+    grid.
+
+    Engine shape at 100 TB: codebooks and coarse centroids are
+    driver-bounded literals (n_cells·dim + m_sub·k_codes·subdim ints
+    — the MLlib KMeans bounded-collect contract); the encoded table
+    is n×m_sub small codes (the 8–32× memory compression PQ exists
+    for); search joins the broadcastable ADC table against encodings
+    keyed on (cell, m, code) — candidate work ∝ probed-cell size,
+    never O(n)."""
+    spark = vectors.sparkSession
+    q = (
+        quantize_int8(vectors, id_col, vec_col)
+        .select(F.col(id_col).alias("_id"), F.col("q").cast("array<long>").alias("_q"))
+        .persist()
+    )
+    n_init = max(n_cells, k_codes)
+    init = q.orderBy("_id").limit(n_init).collect()
+    if not init:
+        q.unpersist()
+        raise ValueError("ivfpq_topk: input table is empty")
+    n_cells = min(n_cells, len(init))
+    k_codes = min(k_codes, len(init))
+    coarse = [[int(x) for x in r["_q"]] for r in init[:n_cells]]
+    dim = len(coarse[0])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+    cs = F.array(*[F.array(*[F.lit(v) for v in c]) for c in coarse])
+    d_expr = F.expr(
+        "transform(_cs, c -> aggregate(zip_with(_q, c, "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x))"
+    )
+
+    def _subspaces(df, out_id):
+        """Residual vs assigned coarse centroid, split into
+        (out_id, cell, m, sv) subvector rows."""
+        assigned = (
+            df.withColumn("_cs", cs)
+            .withColumn("_d", d_expr)
+            .withColumn(
+                "cell",
+                (F.array_position("_d", F.array_min("_d")) - 1).cast("long"),
+            )
+            .withColumn(
+                "_res",
+                F.expr(
+                    "zip_with(_q, element_at(_cs, CAST(cell AS INT) + 1), (a, b) -> a - b)"
+                ),
+            )
+        )
+        return assigned.select(
+            F.col("_id").alias(out_id),
+            "cell",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).cast("long").alias("m"),
+                            F.slice("_res", m * sub + 1, sub).alias("sv"),
+                        )
+                        for m in range(m_sub)
+                    ]
+                )
+            ).alias("_e"),
+        ).select(out_id, "cell", F.col("_e.m").alias("m"), F.col("_e.sv").alias("sv"))
+
+    subs = _subspaces(q, "rid").persist()
+    # codebook init: residual subvectors of the k_codes smallest ids,
+    # codeword index = rank of the id (deterministic, mirrors the
+    # coarse init)
+    init_ids = sorted(int(r["_id"]) for r in init[:k_codes])
+    code_of = {vid: c for c, vid in enumerate(init_ids)}
+    init_rows = subs.filter(F.col("rid").isin(init_ids)).collect()
+    books: list[list[list[int]]] = [[None] * k_codes for _ in range(m_sub)]
+    for r in init_rows:
+        books[int(r["m"])][code_of[int(r["rid"])]] = [int(x) for x in r["sv"]]
+
+    def _code_col():
+        cb = F.array(
+            *[
+                F.array(*[F.array(*[F.lit(v) for v in cw]) for cw in books[m]])
+                for m in range(m_sub)
+            ]
+        )
+        return (
+            F.expr(
+                "transform(element_at(_cb, CAST(m AS INT) + 1), c -> "
+                "aggregate(zip_with(sv, c, (a, b) -> (a - b) * (a - b)), "
+                "0L, (acc, x) -> acc + x))"
+            ),
+            cb,
+        )
+
+    for _ in range(pq_iters):
+        dd, cb = _code_col()
+        rows = (
+            subs.withColumn("_cb", cb)
+            .withColumn("_dd", dd)
+            .withColumn(
+                "code",
+                (F.array_position("_dd", F.array_min("_dd")) - 1).cast("long"),
+            )
+            .groupBy("m", "code")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.element_at("sv", i + 1)).alias(f"_s{i}") for i in range(sub)],
+            )
+            .collect()
+        )
+        new = {
+            (int(r["m"]), int(r["code"])): [
+                int(r[f"_s{i}"]) // int(r["n"]) for i in range(sub)
+            ]
+            for r in rows
+        }
+        books = [
+            [new.get((m, c), books[m][c]) for c in range(k_codes)]
+            for m in range(m_sub)
+        ]
+    dd, cb = _code_col()
+    enc = (
+        subs.withColumn("_cb", cb)
+        .withColumn("_dd", dd)
+        .withColumn(
+            "code", (F.array_position("_dd", F.array_min("_dd")) - 1).cast("long")
+        )
+        .select("rid", "cell", "m", "code")
+        .localCheckpoint(eager=True)
+    )
+    subs.unpersist()
+
+    # query side: same quantization, n_probe nearest coarse cells,
+    # per-probe residual subvectors, ADC distance table over every
+    # codeword (k_codes rows per (qid, cell, m) — broadcastable)
+    qq = quantize_int8(queries, id_col, vec_col).select(
+        F.col(id_col).alias("_id"), F.col("q").cast("array<long>").alias("_q")
+    )
+    qprobe = (
+        qq.withColumn("_cs", cs)
+        .withColumn("_d", d_expr)
+        .select(F.col("_id").alias("qid"), "_q", "_cs", F.posexplode("_d").alias("cell", "d2"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    qres = (
+        qprobe.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= n_probe)
+        .withColumn(
+            "_res",
+            F.expr(
+                "zip_with(_q, element_at(_cs, CAST(cell AS INT) + 1), (a, b) -> a - b)"
+            ),
+        )
+    )
+    qsub = qres.select(
+        "qid",
+        F.col("cell").cast("long").alias("cell"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("long").alias("m"),
+                        F.slice("_res", m * sub + 1, sub).alias("sv"),
+                    )
+                    for m in range(m_sub)
+                ]
+            )
+        ).alias("_e"),
+    ).select("qid", "cell", F.col("_e.m").alias("m"), F.col("_e.sv").alias("sv"))
+    dd_q, cb_q = _code_col()
+    adc = (
+        qsub.withColumn("_cb", cb_q)
+        .withColumn("_dd", dd_q)
+        .select("qid", "cell", "m", F.posexplode("_dd").alias("codei", "d2m"))
+        .select("qid", "cell", "m", F.col("codei").cast("long").alias("code"), "d2m")
+    )
+    cand = (
+        enc.join(F.broadcast(adc), ["cell", "m", "code"])
+        .groupBy("qid", "rid")
+        .agg(F.sum("d2m").alias("approx_d2"))
+        .filter(F.col("qid") != F.col("rid"))
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("approx_d2").asc(), F.col("rid").asc())
+    out = (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rid", "approx_d2", "rank")
+    )
+    q.unpersist()
+    return out

@@ -2552,6 +2552,146 @@ FROM t
 """
 
 
+def ann_ivfpq_topk(spark, sf_dir):
+    """E7 analog, third rung: IVF-PQ (the reference's >1M-vector
+    regime, ``embedder_cuvs.py:264-272`` ``pq_dim≤64, pq_bits=8``).
+    Product-quantized residual codes + ADC search with EXACT integer
+    math end-to-end (int8 grid, BIGINT squared-L2, floor-mean Lloyd)
+    — index build, encoding, and search all reproduce bit-for-bit in
+    the unrolled SQL oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.ivfpq_topk(
+        emb, q, k=5, n_cells=16, n_probe=4, m_sub=8, k_codes=16, pq_iters=2
+    )
+
+
+def _ivfpq_sql(
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    pq_iters: int = 2,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    sub = dim // m_sub
+    d2 = (
+        "CAST(list_sum(list_transform(generate_series(1, {n}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+mm AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS amax FROM v),
+q AS (SELECT vec_id,
+        CASE WHEN amax > 0
+             THEN list_transform(emb, x -> CAST(round(x / (amax / 127.0)) AS BIGINT))
+             ELSE list_transform(emb, x -> CAST(0 AS BIGINT)) END AS q
+      FROM mm),
+c0r AS (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT {max(n_cells, k_codes)}),
+coarse AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, q AS cv
+  FROM c0r QUALIFY row_number() OVER (ORDER BY vec_id) <= {n_cells}
+),
+asg AS MATERIALIZED (
+  SELECT vec_id, q, cell, cv FROM (
+    SELECT q.vec_id, q.q, c.cell, c.cv,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {d2.format(n=dim, a='q.q', b='c.cv')} ASC, c.cell ASC) AS rn
+    FROM q CROSS JOIN coarse c
+  ) WHERE rn = 1
+),
+res AS (SELECT vec_id, cell,
+               list_transform(generate_series(1, {dim}), i -> q[i] - cv[i]) AS r
+        FROM asg),
+sub AS MATERIALIZED (
+  SELECT vec_id, cell, m, r[m * {sub} + 1 : m * {sub} + {sub}] AS sv
+  FROM res CROSS JOIN unnest(generate_series(0, {m_sub - 1})) AS tm(m)
+),
+pqi AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+        FROM c0r QUALIFY row_number() OVER (ORDER BY vec_id) <= {k_codes}),
+cb0 AS MATERIALIZED (
+  SELECT s.m, p.code, s.sv AS cw FROM sub s JOIN pqi p ON s.vec_id = p.vec_id
+)"""
+    ]
+    for t in range(1, pq_iters + 1):
+        parts.append(
+            f""",
+d{t} AS (
+  SELECT s.vec_id, s.m, s.sv, c.code,
+         {d2.format(n=sub, a='s.sv', b='c.cw')} AS dist
+  FROM sub s JOIN cb{t - 1} c ON s.m = c.m
+),
+a{t} AS (
+  SELECT vec_id, m, sv, code FROM (
+    SELECT d{t}.*, row_number() OVER (PARTITION BY vec_id, m
+             ORDER BY dist ASC, code ASC) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+),
+s{t} AS (
+  SELECT m, code, i, CAST(sum(sv[i]) AS BIGINT) AS s, count(*) AS n
+  FROM a{t} CROSS JOIN unnest(generate_series(1, {sub})) AS ti(i)
+  GROUP BY m, code, i
+),
+cn{t} AS (
+  SELECT m, code, list(CAST(floor(s / n) AS BIGINT) ORDER BY i) AS cw
+  FROM s{t} GROUP BY m, code
+),
+cb{t} AS MATERIALIZED (
+  SELECT p.m, p.code, coalesce(cn{t}.cw, p.cw) AS cw
+  FROM cb{t - 1} p LEFT JOIN cn{t} ON p.m = cn{t}.m AND p.code = cn{t}.code
+)"""
+        )
+    T = pq_iters
+    parts.append(
+        f""",
+enc AS MATERIALIZED (
+  SELECT vec_id AS rid, cell, m, code FROM (
+    SELECT s.vec_id, s.cell, s.m, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY {d2.format(n=sub, a='s.sv', b='c.cw')} ASC, c.code ASC) AS rn
+    FROM sub s JOIN cb{T} c ON s.m = c.m
+  ) WHERE rn = 1
+),
+qv AS (SELECT vec_id AS qid, q FROM q WHERE vec_id < 10),
+qprobe AS (
+  SELECT qid, q, cell, cv FROM (
+    SELECT qv.qid, qv.q, c.cell, c.cv,
+           row_number() OVER (PARTITION BY qv.qid
+             ORDER BY {d2.format(n=dim, a='qv.q', b='c.cv')} ASC, c.cell ASC) AS rn
+    FROM qv CROSS JOIN coarse c
+  ) WHERE rn <= {n_probe}
+),
+qres AS (SELECT qid, cell,
+                list_transform(generate_series(1, {dim}), i -> q[i] - cv[i]) AS r
+         FROM qprobe),
+qsub AS (
+  SELECT qid, cell, m, r[m * {sub} + 1 : m * {sub} + {sub}] AS sv
+  FROM qres CROSS JOIN unnest(generate_series(0, {m_sub - 1})) AS tm(m)
+),
+adc AS (
+  SELECT qs.qid, qs.cell, qs.m, c.code,
+         {d2.format(n=sub, a='qs.sv', b='c.cw')} AS d2m
+  FROM qsub qs JOIN cb{T} c ON qs.m = c.m
+),
+cand AS (
+  SELECT a.qid, e.rid, CAST(sum(a.d2m) AS BIGINT) AS approx_d2
+  FROM adc a JOIN enc e ON a.cell = e.cell AND a.m = e.m AND a.code = e.code
+  WHERE a.qid != e.rid
+  GROUP BY a.qid, e.rid
+)
+SELECT qid, rid, approx_d2, rank FROM (
+  SELECT qid, rid, approx_d2,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY approx_d2 ASC, rid ASC) AS rank
+  FROM cand
+) WHERE rank <= {k}"""
+    )
+    return "".join(parts)
+
+
 def ann_ivf_topk(spark, sf_dir):
     """E7 analog: IVF-accelerated approximate cosine top-k (inverted
     cells, n_probe nearest cells searched per query). This registry
@@ -5309,6 +5449,69 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
 """
 
 
+def doc_unigram_logprob(spark, sf_dir):
+    """CCNet/KenLM-style language-model quality filter re-expressed
+    with a corpus-trained UNIGRAM LM: per-document cross-entropy
+    ``xent = ln(N) − (1/len)·Σ_tokens ln(cnt(w))`` in nats — low for
+    fluent common-vocabulary text, high for rare-token gibberish (the
+    perplexity-bucket signal CCNet uses to tier CommonCrawl). One
+    explode feeds both the vocabulary build and the per-doc score;
+    the vocabulary join is a plain shuffle join (never force-broadcast
+    — unbounded at corpus scale). Parity discipline: per-token
+    ``ln(cnt)`` is quantized to 1e9 fixed-point BIGINT before any sum
+    (the :func:`graph_degree_powerlaw_fit` rule — ln of identical
+    integers, exact-integer accumulation, one final cast-to-double
+    division chain)."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(T.tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    lnv = vocab.select(
+        "term", F.round(F.log("cnt") * F.lit(1e9)).cast("long").alias("lncnt")
+    )
+    tot = vocab.agg(
+        F.round(F.log(F.sum("cnt")) * F.lit(1e9)).cast("long").alias("lnn")
+    )
+    pd_ = tf.join(lnv, "term").groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("lncnt")).alias("_s"),
+    )
+    return pd_.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            (F.col("n_tokens") * F.col("lnn") - F.col("_s")).cast("double")
+            / F.col("n_tokens")
+            / F.lit(1e9),
+            6,
+        ).alias("xent_nats"),
+    )
+
+
+_UNIGRAM_LOGPROB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+lnv AS (SELECT term, CAST(round(ln(cnt) * 1e9) AS BIGINT) AS lncnt FROM vocab),
+tot AS (SELECT CAST(round(ln(CAST(sum(cnt) AS BIGINT)) * 1e9) AS BIGINT) AS lnn
+        FROM vocab),
+pd AS (
+  SELECT t.doc_id,
+         CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+         CAST(sum(t.tf * l.lncnt) AS BIGINT) AS s
+  FROM tf t JOIN lnv l USING (term) GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       round(CAST(n_tokens * lnn - s AS DOUBLE) / n_tokens / 1e9, 6) AS xent_nats
+FROM pd CROSS JOIN tot
+"""
+
+
 # =====================================================================
 # Relational breadth IV: CUBE grouping sets, PIVOT, partitioned
 # distribution windows (percent_rank/cume_dist), and time-series
@@ -7318,6 +7521,88 @@ ORDER BY visits DESC, id ASC LIMIT 20"""
     return "".join(parts)
 
 
+_N2V_STEPS = 4
+_N2V_REPS = 4
+_N2V_SEEDS = 64
+_N2V_SEED = 13
+
+
+def graph_node2vec_walks(spark, sf_dir):
+    """SECOND-ORDER biased walks (node2vec p=4, q=1/4 as integer
+    weights 1/4/16 — see :func:`analytics.node2vec_walks`) on the
+    co-purchase graph: 4 walkers from each of the 64 smallest vertex
+    ids, 4 steps; output = top-20 most-visited vertices. The
+    cumulative-integer-weight threshold choice makes every trajectory
+    hash-reproducible against the unrolled SQL oracle."""
+    e = copurchase_edges(spark, sf_dir)
+    seeds = vertices_from_edges(e).orderBy("id").limit(_N2V_SEEDS)
+    walks = A.node2vec_walks(
+        e, seeds, steps=_N2V_STEPS, reps=_N2V_REPS, seed=_N2V_SEED
+    )
+    return (
+        walks.groupBy("id")
+        .agg(F.count("*").alias("visits"))
+        .orderBy(F.desc("visits"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def _n2v_sql(
+    seeds: int = _N2V_SEEDS,
+    reps: int = _N2V_REPS,
+    steps: int = _N2V_STEPS,
+    seed: int = _N2V_SEED,
+    w_return: int = 1,
+    w_common: int = 4,
+    w_out: int = 16,
+) -> str:
+    from graphem_rapids_spark.functions import mix_sql
+
+    parts = [
+        _COPURCHASE_SQL_CTE,
+        ", sym AS MATERIALIZED (SELECT src, dst FROM ge UNION ALL SELECT dst AS src, src AS dst FROM ge)",
+        f", sd AS (SELECT DISTINCT src AS id FROM sym ORDER BY id ASC LIMIT {seeds})",
+        f""", s0 AS (
+  SELECT sd.id * {reps} + r.range AS walker, sd.id AS prev, sd.id AS cur
+  FROM sd CROSS JOIN range({reps}) r
+)""",
+    ]
+    for t in range(1, steps + 1):
+        u = mix_sql(f"cur * 4096 + walker * 16 + {t}", seed)
+        parts.append(
+            f""", c{t} AS (
+  SELECT s.walker, s.prev, s.cur, n.dst,
+         CASE WHEN n.dst = s.prev THEN {w_return}
+              WHEN a.src IS NOT NULL THEN {w_common}
+              ELSE {w_out} END AS w
+  FROM s{t - 1} s
+  JOIN sym n ON n.src = s.cur
+  LEFT JOIN sym a ON a.src = s.prev AND a.dst = n.dst
+), p{t} AS (
+  SELECT walker, cur, dst, w,
+         sum(w) OVER (PARTITION BY walker ORDER BY dst ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER (PARTITION BY walker) AS tot
+  FROM c{t}
+), s{t} AS MATERIALIZED (
+  SELECT walker, cur AS prev, dst AS cur
+  FROM p{t}
+  WHERE cum - w <= CAST(floor({u} * CAST(tot AS DOUBLE)) AS BIGINT)
+    AND CAST(floor({u} * CAST(tot AS DOUBLE)) AS BIGINT) < cum
+)"""
+        )
+    union = "\n  UNION ALL ".join(f"SELECT cur AS id FROM s{t}" for t in range(steps + 1))
+    parts.append(
+        f""", visits AS (
+  {union}
+)
+SELECT id, CAST(count(*) AS BIGINT) AS visits
+FROM visits GROUP BY id
+ORDER BY visits DESC, id ASC LIMIT 20"""
+    )
+    return "".join(parts)
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Round-4 rotation below; all 153 entries
 # regardless of position are hash-verified each session by
@@ -7347,15 +7632,25 @@ QUERIES = {
     "betweenness_copurchase": betweenness_copurchase,
     "pagerank_copurchase": pagerank_copurchase,
     "pagerank_weighted_copurchase": pagerank_weighted_copurchase,
-    # --- (d) positions 18-21: NEW round-4 operators — first driver rows
+    # --- (d) positions 18-28: NEW round-4 operators — first driver rows
     "katz_copurchase": katz_copurchase,
     "hits_customer_part": hits_customer_part,
     "link_resource_allocation": link_resource_allocation,
     "graph_random_walks": graph_random_walks,
-    # --- (e) positions 22-50: stalest greens — driver rows from r1
-    # only, re-checked as regression canaries (one slot swapped for
-    # the new sketch_hll_distinct so it gets its first driver row;
-    # doc_fingerprint moved just past the cut)
+    "sketch_hll_distinct": sketch_hll_distinct,
+    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+    "sketch_bloom_join": sketch_bloom_join,
+    "dedup_substring_spans": dedup_substring_spans,
+    "dedup_containment": dedup_containment,
+    "community_modularity": community_modularity,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
+    "doc_unigram_logprob": doc_unigram_logprob,
+    "graph_node2vec_walks": graph_node2vec_walks,
+    # --- (e) positions 31-50: stalest greens — driver rows from r1
+    # only, re-checked as regression canaries (graph_degree_topk,
+    # top_customers, part_brand_stats, events_hourly, doc_quality,
+    # doc_lang_id, doc_fingerprint moved just past the cut to make
+    # room for the never-checked batch above; due back in r5)
     "cosine_near_dup": cosine_near_dup,
     "q1_pricing_summary": q1_pricing_summary,
     "knn_exact": knn_exact,
@@ -7364,19 +7659,10 @@ QUERIES = {
     "graph_stats": graph_stats_q,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
-    "top_customers": top_customers,
-    "part_brand_stats": part_brand_stats,
-    "events_hourly": events_hourly,
     "graph_edges": graph_edges,
     "graph_degree": graph_degree,
-    "graph_degree_topk": graph_degree_topk,
     "seed_radial_topk": seed_radial_topk,
-    "label_centroids": label_centroids,
-    "ann_cosine_topk": ann_cosine_topk,
     "doc_token_stats": doc_token_stats,
-    "doc_quality": doc_quality,
-    "doc_lang_id": doc_lang_id,
-    "sketch_hll_distinct": sketch_hll_distinct,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
@@ -7388,14 +7674,15 @@ QUERIES = {
     # --- past the 50-entry cut: driver rows on file from r1/r2/r3;
     # the strict local gate + pytest parity re-verify them each
     # session
+    "graph_degree_topk": graph_degree_topk,
+    "ann_cosine_topk": ann_cosine_topk,
+    "label_centroids": label_centroids,
+    "top_customers": top_customers,
+    "part_brand_stats": part_brand_stats,
+    "events_hourly": events_hourly,
+    "doc_quality": doc_quality,
+    "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
-    # new in r4 (post-HLL batch) — first driver rows due in the r5
-    # rotation window
-    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
-    "sketch_bloom_join": sketch_bloom_join,
-    "dedup_substring_spans": dedup_substring_spans,
-    "dedup_containment": dedup_containment,
-    "community_modularity": community_modularity,
     "gen_grid_degree": gen_grid_degree,
     "gen_tree_degree": gen_tree_degree,
     "ann_ivf_topk": ann_ivf_topk,
@@ -7627,6 +7914,9 @@ ORACLES = {
     "dedup_substring_spans": _SUBSTR_SPAN_SQL,
     "dedup_containment": _CONTAINMENT_SQL,
     "community_modularity": _modularity_sql(),
+    "ann_ivfpq_topk": _ivfpq_sql(),
+    "doc_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
+    "graph_node2vec_walks": _n2v_sql(),
     "revenue_quantiles": _QUANTILES_SQL,
     "orders_decile_stats": _DECILE_SQL,
     "doc_topk_terms": _TOPK_TERMS_SQL,
