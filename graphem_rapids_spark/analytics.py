@@ -1530,3 +1530,120 @@ def node2vec_walks(
         )
     sym.unpersist()
     return out
+
+def minimum_spanning_forest(
+    wedges: DataFrame,
+    rounds: int = 5,
+    jumps: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """(components, mst_edges) — distributed Borůvka minimum spanning
+    forest over a canonical weighted edge list ``(src, dst, weight)``
+    with ``src < dst``. Edges carry the STRICT total order
+    ``(weight, src, dst)`` — distinct edges always differ in the id
+    pair — so the forest is unique, every per-component minimum pick
+    is deterministic, and (classic Borůvka argument) the hooking
+    functional graph can only contain 2-cycles, which the
+    smaller-id-wins rule roots. The merge schedule is FIXED
+    (``rounds`` Borůvka rounds × ``jumps`` pointer-jumping doublings,
+    run identically by the SQL oracle), so results are
+    hash-reproducible cross-engine at any depth; at the default
+    5×8 schedule every graph whose hooking trees stay under depth
+    2⁸ per round — vastly more than these inputs need — is the exact
+    MSF (``tests`` pin the spanning invariant
+    |edges| = |V| − |components|).
+
+    Physical shape: each round is one edge-table annotation join
+    (edge table partitioned once, labels are the small side), one
+    per-component min aggregate, and ``jumps`` self-joins of the
+    component-pointer table (component-count rows, shrinking
+    geometrically) — the O(log² n) total-work discipline of the
+    star-contraction CC kernel, plus the MST pick.
+
+    Iteration discipline (measured, not theoretical): every generation
+    is materialized with ``localCheckpoint`` (truncates lineage — a
+    lazy doubling chain is a 2^jumps-leaf plan) **and** ``persist`` +
+    ``count`` (resets Catalyst's sizeInBytes estimate — ``visitJoin``
+    multiplies both sides' estimates, the product survives a bare
+    localCheckpoint via the LogicalRDD's inherited stats, and after
+    ~18 self-join generations the estimate is a million-bit BigInt
+    whose multiplication dominates planning: the 10-row repro went
+    0.2 s → 50 s per step; SCALE.md §iteration-discipline)."""
+    dir_ = wedges.select(
+        F.col("src").alias("esrc"), F.col("dst").alias("edst"),
+        F.col("weight").cast("long").alias("w"),
+    )
+    dire = (
+        dir_.select("esrc", "edst", "w", F.col("esrc").alias("u"), F.col("edst").alias("v"))
+        .unionAll(
+            dir_.select("esrc", "edst", "w", F.col("edst").alias("u"), F.col("esrc").alias("v"))
+        )
+        .persist()
+    )
+
+    def _mat(df: DataFrame, old: DataFrame | None = None) -> DataFrame:
+        out = df.localCheckpoint(eager=True).persist()
+        out.count()
+        if old is not None:
+            old.unpersist()
+        return out
+
+    comp = _mat(
+        dire.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+    )
+    picked = None
+    for _r in range(rounds):
+        lab = comp.select(F.col("id").alias("_i"), F.col("lbl").alias("_l"))
+        ce = (
+            dire.join(lab, dire["u"] == lab["_i"])
+            .select("esrc", "edst", "w", "v", F.col("_l").alias("cu"))
+            .join(lab, F.col("v") == lab["_i"])
+            .select("esrc", "edst", "w", "cu", F.col("_l").alias("cv"))
+            .filter(F.col("cu") != F.col("cv"))
+        )
+        sel = _mat(
+            ce.groupBy("cu")
+            .agg(F.min(F.struct("w", "esrc", "edst", "cv")).alias("m"))
+            .select(
+                "cu",
+                F.col("m.w").alias("w"),
+                F.col("m.esrc").alias("esrc"),
+                F.col("m.edst").alias("edst"),
+                F.col("m.cv").alias("cv"),
+            )
+        )
+        picks = sel.select("esrc", "edst", "w")
+        picked = picks if picked is None else picked.unionAll(picks)
+        mu = sel.select(F.col("cu").alias("mc"), F.col("cv").alias("mt"))
+        p = (
+            sel.join(mu, (sel["cu"] == mu["mt"]) & (sel["cv"] == mu["mc"]), "left")
+            .select(
+                F.col("cu").alias("c"),
+                F.when(
+                    F.col("mc").isNotNull() & (F.col("cu") < F.col("cv")), F.col("cu")
+                )
+                .otherwise(F.col("cv"))
+                .alias("par"),
+            )
+        )
+        # materialize EVERY generation (lineage + stats reset — see
+        # docstring): a doubling references the pointer table twice
+        p = _mat(p)
+        for _j in range(jumps):
+            pr = p.select(F.col("c").alias("c2"), F.col("par").alias("par2"))
+            p = _mat(
+                p.join(pr, p["par"] == pr["c2"], "left").select(
+                    "c", F.coalesce("par2", "par").alias("par")
+                ),
+                p,
+            )
+        comp = _mat(
+            comp.join(p, comp["lbl"] == p["c"], "left").select(
+                "id", F.coalesce("par", "lbl").alias("lbl")
+            ),
+            comp,
+        )
+        p.unpersist()
+    dire.unpersist()
+    return comp, picked.distinct()

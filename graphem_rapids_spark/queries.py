@@ -7603,6 +7603,111 @@ ORDER BY visits DESC, id ASC LIMIT 20"""
     return "".join(parts)
 
 
+_MST_ROUNDS = 5
+_MST_JUMPS = 8
+
+
+def graph_mst(spark, sf_dir):
+    """Distributed Borůvka minimum spanning forest of the WEIGHTED
+    co-purchase graph (edge weight = co-purchase multiplicity; see
+    :func:`analytics.minimum_spanning_forest`). Strict edge total
+    order (weight, src, dst) makes the forest unique; the fixed
+    5-round × 8-jump merge schedule is mirrored exactly by the
+    unrolled SQL oracle. Output: one row
+    (n_vertices, n_components, mst_edges, mst_weight) — the spanning
+    invariant mst_edges = n_vertices − n_components is pinned by
+    pytest."""
+    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
+    we = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("src") < F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+    )
+    comp, mst = A.minimum_spanning_forest(we, rounds=_MST_ROUNDS, jumps=_MST_JUMPS)
+    s1 = comp.agg(
+        F.count("*").alias("n_vertices"),
+        F.countDistinct("lbl").alias("n_components"),
+    )
+    s2 = mst.agg(
+        F.count("*").alias("mst_edges"),
+        F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("mst_weight"),
+    )
+    return s1.crossJoin(s2)
+
+
+def _mst_sql(rounds: int = _MST_ROUNDS, jumps: int = _MST_JUMPS) -> str:
+    parts = [
+        """
+WITH we AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS weight
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+dire AS MATERIALIZED (
+  SELECT src AS esrc, dst AS edst, CAST(weight AS BIGINT) AS w, src AS u, dst AS v FROM we
+  UNION ALL
+  SELECT src AS esrc, dst AS edst, CAST(weight AS BIGINT) AS w, dst AS u, src AS v FROM we
+),
+comp0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM dire)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+ce{r} AS (
+  SELECT d.esrc, d.edst, d.w, cu.lbl AS cu, cv.lbl AS cv
+  FROM dire d
+  JOIN comp{r - 1} cu ON d.u = cu.id
+  JOIN comp{r - 1} cv ON d.v = cv.id
+  WHERE cu.lbl != cv.lbl
+),
+sel{r} AS MATERIALIZED (
+  SELECT cu, w, esrc, edst, cv FROM (
+    SELECT ce{r}.*, row_number() OVER (PARTITION BY cu
+             ORDER BY w ASC, esrc ASC, edst ASC) AS rn
+    FROM ce{r}
+  ) WHERE rn = 1
+),
+p{r}_0 AS MATERIALIZED (
+  SELECT a.cu AS c,
+         CASE WHEN b.cu IS NOT NULL AND a.cu < a.cv THEN a.cu ELSE a.cv END AS par
+  FROM sel{r} a LEFT JOIN sel{r} b ON a.cu = b.cv AND a.cv = b.cu
+)"""
+        )
+        for j in range(1, jumps + 1):
+            parts.append(
+                f""",
+p{r}_{j} AS MATERIALIZED (
+  SELECT a.c, coalesce(b.par, a.par) AS par
+  FROM p{r}_{j - 1} a LEFT JOIN p{r}_{j - 1} b ON a.par = b.c
+)"""
+            )
+        parts.append(
+            f""",
+comp{r} AS MATERIALIZED (
+  SELECT c0.id, coalesce(p.par, c0.lbl) AS lbl
+  FROM comp{r - 1} c0 LEFT JOIN p{r}_{jumps} p ON c0.lbl = p.c
+)"""
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT esrc, edst, w FROM sel{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(
+        f""",
+mst AS (SELECT DISTINCT esrc, edst, w FROM (
+  {union}
+))
+SELECT (SELECT count(*) FROM comp0) AS n_vertices,
+       (SELECT count(DISTINCT lbl) FROM comp{rounds}) AS n_components,
+       (SELECT count(*) FROM mst) AS mst_edges,
+       (SELECT CAST(coalesce(sum(w), 0) AS BIGINT) FROM mst) AS mst_weight"""
+    )
+    return "".join(parts)
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Round-4 rotation below; all 153 entries
 # regardless of position are hash-verified each session by
@@ -7646,6 +7751,7 @@ QUERIES = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "doc_unigram_logprob": doc_unigram_logprob,
     "graph_node2vec_walks": graph_node2vec_walks,
+    "graph_mst": graph_mst,
     # --- (e) positions 31-50: stalest greens — driver rows from r1
     # only, re-checked as regression canaries (graph_degree_topk,
     # top_customers, part_brand_stats, events_hourly, doc_quality,
@@ -7661,7 +7767,6 @@ QUERIES = {
     "q5_nation_revenue": q5_nation_revenue,
     "graph_edges": graph_edges,
     "graph_degree": graph_degree,
-    "seed_radial_topk": seed_radial_topk,
     "doc_token_stats": doc_token_stats,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -7677,6 +7782,7 @@ QUERIES = {
     "graph_degree_topk": graph_degree_topk,
     "ann_cosine_topk": ann_cosine_topk,
     "label_centroids": label_centroids,
+    "seed_radial_topk": seed_radial_topk,
     "top_customers": top_customers,
     "part_brand_stats": part_brand_stats,
     "events_hourly": events_hourly,
@@ -7917,6 +8023,7 @@ ORACLES = {
     "ann_ivfpq_topk": _ivfpq_sql(),
     "doc_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
     "graph_node2vec_walks": _n2v_sql(),
+    "graph_mst": _mst_sql(),
     "revenue_quantiles": _QUANTILES_SQL,
     "orders_decile_stats": _DECILE_SQL,
     "doc_topk_terms": _TOPK_TERMS_SQL,
