@@ -769,3 +769,140 @@ def ivfpq_topk(
     )
     q.unpersist()
     return out
+
+def pca_power_int8(
+    vectors: DataFrame,
+    iters: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(dim, v_micro, lam) — leading principal component of the
+    int8-quantized embedding cloud via DISTRIBUTED power iteration
+    with exact integer arithmetic at every accumulation (the
+    embedding-analysis companion to :func:`quantize_int8` /
+    :func:`project_jl`; the reference runs PCA-style spectral
+    preprocessing on GPU dense tensors).
+
+    Exactness discipline: the centered scatter matrix is built from
+    integer sufficient statistics ``C_ij = n·Σq_iq_j − S_iS_j``
+    (BIGINT), floor-divided by n via pmod (both engines' ``%`` is
+    C-style, so ``(c − ((c % n + n) % n)) / n`` is an exact integer
+    floor division — no float, no negative-division semantics
+    mismatch). Each iteration's matvec ``u = B·v`` sums
+    BIGINT·micro-unit products (|u| ≤ 64·B_max·1e6 < 2⁵³ for
+    n ≤ 4·10⁶ vectors, so the ONE int→double conversion per element
+    is exact); the only rounded conversion is the decimal Σu² feeding
+    IEEE sqrt, identical cross-engine. v re-quantizes to 1e6
+    micro-units per iteration, so the whole trajectory is
+    bit-reproducible and the SQL oracle replays it exactly.
+
+    Physical shape: pair statistics are one map-side upper-triangle
+    explode (d(d+1)/2 structs per row — no positional self-join) into
+    a (i, j)-keyed aggregate; the 64×64 scatter table and 64-row
+    vector iterate with tiny joins (localCheckpoint per step)."""
+    from graphem_rapids_spark.pipeline.similarity import quantize_int8
+
+    spark = vectors.sparkSession
+    q = quantize_int8(vectors, id_col, vec_col).select(
+        F.col("q").cast("array<long>").alias("_q")
+    )
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {dim - 1}), i -> "
+                f"transform(sequence(i, {dim - 1}), j -> struct("
+                "i AS i, j AS j, "
+                "element_at(_q, i + 1) * element_at(_q, j + 1) AS p))))"
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    pp = pairs.groupBy("i", "j").agg(F.sum("p").alias("pp"))
+    s = (
+        q.select(F.posexplode("_q").alias("i", "qi"))
+        .groupBy("i")
+        .agg(F.sum("qi").alias("s"))
+    )
+    nn = q.agg(F.count("*").alias("n"))
+    c = (
+        pp.join(s.select(F.col("i").alias("_si"), F.col("s").alias("si")), pp["i"] == F.col("_si"))
+        .join(s.select(F.col("i").alias("_sj"), F.col("s").alias("sj")), pp["j"] == F.col("_sj"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i", "j",
+            (F.col("n") * F.col("pp") - F.col("si") * F.col("sj")).alias("c"),
+            "n",
+        )
+    )
+    # exact integer floor division by n (pmod keeps both engines'
+    # C-style % consistent for negative covariances)
+    b = c.select(
+        "i", "j",
+        F.expr("(c - ((c % n + n) % n)) div n").cast("long").alias("b"),
+    )
+    # materialize every generation with checkpoint+persist+count: the
+    # norm crossJoin references u twice, so a 40-iteration chain hits
+    # the Catalyst stats-squaring pathology (SCALE.md
+    # §iteration-discipline) under a bare localCheckpoint
+    def _mat(df: DataFrame, old: DataFrame | None = None) -> DataFrame:
+        out = df.localCheckpoint(eager=True).persist()
+        out.count()
+        if old is not None:
+            old.unpersist()
+        return out
+
+    full = _mat(
+        b.unionAll(
+            b.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "b"
+            )
+        )
+    )
+    v = _mat(
+        spark.range(dim).select(
+            F.col("id").cast("long").alias("vi"),
+            F.lit(1000000).cast("long").alias("v"),
+        )
+    )
+    u = None
+    v_prev = v
+    for _t in range(iters):
+        if u is not None:
+            u.unpersist()
+        if v_prev is not v:
+            v_prev.unpersist()
+        v_prev = v
+        u = _mat(
+            full.join(v, full["j"] == v["vi"])
+            .groupBy("i")
+            .agg(F.sum(F.col("b") * F.col("v")).alias("u"))
+        )
+        norm = u.agg(
+            F.sqrt(
+                F.sum(F.col("u").cast("decimal(38,0)") * F.col("u")).cast("double")
+            ).alias("nrm")
+        )
+        v = _mat(
+            u.crossJoin(F.broadcast(norm)).select(
+                F.col("i").alias("vi"),
+                F.round(F.col("u").cast("double") / F.col("nrm") * F.lit(1e6))
+                .cast("long")
+                .alias("v"),
+            )
+        )
+    # Rayleigh quotient from the final matvec pair (u = B·v_prev):
+    # lam = (v_prev·u)/(v_prev·v_prev) — exact decimal sums, one
+    # double division
+    ray = (
+        u.join(v_prev, u["i"] == v_prev["vi"])
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,0)") * F.col("u")).cast("double")
+                / F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).cast("double")
+            ).alias("lam")
+        )
+        .select(F.round("lam", 6).alias("lam"))
+    )
+    return v.crossJoin(F.broadcast(ray)).select(
+        F.col("vi").alias("dim"), F.col("v").alias("v_micro"), "lam"
+    )

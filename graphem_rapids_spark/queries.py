@@ -5512,6 +5512,170 @@ FROM pd CROSS JOIN tot
 """
 
 
+def doc_bigram_logprob(spark, sf_dir):
+    """Bigram-LM cross-entropy per document with add-one smoothing —
+    the next rung of the CCNet/KenLM perplexity-filter ladder after
+    :func:`doc_unigram_logprob`: ``xent = −(1/B)·Σ_bigrams
+    ln((c(w₁w₂)+1)/(c(w₁)+V))``. Bigrams are built map-side from each
+    doc's token array (the :func:`doc_pmi_bigrams` pattern — no
+    positional self-join); corpus bigram/unigram counts are two hash
+    aggs over one scan; vocabulary joins stay plain shuffle joins
+    (unbounded at corpus scale). Parity: both ln arguments are
+    integers (c₁₂+1, c₁+V), quantized to 1e9 fixed-point BIGINT per
+    TERM before the per-doc sum — exact-integer accumulation, one
+    final cast-to-double division chain."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens_col("text").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab_n = uni.agg(F.count("*").alias("v"))
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    tf = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    c12 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .select(
+            "w1", "w2",
+            F.round(F.log(F.col("c12") + 1) * F.lit(1e9)).cast("long").alias("ln12"),
+        )
+    )
+    c1v = uni.crossJoin(F.broadcast(vocab_n)).select(
+        F.col("w").alias("w1"),
+        F.round(F.log(F.col("c1") + F.col("v")) * F.lit(1e9))
+        .cast("long")
+        .alias("ln1v"),
+    )
+    pd_ = (
+        tf.join(c12, ["w1", "w2"])
+        .join(c1v, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * (F.col("ln1v") - F.col("ln12"))).alias("_s"),
+        )
+    )
+    return pd_.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.col("_s").cast("double") / F.col("n_bigrams") / F.lit(1e9), 6
+        ).alias("xent_nats"),
+    )
+
+
+_BIGRAM_LOGPROB_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+uni AS (SELECT w, count(*) AS c1 FROM (
+  SELECT unnest(t) AS w FROM tok
+) GROUP BY w),
+vn AS (SELECT count(*) AS v FROM uni),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM tok CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS ti(i)
+  WHERE len(t) >= 2
+),
+tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY doc_id, w1, w2),
+c12 AS (SELECT w1, w2, CAST(round(ln(count(*) + 1) * 1e9) AS BIGINT) AS ln12
+        FROM big GROUP BY w1, w2),
+c1v AS (SELECT w AS w1, CAST(round(ln(c1 + (SELECT v FROM vn)) * 1e9) AS BIGINT) AS ln1v
+        FROM uni),
+pd AS (
+  SELECT t.doc_id,
+         CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+         CAST(sum(t.tf * (c1v.ln1v - c12.ln12)) AS BIGINT) AS s
+  FROM tf t
+  JOIN c12 ON t.w1 = c12.w1 AND t.w2 = c12.w2
+  JOIN c1v ON t.w1 = c1v.w1
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(CAST(s AS DOUBLE) / n_bigrams / 1e9, 6) AS xent_nats
+FROM pd
+"""
+
+
+_PCA_ITERS = 40
+
+
+def embedding_pca_power(spark, sf_dir):
+    """Leading principal component of the embedding table via
+    distributed integer power iteration (see
+    :func:`pipeline.similarity.pca_power_int8`): centered scatter
+    from exact BIGINT sufficient statistics, 6 fixed iterations with
+    micro-unit re-quantization — the whole trajectory replays
+    bit-for-bit in the SQL oracle. Output: 64 rows
+    (dim, v_micro, lam)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.pca_power_int8(emb, iters=_PCA_ITERS)
+
+
+def _pca_sql(iters: int = _PCA_ITERS, dim: int = 64) -> str:
+    parts = [
+        f"""
+WITH v0q AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+mm AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS amax FROM v0q),
+q AS (SELECT CASE WHEN amax > 0
+             THEN list_transform(emb, x -> CAST(round(x / (amax / 127.0)) AS BIGINT))
+             ELSE list_transform(emb, x -> CAST(0 AS BIGINT)) END AS q
+      FROM mm),
+idx AS (SELECT a.range AS i, b.range AS j
+        FROM range({dim}) a, range({dim}) b WHERE b.range >= a.range),
+pp AS (SELECT i, j, CAST(sum(q[i + 1] * q[j + 1]) AS BIGINT) AS pp
+       FROM q CROSS JOIN idx GROUP BY i, j),
+s AS (SELECT t.range AS i, CAST(sum(q[t.range + 1]) AS BIGINT) AS s
+      FROM q CROSS JOIN range({dim}) t GROUP BY t.range),
+nn AS (SELECT count(*) AS n FROM q),
+cc AS (SELECT pp.i, pp.j, nn.n * pp.pp - si.s * sj.s AS c, nn.n AS n
+       FROM pp CROSS JOIN nn
+       JOIN s si ON pp.i = si.i JOIN s sj ON pp.j = sj.i),
+bb AS (SELECT i, j, (c - ((c % n + n) % n)) // n AS b FROM cc),
+fullb AS MATERIALIZED (
+  SELECT i, j, b FROM bb
+  UNION ALL SELECT j AS i, i AS j, b FROM bb WHERE i != j
+),
+v0 AS (SELECT range AS vi, CAST(1000000 AS BIGINT) AS v FROM range({dim}))"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+u{t} AS MATERIALIZED (
+  SELECT f.i, CAST(sum(f.b * v.v) AS BIGINT) AS u
+  FROM fullb f JOIN v{t - 1} v ON f.j = v.vi GROUP BY f.i
+),
+nm{t} AS (SELECT sqrt(CAST(sum(CAST(u AS HUGEINT) * u) AS DOUBLE)) AS nrm FROM u{t}),
+v{t} AS MATERIALIZED (
+  SELECT i AS vi, CAST(round(CAST(u AS DOUBLE) / nrm * 1e6) AS BIGINT) AS v
+  FROM u{t} CROSS JOIN nm{t}
+)"""
+        )
+    T = iters
+    parts.append(
+        f""",
+ray AS (
+  SELECT round(CAST(sum(CAST(v.v AS HUGEINT) * u.u) AS DOUBLE)
+               / CAST(sum(CAST(v.v AS HUGEINT) * v.v) AS DOUBLE), 6) AS lam
+  FROM u{T} u JOIN v{T - 1} v ON u.i = v.vi
+)
+SELECT v.vi AS dim, v.v AS v_micro, ray.lam FROM v{T} v CROSS JOIN ray"""
+    )
+    return "".join(parts)
+
+
 # =====================================================================
 # Relational breadth IV: CUBE grouping sets, PIVOT, partitioned
 # distribution windows (percent_rank/cume_dist), and time-series
@@ -7752,6 +7916,8 @@ QUERIES = {
     "doc_unigram_logprob": doc_unigram_logprob,
     "graph_node2vec_walks": graph_node2vec_walks,
     "graph_mst": graph_mst,
+    "doc_bigram_logprob": doc_bigram_logprob,
+    "embedding_pca_power": embedding_pca_power,
     # --- (e) positions 31-50: stalest greens — driver rows from r1
     # only, re-checked as regression canaries (graph_degree_topk,
     # top_customers, part_brand_stats, events_hourly, doc_quality,
@@ -7761,9 +7927,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "knn_exact": knn_exact,
     "influence_ic": influence_ic,
-    "multimodal_features": multimodal_features,
     "graph_stats": graph_stats_q,
-    "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
     "graph_edges": graph_edges,
     "graph_degree": graph_degree,
@@ -7783,6 +7947,8 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "label_centroids": label_centroids,
     "seed_radial_topk": seed_radial_topk,
+    "q3_top_orders": q3_top_orders,
+    "multimodal_features": multimodal_features,
     "top_customers": top_customers,
     "part_brand_stats": part_brand_stats,
     "events_hourly": events_hourly,
@@ -8024,6 +8190,8 @@ ORACLES = {
     "doc_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
     "graph_node2vec_walks": _n2v_sql(),
     "graph_mst": _mst_sql(),
+    "doc_bigram_logprob": _BIGRAM_LOGPROB_SQL,
+    "embedding_pca_power": _pca_sql(),
     "revenue_quantiles": _QUANTILES_SQL,
     "orders_decile_stats": _DECILE_SQL,
     "doc_topk_terms": _TOPK_TERMS_SQL,
