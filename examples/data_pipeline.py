@@ -15,6 +15,7 @@ from graphem_rapids_spark.session import get_spark  # noqa: E402
 from graphem_rapids_spark.pipeline import dedup as D  # noqa: E402
 from graphem_rapids_spark.pipeline import similarity as S  # noqa: E402
 from graphem_rapids_spark.pipeline import text as T  # noqa: E402
+from graphem_rapids_spark import queries as Q  # noqa: E402
 
 
 def main() -> None:
@@ -37,6 +38,17 @@ def main() -> None:
 
     topk = S.cosine_topk(embs, embs.limit(5), k=3)
     topk.show(15)
+
+    pq = S.ivfpq_topk(embs, embs.filter("vec_id < 5"), k=3)
+    print("ivf-pq approximate neighbors:", pq.count())
+
+    xent = Q.doc_unigram_logprob(spark, sf_dir)
+    print("highest-perplexity docs (unigram LM):")
+    xent.orderBy(xent.xent_nats.desc()).show(3)
+
+    pca = Q.embedding_pca_power(spark, sf_dir)
+    lam = pca.first()["lam"]
+    print(f"leading principal component eigenvalue (scatter/n): {lam}")
 
     spark.stop()
 

@@ -95,6 +95,17 @@ def main() -> None:
     print("sampled diameter lower bound:",
           ecc.agg({"eccentricity": "max"}).first()[0])
 
+    mst = Q.graph_mst(spark, sf_dir).first()
+    print(
+        f"minimum spanning forest: {mst.mst_edges} edges / "
+        f"{mst.n_components} components, total weight {mst.mst_weight}"
+    )
+
+    walks = Q.graph_node2vec_walks(spark, sf_dir)
+    print("node2vec most-visited parts:")
+    for r in walks.limit(3).collect():
+        print(f"  part {r.id}: {r.visits} visits")
+
     spark.stop()
 
 

@@ -109,6 +109,17 @@ def profile_query(
     t0 = time.perf_counter()
     result = action()
     wall = time.perf_counter() - t0
+    # the SQL status store is fed by the ASYNC listener bus — under
+    # load the execution entry/metrics land after the action returns;
+    # drain the bus (private[spark] compiles to public bytecode) and
+    # poll briefly so concurrent-suite runs don't read an empty store
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        pass
+    deadline = time.perf_counter() + 10.0
+    while store.executionsList().size() <= n0 and time.perf_counter() < deadline:
+        time.sleep(0.05)
     execs = []
     lst = store.executionsList()
     for i in range(n0, lst.size()):

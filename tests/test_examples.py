@@ -28,6 +28,8 @@ def test_data_pipeline_example():
     stdout = _run("examples/data_pipeline.py", "/root/testdata/sf0.001")
     assert "minhash near-dup pairs:" in stdout
     assert "pred_lang" in stdout
+    assert "ivf-pq approximate neighbors:" in stdout
+    assert "leading principal component eigenvalue" in stdout
 
 
 def test_curation_pipeline_example():
@@ -46,3 +48,5 @@ def test_graph_insights_example():
     assert "label-propagation communities:" in stdout
     assert "4-truss core:" in stdout
     assert "sampled diameter lower bound:" in stdout
+    assert "minimum spanning forest:" in stdout
+    assert "node2vec most-visited parts:" in stdout
