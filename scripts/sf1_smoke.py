@@ -14,7 +14,8 @@ every document a 10-way near-duplicate — an intentional worst-case
 duplicate-density stress for dedup_minhash_lsh (bucket collisions ×10,
 verify-join fanout at its cap).
 
-Usage: python scripts/sf1_smoke.py [runs_per_query]
+Usage: python scripts/sf1_smoke.py [runs_per_query] [query ...]
+(query names override the default heavy list)
 """
 
 from __future__ import annotations
@@ -88,6 +89,7 @@ def build_data() -> None:
 
 def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    names = sys.argv[2:] or QUERIES
     build_data()
     from graphem_rapids_spark.session import get_spark
     import __spark_entry__ as entry
@@ -95,7 +97,7 @@ def main() -> None:
     spark = get_spark()
     qs = entry.queries()
     out: dict = {}
-    for name in QUERIES:
+    for name in names:
         times = []
         for _ in range(runs):
             t0 = time.time()
