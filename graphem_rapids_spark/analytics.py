@@ -1531,6 +1531,21 @@ def node2vec_walks(
     sym.unpersist()
     return out
 
+def _iter_materialize(df: DataFrame, old: DataFrame | None = None) -> DataFrame:
+    """Materialize one generation of a deep iterative kernel:
+    ``localCheckpoint`` truncates lineage AND ``persist``+``count``
+    substitutes honest cached stats for Catalyst's inherited
+    sizeInBytes estimate, which otherwise SQUARES per self-join
+    generation and melts the driver in BigInteger multiplies from
+    ~18 generations (SCALE.md §iteration-discipline). Pass ``old`` to
+    release the previous generation's cache."""
+    out = df.localCheckpoint(eager=True).persist()
+    out.count()
+    if old is not None:
+        old.unpersist()
+    return out
+
+
 def minimum_spanning_forest(
     wedges: DataFrame,
     rounds: int = 5,
@@ -1580,13 +1595,7 @@ def minimum_spanning_forest(
         .persist()
     )
 
-    def _mat(df: DataFrame, old: DataFrame | None = None) -> DataFrame:
-        out = df.localCheckpoint(eager=True).persist()
-        out.count()
-        if old is not None:
-            old.unpersist()
-        return out
-
+    _mat = _iter_materialize
     comp = _mat(
         dire.select(F.col("u").alias("id"))
         .distinct()
@@ -1647,3 +1656,82 @@ def minimum_spanning_forest(
         p.unpersist()
     dire.unpersist()
     return comp, picked.distinct()
+
+def maximal_independent_set(
+    edges: DataFrame,
+    rounds: int = 8,
+    seed: int = 17,
+) -> tuple[DataFrame, DataFrame]:
+    """(mis, undecided) — Luby-style maximal independent set with
+    DETERMINISTIC integer priorities: π(v) = mixer(v)·2³¹ + v (a
+    strict total order — the mixer value is an exact integer < 2³¹
+    and ids break collisions), a vertex enters the MIS in a round iff
+    its priority is smaller than every still-undecided neighbor's;
+    winners and their neighbors retire. With fixed priorities this
+    converges to exactly the SEQUENTIAL greedy MIS of the priority
+    permutation (the lexicographically-first MIS), so the whole run
+    is reproducible cross-engine and against a driver-side greedy
+    oracle. ``rounds`` is a FIXED schedule (mirrored by the SQL
+    oracle); Luby needs O(log n) rounds w.h.p. and ``undecided``
+    reports anything unfinished (empty at convergence — pinned by
+    tests).
+
+    Physical shape: per round one neighbor-min aggregate over the
+    surviving edge set + two semi-joins to retire vertices; the edge
+    set shrinks geometrically. Each generation is materialized with
+    the checkpoint+persist discipline (SCALE.md
+    §iteration-discipline)."""
+    from graphem_rapids_spark.functions import MIX_M, mix_uniform
+
+    pri = (
+        F.round(mix_uniform(F.col("id"), seed) * F.lit(float(MIX_M)))
+        .cast("long")
+        * F.lit(2_147_483_648)
+        + F.col("id")
+    )
+    und = _iter_materialize(
+        edges.select(F.explode(F.array("src", "dst")).alias("id"))
+        .distinct()
+        .select("id", pri.alias("p"))
+    )
+    esym = _iter_materialize(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+    )
+    mis = None
+    for _r in range(rounds):
+        nm = (
+            esym.join(und.select(F.col("id").alias("_v"), F.col("p").alias("_pv")),
+                      esym["v"] == F.col("_v"))
+            .groupBy("u")
+            .agg(F.min("_pv").alias("nbr_min"))
+        )
+        win = (
+            und.join(nm, und["id"] == nm["u"], "left")
+            .filter(F.col("nbr_min").isNull() | (F.col("p") < F.col("nbr_min")))
+            .select("id")
+        )
+        win = _iter_materialize(win)
+        mis = win if mis is None else _iter_materialize(mis.unionAll(win))
+        retired = _iter_materialize(
+            win.unionAll(
+                esym.join(win.select(F.col("id").alias("_w")), esym["u"] == F.col("_w"))
+                .select(F.col("v").alias("id"))
+            ).distinct()
+        )
+        und = _iter_materialize(
+            und.join(retired, "id", "left_anti"), und
+        )
+        esym = _iter_materialize(
+            esym.join(und.select(F.col("id").alias("_ku")), esym["u"] == F.col("_ku"))
+            .select("u", "v")
+            .join(und.select(F.col("id").alias("_kv")), F.col("v") == F.col("_kv"))
+            .select("u", "v"),
+            esym,
+        )
+        retired.unpersist()
+        win.unpersist()
+        if und.count() == 0:
+            break
+    return mis, und.select("id")

@@ -5609,6 +5609,166 @@ FROM pd
 """
 
 
+def doc_zipf_fit(spark, sf_dir):
+    """Zipf's-law diagnostic of the corpus vocabulary: log-log OLS of
+    term frequency against frequency rank over the top-1000 head
+    terms (TakeOrdered cut — the rank window's input is bounded at
+    1000 rows, the allowlisted rank-after-limit pattern; the FULL
+    vocabulary never enters a global window). Same fixed-point-ln
+    sufficient-statistics discipline as
+    :func:`graph_degree_powerlaw_fit`. A healthy natural-language
+    corpus fits slope ≈ −1; scraped boilerplate flattens the head —
+    a corpus-level quality signal."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(T.tokens_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = vocab.orderBy(F.desc("freq"), F.asc("w")).limit(1000)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w")))
+    )
+    pts = ranked.select(
+        F.round(F.log("rank") * F.lit(1e9)).cast("long").alias("x"),
+        F.round(F.log("freq") * F.lit(1e9)).cast("long").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = pts.agg(
+        F.count("*").alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_terms")
+    cov = (n * F.col("sxy") - dec("sx") * F.col("sy")).cast("double")
+    varx = (n * F.col("sxx") - dec("sx") * F.col("sx")).cast("double")
+    vary = (n * F.col("syy") - dec("sy") * F.col("sy")).cast("double")
+    slope = cov / varx
+    return s.select(
+        "n_terms",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / n
+            / F.lit(1e9),
+            6,
+        ).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
+_ZIPF_SQL = f"""
+WITH vocab AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest({_TOKENS_SQL}) AS w FROM documents
+  ) GROUP BY w
+),
+top AS (SELECT w, freq FROM vocab ORDER BY freq DESC, w ASC LIMIT 1000),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, w ASC) AS rank FROM top
+),
+pts AS (SELECT CAST(round(ln(rank) * 1e9) AS BIGINT) AS x,
+               CAST(round(ln(freq) * 1e9) AS BIGINT) AS y FROM ranked),
+s AS (
+  SELECT count(*) AS n_terms, sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM pts
+),
+d AS (
+  SELECT n_terms,
+         CAST(n_terms * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS cov,
+         CAST(n_terms * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS varx,
+         CAST(n_terms * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS vary,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM s
+)
+SELECT n_terms,
+       round(cov / varx, 6) AS slope,
+       round((syd - (cov / varx) * sxd) / n_terms / 1e9, 6) AS intercept,
+       round(cov * cov / (varx * vary), 6) AS r2
+FROM d
+"""
+
+
+_MIS_ROUNDS = 8
+_MIS_SEED = 17
+
+
+def graph_mis_luby(spark, sf_dir):
+    """Luby-style maximal independent set of the co-purchase graph
+    (see :func:`analytics.maximal_independent_set`): deterministic
+    integer mixer priorities make the parallel rounds converge to the
+    lexicographically-first MIS of the priority permutation — output
+    (n_vertices, mis_size, mis_id_sum, undecided) is exactly
+    reproducible against the unrolled SQL oracle, with undecided = 0
+    at convergence (pinned by pytest alongside independence +
+    maximality invariants)."""
+    e = copurchase_edges(spark, sf_dir)
+    mis, und = A.maximal_independent_set(e, rounds=_MIS_ROUNDS, seed=_MIS_SEED)
+    s1 = mis.agg(
+        F.count("*").alias("mis_size"),
+        F.coalesce(F.sum("id"), F.lit(0)).cast("long").alias("mis_id_sum"),
+    )
+    s2 = und.agg(F.count("*").alias("undecided"))
+    nv = vertices_from_edges(e).agg(F.count("*").alias("n_vertices"))
+    return nv.crossJoin(s1).crossJoin(s2)
+
+
+def _mis_sql(rounds: int = _MIS_ROUNDS, seed: int = _MIS_SEED) -> str:
+    from graphem_rapids_spark.functions import mix_sql
+
+    u = mix_sql("id", seed)
+    parts = [
+        _COPURCHASE_SQL_CTE,
+        ", es0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM ge"
+        " UNION ALL SELECT dst AS u, src AS v FROM ge)",
+        f""", u0 AS MATERIALIZED (
+  SELECT id, CAST(round({u} * 2147483647) AS BIGINT) * 2147483648 + id AS p
+  FROM (SELECT DISTINCT u AS id FROM es0)
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+nm{r} AS (
+  SELECT e.u, min(w.p) AS nbr_min
+  FROM es{r - 1} e JOIN u{r - 1} w ON e.v = w.id GROUP BY e.u
+),
+w{r} AS MATERIALIZED (
+  SELECT a.id FROM u{r - 1} a LEFT JOIN nm{r} ON a.id = nm{r}.u
+  WHERE nm{r}.nbr_min IS NULL OR a.p < nm{r}.nbr_min
+),
+ret{r} AS (
+  SELECT id FROM w{r}
+  UNION
+  SELECT e.v AS id FROM es{r - 1} e JOIN w{r} ON e.u = w{r}.id
+),
+u{r} AS MATERIALIZED (
+  SELECT a.id, a.p FROM u{r - 1} a
+  WHERE NOT EXISTS (SELECT 1 FROM ret{r} x WHERE x.id = a.id)
+),
+es{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM es{r - 1} e
+  JOIN u{r} x ON e.u = x.id JOIN u{r} y ON e.v = y.id
+)"""
+        )
+    union = "\n  UNION ALL ".join(f"SELECT id FROM w{r}" for r in range(1, rounds + 1))
+    parts.append(
+        f""",
+mis AS ({union})
+SELECT (SELECT count(*) FROM u0) AS n_vertices,
+       (SELECT count(*) FROM mis) AS mis_size,
+       (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) FROM mis) AS mis_id_sum,
+       (SELECT count(*) FROM u{rounds}) AS undecided"""
+    )
+    return "".join(parts)
+
+
 _PCA_ITERS = 40
 
 
@@ -7918,6 +8078,8 @@ QUERIES = {
     "graph_mst": graph_mst,
     "doc_bigram_logprob": doc_bigram_logprob,
     "embedding_pca_power": embedding_pca_power,
+    "doc_zipf_fit": doc_zipf_fit,
+    "graph_mis_luby": graph_mis_luby,
     # --- (e) positions 31-50: stalest greens — driver rows from r1
     # only, re-checked as regression canaries (graph_degree_topk,
     # top_customers, part_brand_stats, events_hourly, doc_quality,
@@ -7925,10 +8087,8 @@ QUERIES = {
     # room for the never-checked batch above; due back in r5)
     "cosine_near_dup": cosine_near_dup,
     "q1_pricing_summary": q1_pricing_summary,
-    "knn_exact": knn_exact,
     "influence_ic": influence_ic,
     "graph_stats": graph_stats_q,
-    "q5_nation_revenue": q5_nation_revenue,
     "graph_edges": graph_edges,
     "graph_degree": graph_degree,
     "doc_token_stats": doc_token_stats,
@@ -7948,6 +8108,8 @@ QUERIES = {
     "label_centroids": label_centroids,
     "seed_radial_topk": seed_radial_topk,
     "q3_top_orders": q3_top_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "knn_exact": knn_exact,
     "multimodal_features": multimodal_features,
     "top_customers": top_customers,
     "part_brand_stats": part_brand_stats,
@@ -8192,6 +8354,8 @@ ORACLES = {
     "graph_mst": _mst_sql(),
     "doc_bigram_logprob": _BIGRAM_LOGPROB_SQL,
     "embedding_pca_power": _pca_sql(),
+    "doc_zipf_fit": _ZIPF_SQL,
+    "graph_mis_luby": _mis_sql(),
     "revenue_quantiles": _QUANTILES_SQL,
     "orders_decile_stats": _DECILE_SQL,
     "doc_topk_terms": _TOPK_TERMS_SQL,

@@ -161,6 +161,9 @@ ALLOWED_BOUNDED_WINDOWS: dict[str, tuple[int, str]] = {
     "ann_ivf_topk": (4, "IVF init rank-after-limit: <= n_cells rows"),
     "ann_recall_at_k": (4, "IVF init rank-after-limit: <= n_cells rows"),
     "semdedup_embeddings": (4, "IVF init rank-after-limit: <= n_cells rows"),
+    # Zipf head-term rank assigned AFTER .orderBy().limit(1000)
+    # (TakeOrdered) — window input <= 1000 rows
+    "doc_zipf_fit": (1, "rank-after-limit: top-1000 vocabulary head"),
 }
 
 
