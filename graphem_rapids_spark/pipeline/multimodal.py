@@ -390,3 +390,110 @@ def frame_sample_plan(media: DataFrame, every_n_frames: int = 30,
         media.filter(F.col("kind") == "video")
         .select("media_id", F.explode(idx).alias("frame_idx"))
     )
+
+def dhash_images(media: DataFrame, fake: bool = False) -> DataFrame:
+    """(media_id, b0, b1, b2, b3) — 64-bit difference hash (dHash) of
+    each image as FOUR 16-bit band integers: rasterize, grayscale,
+    average-pool to a 9×8 luminance grid, and set bit r·8+c iff
+    grid[r][c] < grid[r][c+1]. Bands (rather than one 64-bit value)
+    keep every integer small-positive on both engines AND are exactly
+    what the banded hamming near-dup join buckets on. ``fake=True``
+    pins the deterministic stub grid (row-keyed md5 bytes — the
+    :func:`resize_images` fake-kernel discipline, replayed exactly by
+    the SQL oracle in queries.py); the real path uses the stdlib PNG
+    rasterizer (undecodable blobs hash to all-zero bands, the corrupt
+    input contract). Arrow-batched, one pass, no shuffle."""
+
+    def _grid_fake(content: bytes):
+        rows = []
+        for r in range(8):
+            digest = hashlib.md5(content + b":" + str(r).encode()).hexdigest()
+            rows.append([int(digest[2 * c : 2 * c + 2], 16) for c in range(9)])
+        return rows
+
+    def _grid_real(content: bytes):
+        arr = _png_decode(content)
+        if arr is None:
+            return None
+        gray = arr[..., :3].mean(axis=2) if arr.shape[2] >= 3 else arr[..., 0]
+        h, w = gray.shape
+        rows = []
+        for r in range(8):
+            row = []
+            for c in range(9):
+                y0, y1 = (r * h) // 8, max((r * h) // 8 + 1, ((r + 1) * h) // 8)
+                x0, x1 = (c * w) // 9, max((c * w) // 9 + 1, ((c + 1) * w) // 9)
+                row.append(int(gray[y0:y1, x0:x1].mean()))
+            rows.append(row)
+        return rows
+
+    grid_fn = _grid_fake if fake else _grid_real
+
+    def _bands(content: bytes) -> tuple[int, int, int, int]:
+        grid = grid_fn(content)
+        if grid is None:
+            return 0, 0, 0, 0
+        bands = [0, 0, 0, 0]
+        for r in range(8):
+            for c in range(8):
+                if grid[r][c] < grid[r][c + 1]:
+                    idx = r * 8 + c
+                    bands[idx // 16] |= 1 << (idx % 16)
+        return tuple(bands)
+
+    schema = "media_id long, b0 long, b1 long, b2 long, b3 long"
+
+    def _batches(it):
+        for pdf in it:
+            out = pdf["content"].map(lambda c: _bands(bytes(c)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    **{f"b{k}": out.map(lambda t, k=k: t[k]) for k in range(4)},
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(_batches, schema)
+
+
+def hamming_near_dup(hashes: DataFrame, max_dist: int = 6) -> DataFrame:
+    """(a, b, hamming) — near-duplicate image pairs by dHash hamming
+    distance ≤ ``max_dist``, via the BANDED join (pigeonhole: ≤ 6
+    differing bits over 4 bands forces ≥ 1 identical 16-bit band, so
+    candidates come from 4 equality buckets — never O(n²); the
+    SimHash text-dedup discipline applied to media). All-zero hashes
+    are EXCLUDED: undecodable blobs and flat images all hash to zero,
+    which is both perceptually meaningless and a single skew-bomb
+    bucket at corpus scale."""
+    from pyspark.sql import functions as F
+
+    hashes = hashes.filter(
+        (F.col("b0") != 0) | (F.col("b1") != 0) | (F.col("b2") != 0) | (F.col("b3") != 0)
+    )
+    bands = hashes.select(
+        F.col("media_id"),
+        "b0", "b1", "b2", "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "bv"),
+    )
+    left = bands.select(
+        F.col("media_id").alias("a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+        "k", "bv",
+    )
+    right = bands.select(
+        F.col("media_id").alias("b"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(4)],
+        "k", "bv",
+    )
+    cand = (
+        left.join(right, ["k", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", *[f"a{i}" for i in range(4)], *[f"c{i}" for i in range(4)])
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}"))) for i in range(4)
+    )
+    return cand.select("a", "b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_dist
+    )

@@ -5695,6 +5695,74 @@ FROM d
 """
 
 
+def multimodal_dhash_dedup(spark, sf_dir):
+    """Perceptual near-dup join on media columns: 64-bit difference
+    hash (dHash) as four 16-bit bands + pigeonhole-banded hamming
+    join (see :func:`pipeline.multimodal.dhash_images` /
+    :func:`hamming_near_dup` — ≤ 6 differing bits over 4 bands forces
+    an identical band, so candidates come from equality buckets,
+    never O(n²)). Registry entry runs the deterministic stub grid
+    (row-keyed md5 bytes) through the REAL Arrow mapInPandas + banded
+    join plumbing — the :func:`multimodal_resize` fake-kernel
+    discipline — and the oracle replays the grid + hamming math in
+    SQL (brute-force all-pairs: same output, oracle-side only)."""
+    from graphem_rapids_spark.pipeline import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    h = M.dhash_images(media, fake=True)
+    pairs = M.hamming_near_dup(h, max_dist=6)
+    cnt = (
+        pairs.select(F.col("a").alias("media_id"))
+        .unionAll(pairs.select(F.col("b").alias("media_id")))
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_near_dups"))
+    )
+    # output every image's band hash (the dHash math is gate-checked
+    # for the whole corpus) + its near-dup degree
+    return h.join(cnt, "media_id", "left").select(
+        "media_id", "b0", "b1", "b2", "b3",
+        F.coalesce("n_near_dups", F.lit(0)).cast("long").alias("n_near_dups"),
+    )
+
+
+def _dhash_sql(max_dist: int = 6) -> str:
+    h_cols = ", ".join(f"md5(text || ':{r}') AS h{r}" for r in range(8))
+    bands = []
+    for k in range(4):
+        terms = []
+        for off in range(16):
+            idx = k * 16 + off
+            r, c = idx // 8, idx % 8
+            pa = f"('0x' || substr(h{r}, {2 * c + 1}, 2))::INT"
+            pb = f"('0x' || substr(h{r}, {2 * (c + 1) + 1}, 2))::INT"
+            terms.append(f"CASE WHEN {pa} < {pb} THEN {1 << off} ELSE 0 END")
+        bands.append("CAST(" + " + ".join(terms) + f" AS BIGINT) AS b{k}")
+    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4))
+    return f"""
+WITH m AS (SELECT doc_id AS media_id, {h_cols} FROM documents),
+hsh AS (SELECT media_id, {", ".join(bands)} FROM m),
+nz AS (SELECT * FROM hsh WHERE b0 != 0 OR b1 != 0 OR b2 != 0 OR b3 != 0),
+p AS (
+  SELECT a.media_id AS a, b.media_id AS b,
+         CAST({ham} AS BIGINT) AS hamming
+  FROM nz a JOIN nz b ON a.media_id < b.media_id
+),
+pr AS (SELECT a, b FROM p WHERE hamming <= {max_dist}),
+cnt AS (
+  SELECT media_id, count(*) AS n FROM (
+    SELECT a AS media_id FROM pr UNION ALL SELECT b AS media_id FROM pr
+  ) GROUP BY media_id
+)
+SELECT h.media_id, h.b0, h.b1, h.b2, h.b3,
+       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_near_dups
+FROM hsh h LEFT JOIN cnt ON h.media_id = cnt.media_id
+"""
+
+
 _MIS_ROUNDS = 8
 _MIS_SEED = 17
 
@@ -8080,12 +8148,12 @@ QUERIES = {
     "embedding_pca_power": embedding_pca_power,
     "doc_zipf_fit": doc_zipf_fit,
     "graph_mis_luby": graph_mis_luby,
+    "multimodal_dhash_dedup": multimodal_dhash_dedup,
     # --- (e) positions 31-50: stalest greens — driver rows from r1
     # only, re-checked as regression canaries (graph_degree_topk,
     # top_customers, part_brand_stats, events_hourly, doc_quality,
     # doc_lang_id, doc_fingerprint moved just past the cut to make
     # room for the never-checked batch above; due back in r5)
-    "cosine_near_dup": cosine_near_dup,
     "q1_pricing_summary": q1_pricing_summary,
     "influence_ic": influence_ic,
     "graph_stats": graph_stats_q,
@@ -8110,6 +8178,7 @@ QUERIES = {
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
     "knn_exact": knn_exact,
+    "cosine_near_dup": cosine_near_dup,
     "multimodal_features": multimodal_features,
     "top_customers": top_customers,
     "part_brand_stats": part_brand_stats,
@@ -8356,6 +8425,7 @@ ORACLES = {
     "embedding_pca_power": _pca_sql(),
     "doc_zipf_fit": _ZIPF_SQL,
     "graph_mis_luby": _mis_sql(),
+    "multimodal_dhash_dedup": _dhash_sql(),
     "revenue_quantiles": _QUANTILES_SQL,
     "orders_decile_stats": _DECILE_SQL,
     "doc_topk_terms": _TOPK_TERMS_SQL,

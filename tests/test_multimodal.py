@@ -316,3 +316,66 @@ def test_png_decode_palette():
         + chunk(b"IDAT", zlib.compress(bad_raw)) + chunk(b"IEND", b"")
     )
     assert _png_decode(bad) is None
+
+
+def _gradient_png(w: int, h: int, flip: bool = False) -> bytes:
+    """RGB PNG with a horizontal luminance gradient (reversed when
+    flip) — gives dHash a deterministic non-trivial bit pattern."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    rows = []
+    for _ in range(h):
+        px = b"".join(
+            bytes([v, v, v])
+            for c in range(w)
+            for v in [(255 - c * 255 // (w - 1)) if flip else (c * 255 // (w - 1))]
+        )
+        rows.append(b"\x00" + px)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_dhash_real_rasterizer_and_banded_join(spark):
+    """Real-path dHash: identical PNGs hash identically (hamming 0),
+    the mirrored gradient is far away, undecodable blobs hash to the
+    zero bands — and the banded join finds exactly the identical
+    pair."""
+    from graphem_rapids_spark.pipeline.multimodal import (
+        dhash_images,
+        hamming_near_dup,
+    )
+
+    g = _gradient_png(36, 24)
+    rows = [
+        (1, bytearray(g)),
+        (2, bytearray(g)),                            # exact duplicate
+        (3, bytearray(_gradient_png(36, 24, flip=True))),
+        (4, bytearray(b"not an image")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    h = dhash_images(media)  # real stdlib-rasterizer path
+    by_id = {r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"]) for r in h.collect()}
+    assert by_id[1] == by_id[2]
+    assert by_id[4] == (0, 0, 0, 0)
+    # ascending gradient: left < right everywhere -> all 64 bits set
+    assert by_id[1] == (0xFFFF,) * 4
+    # mirrored gradient: left > right everywhere -> all-zero hash,
+    # the degenerate value undecodable blobs share — both must be
+    # EXCLUDED from the near-dup join (zero-bucket skew bomb)
+    assert by_id[3] == (0, 0, 0, 0)
+    pairs = hamming_near_dup(h, max_dist=6).collect()
+    assert {(r["a"], r["b"], r["hamming"]) for r in pairs} == {(1, 2, 0)}
