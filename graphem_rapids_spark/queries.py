@@ -5138,6 +5138,123 @@ FROM st, ex
 """
 
 
+def events_stream_hll_users(spark, sf_dir):
+    """Streaming windowed-cardinality sketch: per-hour distinct-user
+    estimates where the STREAMING state is the mergeable HLL register
+    table — a streaming groupBy(hour, bucket) max(rho) (the
+    production shape: registers merge monotonically, so state is
+    m·hours tiny rows regardless of user volume — a streaming
+    countDistinct would hold every user id). The availableNow drain
+    hands the registers to a batch finalizer (harmonic combine +
+    small-range branch, the exact-integer :func:`sketch_hll_distinct`
+    math) — and the whole thing hash-matches a batch SQL replay.
+    Output: (hour, n_exact, hll_estimate, zeros) per hour."""
+    from graphem_rapids_spark.streaming.events import (
+        run_available_now,
+        stream_events,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = stream_events(spark, sf_dir)
+    hv = F.floor(
+        _mix_uniform(F.col("user_id"), _HLL_SEED) * F.lit(float(_LCG_M))
+    ).cast("long")
+    hour = F.date_format(
+        F.date_trunc("hour", F.timestamp_micros(F.expr("ts div 1000"))),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    regs = run_available_now(
+        ev.select(hour.alias("hour"), hv.alias("hv"))
+        .select(
+            "hour",
+            F.shiftright(F.col("hv"), _HLL_WBITS).alias("bucket"),
+            (F.col("hv") % F.lit(1 << _HLL_WBITS)).alias("w"),
+        )
+        .select("hour", "bucket", F.expr(_hll_rho_case("w")).alias("rho"))
+        .groupBy("hour", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    # the memory-sink relation appears twice (hour universe + register
+    # lookup) — rename the second use: the sink relation is not cloned
+    # by self-join dedup, so shared attribute ids fail analysis
+    regs2 = regs.select(
+        F.col("hour").alias("_h"), F.col("bucket").alias("_b"), "m"
+    )
+    full = (
+        regs.select("hour")
+        .distinct()
+        .crossJoin(spark.range(_HLL_M).select(F.col("id").alias("bucket")))
+        .join(
+            regs2,
+            (F.col("hour") == F.col("_h")) & (F.col("bucket") == F.col("_b")),
+            "left",
+        )
+        .select("hour", F.coalesce("m", F.lit(0)).alias("m"))
+    )
+    stats = full.groupBy("hour").agg(
+        F.sum(
+            F.expr("1.0 / CAST(shiftleft(1L, CAST(m AS INT)) AS DOUBLE)")
+        ).alias("s"),
+        F.sum((F.col("m") == 0).cast("long")).alias("zeros"),
+    )
+    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / F.col("s")
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    exact = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.timestamp_micros(F.expr("ts div 1000"))),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("hour")
+        )
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return stats.join(exact, "hour").select(
+        "hour",
+        "n_exact",
+        F.round(est, 4).alias("hll_estimate"),
+        "zeros",
+    )
+
+
+def _hll_stream_sql() -> str:
+    hv = f"CAST(floor({_mix_sql('user_id', _HLL_SEED)} * {_LCG_M}) AS BIGINT)"
+    rho = _hll_rho_case("w")
+    raw = f"({_HLL_ALPHA * _HLL_M * _HLL_M!r} / s)"
+    est = (
+        f"CASE WHEN {raw} <= {2.5 * _HLL_M!r} AND zeros > 0 "
+        f"THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zeros) ELSE {raw} END"
+    )
+    return f"""
+WITH hu AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, user_id
+  FROM events
+),
+h AS (SELECT hour, {hv} AS hv FROM hu),
+bw AS (SELECT hour, hv >> {_HLL_WBITS} AS bucket, hv % {1 << _HLL_WBITS} AS w FROM h),
+r AS (SELECT hour, bucket, max({rho}) AS m FROM bw GROUP BY hour, bucket),
+hrs AS (SELECT DISTINCT hour FROM r),
+regs AS (
+  SELECT hrs.hour, coalesce(r.m, 0) AS m
+  FROM hrs CROSS JOIN range({_HLL_M}) t
+  LEFT JOIN r ON r.hour = hrs.hour AND t.range = r.bucket
+),
+st AS (SELECT hour, sum(1.0 / CAST(1 << m AS DOUBLE)) AS s,
+              CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+       FROM regs GROUP BY hour),
+ex AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              count(DISTINCT user_id) AS n_exact
+       FROM events GROUP BY 1)
+SELECT st.hour, n_exact,
+       round({est}, 4) AS hll_estimate,
+       zeros
+FROM st JOIN ex ON st.hour = ex.hour
+"""
+
+
 _CMS_D = 4            # hash rows
 _CMS_W = 512          # counters per row
 _CMS_SEED = 4242
@@ -8149,12 +8266,12 @@ QUERIES = {
     "doc_zipf_fit": doc_zipf_fit,
     "graph_mis_luby": graph_mis_luby,
     "multimodal_dhash_dedup": multimodal_dhash_dedup,
+    "events_stream_hll_users": events_stream_hll_users,
     # --- (e) positions 31-50: stalest greens — driver rows from r1
     # only, re-checked as regression canaries (graph_degree_topk,
     # top_customers, part_brand_stats, events_hourly, doc_quality,
     # doc_lang_id, doc_fingerprint moved just past the cut to make
     # room for the never-checked batch above; due back in r5)
-    "q1_pricing_summary": q1_pricing_summary,
     "influence_ic": influence_ic,
     "graph_stats": graph_stats_q,
     "graph_edges": graph_edges,
@@ -8179,6 +8296,7 @@ QUERIES = {
     "q5_nation_revenue": q5_nation_revenue,
     "knn_exact": knn_exact,
     "cosine_near_dup": cosine_near_dup,
+    "q1_pricing_summary": q1_pricing_summary,
     "multimodal_features": multimodal_features,
     "top_customers": top_customers,
     "part_brand_stats": part_brand_stats,
@@ -8426,6 +8544,7 @@ ORACLES = {
     "doc_zipf_fit": _ZIPF_SQL,
     "graph_mis_luby": _mis_sql(),
     "multimodal_dhash_dedup": _dhash_sql(),
+    "events_stream_hll_users": _hll_stream_sql(),
     "revenue_quantiles": _QUANTILES_SQL,
     "orders_decile_stats": _DECILE_SQL,
     "doc_topk_terms": _TOPK_TERMS_SQL,
