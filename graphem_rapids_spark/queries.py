@@ -5812,6 +5812,35 @@ FROM d
 """
 
 
+def ann_ivfpq_recall(spark, sf_dir):
+    """Quality gate for the PQ rung of the ANN ladder: recall@5 of
+    :func:`ann_ivfpq_topk` against the exact Euclidean top-5
+    (:func:`knn_exact`, same query ids) — the number a pipeline tunes
+    m_sub/k_codes/n_probe against before trusting 8–32× compression
+    at scale. Composes two oracle-checked registry queries; exact
+    integer hit counts, one final division."""
+    approx = ann_ivfpq_topk(spark, sf_dir).select("qid", "rid")
+    exact = knn_exact(spark, sf_dir).select("qid", "rid")
+    hits = (
+        approx.join(exact, ["qid", "rid"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("hits"))
+    )
+    per = (
+        approx.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select("qid", F.coalesce("hits", F.lit(0)).alias("hits"))
+    )
+    return per.agg(
+        F.count("*").alias("n_queries"),
+        F.round(
+            F.sum("hits").cast("double") / (F.count("*") * F.lit(5)).cast("double"),
+            6,
+        ).alias("recall_at_5"),
+    )
+
+
 def multimodal_dhash_dedup(spark, sf_dir):
     """Perceptual near-dup join on media columns: 64-bit difference
     hash (dHash) as four 16-bit bands + pigeonhole-banded hamming
@@ -5844,6 +5873,25 @@ def multimodal_dhash_dedup(spark, sf_dir):
         "media_id", "b0", "b1", "b2", "b3",
         F.coalesce("n_near_dups", F.lit(0)).cast("long").alias("n_near_dups"),
     )
+
+
+def _ivfpq_recall_sql() -> str:
+    return f"""
+WITH approx AS (SELECT qid, rid FROM ({_ivfpq_sql()})),
+exact AS (SELECT qid, rid FROM ({_KNN_SQL})),
+hit AS (
+  SELECT a.qid, count(*) AS hits FROM approx a JOIN exact e
+  ON a.qid = e.qid AND a.rid = e.rid GROUP BY a.qid
+),
+per AS (
+  SELECT q.qid, coalesce(h.hits, 0) AS hits
+  FROM (SELECT DISTINCT qid FROM approx) q LEFT JOIN hit h ON q.qid = h.qid
+)
+SELECT count(*) AS n_queries,
+       round(CAST(sum(hits) AS DOUBLE) / CAST(count(*) * 5 AS DOUBLE), 6)
+         AS recall_at_5
+FROM per
+"""
 
 
 def _dhash_sql(max_dist: int = 6) -> str:
@@ -8267,6 +8315,7 @@ QUERIES = {
     "graph_mis_luby": graph_mis_luby,
     "multimodal_dhash_dedup": multimodal_dhash_dedup,
     "events_stream_hll_users": events_stream_hll_users,
+    "ann_ivfpq_recall": ann_ivfpq_recall,
     # --- (e) positions 31-50: stalest greens — driver rows from r1
     # only, re-checked as regression canaries (graph_degree_topk,
     # top_customers, part_brand_stats, events_hourly, doc_quality,
@@ -8278,7 +8327,6 @@ QUERIES = {
     "graph_degree": graph_degree,
     "doc_token_stats": doc_token_stats,
     "dedup_exact": dedup_exact,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "spearman_qty_price": spearman_qty_price,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -8297,6 +8345,7 @@ QUERIES = {
     "knn_exact": knn_exact,
     "cosine_near_dup": cosine_near_dup,
     "q1_pricing_summary": q1_pricing_summary,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "multimodal_features": multimodal_features,
     "top_customers": top_customers,
     "part_brand_stats": part_brand_stats,
@@ -8545,6 +8594,7 @@ ORACLES = {
     "graph_mis_luby": _mis_sql(),
     "multimodal_dhash_dedup": _dhash_sql(),
     "events_stream_hll_users": _hll_stream_sql(),
+    "ann_ivfpq_recall": _ivfpq_recall_sql(),
     "revenue_quantiles": _QUANTILES_SQL,
     "orders_decile_stats": _DECILE_SQL,
     "doc_topk_terms": _TOPK_TERMS_SQL,
