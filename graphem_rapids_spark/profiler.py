@@ -105,7 +105,19 @@ def profile_query(
     if spark is None:
         raise ValueError("pass spark= when action is a thunk")
     store = spark._jsparkSession.sharedState().statusStore()
-    n0 = store.executionsList().size()
+
+    def _max_exec_id() -> int:
+        lst = store.executionsList()
+        mx = -1
+        for i in range(lst.size()):
+            mx = max(mx, lst.apply(i).executionId())
+        return mx
+
+    # select new executions by executionId, NOT by list position: the
+    # store retains only spark.sql.ui.retainedExecutions entries, so
+    # in a long session size() pins at the cap and positional slicing
+    # silently finds nothing
+    id0 = _max_exec_id()
     t0 = time.perf_counter()
     result = action()
     wall = time.perf_counter() - t0
@@ -118,12 +130,16 @@ def profile_query(
     except Exception:
         pass
     deadline = time.perf_counter() + 10.0
-    while store.executionsList().size() <= n0 and time.perf_counter() < deadline:
+    while _max_exec_id() <= id0 and time.perf_counter() < deadline:
         time.sleep(0.05)
     execs = []
     lst = store.executionsList()
-    for i in range(n0, lst.size()):
-        e = lst.apply(i)
+    new = [
+        lst.apply(i)
+        for i in range(lst.size())
+        if lst.apply(i).executionId() > id0
+    ]
+    for e in sorted(new, key=lambda x: x.executionId()):
         values = dict(_scala_map_items(store.executionMetrics(e.executionId())))
         per_name: dict[str, dict] = {}
         for pm in _scala_seq(e.metrics()):
