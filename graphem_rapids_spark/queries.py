@@ -5261,6 +5261,128 @@ _CMS_SEED = 4242
 _CMS_TOPK = 10
 
 
+def events_stream_cms_hot_users(spark, sf_dir):
+    """Streaming heavy-hitter sketch: per-hour hottest users where
+    the STREAMING state is the mergeable Count-Min counter grid —
+    a streaming groupBy(hour, row, bucket) count (d·w bounded rows
+    per hour regardless of user volume; counters merge by addition,
+    the CMS contract). The availableNow drain hands the counters to
+    a batch finalizer (min-over-rows estimate, top-3 per hour by
+    exact count) — every number exact BIGINT, hash-matched to a
+    batch SQL replay. Output: (hour, user_id, exact_cnt, cms_est,
+    overcount ≥ 0) × top-3 per hour."""
+    from graphem_rapids_spark.streaming.events import (
+        run_available_now,
+        stream_events,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = stream_events(spark, sf_dir)
+    hour = F.date_format(
+        F.date_trunc("hour", F.timestamp_micros(F.expr("ts div 1000"))),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+
+    def _bucket(col, r):
+        hv = F.floor(_mix_uniform(col, _CMS_SEED + r) * F.lit(float(_LCG_M))).cast(
+            "long"
+        )
+        return hv % F.lit(_CMS_W)
+
+    rb_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).cast("long").alias("r"),
+                    _bucket(F.col("user_id"), r).alias("bucket"),
+                )
+                for r in range(_CMS_D)
+            ]
+        )
+    ).alias("rb")
+    counters = run_available_now(
+        ev.select(hour.alias("hour"), "user_id")
+        .select("hour", rb_cols)
+        .select("hour", "rb.r", "rb.bucket")
+        .groupBy("hour", "r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.timestamp_micros(F.expr("ts div 1000"))),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("hour"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    probes = exact.select("hour", "user_id", "exact_cnt", rb_cols).select(
+        "hour", "user_id", "exact_cnt", "rb.r", "rb.bucket"
+    )
+    est = (
+        probes.join(counters, ["hour", "r", "bucket"])
+        .groupBy("hour", "user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    w3 = Window.partitionBy("hour").orderBy(
+        F.col("exact_cnt").desc(), F.col("user_id").asc()
+    )
+    return (
+        est.withColumn("_rk", F.row_number().over(w3))
+        .filter(F.col("_rk") <= 3)
+        .select(
+            "hour",
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )
+
+
+def _cms_stream_sql() -> str:
+    buckets = ", ".join(
+        f"CAST(floor({_mix_sql('user_id', _CMS_SEED + r)} * {_LCG_M}) AS BIGINT)"
+        f" % {_CMS_W} AS b{r}"
+        for r in range(_CMS_D)
+    )
+    rb_union = "\n  UNION ALL ".join(
+        f"SELECT hour, user_id, CAST({r} AS BIGINT) AS r, b{r} AS bucket FROM hb"
+        for r in range(_CMS_D)
+    )
+    return f"""
+WITH he AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, user_id
+  FROM events
+),
+hb AS (SELECT hour, user_id, {buckets} FROM he),
+rb AS ({rb_union}),
+counters AS (SELECT hour, r, bucket, CAST(count(*) AS BIGINT) AS cnt
+             FROM rb GROUP BY hour, r, bucket),
+exact AS (SELECT hour, user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM he GROUP BY hour, user_id),
+probes AS (
+  SELECT e.hour, e.user_id, e.exact_cnt, r.r, r.bucket
+  FROM exact e JOIN (SELECT DISTINCT hour, user_id, r, bucket FROM rb) r
+  ON e.hour = r.hour AND e.user_id = r.user_id
+),
+est AS (
+  SELECT p.hour, p.user_id, p.exact_cnt, min(c.cnt) AS cms_est
+  FROM probes p JOIN counters c
+  ON p.hour = c.hour AND p.r = c.r AND p.bucket = c.bucket
+  GROUP BY p.hour, p.user_id, p.exact_cnt
+)
+SELECT hour, user_id, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+FROM (
+  SELECT est.*, row_number() OVER (PARTITION BY hour
+           ORDER BY exact_cnt DESC, user_id ASC) AS rk
+  FROM est
+) WHERE rk <= 3
+"""
+
+
 def sketch_cms_heavy_hitters(spark, sf_dir):
     """Count-Min sketch (Cormode–Muthukrishnan) frequency estimates
     for the top-10 heaviest lineitem part keys — the mergeable
@@ -8315,13 +8437,13 @@ QUERIES = {
     "graph_mis_luby": graph_mis_luby,
     "multimodal_dhash_dedup": multimodal_dhash_dedup,
     "events_stream_hll_users": events_stream_hll_users,
+    "events_stream_cms_hot_users": events_stream_cms_hot_users,
     "ann_ivfpq_recall": ann_ivfpq_recall,
     # --- (e) positions 31-50: stalest greens — driver rows from r1
     # only, re-checked as regression canaries (graph_degree_topk,
     # top_customers, part_brand_stats, events_hourly, doc_quality,
     # doc_lang_id, doc_fingerprint moved just past the cut to make
     # room for the never-checked batch above; due back in r5)
-    "influence_ic": influence_ic,
     "graph_stats": graph_stats_q,
     "graph_edges": graph_edges,
     "graph_degree": graph_degree,
@@ -8346,6 +8468,7 @@ QUERIES = {
     "cosine_near_dup": cosine_near_dup,
     "q1_pricing_summary": q1_pricing_summary,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "influence_ic": influence_ic,
     "multimodal_features": multimodal_features,
     "top_customers": top_customers,
     "part_brand_stats": part_brand_stats,
@@ -8595,6 +8718,7 @@ ORACLES = {
     "multimodal_dhash_dedup": _dhash_sql(),
     "events_stream_hll_users": _hll_stream_sql(),
     "ann_ivfpq_recall": _ivfpq_recall_sql(),
+    "events_stream_cms_hot_users": _cms_stream_sql(),
     "revenue_quantiles": _QUANTILES_SQL,
     "orders_decile_stats": _DECILE_SQL,
     "doc_topk_terms": _TOPK_TERMS_SQL,
