@@ -1735,3 +1735,82 @@ def maximal_independent_set(
         if und.count() == 0:
             break
     return mis, und.select("id")
+
+def maximal_matching(
+    edges: DataFrame,
+    rounds: int = 16,
+    seed: int = 23,
+) -> DataFrame:
+    """(s, d) — Luby-style maximal matching: each round an edge is
+    matched iff it carries the minimum priority among ALL edges
+    touching either endpoint (deterministic total order: mixer hash
+    of the edge key, ties broken by (s, d)); matched endpoints and
+    their incident edges retire. With fixed priorities this converges
+    to the SEQUENTIAL greedy matching of the priority permutation —
+    reproducible cross-engine and against a driver-side greedy
+    oracle. ``rounds`` is a FIXED schedule mirrored by the SQL
+    oracle (Luby matching needs O(log n) rounds w.h.p.; measured
+    6–11 on the co-purchase graphs, default 16).
+
+    Physical shape: per round one per-vertex min aggregate over the
+    surviving edges + two semi-joins to retire matched endpoints; the
+    live edge set shrinks geometrically. Generations are materialized
+    with the checkpoint+persist discipline (SCALE.md
+    §iteration-discipline)."""
+    from graphem_rapids_spark.functions import MIX_M, mix_uniform
+
+    h = (
+        F.round(
+            mix_uniform(F.col("s") * 131071 + F.col("d"), seed)
+            * F.lit(float(MIX_M))
+        ).cast("long")
+    )
+    live = _iter_materialize(
+        edges.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+        .distinct()
+        .select("s", "d", h.alias("h"))
+    )
+    matched = None
+    for _r in range(rounds):
+        sym = live.select(F.col("s").alias("v"), "s", "d", "h").unionAll(
+            live.select(F.col("d").alias("v"), "s", "d", "h")
+        )
+        best = (
+            sym.groupBy("v")
+            .agg(F.min(F.struct("h", "s", "d")).alias("m"))
+            .select("v", F.col("m.s").alias("bs"), F.col("m.d").alias("bd"))
+        )
+        b1 = best.select(
+            F.col("v").alias("_v1"), F.col("bs").alias("_s1"), F.col("bd").alias("_d1")
+        )
+        b2 = best.select(
+            F.col("v").alias("_v2"), F.col("bs").alias("_s2"), F.col("bd").alias("_d2")
+        )
+        win = _iter_materialize(
+            live.join(
+                b1,
+                (F.col("_v1") == F.col("s"))
+                & (F.col("_s1") == F.col("s"))
+                & (F.col("_d1") == F.col("d")),
+            )
+            .join(
+                b2,
+                (F.col("_v2") == F.col("d"))
+                & (F.col("_s2") == F.col("s"))
+                & (F.col("_d2") == F.col("d")),
+            )
+            .select("s", "d")
+        )
+        matched = win if matched is None else _iter_materialize(matched.unionAll(win))
+        used = win.select(F.col("s").alias("u")).unionAll(
+            win.select(F.col("d").alias("u"))
+        )
+        live = _iter_materialize(
+            live.join(used, live["s"] == used["u"], "left_anti")
+            .join(used, F.col("d") == used["u"], "left_anti"),
+            live,
+        )
+        win.unpersist()
+        if live.count() == 0:
+            break
+    return matched.select("s", "d")

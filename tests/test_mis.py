@@ -57,3 +57,48 @@ def test_graph_mis_luby_converges_sf(spark):
     row = graph_mis_luby(spark, SF).collect()[0]
     assert row["undecided"] == 0
     assert 0 < row["mis_size"] < row["n_vertices"]
+
+
+def _greedy_matching(edges, seed=23):
+    """Sequential greedy matching over edges sorted by the same
+    priority order — what Luby matching converges to."""
+    key = lambda e: (  # noqa: E731
+        round(mix_py(e[0] * 131071 + e[1], seed) * MIX_M),
+        e[0],
+        e[1],
+    )
+    used, m = set(), set()
+    for s, d in sorted(edges, key=key):
+        if s not in used and d not in used:
+            m.add((s, d))
+            used |= {s, d}
+    return m, used
+
+
+def test_matching_matches_greedy_small_graphs(spark):
+    from graphem_rapids_spark.analytics import maximal_matching
+
+    cases = [
+        [(0, 1), (1, 2), (2, 3), (3, 4)],
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)],
+        [(i, j) for i in range(6) for j in range(i + 1, 6)],
+        [(0, i) for i in range(1, 8)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {(r["s"], r["d"]) for r in maximal_matching(df).collect()}
+        want, used = _greedy_matching(edges)
+        assert got == want, (edges, got, want)
+        # matching: no shared endpoints
+        flat = [v for e in got for v in e]
+        assert len(flat) == len(set(flat))
+        # maximality: every unmatched edge touches a matched vertex
+        for s, d in edges:
+            assert s in used or d in used or (s, d) in got
+
+
+def test_graph_matching_luby_summary_sf(spark):
+    from graphem_rapids_spark.queries import graph_matching_luby
+
+    row = graph_matching_luby(spark, SF).collect()[0]
+    assert 0 < 2 * row["n_matched"] <= row["n_vertices"]
