@@ -6124,6 +6124,87 @@ SELECT (SELECT count(*) FROM u0) AS n_vertices,
     return "".join(parts)
 
 
+def doc_source_scorecard(spark, sf_dir):
+    """Per-SOURCE curation scorecard — the domain-level filtering
+    signal large-scale pipelines rank providers by (RefinedWeb/Dolma
+    style): document volume, token volume, macro type-token ratio,
+    and the exact-duplicate share, one row per source. Parity
+    discipline: every ratio is a single division of two exact-integer
+    sufficient statistics (Σ tokens, Σ distinct tokens, dup counts) —
+    no averaged doubles. Two aggregates over one scan + the corpus
+    text-group dup join."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        "text",
+        T.tokens_col("text").alias("_t"),
+    ).select(
+        "source",
+        "text",
+        F.size("_t").alias("nt"),
+        F.size(F.array_distinct("_t")).alias("nd"),
+    )
+    dup_texts = (
+        d.groupBy("text")
+        .agg(F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("text")
+    )
+    flagged = toks.join(
+        dup_texts.withColumn("_dup", F.lit(1)), "text", "left"
+    )
+    agg = flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce("_dup", F.lit(0))).alias("n_dup_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.sum("nd").alias("_sum_distinct"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_dup_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+        ).alias("avg_tokens"),
+        F.round(
+            F.col("_sum_distinct").cast("double") / F.col("total_tokens"), 6
+        ).alias("macro_ttr"),
+        F.round(
+            F.col("n_dup_docs").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_frac"),
+    )
+
+
+_SOURCE_SCORECARD_SQL = f"""
+WITH t AS (
+  SELECT source, text,
+         len({_TOKENS_SQL}) AS nt,
+         len(list_distinct({_TOKENS_SQL})) AS nd
+  FROM documents
+),
+dup AS (SELECT text FROM documents GROUP BY text HAVING count(*) > 1),
+f AS (
+  SELECT t.source, t.nt, t.nd,
+         CASE WHEN dup.text IS NOT NULL THEN 1 ELSE 0 END AS isdup
+  FROM t LEFT JOIN dup ON t.text = dup.text
+),
+a AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(isdup) AS BIGINT) AS n_dup_docs,
+         CAST(sum(nt) AS BIGINT) AS total_tokens,
+         CAST(sum(nd) AS BIGINT) AS sum_distinct
+  FROM f GROUP BY source
+)
+SELECT source, n_docs, n_dup_docs, total_tokens,
+       round(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS avg_tokens,
+       round(CAST(sum_distinct AS DOUBLE) / total_tokens, 6) AS macro_ttr,
+       round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) AS dup_frac
+FROM a
+"""
+
+
 _MATCH_ROUNDS = 16
 _MATCH_SEED = 23
 
@@ -8511,6 +8592,7 @@ QUERIES = {
     "events_stream_hll_users": events_stream_hll_users,
     "events_stream_cms_hot_users": events_stream_cms_hot_users,
     "ann_ivfpq_recall": ann_ivfpq_recall,
+    "doc_source_scorecard": doc_source_scorecard,
     # --- (e) positions 31-50: stalest greens — driver rows from r1
     # only, re-checked as regression canaries (graph_degree_topk,
     # top_customers, part_brand_stats, events_hourly, doc_quality,
@@ -8521,7 +8603,6 @@ QUERIES = {
     "graph_degree": graph_degree,
     "doc_token_stats": doc_token_stats,
     "dedup_exact": dedup_exact,
-    "dedup_simhash": dedup_simhash,
     "spearman_qty_price": spearman_qty_price,
     "q6_forecast_revenue": q6_forecast_revenue,
     "eigenvector_copurchase": eigenvector_copurchase,
@@ -8541,6 +8622,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "influence_ic": influence_ic,
     "spearman_matrix": spearman_matrix,
+    "dedup_simhash": dedup_simhash,
     "multimodal_features": multimodal_features,
     "top_customers": top_customers,
     "part_brand_stats": part_brand_stats,
@@ -8792,6 +8874,7 @@ ORACLES = {
     "events_stream_hll_users": _hll_stream_sql(),
     "ann_ivfpq_recall": _ivfpq_recall_sql(),
     "events_stream_cms_hot_users": _cms_stream_sql(),
+    "doc_source_scorecard": _SOURCE_SCORECARD_SQL,
     "revenue_quantiles": _QUANTILES_SQL,
     "orders_decile_stats": _DECILE_SQL,
     "doc_topk_terms": _TOPK_TERMS_SQL,
