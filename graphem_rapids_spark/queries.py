@@ -6124,6 +6124,79 @@ SELECT (SELECT count(*) FROM u0) AS n_vertices,
     return "".join(parts)
 
 
+def doc_gopher_filter(spark, sf_dir):
+    """Gopher-style STRUCTURAL quality rules (Rae et al. 2021 §A1.1 —
+    the families :func:`doc_quality`/:func:`doc_repetition_stats`
+    don't cover): per-document word-count bounds, mean-word-length
+    bounds, long-word fraction, stopword presence, and alphabetic-
+    word fraction, aggregated to per-rule failure counts + the docs
+    passing all rules. Every threshold compares CROSS-MULTIPLIED
+    integers (Σlen < 3·n, 10·long > n, 5·alpha < 4·n …) — no float
+    ratio ever materializes, so parity is exact by construction.
+    One narrow scan, one aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    sw = F.array([F.lit(s) for s in T.EN_STOPWORDS])
+    t = d.select(T.tokens_col("text").alias("_t")).select(
+        F.size("_t").alias("n"),
+        F.aggregate("_t", F.lit(0), lambda a, x: a + F.length(x)).alias("sl"),
+        F.size(F.filter("_t", lambda x: F.length(x) > 15)).alias("lw"),
+        F.size(F.filter("_t", lambda x: F.array_contains(sw, x))).alias("swc"),
+        F.size(F.filter("_t", lambda x: x.rlike("[a-z]"))).alias("al"),
+    )
+    r = t.select(
+        ((F.col("n") < 50) | (F.col("n") > 100000)).cast("long").alias("f_wc"),
+        ((F.col("sl") < 3 * F.col("n")) | (F.col("sl") > 10 * F.col("n")))
+        .cast("long")
+        .alias("f_mwl"),
+        (10 * F.col("lw") > F.col("n")).cast("long").alias("f_long"),
+        (F.col("swc") == 0).cast("long").alias("f_nosw"),
+        (5 * F.col("al") < 4 * F.col("n")).cast("long").alias("f_alpha"),
+    )
+    return r.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("f_wc").alias("fail_word_count"),
+        F.sum("f_mwl").alias("fail_mean_word_len"),
+        F.sum("f_long").alias("fail_long_words"),
+        F.sum("f_nosw").alias("fail_no_stopwords"),
+        F.sum("f_alpha").alias("fail_alpha_frac"),
+        F.sum(
+            (
+                (F.col("f_wc") + F.col("f_mwl") + F.col("f_long")
+                 + F.col("f_nosw") + F.col("f_alpha")) == 0
+            ).cast("long")
+        ).alias("n_pass"),
+    )
+
+
+_GOPHER_SQL = f"""
+WITH t AS (
+  SELECT len(toks) AS n,
+         list_sum(list_transform(toks, x -> len(x))) AS sl,
+         len(list_filter(toks, x -> len(x) > 15)) AS lw,
+         len(list_filter(toks, x -> list_contains({_SW_LIST}, x))) AS swc,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS al
+  FROM (SELECT {_TOKENS_SQL} AS toks FROM documents)
+),
+r AS (
+  SELECT CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END AS f_wc,
+         CASE WHEN sl < 3 * n OR sl > 10 * n THEN 1 ELSE 0 END AS f_mwl,
+         CASE WHEN 10 * lw > n THEN 1 ELSE 0 END AS f_long,
+         CASE WHEN swc = 0 THEN 1 ELSE 0 END AS f_nosw,
+         CASE WHEN 5 * al < 4 * n THEN 1 ELSE 0 END AS f_alpha
+  FROM t
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(f_wc) AS BIGINT) AS fail_word_count,
+       CAST(sum(f_mwl) AS BIGINT) AS fail_mean_word_len,
+       CAST(sum(f_long) AS BIGINT) AS fail_long_words,
+       CAST(sum(f_nosw) AS BIGINT) AS fail_no_stopwords,
+       CAST(sum(f_alpha) AS BIGINT) AS fail_alpha_frac,
+       CAST(sum(CASE WHEN f_wc + f_mwl + f_long + f_nosw + f_alpha = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM r
+"""
+
+
 def doc_source_scorecard(spark, sf_dir):
     """Per-SOURCE curation scorecard — the domain-level filtering
     signal large-scale pipelines rank providers by (RefinedWeb/Dolma
@@ -6203,6 +6276,69 @@ SELECT source, n_docs, n_dup_docs, total_tokens,
        round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) AS dup_frac
 FROM a
 """
+
+
+_DSG_ROUNDS = 28
+
+
+def graph_densest_subgraph(spark, sf_dir):
+    """Parallel 2(1+ε)-approximate densest subgraph of the
+    co-purchase graph (Bahmani et al. batch peeling — see
+    :func:`analytics.densest_subgraph`; the dense-community /
+    fraud-cluster extraction primitive). Integer-only output:
+    (best_round, n_sub, m_sub, density_ppm = m·10⁶ div n) — no float
+    anywhere, the argmax is cross-multiplied on both engines."""
+    e = copurchase_edges(spark, sf_dir)
+    r, n, m = A.densest_subgraph(e, rounds=_DSG_ROUNDS)
+    return spark.createDataFrame(
+        [(r, n, m, (m * 1_000_000) // n)],
+        "best_round long, n_sub long, m_sub long, density_ppm long",
+    )
+
+
+def _dsg_sql(rounds: int = _DSG_ROUNDS, eps_num: int = 2) -> str:
+    parts = [
+        _COPURCHASE_SQL_CTE,
+        ", e0 AS MATERIALIZED (SELECT src AS s, dst AS d FROM ge)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+deg{r} AS MATERIALIZED (
+  SELECT v, count(*) AS dg FROM (
+    SELECT s AS v FROM e{r - 1} UNION ALL SELECT d AS v FROM e{r - 1}
+  ) GROUP BY v
+),
+st{r} AS MATERIALIZED (
+  SELECT {r} AS r,
+         (SELECT count(*) FROM deg{r}) AS n,
+         (SELECT count(*) FROM e{r - 1}) AS m
+),
+keep{r} AS (
+  SELECT v FROM deg{r}, st{r} WHERE dg * n > {eps_num} * m
+),
+e{r} AS MATERIALIZED (
+  SELECT e.s, e.d FROM e{r - 1} e
+  JOIN keep{r} a ON e.s = a.v JOIN keep{r} b ON e.d = b.v
+)"""
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT r, n, m FROM st{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(
+        f""",
+stats AS (SELECT r, CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m
+          FROM ({union}) WHERE n > 0)
+SELECT s.r AS best_round, s.n AS n_sub, s.m AS m_sub,
+       (s.m * 1000000) // s.n AS density_ppm
+FROM stats s
+WHERE NOT EXISTS (
+  SELECT 1 FROM stats t
+  WHERE t.m * s.n > s.m * t.n
+     OR (t.m * s.n = s.m * t.n AND t.r < s.r)
+)"""
+    )
+    return "".join(parts)
 
 
 _MATCH_ROUNDS = 16
@@ -8588,20 +8724,20 @@ QUERIES = {
     "doc_zipf_fit": doc_zipf_fit,
     "graph_mis_luby": graph_mis_luby,
     "graph_matching_luby": graph_matching_luby,
+    "graph_densest_subgraph": graph_densest_subgraph,
     "multimodal_dhash_dedup": multimodal_dhash_dedup,
     "events_stream_hll_users": events_stream_hll_users,
     "events_stream_cms_hot_users": events_stream_cms_hot_users,
     "ann_ivfpq_recall": ann_ivfpq_recall,
     "doc_source_scorecard": doc_source_scorecard,
+    "doc_gopher_filter": doc_gopher_filter,
     # --- (e) positions 31-50: stalest greens — driver rows from r1
     # only, re-checked as regression canaries (graph_degree_topk,
     # top_customers, part_brand_stats, events_hourly, doc_quality,
     # doc_lang_id, doc_fingerprint moved just past the cut to make
     # room for the never-checked batch above; due back in r5)
     "graph_stats": graph_stats_q,
-    "graph_edges": graph_edges,
     "graph_degree": graph_degree,
-    "doc_token_stats": doc_token_stats,
     "dedup_exact": dedup_exact,
     "spearman_qty_price": spearman_qty_price,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -8623,6 +8759,8 @@ QUERIES = {
     "influence_ic": influence_ic,
     "spearman_matrix": spearman_matrix,
     "dedup_simhash": dedup_simhash,
+    "graph_edges": graph_edges,
+    "doc_token_stats": doc_token_stats,
     "multimodal_features": multimodal_features,
     "top_customers": top_customers,
     "part_brand_stats": part_brand_stats,
@@ -8870,11 +9008,13 @@ ORACLES = {
     "doc_zipf_fit": _ZIPF_SQL,
     "graph_mis_luby": _mis_sql(),
     "graph_matching_luby": _matching_sql(),
+    "graph_densest_subgraph": _dsg_sql(),
     "multimodal_dhash_dedup": _dhash_sql(),
     "events_stream_hll_users": _hll_stream_sql(),
     "ann_ivfpq_recall": _ivfpq_recall_sql(),
     "events_stream_cms_hot_users": _cms_stream_sql(),
     "doc_source_scorecard": _SOURCE_SCORECARD_SQL,
+    "doc_gopher_filter": _GOPHER_SQL,
     "revenue_quantiles": _QUANTILES_SQL,
     "orders_decile_stats": _DECILE_SQL,
     "doc_topk_terms": _TOPK_TERMS_SQL,

