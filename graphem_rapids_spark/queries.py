@@ -1642,6 +1642,107 @@ def dedup_minhash_lsh(spark, sf_dir):
 _MINHASH_SQL = _JACCARD_SQL
 
 
+_CAL_PERMS = 64
+_CAL_SEED = 7
+
+
+def dedup_minhash_calibration(spark, sf_dir):
+    """Sketch-quality gate for the MinHash family (the
+    :func:`ann_recall_at_k` idea applied to dedup): for every exact
+    near-dup pair (4-gram Jaccard ≥ 0.5), report the MinHash
+    ESTIMATE (matching positions / num_perm) next to the exact
+    Jaccard — the calibration a pipeline checks before trusting
+    bands-only (verify=False) dedup at scale. Signatures here hash
+    shingles with md5 (not xxhash64) so the WHOLE estimator — hash,
+    64 k-permutation mins, per-pair match counts — reproduces
+    bit-for-bit in the SQL oracle; integers throughout, two single
+    divisions."""
+    from graphem_rapids_spark.pipeline.dedup import (
+        _MERSENNE31,
+        _minhash_params,
+        token_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, n=4, threshold=0.5, max_shingle_df=_MAX_SHINGLE_DF
+    )
+    sh = token_shingles(docs, 4)
+    h = F.pmod(
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long"),
+        F.lit(_MERSENNE31),
+    )
+    params = _minhash_params(_CAL_PERMS, _CAL_SEED)
+    sig = (
+        sh.select("doc_id", h.alias("_h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.pmod(F.col("_h") * a + b, F.lit(_MERSENNE31))).alias(f"m{i}")
+                for i, (a, b) in enumerate(params)
+            ]
+        )
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(_CAL_PERMS)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(_CAL_PERMS)],
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(_CAL_PERMS)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_union",
+            "jaccard",
+            matches.alias("sig_matches"),
+            F.round(
+                matches.cast("double") / F.lit(float(_CAL_PERMS)), 6
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+def _minhash_cal_sql() -> str:
+    from graphem_rapids_spark.pipeline.dedup import _MERSENNE31, _minhash_params
+
+    params = _minhash_params(_CAL_PERMS, _CAL_SEED)
+    p = _MERSENNE31
+    mins = ",\n         ".join(
+        f"min((h * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    match = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(_CAL_PERMS)
+    )
+    return f"""
+WITH {_SHINGLE_SQL.strip().lstrip()}
+, shh AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {p} AS h FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM shh GROUP BY doc_id
+),
+pr AS (SELECT doc_a, doc_b, n_common, n_union, jaccard FROM j
+       WHERE CAST(n_common AS DOUBLE) >= 0.5 * n_union)
+SELECT pr.doc_a, pr.doc_b, pr.n_common, pr.n_union, pr.jaccard,
+       CAST({match} AS BIGINT) AS sig_matches,
+       round(CAST({match} AS DOUBLE) / {float(_CAL_PERMS)!r}, 6) AS est_jaccard
+FROM pr
+JOIN sig sa ON sa.doc_id = pr.doc_a
+JOIN sig sb ON sb.doc_id = pr.doc_b
+"""
+
+
 def dedup_substring_spans(spark, sf_dir):
     """Lee-et-al-style exact substring-span dedup (8-token spans);
     Spark side hashes spans to fixed-width longs (xxhash64) for the
@@ -8731,13 +8832,13 @@ QUERIES = {
     "ann_ivfpq_recall": ann_ivfpq_recall,
     "doc_source_scorecard": doc_source_scorecard,
     "doc_gopher_filter": doc_gopher_filter,
+    "dedup_minhash_calibration": dedup_minhash_calibration,
     # --- (e) positions 31-50: stalest greens — driver rows from r1
     # only, re-checked as regression canaries (graph_degree_topk,
     # top_customers, part_brand_stats, events_hourly, doc_quality,
     # doc_lang_id, doc_fingerprint moved just past the cut to make
     # room for the never-checked batch above; due back in r5)
     "graph_stats": graph_stats_q,
-    "graph_degree": graph_degree,
     "dedup_exact": dedup_exact,
     "spearman_qty_price": spearman_qty_price,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -8761,6 +8862,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "graph_edges": graph_edges,
     "doc_token_stats": doc_token_stats,
+    "graph_degree": graph_degree,
     "multimodal_features": multimodal_features,
     "top_customers": top_customers,
     "part_brand_stats": part_brand_stats,
@@ -9015,6 +9117,7 @@ ORACLES = {
     "events_stream_cms_hot_users": _cms_stream_sql(),
     "doc_source_scorecard": _SOURCE_SCORECARD_SQL,
     "doc_gopher_filter": _GOPHER_SQL,
+    "dedup_minhash_calibration": _minhash_cal_sql(),
     "revenue_quantiles": _QUANTILES_SQL,
     "orders_decile_stats": _DECILE_SQL,
     "doc_topk_terms": _TOPK_TERMS_SQL,
