@@ -1985,6 +1985,75 @@ def community_lpa(spark, sf_dir):
     )
 
 
+def community_density_profile(spark, sf_dir):
+    """Community quality profile: for the 10 largest LPA communities
+    (≥ 2 members), member count, internal edge count, and internal
+    density in ppm — density = mc·10⁶ div (n·(n−1)/2), an EXACT
+    integer division, so no float ever materializes. Composes the
+    oracle-checked LPA labels with one label-annotation join over the
+    edge table (the modularity query's shape, reported per-community
+    instead of aggregated)."""
+    from graphem_rapids_spark.analytics import label_propagation
+
+    e = copurchase_edges(spark, sf_dir)
+    lab = label_propagation(e, max_rounds=_LPA_ROUNDS)
+    sizes = lab.groupBy("label").agg(F.count("*").alias("n_members"))
+    la = lab.select(F.col("id").alias("_ia"), F.col("label").alias("_la"))
+    lb = lab.select(F.col("id").alias("_ib"), F.col("label").alias("_lb"))
+    intra = (
+        e.join(la, e["src"] == F.col("_ia"))
+        .join(lb, e["dst"] == F.col("_ib"))
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count("*").alias("internal_edges"))
+    )
+    prof = (
+        sizes.filter(F.col("n_members") >= 2)
+        .join(intra, "label", "left")
+        .select(
+            "label",
+            "n_members",
+            F.coalesce("internal_edges", F.lit(0)).alias("internal_edges"),
+        )
+    )
+    return (
+        prof.select(
+            "label",
+            "n_members",
+            "internal_edges",
+            F.expr(
+                "(internal_edges * 1000000) div (n_members * (n_members - 1) div 2)"
+            ).alias("density_ppm"),
+        )
+        .orderBy(F.col("n_members").desc(), F.col("label").asc())
+        .limit(10)
+    )
+
+
+def _community_density_sql(rounds: int = None) -> str:
+    r = rounds if rounds is not None else _LPA_ROUNDS
+    return (
+        _lpa_cte(r)
+        + f"""
+, lab AS (SELECT id, label FROM lab{r})
+, sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members
+            FROM lab GROUP BY label)
+, intra AS (
+  SELECT la.label, CAST(count(*) AS BIGINT) AS internal_edges
+  FROM ge JOIN lab la ON ge.src = la.id JOIN lab lb ON ge.dst = lb.id
+  WHERE la.label = lb.label GROUP BY la.label
+)
+SELECT s.label, s.n_members,
+       coalesce(i.internal_edges, 0) AS internal_edges,
+       (coalesce(i.internal_edges, 0) * 1000000)
+         // (s.n_members * (s.n_members - 1) // 2) AS density_ppm
+FROM sizes s LEFT JOIN intra i USING (label)
+WHERE s.n_members >= 2
+ORDER BY s.n_members DESC, s.label ASC LIMIT 10
+"""
+    )
+
+
 def _lpa_cte(rounds: int = _LPA_ROUNDS) -> str:
     """The unrolled LPA round chain (CTEs ge/sym/lab0..lab{rounds}) —
     shared by the community-size and modularity oracles."""
@@ -8833,6 +8902,7 @@ QUERIES = {
     "doc_source_scorecard": doc_source_scorecard,
     "doc_gopher_filter": doc_gopher_filter,
     "dedup_minhash_calibration": dedup_minhash_calibration,
+    "community_density_profile": community_density_profile,
     # --- (e) positions 31-50: stalest greens — driver rows from r1
     # only, re-checked as regression canaries (graph_degree_topk,
     # top_customers, part_brand_stats, events_hourly, doc_quality,
@@ -8841,7 +8911,6 @@ QUERIES = {
     "graph_stats": graph_stats_q,
     "dedup_exact": dedup_exact,
     "spearman_qty_price": spearman_qty_price,
-    "q6_forecast_revenue": q6_forecast_revenue,
     "eigenvector_copurchase": eigenvector_copurchase,
     "closeness_sampled": closeness_sampled,
     # --- past the 50-entry cut: driver rows on file from r1/r2/r3;
@@ -8863,6 +8932,7 @@ QUERIES = {
     "graph_edges": graph_edges,
     "doc_token_stats": doc_token_stats,
     "graph_degree": graph_degree,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "multimodal_features": multimodal_features,
     "top_customers": top_customers,
     "part_brand_stats": part_brand_stats,
@@ -9118,6 +9188,7 @@ ORACLES = {
     "doc_source_scorecard": _SOURCE_SCORECARD_SQL,
     "doc_gopher_filter": _GOPHER_SQL,
     "dedup_minhash_calibration": _minhash_cal_sql(),
+    "community_density_profile": _community_density_sql(),
     "revenue_quantiles": _QUANTILES_SQL,
     "orders_decile_stats": _DECILE_SQL,
     "doc_topk_terms": _TOPK_TERMS_SQL,
