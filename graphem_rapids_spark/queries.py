@@ -6220,6 +6220,79 @@ FROM hsh h LEFT JOIN cnt ON h.media_id = cnt.media_id
 """
 
 
+_DRIFT_SEED = 29
+
+
+def embedding_ab_drift(spark, sf_dir):
+    """Embedding-distribution drift check — the shift-detection QA a
+    pipeline runs between two corpus slices (train/val, old/new
+    crawl) before trusting an index or classifier across them. The
+    corpus is split A/B by the deterministic mixer; per dimension the
+    two slices' int8-lattice means are compared, and the top-10
+    drifting dimensions are ranked by the CROSS-MULTIPLIED integer
+    |ΣA·nB − ΣB·nA| (exact — no float enters the ordering or the
+    output; raw integer sums are emitted so no floor-vs-truncate
+    division semantics can diverge). One scan, one aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = S.quantize_int8(emb).select(
+        "vec_id", F.col("q").cast("array<long>").alias("_q")
+    )
+    side = (_mix_uniform(F.col("vec_id"), _DRIFT_SEED) < F.lit(0.5)).alias("_a")
+    per_dim = (
+        q.select(side, F.posexplode("_q").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("_a"), F.col("v")).otherwise(0)).alias("sa"),
+            F.sum(F.when(F.col("_a"), 0).otherwise(1)).alias("nb"),
+            F.sum(F.when(F.col("_a"), 0).otherwise(F.col("v"))).alias("sb"),
+        )
+    )
+    drift = F.abs(F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
+    return (
+        per_dim.select(
+            F.col("dim").cast("long").alias("dim"),
+            "na",
+            "nb",
+            F.col("sa").alias("sum_a"),
+            F.col("sb").alias("sum_b"),
+            drift.alias("drift_xmul"),
+        )
+        .orderBy(F.col("drift_xmul").desc(), F.col("dim").asc())
+        .limit(10)
+    )
+
+
+def _ab_drift_sql(seed: int = _DRIFT_SEED) -> str:
+    u = _mix_sql("vec_id", seed)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+mm AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS amax FROM v),
+q AS (SELECT vec_id,
+        CASE WHEN amax > 0
+             THEN list_transform(emb, x -> CAST(round(x / (amax / 127.0)) AS BIGINT))
+             ELSE list_transform(emb, x -> CAST(0 AS BIGINT)) END AS q
+      FROM mm),
+s AS (SELECT ({u}) < 0.5 AS a, q FROM q),
+e AS (SELECT a, t.range AS dim, q[t.range + 1] AS val
+      FROM s CROSS JOIN range(64) t),
+pd AS (
+  SELECT dim,
+         CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN a THEN val ELSE 0 END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN a THEN 0 ELSE val END) AS BIGINT) AS sb
+  FROM e GROUP BY dim
+)
+SELECT dim, na, nb,
+       sa AS sum_a,
+       sb AS sum_b,
+       abs(sa * nb - sb * na) AS drift_xmul
+FROM pd
+ORDER BY drift_xmul DESC, dim ASC LIMIT 10
+"""
+
+
 _MIS_ROUNDS = 8
 _MIS_SEED = 17
 
@@ -8903,13 +8976,13 @@ QUERIES = {
     "doc_gopher_filter": doc_gopher_filter,
     "dedup_minhash_calibration": dedup_minhash_calibration,
     "community_density_profile": community_density_profile,
+    "embedding_ab_drift": embedding_ab_drift,
     # --- (e) positions 31-50: stalest greens — driver rows from r1
     # only, re-checked as regression canaries (graph_degree_topk,
     # top_customers, part_brand_stats, events_hourly, doc_quality,
     # doc_lang_id, doc_fingerprint moved just past the cut to make
     # room for the never-checked batch above; due back in r5)
     "graph_stats": graph_stats_q,
-    "dedup_exact": dedup_exact,
     "spearman_qty_price": spearman_qty_price,
     "eigenvector_copurchase": eigenvector_copurchase,
     "closeness_sampled": closeness_sampled,
@@ -8933,6 +9006,7 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "graph_degree": graph_degree,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "dedup_exact": dedup_exact,
     "multimodal_features": multimodal_features,
     "top_customers": top_customers,
     "part_brand_stats": part_brand_stats,
@@ -9189,6 +9263,7 @@ ORACLES = {
     "doc_gopher_filter": _GOPHER_SQL,
     "dedup_minhash_calibration": _minhash_cal_sql(),
     "community_density_profile": _community_density_sql(),
+    "embedding_ab_drift": _ab_drift_sql(),
     "revenue_quantiles": _QUANTILES_SQL,
     "orders_decile_stats": _DECILE_SQL,
     "doc_topk_terms": _TOPK_TERMS_SQL,
