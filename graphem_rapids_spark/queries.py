@@ -8918,6 +8918,136 @@ SELECT (SELECT count(*) FROM comp0) AS n_vertices,
     return "".join(parts)
 
 
+_RICH_CLUB_KS = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+def graph_rich_club(spark, sf_dir):
+    """Rich-club coefficient ladder of the co-purchase graph: for each
+    degree threshold k, phi(k) = 2·E_k / (N_k·(N_k−1)) over the
+    subgraph induced by vertices of degree > k (reference
+    ``analytics.py`` centrality family — the hub-interconnection
+    diagnostic used alongside assortativity). One degree aggregate +
+    one edge→degree join, then EIGHT conditional sums in a single
+    pass — no per-k subgraph rebuild, no shuffle per rung. Integer
+    output (phi_ppm = 2·E·10⁶ div N·(N−1)) for exact cross-engine
+    hashing."""
+    e = copurchase_edges(spark, sf_dir)
+    deg = vertex_degrees(e)
+    em = (
+        e.join(deg.withColumnRenamed("id", "src").withColumnRenamed("degree", "ds"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("degree", "dd"), "dst")
+        .select(F.least("ds", "dd").alias("mn"))
+    )
+    nsums = deg.agg(
+        *[
+            F.coalesce(F.sum((F.col("degree") > k).cast("long")), F.lit(0)).alias(f"n{k}")
+            for k in _RICH_CLUB_KS
+        ]
+    )
+    esums = em.agg(
+        *[
+            F.coalesce(F.sum((F.col("mn") > k).cast("long")), F.lit(0)).alias(f"e{k}")
+            for k in _RICH_CLUB_KS
+        ]
+    )
+    pairs = ", ".join(f"{k}L, n{k}, e{k}" for k in _RICH_CLUB_KS)
+    return (
+        nsums.crossJoin(esums)
+        .select(
+            F.expr(
+                f"stack({len(_RICH_CLUB_KS)}, {pairs}) AS (k, n_nodes, n_edges)"
+            )
+        )
+        .filter(F.col("n_nodes") > 1)
+        .select(
+            "k",
+            "n_nodes",
+            "n_edges",
+            F.expr("(2 * n_edges * 1000000) div (n_nodes * (n_nodes - 1))").alias(
+                "phi_ppm"
+            ),
+        )
+    )
+
+
+_RICH_CLUB_SQL = (
+    _COPURCHASE_SQL_CTE
+    + f"""
+, deg AS (
+  SELECT v, count(*) AS dg FROM (
+    SELECT src AS v FROM ge UNION ALL SELECT dst AS v FROM ge
+  ) GROUP BY v
+),
+em AS (
+  SELECT least(a.dg, b.dg) AS mn
+  FROM ge JOIN deg a ON ge.src = a.v JOIN deg b ON ge.dst = b.v
+),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _RICH_CLUB_KS)}]) AS k),
+nn AS (SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM ks, deg WHERE dg > k GROUP BY k),
+ee AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+       FROM ks, em WHERE mn > k GROUP BY k)
+SELECT CAST(nn.k AS BIGINT) AS k, n_nodes,
+       coalesce(n_edges, 0) AS n_edges,
+       (2 * coalesce(n_edges, 0) * 1000000) // (n_nodes * (n_nodes - 1)) AS phi_ppm
+FROM nn LEFT JOIN ee ON nn.k = ee.k
+WHERE n_nodes > 1
+"""
+)
+
+
+def part_pareto_skyline(spark, sf_dir):
+    """2-D Pareto frontier (skyline) of the part catalog — minimize
+    retail price, maximize size; the classic multi-objective
+    shortlist operator (curation analog: best-quality-per-cost
+    document selection). A point survives iff no strictly cheaper
+    price reaches its size: per-price max + a STRICT prefix max over
+    ascending price via :func:`scale.global_strict_prefix_max` —
+    range-partitioned running max, NO single-partition window over
+    the data, so the frontier scan stays parallel at any price-domain
+    size. n_parts counts the catalog rows sitting exactly on each
+    frontier point (the join back is frontier-sized; AQE broadcasts
+    it)."""
+    from graphem_rapids_spark.scale import global_strict_prefix_max
+
+    pts = _t(spark, sf_dir, "part").select(
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size_max"),
+    )
+    per_price = pts.groupBy("price_cents").agg(F.max("size_max").alias("size_max"))
+    ranked = global_strict_prefix_max(per_price, "price_cents", "size_max", "_pm")
+    sky = ranked.filter(
+        F.col("size_max") > F.coalesce(F.col("_pm"), F.lit(-1))
+    ).drop("_pm")
+    return (
+        pts.join(sky, ["price_cents", "size_max"])
+        .groupBy("price_cents", "size_max")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+_PARETO_SKYLINE_SQL = """
+WITH pts AS (
+  SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size_max
+  FROM part
+),
+pp AS (SELECT price_cents, max(size_max) AS size_max FROM pts GROUP BY price_cents),
+sky AS (
+  SELECT price_cents, size_max FROM (
+    SELECT price_cents, size_max,
+           max(size_max) OVER (ORDER BY price_cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+    FROM pp
+  ) WHERE size_max > coalesce(pm, -1)
+)
+SELECT s.price_cents, s.size_max, CAST(count(*) AS BIGINT) AS n_parts
+FROM sky s
+JOIN pts t ON t.price_cents = s.price_cents AND t.size_max = s.size_max
+GROUP BY s.price_cents, s.size_max
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Round-4 rotation below; all 153 entries
 # regardless of position are hash-verified each session by
@@ -8977,6 +9107,8 @@ QUERIES = {
     "dedup_minhash_calibration": dedup_minhash_calibration,
     "community_density_profile": community_density_profile,
     "embedding_ab_drift": embedding_ab_drift,
+    "graph_rich_club": graph_rich_club,
+    "part_pareto_skyline": part_pareto_skyline,
     # --- (e) positions 31-50: stalest greens — driver rows from r1
     # only, re-checked as regression canaries (graph_degree_topk,
     # top_customers, part_brand_stats, events_hourly, doc_quality,
@@ -9264,6 +9396,8 @@ ORACLES = {
     "dedup_minhash_calibration": _minhash_cal_sql(),
     "community_density_profile": _community_density_sql(),
     "embedding_ab_drift": _ab_drift_sql(),
+    "graph_rich_club": _RICH_CLUB_SQL,
+    "part_pareto_skyline": _PARETO_SKYLINE_SQL,
     "revenue_quantiles": _QUANTILES_SQL,
     "orders_decile_stats": _DECILE_SQL,
     "doc_topk_terms": _TOPK_TERMS_SQL,

@@ -99,3 +99,44 @@ def global_dense_index(df: DataFrame, col: str, out: str) -> DataFrame:
     return _prefix_counts(df.select(col).distinct(), col).select(
         col, F.col("_less").cast("long").alias(out)
     )
+
+
+def global_strict_prefix_max(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
+    """Append ``out`` = max of ``val`` over all rows with a STRICTLY
+    smaller ``key`` (the ``max(val) OVER (ORDER BY key RANGE BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` window, without the
+    single-partition funnel). ``df`` must have one row per distinct
+    ``key`` (pre-aggregate first). Same discipline as
+    :func:`_prefix_counts`: range-repartition on the key, running max
+    within each ordered partition, per-partition totals (≤ shuffle
+    partition count rows) prefix-maxed in one bounded window and
+    broadcast back. ``out`` is null when no smaller key exists."""
+    spark = df.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    part = (
+        df.repartitionByRange(npart, F.col(key).asc())
+        .sortWithinPartitions(F.col(key).asc())
+        .withColumn("_pid", F.spark_partition_id())
+        # persisted for the same reason as _prefix_counts: the range
+        # exchange samples the input; a per-consumer recompute could
+        # re-bucket rows and disagree with the collected offsets
+        .persist()
+    )
+    tot = part.groupBy("_pid").agg(F.max(val).alias("_t"))
+    # bounded single-partition window over ≤ npart per-partition maxima
+    # (see the _prefix_counts comment — intentional and scale-safe)
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = tot.withColumn("_off", F.max("_t").over(w_off)).select("_pid", "_off")
+    w_local = Window.partitionBy("_pid").orderBy(F.col(key).asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        part.join(F.broadcast(offsets), "_pid")
+        .withColumn("_run", F.max(val).over(w_local))
+        .withColumn(out, F.greatest(F.coalesce("_run", "_off"), F.coalesce("_off", "_run")))
+        .drop("_pid", "_off", "_run")
+    )
