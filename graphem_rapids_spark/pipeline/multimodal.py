@@ -458,22 +458,33 @@ def dhash_images(media: DataFrame, fake: bool = False) -> DataFrame:
 
 def hamming_near_dup(hashes: DataFrame, max_dist: int = 6) -> DataFrame:
     """(a, b, hamming) — near-duplicate image pairs by dHash hamming
-    distance ≤ ``max_dist``, via the BANDED join (pigeonhole: ≤ 6
-    differing bits over 4 bands forces ≥ 1 identical 16-bit band, so
-    candidates come from 4 equality buckets — never O(n²); the
-    SimHash text-dedup discipline applied to media). All-zero hashes
-    are EXCLUDED: undecodable blobs and flat images all hash to zero,
-    which is both perceptually meaningless and a single skew-bomb
-    bucket at corpus scale."""
+    distance ≤ ``max_dist``, via the BANDED join. Candidate buckets
+    are the EIGHT 8-bit bytes of the 64-bit hash (each stored 16-bit
+    band split into its low and high byte), so the pigeonhole bound
+    covers the default radius: ≤ 7 differing bits over 8 bands forces
+    ≥ 1 identical byte — every true pair at distance ≤ ``max_dist``
+    (must be ≤ 7) lands in some equality bucket, never O(n²); the
+    SimHash text-dedup discipline applied to media. (4×16-bit bands
+    only guarantee recall to distance 3 — the round-4 shape missed
+    distance-4..6 pairs whose bits spread across all four bands.)
+    All-zero hashes are EXCLUDED: undecodable blobs and flat images
+    all hash to zero, which is both perceptually meaningless and a
+    single skew-bomb bucket at corpus scale."""
     from pyspark.sql import functions as F
 
+    if max_dist > 7:
+        raise ValueError("8-band pigeonhole join only guarantees recall to distance 7")
     hashes = hashes.filter(
         (F.col("b0") != 0) | (F.col("b1") != 0) | (F.col("b2") != 0) | (F.col("b3") != 0)
     )
+    byte_bands = []
+    for i in range(4):
+        byte_bands.append(F.col(f"b{i}").bitwiseAND(F.lit(255)))
+        byte_bands.append(F.shiftright(F.col(f"b{i}"), 8))
     bands = hashes.select(
         F.col("media_id"),
         "b0", "b1", "b2", "b3",
-        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "bv"),
+        F.posexplode(F.array(*byte_bands)).alias("k", "bv"),
     )
     left = bands.select(
         F.col("media_id").alias("a"),

@@ -5684,9 +5684,15 @@ def sketch_bloom_join(spark, sf_dir):
             ).alias("pos"),
         )
 
+    # membership = EVERY probed (key, j) row finds its bit, i.e. the
+    # matched row count equals k. No distinct over (key, pos): a key
+    # whose k hashes collide on a position (P ~ k/m per key) would
+    # have < k distinct positions and could never pass — a Bloom
+    # false negative (round-5 advice fix); duplicate positions now
+    # simply match the same bit twice.
     bits = _positions(build).select("pos").distinct()
     hits = (
-        _positions(probe).distinct()
+        _positions(probe)
         .join(F.broadcast(bits), "pos")
         .groupBy("key")
         .agg(F.count("*").alias("nbits"))
@@ -5737,7 +5743,7 @@ WITH build AS (
 ),
 probe AS (SELECT DISTINCT o_custkey AS key FROM orders),
 bits AS (SELECT DISTINCT pos FROM ({build_pos})),
-ppos AS (SELECT DISTINCT key, pos FROM ({probe_pos})),
+ppos AS (SELECT key, pos FROM ({probe_pos})),
 hits AS (
   SELECT ppos.key FROM ppos JOIN bits ON ppos.pos = bits.pos
   GROUP BY ppos.key HAVING count(*) = {_BLOOM_K}
@@ -6137,9 +6143,10 @@ def multimodal_dhash_dedup(spark, sf_dir):
     """Perceptual near-dup join on media columns: 64-bit difference
     hash (dHash) as four 16-bit bands + pigeonhole-banded hamming
     join (see :func:`pipeline.multimodal.dhash_images` /
-    :func:`hamming_near_dup` — ≤ 6 differing bits over 4 bands forces
-    an identical band, so candidates come from equality buckets,
-    never O(n²)). Registry entry runs the deterministic stub grid
+    :func:`hamming_near_dup` — candidates bucket on the hash's EIGHT
+    8-bit bytes, so ≤ 7 differing bits force an identical byte band;
+    full recall at the default radius 6, candidates from equality
+    buckets, never O(n²)). Registry entry runs the deterministic stub grid
     (row-keyed md5 bytes) through the REAL Arrow mapInPandas + banded
     join plumbing — the :func:`multimodal_resize` fake-kernel
     discipline — and the oracle replays the grid + hamming math in
@@ -6326,7 +6333,7 @@ def _mis_sql(rounds: int = _MIS_ROUNDS, seed: int = _MIS_SEED) -> str:
         ", es0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM ge"
         " UNION ALL SELECT dst AS u, src AS v FROM ge)",
         f""", u0 AS MATERIALIZED (
-  SELECT id, CAST(round({u} * 2147483647) AS BIGINT) * 2147483648 + id AS p
+  SELECT id, CAST(round({u} * 2147483648) AS BIGINT) * 2147483648 + id AS p
   FROM (SELECT DISTINCT u AS id FROM es0)
 )""",
     ]
@@ -6448,26 +6455,29 @@ def doc_source_scorecard(spark, sf_dir):
     discipline: every ratio is a single division of two exact-integer
     sufficient statistics (Σ tokens, Σ distinct tokens, dup counts) —
     no averaged doubles. Two aggregates over one scan + the corpus
-    text-group dup join."""
+    text-group dup join. The dup flag is keyed on md5(text) — the
+    exact_duplicates discipline — so the shuffle join key stays
+    fixed-width instead of shipping full document bodies (round-5
+    advice fix)."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "source",
-        "text",
+        F.md5("text").alias("_h"),
         T.tokens_col("text").alias("_t"),
     ).select(
         "source",
-        "text",
+        "_h",
         F.size("_t").alias("nt"),
         F.size(F.array_distinct("_t")).alias("nd"),
     )
     dup_texts = (
-        d.groupBy("text")
+        d.groupBy(F.md5("text").alias("_h"))
         .agg(F.count("*").alias("n_copies"))
         .filter(F.col("n_copies") > 1)
-        .select("text")
+        .select("_h")
     )
     flagged = toks.join(
-        dup_texts.withColumn("_dup", F.lit(1)), "text", "left"
+        dup_texts.withColumn("_dup", F.lit(1)), "_h", "left"
     )
     agg = flagged.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -6494,16 +6504,16 @@ def doc_source_scorecard(spark, sf_dir):
 
 _SOURCE_SCORECARD_SQL = f"""
 WITH t AS (
-  SELECT source, text,
+  SELECT source, md5(text) AS h,
          len({_TOKENS_SQL}) AS nt,
          len(list_distinct({_TOKENS_SQL})) AS nd
   FROM documents
 ),
-dup AS (SELECT text FROM documents GROUP BY text HAVING count(*) > 1),
+dup AS (SELECT md5(text) AS h FROM documents GROUP BY md5(text) HAVING count(*) > 1),
 f AS (
   SELECT t.source, t.nt, t.nd,
-         CASE WHEN dup.text IS NOT NULL THEN 1 ELSE 0 END AS isdup
-  FROM t LEFT JOIN dup ON t.text = dup.text
+         CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END AS isdup
+  FROM t LEFT JOIN dup ON t.h = dup.h
 ),
 a AS (
   SELECT source,
@@ -6611,7 +6621,7 @@ def graph_matching_luby(spark, sf_dir):
 def _matching_sql(rounds: int = _MATCH_ROUNDS, seed: int = _MATCH_SEED) -> str:
     from graphem_rapids_spark.functions import mix_sql
 
-    h = f"CAST(round({mix_sql('s * 131071 + d', seed)} * 2147483647) AS BIGINT)"
+    h = f"CAST(round({mix_sql('s * 131071 + d', seed)} * 2147483648) AS BIGINT)"
     parts = [
         _COPURCHASE_SQL_CTE,
         f", e0 AS MATERIALIZED (SELECT src AS s, dst AS d, {h.replace('s * 131071 + d', 'src * 131071 + dst')} AS h FROM ge)",
@@ -6662,7 +6672,8 @@ def embedding_pca_power(spark, sf_dir):
     """Leading principal component of the embedding table via
     distributed integer power iteration (see
     :func:`pipeline.similarity.pca_power_int8`): centered scatter
-    from exact BIGINT sufficient statistics, 6 fixed iterations with
+    from exact BIGINT sufficient statistics, ``_PCA_ITERS`` fixed
+    iterations with
     micro-unit re-quantization — the whole trajectory replays
     bit-for-bit in the SQL oracle. Output: 64 rows
     (dim, v_micro, lam)."""
@@ -9049,9 +9060,9 @@ GROUP BY s.price_cents, s.size_max
 
 
 # Registry order = the round driver's check order (it samples the
-# FIRST 50 entries). Round-4 rotation below; all 153 entries
-# regardless of position are hash-verified each session by
-# scripts/oracle_check.py and tests/test_oracle_parity.py.
+# FIRST 50 entries). Rotated each round; every entry regardless of
+# position is hash-verified each session by scripts/oracle_check.py
+# and tests/test_oracle_parity.py.
 QUERIES = {
     # --- (a) positions 1-4: the four r3 driver-gate ERRORS, now
     # reshaped to scalar (CSV) output columns — need their first

@@ -379,3 +379,29 @@ def test_dhash_real_rasterizer_and_banded_join(spark):
     assert by_id[3] == (0, 0, 0, 0)
     pairs = hamming_near_dup(h, max_dist=6).collect()
     assert {(r["a"], r["b"], r["hamming"]) for r in pairs} == {(1, 2, 0)}
+
+
+def test_hamming_near_dup_recall_bits_spread_across_bands(spark):
+    """Recall at the full default radius: a pair differing in 4-6 bits
+    SPREAD ACROSS ALL FOUR 16-bit bands has no identical 16-bit band,
+    so the round-4 four-band bucket join silently missed it; the
+    8-byte-band join (pigeonhole: <=7 differing bits over 8 bands)
+    must find it."""
+    from graphem_rapids_spark.pipeline.multimodal import hamming_near_dup
+
+    base = (0x1234, 0x5678, 0x9ABC, 0x0DEF)
+    # flip 2 bits in b0, 2 in b1, 1 in b2, 1 in b3 -> hamming 6,
+    # every 16-bit band differs; all flips in the LOW byte so the
+    # high-byte bands stay equal (the pigeonhole witness)
+    other = (base[0] ^ 0x03, base[1] ^ 0x05, base[2] ^ 0x10, base[3] ^ 0x40)
+    far = (0xFFFF, 0xEEEE, 0xDDDD, 0xCCCC)
+    rows = [(1, *base), (2, *other), (3, *far)]
+    h = spark.createDataFrame(
+        rows, "media_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    pairs = {(r["a"], r["b"], r["hamming"]) for r in hamming_near_dup(h, max_dist=6).collect()}
+    assert pairs == {(1, 2, 6)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hamming_near_dup(h, max_dist=8)
