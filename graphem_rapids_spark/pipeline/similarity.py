@@ -772,17 +772,39 @@ def ivfpq_topk(
 
 def pca_power_int8(
     vectors: DataFrame,
-    iters: int = 40,
+    iters: int | list[int] = 40,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    components: int = 1,
 ) -> DataFrame:
-    """(dim, v_micro, lam) — leading principal component of the
-    int8-quantized embedding cloud via DISTRIBUTED power iteration
-    with exact integer arithmetic at every accumulation (the
-    embedding-analysis companion to :func:`quantize_int8` /
-    :func:`project_jl`; the reference runs PCA-style spectral
-    preprocessing on GPU dense tensors).
+    """(component, dim, v_micro, lam) — top-``components`` principal
+    components of the int8-quantized embedding cloud via DISTRIBUTED
+    power iteration with exact integer arithmetic at every
+    accumulation (the embedding-analysis companion to
+    :func:`quantize_int8` / :func:`project_jl`; the reference's
+    spectral surface runs n_components-wide eigendecompositions on
+    GPU dense tensors — this is its k>1 path, round-5 stretch).
+
+    Components beyond the first come from per-iteration Gram–Schmidt
+    deflation: each matvec ``u = B·v`` is orthogonalized against every
+    already-extracted component ``w`` by subtracting
+    ``round((Σu·w / Σw·w) · w_i)`` — the coefficient is a ratio of
+    exact integer sums, the one rounded double product per element is
+    cast to BIGINT only after ``round()`` (integer-valued doubles cast
+    identically on both engines; a raw double→BIGINT cast would not:
+    Spark truncates, DuckDB rounds), and the subtraction happens in
+    BIGINT. The trajectory therefore stays bit-reproducible and the
+    SQL oracle replays all components exactly.
+
+    ``iters`` may be a per-component list: later components converge
+    at the (λ_{k+1}/λ_k) Rayleigh ratio of the DEFLATED spectrum,
+    which on flat spectra is worse than the leading gap, so they earn
+    a larger fixed budget (the registry uses [40, 120]). With a fixed
+    budget the output on a near-degenerate spectrum is a top-subspace
+    mixture — the oracle contract is exact trajectory parity, and the
+    numpy-agreement pytest pins direction quality where the synthetic
+    data's gaps allow.
 
     Exactness discipline: the centered scatter matrix is built from
     integer sufficient statistics ``C_ij = n·Σq_iq_j − S_iS_j``
@@ -858,51 +880,100 @@ def pca_power_int8(
             )
         )
     )
-    v = _mat(
-        spark.range(dim).select(
-            F.col("id").cast("long").alias("vi"),
-            F.lit(1000000).cast("long").alias("v"),
-        )
+    iters_by_comp = (
+        list(iters) if isinstance(iters, (list, tuple)) else [iters] * components
     )
-    u = None
-    v_prev = v
-    for _t in range(iters):
-        if u is not None:
-            u.unpersist()
-        if v_prev is not v:
-            v_prev.unpersist()
-        v_prev = v
-        u = _mat(
-            full.join(v, full["j"] == v["vi"])
-            .groupBy("i")
-            .agg(F.sum(F.col("b") * F.col("v")).alias("u"))
-        )
-        norm = u.agg(
-            F.sqrt(
-                F.sum(F.col("u").cast("decimal(38,0)") * F.col("u")).cast("double")
-            ).alias("nrm")
-        )
+    if len(iters_by_comp) < components:
+        iters_by_comp += [iters_by_comp[-1]] * (components - len(iters_by_comp))
+    outs = []
+    # (w_df(vi, w), g_df(g)) per extracted component — the deflation
+    # basis; each is a tiny checkpointed table kept persisted for the
+    # remaining components' loops
+    basis: list = []
+    for comp in range(1, components + 1):
         v = _mat(
-            u.crossJoin(F.broadcast(norm)).select(
-                F.col("i").alias("vi"),
-                F.round(F.col("u").cast("double") / F.col("nrm") * F.lit(1e6))
-                .cast("long")
-                .alias("v"),
+            spark.range(dim).select(
+                F.col("id").cast("long").alias("vi"),
+                F.lit(1000000).cast("long").alias("v"),
             )
         )
-    # Rayleigh quotient from the final matvec pair (u = B·v_prev):
-    # lam = (v_prev·u)/(v_prev·v_prev) — exact decimal sums, one
-    # double division
-    ray = (
-        u.join(v_prev, u["i"] == v_prev["vi"])
-        .agg(
-            (
-                F.sum(F.col("v").cast("decimal(38,0)") * F.col("u")).cast("double")
-                / F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).cast("double")
-            ).alias("lam")
+        u = None
+        v_prev = v
+        for _t in range(iters_by_comp[comp - 1]):
+            if u is not None:
+                u.unpersist()
+            if v_prev is not v:
+                v_prev.unpersist()
+            v_prev = v
+            u_raw = (
+                full.join(v, full["j"] == v["vi"])
+                .groupBy("i")
+                .agg(F.sum(F.col("b") * F.col("v")).alias("u"))
+            )
+            for w_df, g_df in basis:
+                uj = u_raw.join(w_df, u_raw["i"] == w_df["vi"])
+                coef = uj.agg(
+                    F.sum(F.col("u").cast("decimal(38,0)") * F.col("w")).alias("cf")
+                )
+                # proj_i = round((cf / g) * w_i) as an exact
+                # integer-valued double, THEN cast; subtract in BIGINT
+                u_raw = (
+                    uj.crossJoin(F.broadcast(coef))
+                    .crossJoin(F.broadcast(g_df))
+                    .select(
+                        "i",
+                        (
+                            F.col("u")
+                            - F.round(
+                                F.col("cf").cast("double")
+                                / F.col("g").cast("double")
+                                * F.col("w").cast("double")
+                            ).cast("long")
+                        ).alias("u"),
+                    )
+                )
+            u = _mat(u_raw)
+            norm = u.agg(
+                F.sqrt(
+                    F.sum(F.col("u").cast("decimal(38,0)") * F.col("u")).cast("double")
+                ).alias("nrm")
+            )
+            v = _mat(
+                u.crossJoin(F.broadcast(norm)).select(
+                    F.col("i").alias("vi"),
+                    F.round(F.col("u").cast("double") / F.col("nrm") * F.lit(1e6))
+                    .cast("long")
+                    .alias("v"),
+                )
+            )
+        # Rayleigh quotient from the final matvec pair (u = deflated
+        # B·v_prev): lam = (v_prev·u)/(v_prev·v_prev) — exact decimal
+        # sums, one double division
+        ray = (
+            u.join(v_prev, u["i"] == v_prev["vi"])
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(38,0)") * F.col("u")).cast("double")
+                    / F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).cast(
+                        "double"
+                    )
+                ).alias("lam")
+            )
+            .select(F.round("lam", 6).alias("lam"))
         )
-        .select(F.round("lam", 6).alias("lam"))
-    )
-    return v.crossJoin(F.broadcast(ray)).select(
-        F.col("vi").alias("dim"), F.col("v").alias("v_micro"), "lam"
-    )
+        outs.append(
+            v.crossJoin(F.broadcast(ray)).select(
+                F.lit(comp).cast("long").alias("component"),
+                F.col("vi").alias("dim"),
+                F.col("v").alias("v_micro"),
+                "lam",
+            )
+        )
+        if comp < components:
+            w_df = _mat(v.select("vi", F.col("v").alias("w")))
+            g_df = _mat(w_df.agg(F.sum(F.col("w") * F.col("w")).alias("g")))
+            basis.append((w_df, g_df))
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionAll(o)
+    return result

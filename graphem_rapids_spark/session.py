@@ -50,6 +50,17 @@ def get_spark(
     master = master or os.environ.get("GRAPHEM_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("GRAPHEM_SHUFFLE_PARTITIONS", cpus))
+    # Data-size-aware shuffle sizing, the AQE-native way: every shuffle
+    # STARTS at 4x the core count and AQE coalesces down to its
+    # advisory partition size (64 MB), so small aggregates still land
+    # on ~cores partitions while data-proportional intermediates (the
+    # k-truss wedge explosion at 10x data was the motivating case:
+    # 32 partitions sized for sf0.1 spilled at sf1) fan out instead of
+    # spilling. On a real cluster the same ratio applies against
+    # executors x cores.
+    initial_partitions = int(
+        os.environ.get("GRAPHEM_INITIAL_PARTITIONS", str(4 * int(cpus)))
+    )
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -57,6 +68,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(initial_partitions, shuffle_partitions)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

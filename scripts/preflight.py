@@ -1,0 +1,101 @@
+"""Snapshot preflight — the fast doc-vs-registry consistency gate.
+
+The round-4 red happened because a final snapshot commit added two
+registry queries without updating COVERAGE.md / PLANS.md; the full
+pytest suite (~17 min) is too slow to run per-commit, so this gate
+checks ONLY the doc-sync invariants a registry change can break, in a
+few seconds and without starting Spark:
+
+1. COVERAGE.md's "Registry totals: **N queries, M with oracles, K
+   rows-only**" matches the live registry (and every rows-only entry
+   has a justification) — the test_coverage_counts.py invariants.
+2. PLANS.md has exactly one audit row per registry query (so a new
+   query can't land without `scripts/plan_audit.py --markdown` being
+   re-run) and its allowlist table is well-formed (3 pipe-delimited
+   cells per row — catches the r4 corruption).
+3. bench.py's query list only names registered queries.
+
+Run before ANY commit that touches queries.py / COVERAGE.md /
+PLANS.md:  python scripts/preflight.py   (exit 0 = safe to commit).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def fail(msg: str) -> None:
+    print(f"PREFLIGHT FAIL: {msg}")
+    sys.exit(1)
+
+
+def main() -> None:
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    # --- 1. COVERAGE.md totals + rows-only justifications
+    coverage = open("/root/repo/COVERAGE.md").read()
+    m = re.search(
+        r"Registry totals: \*\*(\d+) queries, (\d+) with oracles,\s*(\d+) rows-only\*\*",
+        coverage,
+    )
+    if not m:
+        fail("COVERAGE.md lacks the 'Registry totals' line")
+    n_q, n_o, n_ro = (int(g) for g in m.groups())
+    if len(queries) != n_q:
+        fail(f"COVERAGE.md says {n_q} queries, registry has {len(queries)}")
+    if len(oracles) != n_o:
+        fail(f"COVERAGE.md says {n_o} oracles, registry has {len(oracles)}")
+    if len(queries) - len(oracles) != n_ro:
+        fail(
+            f"COVERAGE.md says {n_ro} rows-only, registry has "
+            f"{len(queries) - len(oracles)}"
+        )
+    if not set(oracles) <= set(queries):
+        fail(f"oracle keys not in registry: {sorted(set(oracles) - set(queries))}")
+    section = coverage.split("rows-only entries, and why", 1)
+    if len(section) < 2:
+        fail("COVERAGE.md lacks the rows-only justification section")
+    for name in sorted(set(queries) - set(oracles)):
+        if f"`{name}`" not in section[1]:
+            fail(f"rows-only {name} lacks a COVERAGE.md justification")
+
+    # --- 2. PLANS.md row per query + well-formed allowlist
+    plans = open("/root/repo/PLANS.md").read()
+    plan_rows = set(re.findall(r"^\| (\w+) \| \d", plans, flags=re.M))
+    missing = sorted(set(queries) - plan_rows)
+    if missing:
+        fail(f"PLANS.md missing audit rows (re-run plan_audit.py --markdown): {missing}")
+    stale = sorted(plan_rows - set(queries))
+    if stale:
+        fail(f"PLANS.md has rows for unregistered queries: {stale}")
+    allow = plans.split("## Allowlisted bounded global windows", 1)
+    if len(allow) < 2:
+        fail("PLANS.md lacks the allowlist section")
+    for line in allow[1].strip().splitlines():
+        if line.startswith("|") and "---" not in line and "why the input" not in line:
+            cells = [c for c in line.split("|") if c.strip()]
+            if len(cells) != 3:
+                fail(f"malformed PLANS.md allowlist row: {line!r}")
+
+    # --- 3. bench.py headline list names only registered queries
+    bench = open("/root/repo/bench.py").read()
+    bm = re.search(r"HEADLINE\w*\s*=\s*\[(.*?)\]", bench, flags=re.S)
+    if bm:
+        for name in re.findall(r'"(\w+)"', bm.group(1)):
+            if name not in queries:
+                fail(f"bench.py names unregistered query {name}")
+
+    print(
+        f"preflight ok: {len(queries)} queries, {len(oracles)} oracles, "
+        f"{len(queries) - len(oracles)} rows-only; PLANS.md rows + allowlist ok"
+    )
+
+
+if __name__ == "__main__":
+    main()
