@@ -47,8 +47,11 @@ def main() -> None:
     xent.orderBy(xent.xent_nats.desc()).show(3)
 
     pca = Q.embedding_pca_power(spark, sf_dir)
-    lam = pca.first()["lam"]
-    print(f"leading principal component eigenvalue (scatter/n): {lam}")
+    for row in pca.filter("dim = 0").orderBy("component").collect():
+        print(
+            f"principal component {row['component']} eigenvalue "
+            f"(scatter/n): {row['lam']}"
+        )
 
     spark.stop()
 

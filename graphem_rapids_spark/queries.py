@@ -5399,6 +5399,116 @@ FROM st, ex
 """
 
 
+def sketch_hll_merge(spark, sf_dir):
+    """HLL MERGEABILITY demonstrated end-to-end: one register table
+    per event_type (the per-shard sketch a 100 TB pipeline computes
+    map-side), max-MERGED into the union sketch — by construction the
+    merged registers equal the registers of the union stream (same
+    hash), which is the whole reason sketches replace exact distinct
+    at scale (registers travel, raw keys don't). Output: one row per
+    event_type + an 'ALL' row whose estimate comes from the merged
+    registers, each against its exact distinct count. Same
+    exact-integer register math as :func:`sketch_hll_distinct`
+    (bit-identical cross-engine: integer rho ladder, order-free
+    power-of-two harmonic sum). The merge itself is one max-aggregate
+    over n_scopes·m tiny rows."""
+    ev = _events(spark, sf_dir)
+    hv_int = F.floor(
+        _mix_uniform(F.col("user_id"), _HLL_SEED) * F.lit(float(_LCG_M))
+    ).cast("long")
+    per = (
+        ev.select("event_type", "user_id").distinct()
+        .select("event_type", hv_int.alias("hv"))
+        .select(
+            "event_type",
+            F.shiftright(F.col("hv"), _HLL_WBITS).alias("bucket"),
+            (F.col("hv") % F.lit(1 << _HLL_WBITS)).alias("w"),
+        )
+        .select("event_type", "bucket", F.expr(_hll_rho_case("w")).alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    merged = (
+        per.groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit("ALL").alias("event_type"), "bucket", "m")
+    )
+    allregs = per.unionAll(merged)
+    grid = (
+        allregs.select("event_type").distinct()
+        .crossJoin(
+            F.broadcast(spark.range(_HLL_M).select(F.col("id").alias("bucket")))
+        )
+    )
+    regs = grid.join(allregs, ["event_type", "bucket"], "left").select(
+        "event_type", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    stats = regs.groupBy("event_type").agg(
+        F.sum(
+            F.expr("1.0 / CAST(shiftleft(1L, CAST(m AS INT)) AS DOUBLE)")
+        ).alias("s"),
+        F.sum((F.col("m") == 0).cast("long")).alias("zeros"),
+    )
+    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / F.col("s")
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    exact = (
+        ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+        .unionAll(
+            ev.agg(F.countDistinct("user_id").alias("n_exact")).select(
+                F.lit("ALL").alias("event_type"), "n_exact"
+            )
+        )
+    )
+    return stats.join(exact, "event_type").select(
+        F.col("event_type").alias("scope"),
+        "n_exact",
+        F.round(est, 4).alias("hll_estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
+        "zeros",
+    )
+
+
+def _hll_merge_sql() -> str:
+    hv = f"CAST(floor({_mix_sql('user_id', _HLL_SEED)} * {_LCG_M}) AS BIGINT)"
+    rho = _hll_rho_case("w")
+    raw = f"({_HLL_ALPHA * _HLL_M * _HLL_M!r} / s)"
+    est = (
+        f"CASE WHEN {raw} <= {2.5 * _HLL_M!r} AND zeros > 0 "
+        f"THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zeros) ELSE {raw} END"
+    )
+    return f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type, {hv} AS hv FROM d),
+bw AS (SELECT event_type, hv >> {_HLL_WBITS} AS bucket,
+              hv % {1 << _HLL_WBITS} AS w FROM h),
+per AS (SELECT event_type, bucket, max({rho}) AS m FROM bw GROUP BY 1, 2),
+mrg AS (SELECT 'ALL' AS event_type, bucket, max(m) AS m FROM per GROUP BY bucket),
+allr AS (SELECT event_type, bucket, m FROM per UNION ALL SELECT * FROM mrg),
+grid AS (SELECT s.event_type, t.range AS bucket
+         FROM (SELECT DISTINCT event_type FROM allr) s, range({_HLL_M}) t),
+regs AS (SELECT g.event_type, coalesce(a.m, 0) AS m
+         FROM grid g LEFT JOIN allr a
+         ON g.event_type = a.event_type AND g.bucket = a.bucket),
+st AS (SELECT event_type, sum(1.0 / CAST(1 << m AS DOUBLE)) AS s,
+              CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+       FROM regs GROUP BY event_type),
+exs AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+)
+SELECT st.event_type AS scope, n_exact,
+       round({est}, 4) AS hll_estimate,
+       round(abs(({est}) - n_exact) / n_exact, 6) AS rel_err,
+       zeros
+FROM st JOIN exs ON st.event_type = exs.event_type
+"""
+
+
 def events_stream_hll_users(spark, sf_dir):
     """Streaming windowed-cardinality sketch: per-hour distinct-user
     estimates where the STREAMING state is the mergeable HLL register
@@ -9198,6 +9308,109 @@ GROUP BY s.price_cents, s.size_max
 """
 
 
+def lineitem_ship_overlap(spark, sf_dir):
+    """KEYED interval-overlap join — the production shape of a range
+    join (overlap joins at scale are always scoped by an equality key:
+    user, device, order — the unkeyed variant buckets intervals onto a
+    coarse time grid first). Each lineitem occupies the delivery
+    window [shipdate, shipdate + quantity days]; pairs of lines of the
+    SAME order whose windows overlap are "simultaneously in transit".
+    One shuffle co-partitioned on l_orderkey, per-key fanout bounded
+    by C(lines_per_order, 2) ≤ 21 — no time-grid skew bucket anywhere.
+    Integer-exact output: per overlap-start month, pair count and
+    total overlap days."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"), F.col("l_quantity").cast("int")
+        ).alias("e"),
+    )
+    a = li.select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("ln_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+    )
+    b = li.select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("ln_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    pairs = a.join(b, "l_orderkey").filter(
+        (F.col("ln_a") < F.col("ln_b"))
+        & (F.col("sa") <= F.col("eb"))
+        & (F.col("sb") <= F.col("ea"))
+    )
+    ov_start = F.greatest("sa", "sb")
+    ov_days = F.datediff(F.least("ea", "eb"), ov_start) + F.lit(1)
+    return (
+        pairs.select(
+            F.date_format(ov_start, "yyyy-MM").alias("month"),
+            ov_days.alias("ov"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("ov").cast("long").alias("total_overlap_days"),
+        )
+    )
+
+
+_SHIP_OVERLAP_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE) + CAST(l_quantity AS INTEGER) AS e
+  FROM lineitem
+),
+pairs AS (
+  SELECT greatest(a.s, b.s) AS ov_start,
+         date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1 AS ov
+  FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+  AND a.s <= b.e AND b.s <= a.e
+)
+SELECT strftime(ov_start, '%Y-%m') AS month,
+       count(*) AS n_pairs,
+       CAST(sum(ov) AS BIGINT) AS total_overlap_days
+FROM pairs GROUP BY 1
+"""
+
+
+_FRAME_EVERY_N = 30
+_FRAME_ASSUMED = 300
+
+
+def multimodal_frame_sample(spark, sf_dir):
+    """Video-path plumbing: the shuffle-free frame-sampling plan
+    (:func:`pipeline.multimodal.frame_sample_plan`) that downstream
+    decode UDFs consume — every even-doc_id document plays a video
+    asset, each exploded onto its every-30th-frame grid (10 plan rows
+    per video, map-side sequence explode, zero shuffles). Output:
+    (media_id, frame_idx) plan rows."""
+    from graphem_rapids_spark.pipeline.multimodal import frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    plan = frame_sample_plan(
+        media, every_n_frames=_FRAME_EVERY_N, assumed_frames=_FRAME_ASSUMED
+    )
+    return plan.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+_FRAME_SAMPLE_SQL = f"""
+SELECT doc_id AS media_id, CAST(t.range AS BIGINT) AS frame_idx
+FROM documents, range(0, {_FRAME_ASSUMED}, {_FRAME_EVERY_N}) t
+WHERE doc_id % 2 = 0
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -9266,6 +9479,11 @@ QUERIES = {
     # r6 window is simply the next 50 (r2-checked queries first);
     # the strict local gate + pytest parity re-verify every entry
     # each session regardless of position -------
+    # new in r5, never driver-checked — first in line for the r6
+    # window (hash-green in the local strict gate at 3 SFs)
+    "sketch_hll_merge": sketch_hll_merge,
+    "lineitem_ship_overlap": lineitem_ship_overlap,
+    "multimodal_frame_sample": multimodal_frame_sample,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -9522,6 +9740,9 @@ ORACLES = {
     "orders_salted_join": _SALTED_SQL,
     "sketch_kmv_distinct": _kmv_sql(),
     "sketch_hll_distinct": _hll_sql(),
+    "sketch_hll_merge": _hll_merge_sql(),
+    "lineitem_ship_overlap": _SHIP_OVERLAP_SQL,
+    "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
     "sketch_cms_heavy_hitters": _cms_sql(),
     "sketch_bloom_join": _bloom_sql(),
     "dedup_substring_spans": _SUBSTR_SPAN_SQL,
