@@ -50,16 +50,20 @@ def get_spark(
     master = master or os.environ.get("GRAPHEM_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("GRAPHEM_SHUFFLE_PARTITIONS", cpus))
-    # Data-size-aware shuffle sizing, the AQE-native way: every shuffle
-    # STARTS at 4x the core count and AQE coalesces down to its
-    # advisory partition size (64 MB), so small aggregates still land
-    # on ~cores partitions while data-proportional intermediates (the
-    # k-truss wedge explosion at 10x data was the motivating case:
-    # 32 partitions sized for sf0.1 spilled at sf1) fan out instead of
-    # spilling. On a real cluster the same ratio applies against
-    # executors x cores.
+    # Shuffle fan-out knob (AQE-native): shuffles START at
+    # initialPartitionNum and AQE coalesces down to its 64 MB advisory
+    # size. Default = shuffle_partitions (no extra fan-out): a round-5
+    # same-VM A/B at sf1 measured the 4x-cores fan-out SLOWER for the
+    # heaviest shuffle (ktruss wedges: 333-351 s cold / 236-307 s warm
+    # at 128 initial partitions vs 290 s cold / 157 s warm at 32) — on
+    # a single-JVM local[32] executor the extra partitions only add
+    # shuffle-file merge and scheduling overhead, and AQE's coalescing
+    # cannot recoup map-side costs. On a multi-executor cluster raise
+    # GRAPHEM_INITIAL_PARTITIONS toward 2-4x total cores so
+    # data-proportional intermediates fan out across machines
+    # (SCALE.md §cluster-swap has the measured numbers).
     initial_partitions = int(
-        os.environ.get("GRAPHEM_INITIAL_PARTITIONS", str(4 * int(cpus)))
+        os.environ.get("GRAPHEM_INITIAL_PARTITIONS", str(shuffle_partitions))
     )
 
     builder = (

@@ -161,6 +161,7 @@ ALLOWED_BOUNDED_WINDOWS: dict[str, tuple[int, str]] = {
     "ann_ivf_topk": (4, "IVF init rank-after-limit: <= n_cells rows"),
     "ann_recall_at_k": (4, "IVF init rank-after-limit: <= n_cells rows"),
     "semdedup_embeddings": (4, "IVF init rank-after-limit: <= n_cells rows"),
+    "ann_ivfpq_recall": (4, "IVF init rank-after-limit: <= n_cells rows"),
     # Zipf head-term rank assigned AFTER .orderBy().limit(1000)
     # (TakeOrdered) — window input <= 1000 rows
     "doc_zipf_fit": (1, "rank-after-limit: top-1000 vocabulary head"),
@@ -173,7 +174,12 @@ def main() -> None:
     args = [a for a in args if a != "--markdown"]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
     names = [a for a in args if "/" not in a]
-    spark = get_spark()
+    # the status store evicts beyond spark.sql.ui.retainedExecutions
+    # (default 1000) and executionsList() indices shift with it — one
+    # 650-execution iterative kernel (PCA k=2) would silently blank
+    # the traced columns of every query audited after it. Retain
+    # enough for the whole registry.
+    spark = get_spark(extra_conf={"spark.sql.ui.retainedExecutions": "50000"})
     store = spark._jsparkSession.sharedState().statusStore()
     queries = entry.queries()
     rows = []
