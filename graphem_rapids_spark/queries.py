@@ -9540,6 +9540,266 @@ s{r} AS (SELECT id FROM s{r - 1} UNION ALL SELECT id FROM b{r})"""
     return "".join(parts)
 
 
+# =====================================================================
+# Round-5 batch 2 — mergeable quantile sketch, priority sampling,
+# EWMA burst detection. Each targets a 100 TB primitive the registry
+# didn't cover yet: percentiles without a sort, weighted subset
+# selection with an unbiased total estimator, and an O(1)-state
+# per-key burst detector.
+# =====================================================================
+
+_QH_PS = [0.5, 0.9, 0.99]
+_QH_MAXBITS = 30
+
+
+def _qh_bucket_case(col: str) -> str:
+    """SQL CASE computing floor(log2(col)) for col >= 1 via an exact
+    integer threshold ladder (no float log2 — libm rounding may
+    differ across engines). Shared verbatim between the Spark
+    ``F.expr`` and the DuckDB oracle, so bucketing parity is by
+    construction (same discipline as ``_hll_rho_case``)."""
+    whens = " ".join(
+        f"WHEN {col} >= {1 << b} THEN {b}" for b in range(_QH_MAXBITS, -1, -1)
+    )
+    return f"(CASE {whens} END)"
+
+
+def sketch_quantile_hist(spark, sf_dir):
+    """Mergeable log2-histogram quantile sketch over lineitem price
+    cents — the fixed-size percentile summary for 100 TB pipelines
+    (reference analog: the latency/score percentile reporting in
+    benchmarks/run_benchmarks.py; here as a sketch, not a sort).
+    Each partition reduces to <= 31 (bucket, count) rows which
+    groupBy-sum merges — the ONLY full pass is the map-side bucket
+    projection, vs the value shuffle an exact percentile needs.
+    Bucket = floor(log2(cents)) via an exact integer CASE ladder;
+    the p-quantile estimate interpolates linearly inside the bucket
+    holding rank ceil(p*n). Exact interpolated percentiles computed
+    alongside as ground truth. Output: one row per p in {0.5, 0.9,
+    0.99}: bucket hit, sketch estimate, exact value, relative error
+    (log-bucket worst case ~ bucket width / value <= 1)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c")
+    )
+    hist = li.select(F.expr(_qh_bucket_case("c")).alias("bucket")).groupBy(
+        "bucket"
+    ).agg(F.count("*").alias("cnt"))
+    # strict-below cumulative counts via a <=31-row broadcast
+    # triangle join — no global window needed for the CDF
+    cum = (
+        hist.alias("a")
+        .join(F.broadcast(hist.alias("b")), F.col("b.bucket") < F.col("a.bucket"), "left")
+        .groupBy(F.col("a.bucket").alias("bucket"), F.col("a.cnt").alias("cnt"))
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).cast("long").alias("below"))
+    )
+    tot = li.agg(
+        F.count("*").alias("n"),
+        F.percentile("c", F.array(*[F.lit(p) for p in _QH_PS])).alias("ex"),
+    )
+    ps = tot.select(
+        "n",
+        "ex",
+        F.posexplode(F.array(*[F.lit(p) for p in _QH_PS])).alias("i", "p"),
+    ).select(
+        "p",
+        F.ceil(F.col("p") * F.col("n")).cast("long").alias("rp"),
+        F.element_at("ex", F.col("i") + 1).alias("exact_q"),
+    )
+    lower = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) AS BIGINT)")
+    est = lower + (F.col("rp") - F.col("below") - F.lit(0.5)) / F.col("cnt") * lower
+    return (
+        ps.crossJoin(F.broadcast(cum))
+        .filter((F.col("below") < F.col("rp")) & (F.col("rp") <= F.col("below") + F.col("cnt")))
+        .select(
+            "p",
+            F.col("bucket").cast("integer").alias("bucket"),
+            F.round(est, 4).alias("hist_q"),
+            F.round("exact_q", 4).alias("exact_q"),
+            F.round(F.abs(est - F.col("exact_q")) / F.col("exact_q"), 6).alias("rel_err"),
+        )
+    )
+
+
+def _quantile_hist_sql() -> str:
+    ladder = _qh_bucket_case("c")
+    ps = ", ".join(str(p) for p in _QH_PS)
+    idx = ", ".join(str(i + 1) for i in range(len(_QH_PS)))
+    est = "((CAST(1 AS BIGINT) << bucket) + (rp - below - 0.5) / cnt * (CAST(1 AS BIGINT) << bucket))"
+    return f"""
+WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+hist AS (SELECT {ladder} AS bucket, count(*) AS cnt FROM c GROUP BY 1),
+cum AS (SELECT a.bucket, a.cnt, CAST(coalesce(sum(b.cnt), 0) AS BIGINT) AS below
+        FROM hist a LEFT JOIN hist b ON b.bucket < a.bucket
+        GROUP BY a.bucket, a.cnt),
+tot AS (SELECT count(*) AS n, quantile_cont(c, [{ps}]) AS ex FROM c),
+ps AS (SELECT unnest([{ps}]) AS p, unnest([{idx}]) AS i, n, ex FROM tot),
+pr AS (SELECT p, CAST(ceil(p * n) AS BIGINT) AS rp, ex[i] AS exact_q FROM ps)
+SELECT p, CAST(bucket AS INTEGER) AS bucket,
+       round({est}, 4) AS hist_q,
+       round(exact_q, 4) AS exact_q,
+       round(abs({est} - exact_q) / exact_q, 6) AS rel_err
+FROM pr, cum
+WHERE below < rp AND rp <= below + cnt
+"""
+
+
+_PRIO_K = 64
+_PRIO_SEED = 4242
+
+
+def sample_priority_weighted(spark, sf_dir):
+    """Priority sampling (Duffield–Lund–Thorup 2007) — weighted
+    sampling without replacement PLUS an unbiased subset-sum
+    estimator, the curation primitive for quality-weighted data
+    selection at 100 TB (sample k docs with probability ~ weight,
+    still estimate the full corpus mass from the sample alone).
+    Priority q_i = w_i / u_i with u_i = mixer(key)+2^-31 in (0,1]
+    (exact dyadic double, so q is one IEEE division — bit-identical
+    cross-engine); keep the top k+1 priorities via a partial top-k
+    (TakeOrdered: per-partition heads then a (k+1)-row merge — the
+    only full pass is the map-side priority projection, no global
+    sort); tau = the (k+1)-th priority; estimate = sum over the
+    sample of max(w_i, tau) with tau ceil'd to whole cents so the
+    sum stays exact BIGINT. Output: the k sampled orders with their
+    weights/priorities and the replicated tau / estimated / true
+    totals + relative error."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("w")
+    )
+    u = _mix_uniform(F.col("o_orderkey"), _PRIO_SEED) + F.lit(1.0 / _LCG_M)
+    pr = o.select("o_orderkey", "w", (F.col("w") / u).alias("q"))
+    top = pr.orderBy(F.col("q").desc(), F.col("o_orderkey").asc()).limit(_PRIO_K + 1)
+    tau = top.agg(F.ceil(F.min("q")).cast("long").alias("tau_cents"), F.min("q").alias("tau"))
+    tot = o.agg(F.sum("w").alias("true_total_cents"))
+    samp = top.crossJoin(F.broadcast(tau)).filter(F.col("q") > F.col("tau"))
+    est = samp.agg(
+        F.sum(F.greatest(F.col("w"), F.col("tau_cents"))).alias("est_total_cents")
+    )
+    return (
+        samp.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderkey",
+            F.col("w").alias("weight_cents"),
+            # floor, not round(.., 4): priorities reach ~1e17 where
+            # DuckDB's float-multiply round() drifts from Spark's
+            # BigDecimal round; floor of a double is exact everywhere
+            F.floor("q").cast("long").alias("priority"),
+            "tau_cents",
+            "est_total_cents",
+            "true_total_cents",
+            F.round(
+                F.abs(F.col("est_total_cents") - F.col("true_total_cents"))
+                / F.col("true_total_cents"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def _priority_sample_sql() -> str:
+    u = f"({_mix_sql('o_orderkey', _PRIO_SEED)} + {1.0 / _LCG_M!r})"
+    return f"""
+WITH o AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS w FROM orders),
+pr AS (SELECT o_orderkey, w, w / {u} AS q FROM o),
+top AS (SELECT * FROM pr ORDER BY q DESC, o_orderkey ASC LIMIT {_PRIO_K + 1}),
+tau AS (SELECT CAST(ceil(min(q)) AS BIGINT) AS tau_cents, min(q) AS tau FROM top),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS true_total_cents FROM o),
+samp AS (SELECT top.* FROM top, tau WHERE q > tau),
+est AS (SELECT CAST(sum(greatest(w, tau_cents)) AS BIGINT) AS est_total_cents
+        FROM samp, tau)
+SELECT o_orderkey, w AS weight_cents, CAST(floor(q) AS BIGINT) AS priority,
+       tau_cents, est_total_cents, true_total_cents,
+       round(abs(est_total_cents - true_total_cents) / CAST(true_total_cents AS DOUBLE), 6) AS rel_err
+FROM samp, tau, est, tot
+"""
+
+
+_EWMA_LAGS = 8
+_EWMA_MULT_NUM = 3  # burst when c > 1.5 x EWMA, as the exact
+_EWMA_MULT_DEN = 2  # integer cross-product 2*c*den > 3*num
+
+
+def events_ewma_burst(spark, sf_dir):
+    """Per-event-type EWMA burst detector over the minute-count
+    series — the O(1)-state streaming anomaly shape (state = one
+    decaying average per key, vs the unbounded history a windowed
+    z-score keeps). Weights are dyadic 2^(8-j) over the last 8
+    OBSERVED minutes (sparse-series semantics: gaps don't reset the
+    detector), so numerator/denominator stay exact BIGINT and the
+    burst test c > 1.5x EWMA runs as the integer cross-product
+    2*c*den > 3*num — no float threshold to drift cross-engine. The
+    lag window is
+    partitioned by event_type (never global). Output: burst minutes
+    with their count and the EWMA baseline."""
+    ev = _t(spark, sf_dir, "events")
+    pm = ev.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("minute")
+    num = sum(
+        (
+            F.coalesce(F.lag("c", j).over(w), F.lit(0)) * F.lit(1 << (_EWMA_LAGS - j))
+            for j in range(1, _EWMA_LAGS + 1)
+        ),
+        F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(F.lag("c", j).over(w).isNull(), 0).otherwise(1 << (_EWMA_LAGS - j))
+            for j in range(1, _EWMA_LAGS + 1)
+        ),
+        F.lit(0),
+    )
+    scored = pm.select(
+        "event_type",
+        "minute",
+        "c",
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+    )
+    return (
+        scored.filter(
+            (F.col("den") > 0)
+            & (
+                F.lit(_EWMA_MULT_DEN) * F.col("c") * F.col("den")
+                > _EWMA_MULT_NUM * F.col("num")
+            )
+        )
+        .select(
+            "event_type",
+            "minute",
+            "c",
+            F.round(F.col("num") / F.col("den"), 4).alias("ewma"),
+        )
+    )
+
+
+def _ewma_burst_sql() -> str:
+    num = " + ".join(
+        f"coalesce(lag(c, {j}) OVER w, 0) * {1 << (_EWMA_LAGS - j)}"
+        for j in range(1, _EWMA_LAGS + 1)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(c, {j}) OVER w IS NULL THEN 0 ELSE {1 << (_EWMA_LAGS - j)} END"
+        for j in range(1, _EWMA_LAGS + 1)
+    )
+    return f"""
+WITH pm AS (SELECT event_type, date_trunc('minute', ts) AS minute, count(*) AS c
+            FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT event_type, minute, c,
+         CAST({num} AS BIGINT) AS num,
+         CAST({den} AS BIGINT) AS den
+  FROM pm
+  WINDOW w AS (PARTITION BY event_type ORDER BY minute)
+)
+SELECT event_type, minute, c, round(num / CAST(den AS DOUBLE), 4) AS ewma
+FROM scored
+WHERE den > 0 AND {_EWMA_MULT_DEN} * c * den > {_EWMA_MULT_NUM} * num
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -9614,6 +9874,9 @@ QUERIES = {
     "lineitem_ship_overlap": lineitem_ship_overlap,
     "multimodal_frame_sample": multimodal_frame_sample,
     "embedding_mmr_select": embedding_mmr_select,
+    "sketch_quantile_hist": sketch_quantile_hist,
+    "sample_priority_weighted": sample_priority_weighted,
+    "events_ewma_burst": events_ewma_burst,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -9874,6 +10137,9 @@ ORACLES = {
     "lineitem_ship_overlap": _SHIP_OVERLAP_SQL,
     "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
     "embedding_mmr_select": _mmr_sql(),
+    "sketch_quantile_hist": _quantile_hist_sql(),
+    "sample_priority_weighted": _priority_sample_sql(),
+    "events_ewma_burst": _ewma_burst_sql(),
     "sketch_cms_heavy_hitters": _cms_sql(),
     "sketch_bloom_join": _bloom_sql(),
     "dedup_substring_spans": _SUBSTR_SPAN_SQL,

@@ -29,7 +29,8 @@ def test_data_pipeline_example():
     assert "minhash near-dup pairs:" in stdout
     assert "pred_lang" in stdout
     assert "ivf-pq approximate neighbors:" in stdout
-    assert "leading principal component eigenvalue" in stdout
+    assert "principal component 1 eigenvalue" in stdout
+    assert "principal component 2 eigenvalue" in stdout
 
 
 def test_curation_pipeline_example():
