@@ -9800,6 +9800,213 @@ WHERE den > 0 AND {_EWMA_MULT_DEN} * c * den > {_EWMA_MULT_NUM} * num
 """
 
 
+def _mix_sql_spark(t_expr: str, seed: int) -> str:
+    """The cross-engine mixer as SPARK-dialect SQL text (for use
+    inside higher-order-function lambdas, where the mixer input is a
+    lambda variable and the column-form :func:`_mix_uniform` can't
+    reach). Identical arithmetic to :func:`_mix_sql`; only the xor
+    spelling differs (Spark ``^`` / ``shiftright`` vs DuckDB
+    ``xor(..)`` / ``>>``)."""
+    h1 = f"((1103515245 * ((({t_expr}) + {seed}) % 2147483647) + 12345) % {_LCG_M})"
+    h2 = f"({h1} ^ shiftright({h1}, 13))"
+    h3 = f"((134775813 * {h2} + 1) % {_LCG_M})"
+    h4 = f"({h3} ^ shiftright({h3}, 17))"
+    # CAST, not a "{M}.0" literal: Spark parses decimal-point literals
+    # as DECIMAL, and DECIMAL division rounds differently from the
+    # exact dyadic DOUBLE division the DuckDB twin performs
+    return f"({h4} / CAST({_LCG_M} AS DOUBLE))"
+
+
+_FASTSS_SEED_POS = 777
+_FASTSS_SEED_CHR = 778
+
+
+def dedup_typo_fastss(spark, sf_dir):
+    """Typo-tolerant entity-resolution join via FastSS deletion
+    neighborhoods (Bocek et al. 2007) — edit-distance-1 matching
+    WITHOUT quadratic blocks: every string emits (pos, md5(variant))
+    keys — pos 0 for the string itself plus one single-character
+    deletion per position — and two strings within one substitution
+    share the deletion key at the differing position, so an equality
+    join finds ALL d<=1 candidates with per-string fanout = length+1
+    (candidates grow with collisions on 16-byte hashed variants, not
+    with block size; the failure mode of first-token blocking on a
+    small-vocabulary catalog is O(block^2)). A third of the part
+    catalog is deterministically corrupted (mixer-chosen position ->
+    mixer-chosen lowercase letter) into a 'dirty' feed, fuzzy-joined
+    back against the clean catalog, and verified with levenshtein.
+    Output per distance d in {0, 1}: candidate pairs, distinct dirty
+    rows matched, and pairs that recover the dirty row's own origin
+    (every corrupted row must recover its origin — recall 1 by the
+    pigeonhole above)."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pos1 = (
+        F.floor(_mix_uniform(F.col("p_partkey"), _FASTSS_SEED_POS) * F.lit(_LCG_M))
+        % F.length("p_name")
+        + 1
+    ).cast("int")
+    dirty = (
+        p.filter(F.col("p_partkey") % 3 == 0)
+        .select(
+            "p_partkey",
+            "p_name",
+            pos1.alias("mpos"),
+            (
+                F.floor(
+                    _mix_uniform(F.col("p_partkey"), _FASTSS_SEED_CHR) * F.lit(_LCG_M)
+                )
+                % 26
+            ).cast("int").alias("mchr"),
+        )
+        .select(
+            "p_partkey",
+            F.expr(
+                "concat(substring(p_name, 1, mpos - 1), char(97 + mchr),"
+                " substring(p_name, mpos + 1, length(p_name)))"
+            ).alias("dirty_name"),
+        )
+    )
+
+    def _keys(df, name_col, key_out, name_out):
+        full = df.select(
+            F.lit(0).alias("pos"), F.md5(F.col(name_col)).alias("vh"),
+            F.col("p_partkey").alias(key_out), F.col(name_col).alias(name_out),
+        )
+        dels = df.select(
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length({name_col})), i ->"
+                    f" concat(substring({name_col}, 1, i - 1),"
+                    f" substring({name_col}, i + 1, length({name_col}))))"
+                )
+            ).alias("i", "v"),
+            F.col("p_partkey").alias(key_out),
+            F.col(name_col).alias(name_out),
+        ).select(
+            (F.col("i") + 1).alias("pos"), F.md5("v").alias("vh"), key_out, name_out
+        )
+        return full.unionByName(dels)
+
+    ck = _keys(p, "p_name", "clean_key", "clean_name")
+    dk = _keys(dirty, "dirty_name", "dirty_key", "dirty_name")
+    cand = (
+        ck.join(dk, ["pos", "vh"])
+        .select("clean_key", "clean_name", "dirty_key", "dirty_name")
+        .distinct()
+    )
+    verified = cand.select(
+        "clean_key",
+        "dirty_key",
+        F.levenshtein("clean_name", "dirty_name").alias("d"),
+    ).filter(F.col("d") <= 1)
+    return (
+        verified.groupBy("d")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("dirty_key").alias("n_dirty"),
+            F.sum(
+                F.when(F.col("clean_key") == F.col("dirty_key"), 1).otherwise(0)
+            ).cast("long").alias("n_self"),
+        )
+        .select(F.col("d").cast("integer").alias("d"), "n_pairs", "n_dirty", "n_self")
+    )
+
+
+def _fastss_sql() -> str:
+    mpos = f"(CAST(floor({_mix_sql('p_partkey', _FASTSS_SEED_POS)} * {_LCG_M}) AS BIGINT) % length(p_name) + 1)"
+    mchr = f"(CAST(floor({_mix_sql('p_partkey', _FASTSS_SEED_CHR)} * {_LCG_M}) AS BIGINT) % 26)"
+    return f"""
+WITH p AS (SELECT p_partkey, p_name FROM part),
+dirty AS (
+  SELECT p_partkey,
+         concat(substr(p_name, 1, {mpos} - 1), chr(CAST(97 + {mchr} AS INTEGER)),
+                substr(p_name, {mpos} + 1, length(p_name))) AS dirty_name
+  FROM p WHERE p_partkey % 3 = 0
+),
+ck AS (
+  SELECT 0 AS pos, md5(p_name) AS vh, p_partkey AS clean_key, p_name AS clean_name FROM p
+  UNION ALL
+  SELECT i AS pos,
+         md5(concat(substr(p_name, 1, i - 1), substr(p_name, i + 1, length(p_name)))) AS vh,
+         p_partkey, p_name
+  FROM p, unnest(range(1, length(p_name) + 1)) AS t(i)
+),
+dk AS (
+  SELECT 0 AS pos, md5(dirty_name) AS vh, p_partkey AS dirty_key, dirty_name FROM dirty
+  UNION ALL
+  SELECT i AS pos,
+         md5(concat(substr(dirty_name, 1, i - 1), substr(dirty_name, i + 1, length(dirty_name)))) AS vh,
+         p_partkey, dirty_name
+  FROM dirty, unnest(range(1, length(dirty_name) + 1)) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT clean_key, clean_name, dirty_key, dirty_name
+  FROM ck JOIN dk USING (pos, vh)
+),
+v AS (SELECT clean_key, dirty_key, levenshtein(clean_name, dirty_name) AS d FROM cand)
+SELECT CAST(d AS INTEGER) AS d, count(*) AS n_pairs,
+       CAST(count(DISTINCT dirty_key) AS BIGINT) AS n_dirty,
+       CAST(sum(CASE WHEN clean_key = dirty_key THEN 1 ELSE 0 END) AS BIGINT) AS n_self
+FROM v WHERE d <= 1 GROUP BY d
+"""
+
+
+_AUDIO_FRAMES = 4
+_AUDIO_FRAME_LEN = 256
+_AUDIO_SEED = 31337
+_AUDIO_SILENCE = 80_000_000  # frame energy floor (sum of 256 squares)
+
+
+def multimodal_audio_energy(spark, sf_dir):
+    """Audio-path plumbing: per-clip frame-energy profile over odd
+    doc_id documents playing 1024-sample PCM clips (the audio twin of
+    :func:`multimodal_frame_sample`'s video grid). The decode step is
+    the documented deterministic stub (mixer-synthesized int16
+    samples — this container ships no audio codec; the Spark-side
+    shape is the real one: per-row frame loop as nested higher-order
+    functions, zero shuffles, BIGINT-exact energies). Each clip
+    reduces map-side to 4 frame energies via
+    transform(sequence) + aggregate — no sample explode, so the
+    per-doc row count never leaves the scan partition. Output per
+    clip: peak frame energy, total energy, silent-frame count."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    u = _mix_sql_spark(f"doc_id * {_AUDIO_FRAMES * _AUDIO_FRAME_LEN} + i", _AUDIO_SEED)
+    amp = f"(CAST(floor({u} * {_LCG_M}) AS BIGINT) % 65536 - 32768)"
+    frames = (
+        f"transform(sequence(0, {_AUDIO_FRAMES - 1}), f -> "
+        f"aggregate(sequence(f * {_AUDIO_FRAME_LEN}, f * {_AUDIO_FRAME_LEN} + {_AUDIO_FRAME_LEN - 1}), "
+        f"CAST(0 AS BIGINT), (acc, i) -> acc + {amp} * {amp}))"
+    )
+    return docs.select(
+        "doc_id", F.expr(frames).alias("fe")
+    ).select(
+        "doc_id",
+        F.expr("aggregate(fe, CAST(0 AS BIGINT), (a, x) -> CASE WHEN x > a THEN x ELSE a END)").alias("peak_energy"),
+        F.expr("aggregate(fe, CAST(0 AS BIGINT), (a, x) -> a + x)").alias("total_energy"),
+        F.expr(
+            f"aggregate(fe, CAST(0 AS BIGINT), (a, x) -> a + CASE WHEN x < {_AUDIO_SILENCE} THEN 1 ELSE 0 END)"
+        ).alias("n_silent"),
+    )
+
+
+def _audio_energy_sql() -> str:
+    u = _mix_sql(f"doc_id * {_AUDIO_FRAMES * _AUDIO_FRAME_LEN} + i", _AUDIO_SEED)
+    amp = f"(CAST(floor({u} * {_LCG_M}) AS BIGINT) % 65536 - 32768)"
+    frames = (
+        f"list_transform(range(0, {_AUDIO_FRAMES}), f -> "
+        f"list_sum(list_transform(range(f * {_AUDIO_FRAME_LEN}, (f + 1) * {_AUDIO_FRAME_LEN}), "
+        f"i -> {amp} * {amp})))"
+    )
+    return f"""
+WITH fe AS (SELECT doc_id, {frames} AS fe FROM documents WHERE doc_id % 2 = 1)
+SELECT doc_id,
+       CAST(list_max(fe) AS BIGINT) AS peak_energy,
+       CAST(list_sum(fe) AS BIGINT) AS total_energy,
+       CAST(len(list_filter(fe, x -> x < {_AUDIO_SILENCE})) AS BIGINT) AS n_silent
+FROM fe
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -9877,6 +10084,8 @@ QUERIES = {
     "sketch_quantile_hist": sketch_quantile_hist,
     "sample_priority_weighted": sample_priority_weighted,
     "events_ewma_burst": events_ewma_burst,
+    "dedup_typo_fastss": dedup_typo_fastss,
+    "multimodal_audio_energy": multimodal_audio_energy,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -10140,6 +10349,8 @@ ORACLES = {
     "sketch_quantile_hist": _quantile_hist_sql(),
     "sample_priority_weighted": _priority_sample_sql(),
     "events_ewma_burst": _ewma_burst_sql(),
+    "dedup_typo_fastss": _fastss_sql(),
+    "multimodal_audio_energy": _audio_energy_sql(),
     "sketch_cms_heavy_hitters": _cms_sql(),
     "sketch_bloom_join": _bloom_sql(),
     "dedup_substring_spans": _SUBSTR_SPAN_SQL,
