@@ -120,3 +120,72 @@ def anomaly_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ewma_stream(events: DataFrame, lags: int = 8) -> DataFrame:
+    """(event_type, minute_us, n_events, num, den) — per-minute counts
+    with the dyadic-weighted trailing sums of the EWMA burst detector
+    (batch twin: ``queries.events_ewma_burst``). State per event_type
+    is the last ``lags`` observed (minute, count) pairs — O(groups ·
+    lags) total regardless of event volume, the O(1)-state shape that
+    makes the detector deployable on an unbounded stream. num/den are
+    exact BIGINT (weights 2^(lags-j) over the j-th most recent
+    OBSERVED minute), so the availableNow drain replays the batch
+    lag-window query bit-for-bit and the batch SQL oracle applies.
+    The burst decision itself (2*c*den > 3*num) is left to the sink
+    so thresholds can change without touching state."""
+    e = events.select(
+        F.col("event_type"),
+        F.expr("(ts div 60000000000) * 60000000").alias("minute_us"),
+    )
+
+    def score_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        hist: dict[int, int] = {}
+        if state.exists:
+            mins, cnts = state.get
+            hist = dict(zip(mins, cnts))
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        new_counts = batch.groupby("minute_us").size()
+        for m, c in new_counts.items():
+            hist[int(m)] = hist.get(int(m), 0) + int(c)
+        items = sorted(hist.items())
+        new_minutes = {int(m) for m in new_counts.index}
+        rows = []
+        for idx, (m, c) in enumerate(items):
+            if m not in new_minutes:
+                continue
+            num = 0
+            den = 0
+            for j in range(1, lags + 1):
+                if idx - j >= 0:
+                    w = 1 << (lags - j)
+                    num += items[idx - j][1] * w
+                    den += w
+            rows.append((key[0], m, c, num, den))
+        keep = items[-lags:]
+        state.update(([m for m, _ in keep], [c for _, c in keep]))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["event_type", "minute_us", "n_events", "num", "den"],
+            )
+
+    return e.groupBy("event_type").applyInPandasWithState(
+        score_fn,
+        outputStructType=(
+            "event_type string, minute_us long, n_events long, "
+            "num long, den long"
+        ),
+        stateStructType="minutes array<long>, counts array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
