@@ -55,6 +55,27 @@ def main() -> None:
     chunks = T.sliding_chunks(docs, size=32, stride=24)
     print("chunks:", chunks.count(), "docs:", docs.count())
 
+    # 7. near-dup survivor pick: keep the best member of each cluster
+    from graphem_rapids_spark.queries import (
+        dedup_cluster_keep_best,
+        lang_mixture_weights,
+        sample_priority_weighted,
+    )
+
+    best = dedup_cluster_keep_best(spark, sf_dir)
+    print("near-dup clusters resolved to a survivor:", best.count())
+
+    # 8. language rebalancing: temperature-sampled mixture weights
+    lang_mixture_weights(spark, sf_dir).orderBy("lang").show()
+
+    # 9. weighted sampling with an unbiased total estimate
+    ps = sample_priority_weighted(spark, sf_dir)
+    row = ps.first()
+    print(
+        "priority sample rel. err of corpus-total estimate:",
+        row["rel_err"],
+    )
+
     spark.stop()
 
 

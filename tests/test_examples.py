@@ -37,6 +37,8 @@ def test_curation_pipeline_example():
     stdout = _run("examples/curation_pipeline.py", "/root/testdata/sf0.001")
     assert "train docs sharing a 4-gram with eval:" in stdout
     assert "chunks:" in stdout
+    assert "near-dup clusters resolved to a survivor:" in stdout
+    assert "priority sample rel. err" in stdout
 
 
 def test_graph_insights_example():
