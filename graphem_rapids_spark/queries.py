@@ -10427,6 +10427,119 @@ FROM w, tot
 """
 
 
+_PPJ_T = 0.8  # Jaccard threshold (integer cross-product 5*common >= 4*union)
+
+
+def dedup_prefix_jaccard(spark, sf_dir):
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin family, Xiao et al. 2008) — the deterministic complement
+    to MinHash-LSH: every pair with token-set Jaccard >= t is found
+    (no probabilistic recall), yet only prefix tokens are indexed.
+    Prefix rule: under ANY consistent global token order, two sets
+    with Jaccard >= t must share a token among each one's first
+    |s| - ceil(t*|s|) + 1 tokens; we order tokens by md5 (map-side,
+    shuffle-free — the df-ascending order PPJoin tunes for would
+    need a distributed vocabulary rank; hash order trades candidate
+    count for a zero-cost prefix). Candidates join on prefix-token
+    equality plus the length filter (t*|a| <= |b| <= |a|/t as integer
+    cross-products), then exact Jaccard verification via a
+    pair-constrained intersection count (threshold as 5*common >=
+    4*union — no float compare). Windows are partitioned per doc
+    (never global). The templated test corpus is PATHOLOGICALLY
+    dense (~25% of ALL pairs have Jaccard >= 0.8 — the true result
+    is quadratic no matter the algorithm), so the registry entry
+    runs on the deterministic doc_id % 10 shard and reports the
+    bounded per-decile pair profile; on a real corpus, where the
+    matching pairs are sparse, the full run is the intended mode.
+    The oracle is ALGORITHMICALLY INDEPENDENT: brute all-pairs
+    intersection — prefix filtering must lose nothing. Output per
+    Jaccard decile >= 8: pair count, distinct left docs, extremes."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), "\\s+"))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sized = toks.join(
+        toks.groupBy("doc_id").agg(F.count("*").alias("sz")), "doc_id"
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.md5("tok"))
+    pref = (
+        sized.select(
+            "doc_id", "tok", "sz", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(_PPJ_T) * F.col("sz")) + 1)
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "tok")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.lit(10) * F.col("b.sz") >= F.lit(8) * F.col("a.sz"))
+            & (F.lit(10) * F.col("a.sz") >= F.lit(8) * F.col("b.sz"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("na"),
+            F.col("b.sz").alias("nb"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            toks.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("n_common"))
+    )
+    union = F.col("na") + F.col("nb") - F.col("n_common")
+    verified = inter.filter(F.lit(5) * F.col("n_common") >= F.lit(4) * union).select(
+        "doc_a",
+        "n_common",
+        F.floor(F.lit(10) * F.col("n_common") / union).cast("int").alias("decile"),
+    )
+    return verified.groupBy("decile").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("doc_a").alias("n_left_docs"),
+        F.min("n_common").alias("min_common"),
+        F.max("n_common").alias("max_common"),
+    )
+
+
+_PPJOIN_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents WHERE doc_id % 10 = 0)
+  WHERE tok <> ''
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT i.doc_a, i.doc_b, sa.sz AS na, sb.sz AS nb, i.n_common
+  FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+               JOIN sz sb ON sb.doc_id = i.doc_b
+)
+SELECT CAST(floor(10 * n_common / CAST(na + nb - n_common AS DOUBLE)) AS INTEGER) AS decile,
+       count(*) AS n_pairs,
+       CAST(count(DISTINCT doc_a) AS BIGINT) AS n_left_docs,
+       CAST(min(n_common) AS BIGINT) AS min_common,
+       CAST(max(n_common) AS BIGINT) AS max_common
+FROM j
+WHERE 5 * n_common >= 4 * (na + nb - n_common)
+GROUP BY 1
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -10511,6 +10624,7 @@ QUERIES = {
     "embedding_label_silhouette": embedding_label_silhouette,
     "events_stream_ewma": events_stream_ewma,
     "lang_mixture_weights": lang_mixture_weights,
+    "dedup_prefix_jaccard": dedup_prefix_jaccard,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -10781,6 +10895,7 @@ ORACLES = {
     "embedding_label_silhouette": _silhouette_sql(),
     "events_stream_ewma": _ewma_stream_sql(),
     "lang_mixture_weights": _lang_mixture_sql(),
+    "dedup_prefix_jaccard": _PPJOIN_SQL,
     "sketch_cms_heavy_hitters": _cms_sql(),
     "sketch_bloom_join": _bloom_sql(),
     "dedup_substring_spans": _SUBSTR_SPAN_SQL,

@@ -103,3 +103,14 @@ def test_silhouette_range(spark):
         assert -1.0 <= r["mean_silhouette"] <= 1.0
         assert -1_000_000 <= r["min_s_scaled"] <= r["max_s_scaled"] <= 1_000_000
         assert r["n_members"] > 0
+
+
+def test_prefix_jaccard_decile_bounds(spark):
+    from graphem_rapids_spark.queries import dedup_prefix_jaccard
+
+    out = dedup_prefix_jaccard(spark, SF).collect()
+    assert out
+    for r in out:
+        assert 8 <= r["decile"] <= 10  # threshold 0.8 admits only these
+        assert 0 < r["min_common"] <= r["max_common"]
+        assert 0 < r["n_left_docs"] <= r["n_pairs"]
