@@ -10540,6 +10540,110 @@ GROUP BY 1
 """
 
 
+_RRF_C = 60  # the standard reciprocal-rank-fusion constant
+_RRF_K = 10
+
+
+def retrieval_rrf_fusion(spark, sf_dir):
+    """Hybrid-retrieval fusion via reciprocal rank fusion (Cormack et
+    al. 2009): merge a LEXICAL ranking (BM25 over the fixed query-term
+    bag) with a SEMANTIC ranking (exact-BIGINT int8-lattice cosine
+    against query vec 0, the MMR relevance pass) as score(d) =
+    Σ_lists 1/(60 + rank_d) — the RAG retrieval pattern where neither
+    signal alone suffices. Both input rankings are bounded top-10
+    lists (TakeOrdered each); ranks derive from a join-count against
+    the broadcast 10-row list (no global window), and the fused
+    re-rank sorts ≤ 20 rows. Absent ranks contribute 0 (rank column
+    0, not NULL — nullable ints round-trip as NaN through the
+    driver's pandas fetch). Output: fused top-10 with both ranks."""
+    docs = _t(spark, sf_dir, "documents")
+    bm = T.bm25_topk(docs, _BM25_TERMS, k=_RRF_K)
+
+    def _rank(df, id_col, score_col, asc_id=True):
+        x, y = df.alias("x"), df.alias("y")
+        better = (F.col(f"y.{score_col}") > F.col(f"x.{score_col}")) | (
+            (F.col(f"y.{score_col}") == F.col(f"x.{score_col}"))
+            & (F.col(f"y.{id_col}") < F.col(f"x.{id_col}"))
+        )
+        return (
+            x.join(F.broadcast(y), better, "left")
+            .groupBy(F.col(f"x.{id_col}").alias("id"))
+            .agg((F.count(F.col(f"y.{id_col}")) + 1).cast("long").alias("r"))
+        )
+
+    bmr = _rank(bm, "doc_id", "score")
+    emb = _t(spark, sf_dir, "embeddings")
+    q = S.quantize_int8(emb).select(
+        "vec_id", F.col("q").cast("array<long>").alias("q")
+    )
+    q0 = q.filter(F.col("vec_id") == 0).select(F.col("q").alias("q0"))
+    rel = (
+        q.filter("vec_id <> 0")
+        .crossJoin(F.broadcast(q0))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(q, q0, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+            ).alias("rel"),
+        )
+    )
+    etop = rel.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(_RRF_K)
+    er = _rank(etop, "vec_id", "rel")
+    fused = (
+        bmr.withColumnRenamed("r", "bm_rank")
+        .join(er.withColumnRenamed("r", "emb_rank"), "id", "full_outer")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("bm_rank", F.lit(0)).alias("bm_rank"),
+            F.coalesce("emb_rank", F.lit(0)).alias("emb_rank"),
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("bm_rank")), F.lit(0.0))
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_C) + F.col("emb_rank")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(
+        _RRF_K
+    )
+
+
+def _rrf_sql() -> str:
+    return f"""
+WITH bm AS (SELECT * FROM ({_bm25_sql()})),
+bmr AS (SELECT doc_id AS id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bm_rank
+        FROM bm),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+mm AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS amax FROM v),
+q AS (SELECT vec_id, CASE WHEN amax > 0
+      THEN list_transform(emb, x -> CAST(round(x / (amax / 127.0)) AS BIGINT))
+      ELSE list_transform(emb, x -> CAST(0 AS BIGINT)) END AS q
+      FROM mm),
+q0 AS (SELECT q AS q0 FROM q WHERE vec_id = 0),
+relp AS (SELECT a.vec_id AS id, unnest(a.q) AS x, unnest(b.q0) AS y
+         FROM q a, q0 b WHERE a.vec_id <> 0),
+rel AS (SELECT id, CAST(sum(x * y) AS BIGINT) AS rel FROM relp GROUP BY id),
+etop AS (SELECT id, rel FROM rel ORDER BY rel DESC, id ASC LIMIT {_RRF_K}),
+er AS (SELECT id,
+       CAST(row_number() OVER (ORDER BY rel DESC, id) AS BIGINT) AS emb_rank
+       FROM etop),
+f AS (
+  SELECT coalesce(bmr.id, er.id) AS doc_id,
+         coalesce(bm_rank, 0) AS bm_rank,
+         coalesce(emb_rank, 0) AS emb_rank
+  FROM bmr FULL OUTER JOIN er ON bmr.id = er.id
+)
+SELECT doc_id, bm_rank, emb_rank,
+       round(coalesce(1.0 / (60 + nullif(bm_rank, 0)), 0.0)
+             + coalesce(1.0 / (60 + nullif(emb_rank, 0)), 0.0), 6) AS rrf_score
+FROM f
+ORDER BY rrf_score DESC, doc_id ASC LIMIT {_RRF_K}
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -10625,6 +10729,7 @@ QUERIES = {
     "events_stream_ewma": events_stream_ewma,
     "lang_mixture_weights": lang_mixture_weights,
     "dedup_prefix_jaccard": dedup_prefix_jaccard,
+    "retrieval_rrf_fusion": retrieval_rrf_fusion,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -10896,6 +11001,7 @@ ORACLES = {
     "events_stream_ewma": _ewma_stream_sql(),
     "lang_mixture_weights": _lang_mixture_sql(),
     "dedup_prefix_jaccard": _PPJOIN_SQL,
+    "retrieval_rrf_fusion": _rrf_sql(),
     "sketch_cms_heavy_hitters": _cms_sql(),
     "sketch_bloom_join": _bloom_sql(),
     "dedup_substring_spans": _SUBSTR_SPAN_SQL,

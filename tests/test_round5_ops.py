@@ -114,3 +114,21 @@ def test_prefix_jaccard_decile_bounds(spark):
         assert 8 <= r["decile"] <= 10  # threshold 0.8 admits only these
         assert 0 < r["min_common"] <= r["max_common"]
         assert 0 < r["n_left_docs"] <= r["n_pairs"]
+
+
+def test_rrf_fusion_rank_math(spark):
+    from graphem_rapids_spark.queries import retrieval_rrf_fusion
+
+    out = retrieval_rrf_fusion(spark, SF).collect()
+    assert len(out) == 10
+    for r in out:
+        assert 0 <= r["bm_rank"] <= 10 and 0 <= r["emb_rank"] <= 10
+        assert r["bm_rank"] > 0 or r["emb_rank"] > 0
+        expect = (1.0 / (60 + r["bm_rank"]) if r["bm_rank"] else 0.0) + (
+            1.0 / (60 + r["emb_rank"]) if r["emb_rank"] else 0.0
+        )
+        assert abs(r["rrf_score"] - expect) < 1e-6
+    # docs ranked by BOTH lists must fuse above single-list docs of
+    # equal best rank
+    scores = [r["rrf_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
