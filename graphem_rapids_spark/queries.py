@@ -10644,6 +10644,101 @@ ORDER BY rrf_score DESC, doc_id ASC LIMIT {_RRF_K}
 """
 
 
+_KMV_SET_K = 256
+_KMV_SET_SEED = 2468
+
+
+def sketch_kmv_setops(spark, sf_dir):
+    """Set-operation estimation from mergeable bottom-k (KMV)
+    sketches (Beyer et al. 2007): estimate |A∪B|, |A∩B| and Jaccard
+    between the click-user and purchase-user sets from two 256-hash
+    sketches — the segment-overlap primitive at 100 TB, where the
+    exact intersection join is the thing you're avoiding (sketches
+    are k integers per segment; any pair/group of segments composes
+    without rescanning data). Union sketch = bottom-k of the merged
+    sketches; ρ = fraction of union-sketch hashes present in BOTH
+    input sketches (a union bottom-k member that belongs to A is
+    necessarily in A's bottom-k — rank in A ≤ rank in union);
+    intersection ≈ ρ · (k-1)/h_k. Exact counts computed alongside as
+    the sf-small verifier. All hashes are exact-integer mixer values;
+    the estimates are single IEEE divisions. Output: one row of
+    exact vs estimated union/intersection/Jaccard."""
+    ev = _t(spark, sf_dir, "events")
+
+    def _users(t):
+        return ev.filter(F.col("event_type") == t).select("user_id").distinct()
+
+    def _sk(users):
+        h = users.select(
+            F.floor(
+                _mix_uniform(F.col("user_id"), _KMV_SET_SEED) * F.lit(_LCG_M)
+            ).cast("long").alias("hv")
+        ).distinct()
+        return h.orderBy(F.col("hv").asc()).limit(_KMV_SET_K)
+
+    a, b = _users("click"), _users("purchase")
+    ska, skb = _sk(a), _sk(b)
+    sku = (
+        ska.unionByName(skb)
+        .distinct()
+        .orderBy(F.col("hv").asc())
+        .limit(_KMV_SET_K)
+    )
+    both = sku.join(ska, "hv", "left_semi").join(skb, "hv", "left_semi")
+    stats = (
+        sku.agg(F.count("*").alias("k_n"), F.max("hv").alias("hk"))
+        .crossJoin(both.agg(F.count("*").alias("n_both")))
+        .crossJoin(
+            a.join(b, "user_id", "left_semi")
+            .agg(F.count("*").alias("exact_inter"))
+        )
+        .crossJoin(
+            a.unionByName(b).distinct().agg(F.count("*").alias("exact_union"))
+        )
+    )
+    est_union = F.when(
+        F.col("k_n") < _KMV_SET_K, F.col("k_n").cast("double")
+    ).otherwise((F.col("k_n") - F.lit(1)) * F.lit(_LCG_M) / F.col("hk"))
+    jacc = F.col("n_both") / F.col("k_n")
+    return stats.select(
+        "exact_union",
+        F.round(est_union, 2).alias("est_union"),
+        "exact_inter",
+        F.round(jacc * est_union, 2).alias("est_inter"),
+        F.round(F.col("exact_inter") / F.col("exact_union"), 6).alias("exact_jaccard"),
+        F.round(jacc, 6).alias("est_jaccard"),
+    )
+
+
+def _kmv_setops_sql() -> str:
+    hv = f"CAST(floor({_mix_sql('user_id', _KMV_SET_SEED)} * {_LCG_M}) AS BIGINT)"
+    est_union = (
+        f"CASE WHEN k_n < {_KMV_SET_K} THEN CAST(k_n AS DOUBLE)"
+        f" ELSE (k_n - 1) * {_LCG_M} / CAST(hk AS DOUBLE) END"
+    )
+    return f"""
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+ska AS (SELECT DISTINCT {hv} AS hv FROM a ORDER BY hv ASC LIMIT {_KMV_SET_K}),
+skb AS (SELECT DISTINCT {hv} AS hv FROM b ORDER BY hv ASC LIMIT {_KMV_SET_K}),
+sku AS (SELECT DISTINCT hv FROM (SELECT hv FROM ska UNION ALL SELECT hv FROM skb)
+        ORDER BY hv ASC LIMIT {_KMV_SET_K}),
+st AS (SELECT count(*) AS k_n, max(hv) AS hk FROM sku),
+nb AS (SELECT count(*) AS n_both FROM sku
+       WHERE hv IN (SELECT hv FROM ska) AND hv IN (SELECT hv FROM skb)),
+ei AS (SELECT count(*) AS exact_inter FROM a WHERE user_id IN (SELECT user_id FROM b)),
+eu AS (SELECT count(DISTINCT user_id) AS exact_union
+       FROM (SELECT user_id FROM a UNION ALL SELECT user_id FROM b))
+SELECT exact_union,
+       round({est_union}, 2) AS est_union,
+       exact_inter,
+       round((n_both / CAST(k_n AS DOUBLE)) * ({est_union}), 2) AS est_inter,
+       round(exact_inter / CAST(exact_union AS DOUBLE), 6) AS exact_jaccard,
+       round(n_both / CAST(k_n AS DOUBLE), 6) AS est_jaccard
+FROM st, nb, ei, eu
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -10730,6 +10825,7 @@ QUERIES = {
     "lang_mixture_weights": lang_mixture_weights,
     "dedup_prefix_jaccard": dedup_prefix_jaccard,
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
+    "sketch_kmv_setops": sketch_kmv_setops,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -11002,6 +11098,7 @@ ORACLES = {
     "lang_mixture_weights": _lang_mixture_sql(),
     "dedup_prefix_jaccard": _PPJOIN_SQL,
     "retrieval_rrf_fusion": _rrf_sql(),
+    "sketch_kmv_setops": _kmv_setops_sql(),
     "sketch_cms_heavy_hitters": _cms_sql(),
     "sketch_bloom_join": _bloom_sql(),
     "dedup_substring_spans": _SUBSTR_SPAN_SQL,

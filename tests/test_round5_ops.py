@@ -132,3 +132,15 @@ def test_rrf_fusion_rank_math(spark):
     # equal best rank
     scores = [r["rrf_score"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_kmv_setops_estimates(spark):
+    from graphem_rapids_spark.queries import sketch_kmv_setops
+
+    r = sketch_kmv_setops(spark, SF).first()
+    assert r["exact_inter"] <= r["exact_union"]
+    # k=256 bottom-k over a few hundred users: estimates land well
+    # inside a factor-2 band of truth
+    assert 0.5 * r["exact_union"] < r["est_union"] < 2.0 * r["exact_union"]
+    assert 0.0 <= r["est_jaccard"] <= 1.0
+    assert abs(r["est_jaccard"] - r["exact_jaccard"]) < 0.3
