@@ -10739,6 +10739,75 @@ FROM st, nb, ei, eu
 """
 
 
+def orders_merge_upsert(spark, sf_dir):
+    """CDC merge / MERGE-INTO semantics as a deterministic DataFrame
+    pattern — the ingestion-side upsert every warehouse pipeline
+    needs: a delta batch (updates + inserts) applied to a base
+    snapshot as delta-wins. Base = orderkeys not divisible by 10;
+    delta = orderkeys divisible by 5 (overlap -> updates, %10 == 0 ->
+    inserts). merged = delta ∪ (base ANTI-JOIN delta on the key) —
+    ONE anti-join shuffle on the merge key plus a union, the shape
+    MERGE INTO lowers to without a transactional table format; on a
+    date-partitioned lake the anti-join prunes to the partitions the
+    delta touches. Output: one row of base/delta/insert/update/
+    unchanged/merged counts and the merged-total checksum in exact
+    cents."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("w")
+    )
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", (F.col("w") + F.lit(100)).alias("w")
+    )
+    merged = delta.unionByName(
+        base.join(delta.select("o_orderkey"), "o_orderkey", "left_anti")
+    )
+    upd = delta.join(base.select("o_orderkey"), "o_orderkey", "left_semi")
+    return (
+        base.agg(F.count("*").alias("n_base"))
+        .crossJoin(delta.agg(F.count("*").alias("n_delta")))
+        .crossJoin(upd.agg(F.count("*").alias("n_updated")))
+        .crossJoin(
+            merged.agg(
+                F.count("*").alias("n_merged"),
+                F.sum("w").alias("merged_cents"),
+            )
+        )
+        .select(
+            "n_base",
+            "n_delta",
+            (F.col("n_delta") - F.col("n_updated")).alias("n_inserted"),
+            "n_updated",
+            (F.col("n_base") - F.col("n_updated")).alias("n_unchanged"),
+            "n_merged",
+            "merged_cents",
+        )
+    )
+
+
+_MERGE_SQL = """
+WITH o AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS w FROM orders),
+base AS (SELECT * FROM o WHERE o_orderkey % 10 <> 0),
+delta AS (SELECT o_orderkey, w + 100 AS w FROM o WHERE o_orderkey % 5 = 0),
+merged AS (
+  SELECT * FROM delta
+  UNION ALL
+  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+),
+c AS (
+  SELECT
+    (SELECT count(*) FROM base) AS n_base,
+    (SELECT count(*) FROM delta) AS n_delta,
+    (SELECT count(*) FROM delta WHERE o_orderkey IN (SELECT o_orderkey FROM base)) AS n_updated,
+    (SELECT count(*) FROM merged) AS n_merged,
+    (SELECT CAST(sum(w) AS BIGINT) FROM merged) AS merged_cents
+)
+SELECT n_base, n_delta, n_delta - n_updated AS n_inserted, n_updated,
+       n_base - n_updated AS n_unchanged, n_merged, merged_cents
+FROM c
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -10826,6 +10895,7 @@ QUERIES = {
     "dedup_prefix_jaccard": dedup_prefix_jaccard,
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
     "sketch_kmv_setops": sketch_kmv_setops,
+    "orders_merge_upsert": orders_merge_upsert,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -11099,6 +11169,7 @@ ORACLES = {
     "dedup_prefix_jaccard": _PPJOIN_SQL,
     "retrieval_rrf_fusion": _rrf_sql(),
     "sketch_kmv_setops": _kmv_setops_sql(),
+    "orders_merge_upsert": _MERGE_SQL,
     "sketch_cms_heavy_hitters": _cms_sql(),
     "sketch_bloom_join": _bloom_sql(),
     "dedup_substring_spans": _SUBSTR_SPAN_SQL,

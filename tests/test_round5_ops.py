@@ -144,3 +144,14 @@ def test_kmv_setops_estimates(spark):
     assert 0.5 * r["exact_union"] < r["est_union"] < 2.0 * r["exact_union"]
     assert 0.0 <= r["est_jaccard"] <= 1.0
     assert abs(r["est_jaccard"] - r["exact_jaccard"]) < 0.3
+
+
+def test_merge_upsert_accounting(spark):
+    from graphem_rapids_spark.queries import orders_merge_upsert
+
+    r = orders_merge_upsert(spark, SF).first()
+    # merged = unchanged base rows + the whole delta
+    assert r["n_merged"] == r["n_unchanged"] + r["n_delta"]
+    assert r["n_delta"] == r["n_inserted"] + r["n_updated"]
+    assert r["n_inserted"] > 0 and r["n_updated"] > 0
+    assert r["merged_cents"] > 0
