@@ -155,3 +155,14 @@ def test_merge_upsert_accounting(spark):
     assert r["n_delta"] == r["n_inserted"] + r["n_updated"]
     assert r["n_inserted"] > 0 and r["n_updated"] > 0
     assert r["merged_cents"] > 0
+
+
+def test_stream_value_hist_matches_batch_buckets(spark):
+    from graphem_rapids_spark.queries import events_stream_value_hist
+
+    out = events_stream_value_hist(spark, SF).collect()
+    # 5 event types x 3 quantiles, each estimate inside its bucket
+    assert len(out) == 15
+    for r in out:
+        lo, hi = 2.0 ** r["bucket"], 2.0 ** (r["bucket"] + 1)
+        assert lo <= r["hist_q"] <= hi
