@@ -9668,7 +9668,14 @@ def sample_priority_weighted(spark, sf_dir):
     )
     u = _mix_uniform(F.col("o_orderkey"), _PRIO_SEED) + F.lit(1.0 / _LCG_M)
     pr = o.select("o_orderkey", "w", (F.col("w") / u).alias("q"))
-    top = pr.orderBy(F.col("q").desc(), F.col("o_orderkey").asc()).limit(_PRIO_K + 1)
+    # materialize the (k+1)-row top once — tau, the sample filter and
+    # the estimator all reuse it, so the table is scanned exactly
+    # once (not once per consumer)
+    top = (
+        pr.orderBy(F.col("q").desc(), F.col("o_orderkey").asc())
+        .limit(_PRIO_K + 1)
+        .localCheckpoint(eager=True)
+    )
     tau = top.agg(F.ceil(F.min("q")).cast("long").alias("tau_cents"), F.min("q").alias("tau"))
     tot = o.agg(F.sum("w").alias("true_total_cents"))
     samp = top.crossJoin(F.broadcast(tau)).filter(F.col("q") > F.col("tau"))
