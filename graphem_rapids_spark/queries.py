@@ -10044,6 +10044,11 @@ def join_strategy_advisor(spark, sf_dir):
         cl = left.groupBy("k").agg(F.count("*").alias("nl"))
         cr = right.groupBy("k").agg(F.count("*").alias("nr"))
         j = cl.join(cr, "k")
+        # side totals are separate map-only count scans: the profile
+        # shuffle feeds the join as a BROADCAST exchange, which cannot
+        # be reused by an aggregate consumer, so folding totals out of
+        # the profiles would re-run the groupBy — a plain count is
+        # strictly cheaper for the second pass
         tot = (
             left.agg(F.count("*").alias("n_left"))
             .crossJoin(right.agg(F.count("*").alias("n_right")))
