@@ -10919,6 +10919,99 @@ WHERE below < rp AND rp <= below + cnt
 """
 
 
+_HEAPS_STEPS = 10
+
+
+def doc_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth profile V(n) over the ingestion
+    order (doc_id) — the corpus diagnostic that tells a data pipeline
+    whether new data still adds vocabulary (dedup/variety health) or
+    has saturated. ONE pass computes everything: per-token first-seen
+    doc (min doc_id over the token's postings) and per-doc token
+    counts; the 10 prefix checkpoints then fold via conditional sums
+    against a broadcast 10-row checkpoint table — no re-scan per
+    checkpoint, no window. All counts exact BIGINT; the type-token
+    ratio is one rounded division (Heaps exponent left to the test
+    suite — cross-engine ln on arbitrary doubles is not bit-safe).
+    Output per checkpoint: docs/tokens/vocab cumulative + TTR ppm."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("fs"))
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    cps = (
+        docs.agg(F.max("doc_id").alias("mx"))
+        .select(
+            F.explode(
+                F.expr(
+                    # floor of an exact-product double — CAST of a
+                    # fractional double truncates on Spark but rounds
+                    # on DuckDB, so never CAST the raw quotient
+                    f"transform(sequence(1, {_HEAPS_STEPS}),"
+                    f" i -> CAST(floor(i * mx / {_HEAPS_STEPS}) AS BIGINT))"
+                )
+            ).alias("cp")
+        )
+    )
+    # first_seen is vocabulary-sized — broadcast the 10-row
+    # checkpoint table instead, with the fold as a conditional-sum
+    # groupBy
+    vocab = (
+        first_seen.crossJoin(F.broadcast(cps))
+        .filter(F.col("fs") <= F.col("cp"))
+        .groupBy("cp")
+        .agg(F.count("*").alias("vocab_cum"))
+    )
+    volume = (
+        per_doc.crossJoin(F.broadcast(cps))
+        .filter(F.col("doc_id") <= F.col("cp"))
+        .groupBy("cp")
+        .agg(F.count("*").alias("docs_cum"), F.sum("nt").alias("tokens_cum"))
+    )
+    return (
+        volume.join(vocab, "cp")
+        .select(
+            "cp",
+            "docs_cum",
+            "tokens_cum",
+            "vocab_cum",
+            F.floor(
+                F.lit(1_000_000) * F.col("vocab_cum") / F.col("tokens_cum")
+            ).cast("long").alias("ttr_ppm"),
+        )
+    )
+
+
+_HEAPS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+first_seen AS (SELECT tok, min(doc_id) AS fs FROM toks GROUP BY 1),
+per_doc AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY 1),
+cps AS (
+  SELECT CAST(floor(i * mx / {_HEAPS_STEPS}) AS BIGINT) AS cp
+  FROM (SELECT max(doc_id) AS mx FROM documents),
+       unnest(generate_series(1, {_HEAPS_STEPS})) AS t(i)
+),
+vocab AS (
+  SELECT cp, count(*) AS vocab_cum
+  FROM first_seen, cps WHERE fs <= cp GROUP BY 1
+),
+volume AS (
+  SELECT cp, count(*) AS docs_cum, CAST(sum(nt) AS BIGINT) AS tokens_cum
+  FROM per_doc, cps WHERE doc_id <= cp GROUP BY 1
+)
+SELECT volume.cp, docs_cum, tokens_cum, vocab_cum,
+       CAST(floor(1000000 * vocab_cum / CAST(tokens_cum AS DOUBLE)) AS BIGINT) AS ttr_ppm
+FROM volume JOIN vocab ON volume.cp = vocab.cp
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -11008,6 +11101,7 @@ QUERIES = {
     "sketch_kmv_setops": sketch_kmv_setops,
     "orders_merge_upsert": orders_merge_upsert,
     "events_stream_value_hist": events_stream_value_hist,
+    "doc_heaps_law": doc_heaps_law,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -11283,6 +11377,7 @@ ORACLES = {
     "sketch_kmv_setops": _kmv_setops_sql(),
     "orders_merge_upsert": _MERGE_SQL,
     "events_stream_value_hist": _stream_value_hist_sql(),
+    "doc_heaps_law": _HEAPS_SQL,
     "sketch_cms_heavy_hitters": _cms_sql(),
     "sketch_bloom_join": _bloom_sql(),
     "dedup_substring_spans": _SUBSTR_SPAN_SQL,

@@ -166,3 +166,24 @@ def test_stream_value_hist_matches_batch_buckets(spark):
     for r in out:
         lo, hi = 2.0 ** r["bucket"], 2.0 ** (r["bucket"] + 1)
         assert lo <= r["hist_q"] <= hi
+
+
+def test_heaps_law_monotone_vocab_growth(spark):
+    import math
+
+    from graphem_rapids_spark.queries import doc_heaps_law
+
+    rows = sorted(doc_heaps_law(spark, SF).collect(), key=lambda r: r["cp"])
+    assert len(rows) == 10
+    for a, b in zip(rows, rows[1:]):
+        # cumulative counts never decrease; TTR never increases
+        assert a["docs_cum"] <= b["docs_cum"]
+        assert a["tokens_cum"] <= b["tokens_cum"]
+        assert a["vocab_cum"] <= b["vocab_cum"]
+    # Heaps exponent from the first/last checkpoint: sublinear
+    # (beta < 1); the templated corpus has a fixed 31-token
+    # vocabulary, so it saturates at the first checkpoint (beta = 0)
+    n0, v0 = rows[0]["tokens_cum"], rows[0]["vocab_cum"]
+    n9, v9 = rows[-1]["tokens_cum"], rows[-1]["vocab_cum"]
+    beta = math.log(v9 / v0) / math.log(n9 / n0)
+    assert 0.0 <= beta < 1.0
