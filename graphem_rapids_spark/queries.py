@@ -11012,6 +11012,197 @@ FROM volume JOIN vocab ON volume.cp = vocab.cp
 """
 
 
+def tokenizer_bpe_merge_topk(spark, sf_dir):
+    """One BPE-training merge round: the top-20 most frequent adjacent
+    character pairs across the corpus, weighted by word frequency —
+    the pair-selection step Sennrich et al.'s byte-pair encoding
+    repeats to grow a tokenizer vocabulary (reference tokenizes with a
+    fixed vocab; this is the operator that BUILDS one at corpus
+    scale). Two-level aggregation keeps the explode off the corpus:
+    the raw token stream collapses to the (vocab-sized) word-frequency
+    table first (map-side combine on the corpus scan), and only
+    DISTINCT words explode into their length-1 adjacent pairs — at
+    100 TB the pair stage touches the vocabulary, not the tokens.
+    Exact integer counts; top-k cut ordered by (count desc, pair) so
+    the cut is deterministic in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = wc.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(20)
+    )
+
+
+_BPE_MERGE_SQL = """
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents
+),
+wc AS (SELECT w, count(*) AS c FROM words WHERE w <> '' GROUP BY 1),
+pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, c
+  FROM wc, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+)
+SELECT pair, CAST(sum(c) AS BIGINT) AS pair_count
+FROM pairs GROUP BY 1
+ORDER BY pair_count DESC, pair LIMIT 20
+"""
+
+
+_DSIR_BUCKETS = 4096
+
+
+def doc_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, data selection via
+    importance resampling): score every document by how much more
+    likely its hashed-bigram features are under a TARGET distribution
+    (here the lang='en' slice — the 'looks like my target corpus'
+    proxy) than under the raw-corpus distribution:
+    ``log w(d) = Σ_b n_d(b)·[ln(c_t(b)+1) − ln(c_r(b)+1)]
+    + N_d·[ln(T_r+B) − ln(T_t+B)]`` with add-one smoothing over
+    B=4096 md5 buckets. Shapes for 100 TB: the classic two-pass
+    estimate-then-score algorithm. Pass 1 folds the corpus into the
+    raw+target bucket-count table in ONE conditional-sum aggregate
+    (c_r and c_t from the same shuffle — no filtered twin branch that
+    would re-scan), ≤B=4096 exact-integer rows, collected under the
+    repo's bounded-collect discipline. Totals are exact Python-int
+    sums of those rows; the collected table is re-created as a
+    broadcast side for pass 2 (score join), so the corpus is scanned
+    exactly twice — the same shape as TF-IDF, and the minimum for any
+    global-statistics reweighting. Bigrams are built map-side from
+    each doc's token array (no positional self-join). Parity: the
+    md5-prefix bucket hash and ln-of-integer 1e9 fixed-point
+    quantization follow :func:`doc_unigram_logprob`; every ``ln``
+    stays JVM-side (Spark ``F.log`` on the re-created exact counts)
+    so the fixed-point values match DuckDB bit-for-bit; exact-integer
+    accumulation, one final rounded division."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.split(F.lower(F.col("text")), "\\s+").alias("t")
+    )
+    feats = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("long")
+         % _DSIR_BUCKETS).alias("b"),
+    )
+    per_doc = feats.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("nd"))
+    # pass 1: raw and target bucket counts in ONE conditional-sum
+    # aggregate (c_r and c_t off the same shuffle); <= B = 4096
+    # exact-integer rows -> bounded collect. Column pruning would
+    # otherwise specialize this subtree per consumer and re-scan the
+    # corpus once per branch (measured: 3 scans; ReuseExchange never
+    # fires because the pruned aggregates canonicalize differently).
+    brows = (
+        per_doc.groupBy("b")
+        .agg(
+            F.sum("nd").alias("cr"),
+            F.sum(
+                F.when(F.col("lang") == "en", F.col("nd")).otherwise(0)
+            ).alias("ct"),
+        )
+        .collect()
+    )
+    tr = sum(r["cr"] for r in brows)  # exact Python-int totals
+    tt = sum(r["ct"] for r in brows)
+    bstats = spark.createDataFrame(
+        [(r["b"], r["cr"], r["ct"]) for r in brows], "b long, cr long, ct long"
+    )
+    stats = bstats.select(
+        "b",
+        F.round(F.log(F.col("ct") + 1) * 1e9).cast("long").alias("lnt"),
+        F.round(F.log(F.col("cr") + 1) * 1e9).cast("long").alias("lnr"),
+    )
+    lntr = F.round(F.log(F.lit(tr + _DSIR_BUCKETS).cast("double")) * 1e9).cast(
+        "long"
+    )
+    lntt = F.round(F.log(F.lit(tt + _DSIR_BUCKETS).cast("double")) * 1e9).cast(
+        "long"
+    )
+    # pass 2: the only other corpus scan — score each doc against the
+    # broadcast bucket table
+    scored = (
+        per_doc.join(F.broadcast(stats), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("nd").alias("n_feats"),
+            F.sum(F.col("nd") * (F.col("lnt") - F.col("lnr"))).alias("_s"),
+        )
+    )
+    return scored.withColumn("lntr", lntr).withColumn("lntt", lntt).select(
+        "doc_id",
+        "n_feats",
+        F.round(
+            (F.col("_s") + F.col("n_feats") * (F.col("lntr") - F.col("lntt")))
+            .cast("double")
+            / F.lit(1e9),
+            6,
+        ).alias("dsir_logw"),
+    )
+
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS t FROM documents
+),
+feats AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(t[CAST(i AS INTEGER)] || ' ' ||
+                             t[CAST(i AS INTEGER) + 1]), 1, 8))::BIGINT
+           % {_DSIR_BUCKETS} AS b
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+per_doc AS (SELECT doc_id, lang, b, count(*) AS nd FROM feats GROUP BY 1, 2, 3),
+bstats AS (
+  SELECT b, sum(nd) AS cr,
+         sum(CASE WHEN lang = 'en' THEN nd ELSE 0 END) AS ct
+  FROM per_doc GROUP BY 1
+),
+stats AS (
+  SELECT b,
+         CAST(round(ln(ct + 1) * 1e9) AS BIGINT) AS lnt,
+         CAST(round(ln(cr + 1) * 1e9) AS BIGINT) AS lnr
+  FROM bstats
+),
+tot AS (
+  SELECT CAST(round(ln(sum(cr) + {_DSIR_BUCKETS}) * 1e9) AS BIGINT) AS lntr,
+         CAST(round(ln(sum(ct) + {_DSIR_BUCKETS}) * 1e9) AS BIGINT) AS lntt
+  FROM bstats
+),
+scored AS (
+  SELECT doc_id,
+         CAST(sum(nd) AS BIGINT) AS n_feats,
+         CAST(sum(nd * (lnt - lnr)) AS BIGINT) AS s
+  FROM per_doc JOIN stats USING (b) GROUP BY 1
+)
+SELECT doc_id, n_feats,
+       round(CAST(s + n_feats * (lntr - lntt) AS DOUBLE) / 1e9, 6) AS dsir_logw
+FROM scored CROSS JOIN tot
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -11102,6 +11293,8 @@ QUERIES = {
     "orders_merge_upsert": orders_merge_upsert,
     "events_stream_value_hist": events_stream_value_hist,
     "doc_heaps_law": doc_heaps_law,
+    "tokenizer_bpe_merge_topk": tokenizer_bpe_merge_topk,
+    "doc_dsir_weights": doc_dsir_weights,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -11445,6 +11638,8 @@ ORACLES = {
     "events_user_entropy_topk": _USER_ENTROPY_SQL,
     "region_revenue_share": _REGION_SHARE_SQL,
     "influence_greedy": _greedy_sql(),
+    "tokenizer_bpe_merge_topk": _BPE_MERGE_SQL,
+    "doc_dsir_weights": _DSIR_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md
