@@ -11203,6 +11203,252 @@ FROM scored CROSS JOIN tot
 """
 
 
+_WILSON_Z = 1.96          # 95% two-sided
+_WILSON_THRESHOLD = 0.5   # doc-level quality pass bar
+_WILSON_GATE = 0.35       # source admitted if the LOWER bound clears
+
+
+def source_wilson_gate(spark, sf_dir):
+    """Per-source quality gating on the Wilson score LOWER bound —
+    the statistically honest way to admit/block a crawl source: a
+    source with 3/3 passing docs has pass-rate 1.0 but a 95% lower
+    bound of only 0.44, while 240/300 has rate 0.8 and lower bound
+    0.75. Gating on the lower bound (not the point rate) stops
+    small-sample sources from sneaking in — the per-source analog of
+    the per-doc Gopher rules. Inputs are exact integers (n docs,
+    x passing docs at quality >= 0.5 from the oracle-proven
+    :func:`doc_quality` score); the bound
+    ``(p + z²/2n − z·sqrt((p(1−p) + z²/4n)/n)) / (1 + z²/n)``
+    is written with identical association on both engines, and every
+    step is an exact-rounded IEEE op (+,*,/,sqrt — no libm), so the
+    doubles match bit-for-bit. One aggregate over per-doc flags —
+    at 100 TB this is a scan plus a #sources-row reduce."""
+    q = doc_quality(spark, sf_dir).select(
+        "doc_id", (F.col("quality") >= F.lit(_WILSON_THRESHOLD)).alias("ok")
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    agg = (
+        d.join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("ok").cast("long")).alias("n_pass"),
+        )
+    )
+    z = F.lit(_WILSON_Z)
+    n = F.col("n_docs").cast("double")
+    p = F.col("n_pass").cast("double") / n
+    lb = (
+        (p + (z * z) / (F.lit(2.0) * n))
+        - z * F.sqrt((p * (F.lit(1.0) - p) + (z * z) / (F.lit(4.0) * n)) / n)
+    ) / (F.lit(1.0) + (z * z) / n)
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        F.round(p, 6).alias("pass_rate"),
+        F.round(lb, 6).alias("wilson_lb"),
+        (lb >= F.lit(_WILSON_GATE)).alias("admitted"),
+    ).orderBy("source")
+
+
+_WILSON_SQL = f"""
+WITH q AS (
+  SELECT doc_id, quality >= {_WILSON_THRESHOLD} AS ok
+  FROM ({_QUALITY_SQL})
+),
+agg AS (
+  SELECT d.source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN q.ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+  FROM documents d JOIN q USING (doc_id)
+  GROUP BY 1
+),
+w AS (
+  SELECT source, n_docs, n_pass,
+         CAST(n_docs AS DOUBLE) AS n,
+         CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p
+  FROM agg
+)
+SELECT source, n_docs, n_pass,
+       round(p, 6) AS pass_rate,
+       round(((p + ({_WILSON_Z} * {_WILSON_Z}) / (2.0 * n))
+              - {_WILSON_Z} * sqrt((p * (1.0 - p)
+                  + ({_WILSON_Z} * {_WILSON_Z}) / (4.0 * n)) / n))
+             / (1.0 + ({_WILSON_Z} * {_WILSON_Z}) / n), 6) AS wilson_lb,
+       (((p + ({_WILSON_Z} * {_WILSON_Z}) / (2.0 * n))
+              - {_WILSON_Z} * sqrt((p * (1.0 - p)
+                  + ({_WILSON_Z} * {_WILSON_Z}) / (4.0 * n)) / n))
+             / (1.0 + ({_WILSON_Z} * {_WILSON_Z}) / n)) >= {_WILSON_GATE}
+         AS admitted
+FROM w ORDER BY source
+"""
+
+
+_HB_P = 6                      # 2^6 = 64 registers per vertex
+_HB_M = 1 << _HB_P
+_HB_WBITS = 31 - _HB_P
+_HB_SEED = 4099
+_HB_ROUNDS = 2
+_HB_ALPHA = 0.7213 / (1.0 + 1.079 / _HB_M)
+_HB_TOPK = 20
+
+
+def _hb_rho_case(col: str) -> str:
+    """rho ladder for the HyperBall register width (same exact-integer
+    CASE construction as :func:`_hll_rho_case`, narrower field)."""
+    whens = " ".join(
+        f"WHEN {col} >= {1 << (_HB_WBITS - 1 - i)} THEN {i + 1}"
+        for i in range(_HB_WBITS)
+    )
+    return f"(CASE {whens} ELSE {_HB_WBITS + 1} END)"
+
+
+def graph_hyperball(spark, sf_dir):
+    """HyperBall (Boldi & Vigna 2013) — the neighborhood function /
+    ball-cardinality estimator that made billion-edge effective-
+    diameter computation feasible: every vertex carries a HyperLogLog
+    counter of its ball, and one round of register max-merge along
+    edges grows the radius by 1. This IS the 100 TB shape — per round
+    exactly one (edge ⋈ register) shuffle + groupBy-max, state is
+    O(V·m) mergeable integer registers, versus the exact 2-hop
+    distinct whose intermediate explodes quadratically in dense
+    graphs (computed here alongside only to EXHIBIT the sketch
+    error). Registers stay SPARSE — (v, bucket, max-rho) rows, absent
+    bucket ≡ 0 — so round-t state is min(ball, m) rows per vertex.
+    Exact-integer register math (31-bit mixer, CASE rho ladder shared
+    verbatim with the oracle); the harmonic sum adds ≤6+25-bit
+    exponent-spread powers of two → bit-identical across engines.
+    Output: top-20 vertices by radius-2 ball estimate with exact ball
+    sizes at r=1,2 for comparison."""
+    e = copurchase_edges(spark, sf_dir)
+    from graphem_rapids_spark.graph.canon import symmetrize_edges
+
+    sym = symmetrize_edges(e)
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    hv = F.floor(_mix_uniform(F.col("id"), _HB_SEED) * F.lit(float(_LCG_M))).cast(
+        "long"
+    )
+    regs = verts.select(
+        "id",
+        F.shiftright(hv, _HB_WBITS).alias("bucket"),
+        (hv % F.lit(1 << _HB_WBITS)).alias("w"),
+    ).select("id", "bucket", F.expr(_hb_rho_case("w")).alias("m"))
+
+    def _estimate(r, alias):
+        # sparse harmonic sum: absent buckets contribute 2^0 = 1 each
+        per_v = r.groupBy("id").agg(
+            F.count("*").alias("present"),
+            F.sum(
+                F.expr("1.0 / CAST(shiftleft(1L, CAST(m AS INT)) AS DOUBLE)")
+            ).alias("sp"),
+        )
+        s = (F.lit(_HB_M) - F.col("present")).cast("double") + F.col("sp")
+        zeros = (F.lit(_HB_M) - F.col("present")).cast("long")
+        raw = F.lit(_HB_ALPHA * _HB_M * _HB_M) / s
+        est = F.when(
+            (raw <= F.lit(2.5 * _HB_M)) & (zeros > 0),
+            F.lit(float(_HB_M)) * F.log(F.lit(float(_HB_M)) / zeros.cast("double")),
+        ).otherwise(raw)
+        return per_v.select("id", F.round(est, 4).alias(alias))
+
+    ests = []
+    for t in range(1, _HB_ROUNDS + 1):
+        nbr = (
+            sym.join(regs.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), "bucket", "m")
+        )
+        regs = (
+            regs.unionByName(nbr)
+            .groupBy("id", "bucket")
+            .agg(F.max("m").alias("m"))
+        )
+        ests.append(_estimate(regs, f"est_r{t}"))
+
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        (F.count("*") + 1).alias("exact_r1")
+    )
+    two_hop = (
+        sym.select("src", "dst")
+        .unionByName(
+            sym.withColumnRenamed("dst", "mid")
+            .join(sym.withColumnRenamed("src", "mid"), "mid")
+            .select("src", "dst")
+        )
+        .unionByName(verts.select(F.col("id").alias("src"), F.col("id").alias("dst")))
+        .distinct()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("exact_r2"))
+    )
+    out = (
+        deg.join(two_hop, "id")
+        .join(ests[0], "id")
+        .join(ests[1], "id")
+        .select("id", "exact_r1", "est_r1", "exact_r2", "est_r2")
+    )
+    return out.orderBy(F.desc("est_r2"), "id").limit(_HB_TOPK)
+
+
+def _hyperball_sql() -> str:
+    hv = f"CAST(floor({_mix_sql('id', _HB_SEED)} * {_LCG_M}) AS BIGINT)"
+    rho = _hb_rho_case("w")
+    raw = f"({_HB_ALPHA * _HB_M * _HB_M!r} / s)"
+
+    def est(alias):
+        e = (
+            f"CASE WHEN {raw} <= {2.5 * _HB_M!r} AND zeros > 0 "
+            f"THEN {float(_HB_M)!r} * ln({float(_HB_M)!r} / zeros) ELSE {raw} END"
+        )
+        return f"round({e}, 4) AS {alias}"
+
+    est_cte = (
+        "SELECT id, {alias_expr} FROM (\n"
+        "  SELECT id,\n"
+        f"         ({_HB_M} - count(*)) + sum(1.0 / CAST(1 << m AS DOUBLE)) AS s,\n"
+        f"         CAST({_HB_M} - count(*) AS BIGINT) AS zeros\n"
+        "  FROM {src} GROUP BY id)"
+    )
+    return f"""{_COPURCHASE_SQL_CTE},
+sym AS MATERIALIZED (
+  SELECT src, dst FROM ge UNION ALL SELECT dst AS src, src AS dst FROM ge
+),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+h AS (SELECT id, {hv} AS hv FROM verts),
+regs0 AS MATERIALIZED (
+  SELECT id, bucket, {rho} AS m FROM (
+    SELECT id, hv >> {_HB_WBITS} AS bucket, hv % {1 << _HB_WBITS} AS w FROM h)
+),
+regs1 AS MATERIALIZED (
+  SELECT id, bucket, max(m) AS m FROM (
+    SELECT id, bucket, m FROM regs0
+    UNION ALL
+    SELECT s.dst AS id, r.bucket, r.m FROM sym s JOIN regs0 r ON s.src = r.id
+  ) GROUP BY id, bucket
+),
+regs2 AS MATERIALIZED (
+  SELECT id, bucket, max(m) AS m FROM (
+    SELECT id, bucket, m FROM regs1
+    UNION ALL
+    SELECT s.dst AS id, r.bucket, r.m FROM sym s JOIN regs1 r ON s.src = r.id
+  ) GROUP BY id, bucket
+),
+e1 AS ({est_cte.format(alias_expr=est("est_r1"), src="regs1")}),
+e2 AS ({est_cte.format(alias_expr=est("est_r2"), src="regs2")}),
+deg AS (SELECT src AS id, count(*) + 1 AS exact_r1 FROM sym GROUP BY 1),
+ball2 AS (
+  SELECT src AS id, count(*) AS exact_r2 FROM (
+    SELECT src, dst FROM sym
+    UNION
+    SELECT a.src, b.dst FROM sym a JOIN sym b ON a.dst = b.src
+    UNION
+    SELECT id AS src, id AS dst FROM verts
+  ) GROUP BY src
+)
+SELECT id, exact_r1, est_r1, exact_r2, est_r2
+FROM deg JOIN ball2 USING (id) JOIN e1 USING (id) JOIN e2 USING (id)
+ORDER BY est_r2 DESC, id LIMIT {_HB_TOPK}
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -11295,6 +11541,8 @@ QUERIES = {
     "doc_heaps_law": doc_heaps_law,
     "tokenizer_bpe_merge_topk": tokenizer_bpe_merge_topk,
     "doc_dsir_weights": doc_dsir_weights,
+    "source_wilson_gate": source_wilson_gate,
+    "graph_hyperball": graph_hyperball,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -11640,6 +11888,8 @@ ORACLES = {
     "influence_greedy": _greedy_sql(),
     "tokenizer_bpe_merge_topk": _BPE_MERGE_SQL,
     "doc_dsir_weights": _DSIR_SQL,
+    "source_wilson_gate": _WILSON_SQL,
+    "graph_hyperball": _hyperball_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md
