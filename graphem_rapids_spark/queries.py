@@ -11449,6 +11449,248 @@ ORDER BY est_r2 DESC, id LIMIT {_HB_TOPK}
 """
 
 
+_PJ_TAU = 2
+_PJ_SEED_POS1 = 7177
+_PJ_SEED_POS2 = 7181
+_PJ_SEED_CHR1 = 7187
+_PJ_SEED_CHR2 = 7193
+
+
+def _pj_seg(lencol: str, i: str) -> tuple[str, str]:
+    """(start, length) SQL expressions for PassJoin's even partition
+    of a ``lencol``-char string into tau+1 = 3 segments: the last
+    ``len % 3`` segments absorb the remainder. Shared verbatim by the
+    Spark F.expr side and the DuckDB oracle."""
+    # floor(x/3): both engines lack a SHARED integer-division
+    # operator; the division is exact in doubles at string lengths
+    k = f"CAST(floor({lencol} / 3) AS BIGINT)"
+    rem = f"({lencol} % 3)"
+    seg_len = f"({k} + (CASE WHEN {i} >= 3 - {rem} THEN 1 ELSE 0 END))"
+    start = f"(1 + {i} * {k} + greatest(0, {i} - (3 - {rem})))"
+    return start, seg_len
+
+
+def dedup_passjoin(spark, sf_dir):
+    """Exact edit-distance<=2 similarity join via PassJoin segment
+    partitioning (Li, Deng, Wang & Feng 2011) — the tau=2 step up
+    from :func:`dedup_typo_fastss`'s deletion neighborhoods (whose
+    key fanout is length^tau, untenable past tau=1). Each catalog
+    string is split into tau+1=3 even segments; by pigeonhole, any
+    string within 2 edits contains at least one segment VERBATIM,
+    its start shifted by at most 2 — so the probe side emits, for
+    every partner length within ±2 and every segment slot, the <=5
+    aligned substrings, and an equality join on (partner_len, slot,
+    md5(segment)) finds every true pair. Per-probe fanout <= 5·3·5 =
+    75 fixed-width keys — candidates scale linearly in the corpus,
+    never with block sizes, and verification cost is bounded by
+    candidates × levenshtein on short strings. A third of the part
+    catalog is corrupted with TWO mixer-chosen substitutions at
+    distinct positions and joined back; output per verified distance
+    d in {0,1,2}: pairs, distinct dirty rows matched, origin
+    recoveries (recall 1 by the pigeonhole argument — every dirty
+    row must recover its origin)."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pos1 = (
+        F.floor(_mix_uniform(F.col("p_partkey"), _PJ_SEED_POS1) * F.lit(_LCG_M))
+        % F.length("p_name")
+        + 1
+    ).cast("int")
+    pos2r = (
+        F.floor(_mix_uniform(F.col("p_partkey"), _PJ_SEED_POS2) * F.lit(_LCG_M))
+        % (F.length("p_name") - 1)
+        + 1
+    ).cast("int")
+    chr1 = (
+        F.floor(_mix_uniform(F.col("p_partkey"), _PJ_SEED_CHR1) * F.lit(_LCG_M)) % 26
+    ).cast("int")
+    chr2 = (
+        F.floor(_mix_uniform(F.col("p_partkey"), _PJ_SEED_CHR2) * F.lit(_LCG_M)) % 26
+    ).cast("int")
+    dirty = (
+        p.filter(F.col("p_partkey") % 3 == 0)
+        .select(
+            "p_partkey",
+            "p_name",
+            pos1.alias("q1"),
+            pos2r.alias("q2r"),
+            chr1.alias("c1"),
+            chr2.alias("c2"),
+        )
+        # distinct second position: draw from len-1 slots, skip past q1
+        .select(
+            "p_partkey",
+            "p_name",
+            "q1",
+            "c1",
+            "c2",
+            F.when(F.col("q2r") >= F.col("q1"), F.col("q2r") + 1)
+            .otherwise(F.col("q2r"))
+            .alias("q2"),
+        )
+        .select(
+            "p_partkey",
+            F.expr(
+                "concat(substring(p_name, 1, least(q1, q2) - 1),"
+                " char(97 + (CASE WHEN q1 < q2 THEN c1 ELSE c2 END)),"
+                " substring(p_name, least(q1, q2) + 1,"
+                "           greatest(q1, q2) - least(q1, q2) - 1),"
+                " char(97 + (CASE WHEN q1 < q2 THEN c2 ELSE c1 END)),"
+                " substring(p_name, greatest(q1, q2) + 1, length(p_name)))"
+            ).alias("dirty_name"),
+        )
+    )
+    st, sl = _pj_seg("length(clean_name)", "i")
+    ck = p.select(
+        F.length("p_name").alias("plen"),
+        F.explode(F.sequence(F.lit(0), F.lit(_PJ_TAU))).alias("i"),
+        F.col("p_partkey").alias("clean_key"),
+        F.col("p_name").alias("clean_name"),
+    ).select(
+        "plen",
+        "i",
+        F.md5(F.expr(f"substring(clean_name, {st}, {sl})")).alias("sh"),
+        "clean_key",
+        "clean_name",
+    )
+    stp, slp = _pj_seg("plen", "i")
+    dk = (
+        dirty.select(
+            F.col("p_partkey").alias("dirty_key"),
+            "dirty_name",
+            F.explode(
+                F.sequence(
+                    F.length("dirty_name") - _PJ_TAU,
+                    F.length("dirty_name") + _PJ_TAU,
+                )
+            ).alias("plen"),
+        )
+        .filter(F.col("plen") >= 3)
+        .select(
+            "dirty_key",
+            "dirty_name",
+            "plen",
+            F.explode(F.sequence(F.lit(0), F.lit(_PJ_TAU))).alias("i"),
+        )
+        .select(
+            "dirty_key",
+            "dirty_name",
+            "plen",
+            "i",
+            F.expr(stp).alias("s0"),
+            F.expr(slp).alias("slen"),
+        )
+        .select(
+            "dirty_key",
+            "dirty_name",
+            "plen",
+            "i",
+            "slen",
+            F.explode(
+                F.sequence(F.col("s0") - _PJ_TAU, F.col("s0") + _PJ_TAU)
+            ).alias("pp"),
+        )
+        .filter(
+            (F.col("pp") >= 1)
+            & (F.col("pp") + F.col("slen") - 1 <= F.length("dirty_name"))
+            & (F.col("slen") >= 1)
+        )
+        .select(
+            "plen",
+            "i",
+            F.md5(F.expr("substring(dirty_name, pp, slen)")).alias("sh"),
+            "dirty_key",
+            "dirty_name",
+        )
+        .distinct()
+    )
+    cand = (
+        ck.join(dk, ["plen", "i", "sh"])
+        .select("clean_key", "clean_name", "dirty_key", "dirty_name")
+        .distinct()
+    )
+    verified = cand.select(
+        "clean_key",
+        "dirty_key",
+        F.levenshtein("clean_name", "dirty_name").alias("d"),
+    ).filter(F.col("d") <= _PJ_TAU)
+    return (
+        verified.groupBy("d")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("dirty_key").alias("n_dirty"),
+            F.sum(
+                F.when(F.col("clean_key") == F.col("dirty_key"), 1).otherwise(0)
+            ).cast("long").alias("n_self"),
+        )
+        .select(F.col("d").cast("integer").alias("d"), "n_pairs", "n_dirty", "n_self")
+        .orderBy("d")
+    )
+
+
+def _passjoin_sql() -> str:
+    mpos1 = f"(CAST(floor({_mix_sql('p_partkey', _PJ_SEED_POS1)} * {_LCG_M}) AS BIGINT) % length(p_name) + 1)"
+    mpos2r = f"(CAST(floor({_mix_sql('p_partkey', _PJ_SEED_POS2)} * {_LCG_M}) AS BIGINT) % (length(p_name) - 1) + 1)"
+    mchr1 = f"(CAST(floor({_mix_sql('p_partkey', _PJ_SEED_CHR1)} * {_LCG_M}) AS BIGINT) % 26)"
+    mchr2 = f"(CAST(floor({_mix_sql('p_partkey', _PJ_SEED_CHR2)} * {_LCG_M}) AS BIGINT) % 26)"
+    cst, csl = _pj_seg("length(clean_name)", "i")
+    dst, dsl = _pj_seg("plen", "i")
+    return f"""
+WITH p AS (SELECT p_partkey, p_name FROM part),
+d0 AS (
+  SELECT p_partkey, p_name, {mpos1} AS q1, {mpos2r} AS q2r,
+         {mchr1} AS c1, {mchr2} AS c2
+  FROM p WHERE p_partkey % 3 = 0
+),
+d1 AS (
+  SELECT p_partkey, p_name, q1, c1, c2,
+         CASE WHEN q2r >= q1 THEN q2r + 1 ELSE q2r END AS q2
+  FROM d0
+),
+dirty AS (
+  SELECT p_partkey,
+         concat(substr(p_name, 1, CAST(least(q1, q2) - 1 AS BIGINT)),
+                chr(CAST(97 + (CASE WHEN q1 < q2 THEN c1 ELSE c2 END) AS INTEGER)),
+                substr(p_name, CAST(least(q1, q2) + 1 AS BIGINT),
+                       CAST(greatest(q1, q2) - least(q1, q2) - 1 AS BIGINT)),
+                chr(CAST(97 + (CASE WHEN q1 < q2 THEN c2 ELSE c1 END) AS INTEGER)),
+                substr(p_name, CAST(greatest(q1, q2) + 1 AS BIGINT), length(p_name)))
+           AS dirty_name
+  FROM d1
+),
+ck AS (
+  SELECT length(clean_name) AS plen, i,
+         md5(substr(clean_name, CAST({cst} AS BIGINT), CAST({csl} AS BIGINT))) AS sh,
+         clean_key, clean_name
+  FROM (SELECT p_partkey AS clean_key, p_name AS clean_name FROM p),
+       unnest(range(0, {_PJ_TAU} + 1)) AS t(i)
+),
+dk AS (
+  SELECT DISTINCT plen, i,
+         md5(substr(dirty_name, CAST(pp AS BIGINT), CAST(slen AS BIGINT))) AS sh,
+         dirty_key, dirty_name
+  FROM (
+    SELECT dirty_key, dirty_name, plen, i,
+           {dst} AS s0, {dsl} AS slen
+    FROM (SELECT p_partkey AS dirty_key, dirty_name FROM dirty),
+         unnest(range(length(dirty_name) - {_PJ_TAU},
+                      length(dirty_name) + {_PJ_TAU} + 1)) AS tl(plen),
+         unnest(range(0, {_PJ_TAU} + 1)) AS ti(i)
+    WHERE plen >= 3
+  ), unnest(range(s0 - {_PJ_TAU}, s0 + {_PJ_TAU} + 1)) AS tp(pp)
+  WHERE pp >= 1 AND pp + slen - 1 <= length(dirty_name) AND slen >= 1
+),
+cand AS (
+  SELECT DISTINCT clean_key, clean_name, dirty_key, dirty_name
+  FROM ck JOIN dk USING (plen, i, sh)
+),
+v AS (SELECT clean_key, dirty_key, levenshtein(clean_name, dirty_name) AS d FROM cand)
+SELECT CAST(d AS INTEGER) AS d, count(*) AS n_pairs,
+       CAST(count(DISTINCT dirty_key) AS BIGINT) AS n_dirty,
+       CAST(sum(CASE WHEN clean_key = dirty_key THEN 1 ELSE 0 END) AS BIGINT) AS n_self
+FROM v WHERE d <= {_PJ_TAU} GROUP BY d ORDER BY d
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -11543,6 +11785,7 @@ QUERIES = {
     "doc_dsir_weights": doc_dsir_weights,
     "source_wilson_gate": source_wilson_gate,
     "graph_hyperball": graph_hyperball,
+    "dedup_passjoin": dedup_passjoin,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -11890,6 +12133,7 @@ ORACLES = {
     "doc_dsir_weights": _DSIR_SQL,
     "source_wilson_gate": _WILSON_SQL,
     "graph_hyperball": _hyperball_sql(),
+    "dedup_passjoin": _passjoin_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md
