@@ -11691,6 +11691,152 @@ FROM v WHERE d <= {_PJ_TAU} GROUP BY d ORDER BY d
 """
 
 
+_WF_EPOCH_NUM = 6   # epoch cap = 6/5 = 1.2 epochs per language
+_WF_EPOCH_DEN = 5
+
+
+def lang_budget_waterfill(spark, sf_dir):
+    """Token-budget allocation across languages under epoch caps —
+    the mixture-planning step after :func:`lang_mixture_weights`
+    decides proportions: re-spend the corpus's total token budget as
+    evenly as possible per language, but never above 1.2 epochs of
+    any language's own data (the repetition ceiling from data-
+    constrained-scaling studies, Muennighoff et al. 2023). Classic
+    waterfilling with the closed-form prefix rule: sort languages by
+    cap ascending; language at rank r is capped iff
+    ``cap_r·(n−r+1) <= B − prefix_cap_{r−1}`` (exact INTEGER
+    cross-multiplication — no float water level enters the
+    decision); the survivors share the residual evenly. The heavy
+    work is one corpus scan to per-language token counts, which are
+    COLLECTED (#langs exact-integer rows — bounded-collect
+    discipline; leaving the aggregate declarative re-scanned the
+    corpus once per consuming branch, measured 4 scans); the
+    waterfill runs on the re-created tiny table — its prefix-sum
+    window is over #langs rows (allowlisted) and every float op is a
+    Spark expression so rounding matches the oracle. Output per
+    language: tokens, cap, capped flag, allocated tokens, epochs."""
+    d = _t(spark, sf_dir, "documents")
+    trows = (
+        d.select(
+            "lang",
+            F.size(F.split(F.lower(F.col("text")), "\\s+")).alias("nt"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("tokens"))
+        .collect()
+    )
+    toks = spark.createDataFrame(
+        [(r["lang"], r["tokens"]) for r in trows], "lang string, tokens long"
+    ).select(
+        "lang",
+        "tokens",
+        F.floor(F.col("tokens") * _WF_EPOCH_NUM / _WF_EPOCH_DEN)
+        .cast("long")
+        .alias("cap"),
+    )
+    w = Window.orderBy("cap", "lang")
+    stats = toks.crossJoin(
+        F.broadcast(
+            toks.agg(
+                F.sum("tokens").alias("budget"), F.count("*").alias("n")
+            )
+        )
+    ).select(
+        "lang",
+        "tokens",
+        "cap",
+        "budget",
+        "n",
+        F.row_number().over(w).alias("r"),
+        F.coalesce(
+            F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("pfx"),
+    )
+    capped = F.col("cap") * (F.col("n") - F.col("r") + 1) <= (
+        F.col("budget") - F.col("pfx")
+    )
+    flagged = stats.select(
+        "lang", "tokens", "cap", "budget", "n", capped.alias("capped")
+    )
+    resid = flagged.groupBy().agg(
+        F.sum(F.when(F.col("capped"), F.col("cap")).otherwise(0)).alias("pk"),
+        F.sum(F.col("capped").cast("long")).alias("k"),
+        F.first("budget").alias("budget"),
+        F.first("n").alias("n"),
+    )
+    level = (F.col("budget") - F.col("pk")).cast("double") / (
+        F.col("n") - F.col("k")
+    ).cast("double")
+    alloc = F.when(F.col("capped"), F.col("cap").cast("double")).otherwise(
+        F.round(level, 4)
+    )
+    return (
+        flagged.drop("budget", "n")
+        .crossJoin(F.broadcast(resid.select(level.alias("lvl"))))
+        .select(
+            "lang",
+            "tokens",
+            "cap",
+            "capped",
+            F.when(F.col("capped"), F.col("cap").cast("double"))
+            .otherwise(F.round(F.col("lvl"), 4))
+            .alias("allocated"),
+            F.round(
+                F.when(F.col("capped"), F.col("cap").cast("double"))
+                .otherwise(F.round(F.col("lvl"), 4))
+                / F.col("tokens").cast("double"),
+                6,
+            ).alias("epochs"),
+        )
+        .orderBy("lang")
+    )
+
+
+_WATERFILL_SQL = f"""
+WITH tk AS (
+  SELECT lang,
+         CAST(sum(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT)
+           AS tokens
+  FROM documents GROUP BY 1
+),
+caps AS (
+  SELECT lang, tokens,
+         CAST(floor(tokens * {_WF_EPOCH_NUM} / {_WF_EPOCH_DEN}) AS BIGINT) AS cap
+  FROM tk
+),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS budget, count(*) AS n FROM caps),
+ranked AS (
+  SELECT lang, tokens, cap, budget, n,
+         row_number() OVER (ORDER BY cap, lang) AS r,
+         coalesce(sum(cap) OVER (ORDER BY cap, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+  FROM caps CROSS JOIN tot
+),
+flagged AS (
+  SELECT lang, tokens, cap,
+         cap * (n - r + 1) <= (budget - pfx) AS capped
+  FROM ranked
+),
+resid AS (
+  SELECT CAST(sum(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT) AS pk,
+         CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM flagged
+),
+lvl AS (
+  SELECT CAST(budget - pk AS DOUBLE) / CAST(n - k AS DOUBLE) AS lvl
+  FROM resid CROSS JOIN tot
+)
+SELECT lang, tokens, cap, capped,
+       CASE WHEN capped THEN CAST(cap AS DOUBLE) ELSE round(lvl, 4) END
+         AS allocated,
+       round((CASE WHEN capped THEN CAST(cap AS DOUBLE) ELSE round(lvl, 4) END)
+             / CAST(tokens AS DOUBLE), 6) AS epochs
+FROM flagged CROSS JOIN lvl
+ORDER BY lang
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -11786,6 +11932,7 @@ QUERIES = {
     "source_wilson_gate": source_wilson_gate,
     "graph_hyperball": graph_hyperball,
     "dedup_passjoin": dedup_passjoin,
+    "lang_budget_waterfill": lang_budget_waterfill,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -12134,6 +12281,7 @@ ORACLES = {
     "source_wilson_gate": _WILSON_SQL,
     "graph_hyperball": _hyperball_sql(),
     "dedup_passjoin": _passjoin_sql(),
+    "lang_budget_waterfill": _WATERFILL_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md

@@ -165,6 +165,10 @@ ALLOWED_BOUNDED_WINDOWS: dict[str, tuple[int, str]] = {
     # Zipf head-term rank assigned AFTER .orderBy().limit(1000)
     # (TakeOrdered) — window input <= 1000 rows
     "doc_zipf_fit": (1, "rank-after-limit: top-1000 vocabulary head"),
+    # waterfill prefix-sum/rank over per-language token aggregates —
+    # input = #langs rows (queries.py lang_budget_waterfill)
+    # two Window nodes (rank; prefix sum with an explicit frame)
+    "lang_budget_waterfill": (2, "waterfill over per-lang aggregates (#langs rows)"),
 }
 
 
