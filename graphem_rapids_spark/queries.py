@@ -12095,6 +12095,149 @@ FROM pairs GROUP BY 1 ORDER BY 1
 """
 
 
+def events_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend per event type — the median of all
+    pairwise slopes of the daily value series, the estimator that
+    shrugs off the outlier days that wreck ordinary least squares
+    (29% breakdown point vs OLS's zero); both slopes are emitted so
+    the contrast is visible. Scale shape: the corpus collapses to
+    (type, day) integer-cent totals FIRST (map-side combinable, one
+    shuffle), and the pairwise explosion happens on that bounded
+    #days-per-type table — a keyed self-join with d1 < d2, ~3k pairs
+    per type, never on raw events. Daily totals are exact integer
+    cents (float sums are order-dependent across engines); each
+    slope is one deterministic IEEE division, the median picks the
+    middle ranked slopes inside a PARTITIONED window, and the even-n
+    midpoint (a+b)/2 is a single exact-rounded op — bit parity
+    throughout."""
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        # `div` = exact integer division (ts/86400e9 as a double would
+        # round at the 2^53 mantissa limit and flip boundary events)
+        F.expr("ts div 86400000000000").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # ONE corpus scan: the (type, day) totals are time-bounded
+    # (#days × #types rows, growing with the calendar, not the data
+    # volume) — collect and re-create, or the three consuming
+    # branches (pair self-join × 2, OLS moments) each re-scan the
+    # raw events (measured: 3 scans)
+    drows = (
+        e.groupBy("event_type", "d").agg(F.sum("cents").alias("y")).collect()
+    )
+    daily = spark.createDataFrame(
+        [(r["event_type"], r["d"], r["y"]) for r in drows],
+        "event_type string, d long, y long",
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("y").alias("y1")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("y").alias("y2")
+    )
+    pairs = a.join(F.broadcast(b), "event_type").filter(F.col("d1") < F.col("d2"))
+    slopes = pairs.select(
+        "event_type",
+        (
+            (F.col("y2") - F.col("y1")).cast("double")
+            / (F.col("d2") - F.col("d1")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("r") * 2 == F.col("n"))
+            | (F.col("r") * 2 == F.col("n") + 1)
+            | (F.col("r") * 2 == F.col("n") + 2)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_pairs"),
+            # odd n -> one row survives; even n -> the two middle rows
+            (F.sum("slope") / F.count("*")).alias("ts_slope_raw"),
+        )
+    )
+    ols = daily.groupBy("event_type").agg(
+        F.count("*").alias("nd"),
+        F.sum("d").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("d") * F.col("y")).alias("sxy"),
+        F.sum(F.col("d") * F.col("d")).alias("sxx"),
+    )
+    ols_slope = (
+        (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return (
+        med.join(
+            F.broadcast(
+                ols.select(
+                    "event_type",
+                    F.col("nd").alias("n_days"),
+                    ols_slope.alias("ols_raw"),
+                )
+            ),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            F.round(F.col("ts_slope_raw"), 6).alias("ts_slope_cents"),
+            F.round(F.col("ols_raw"), 6).alias("ols_slope_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_THEIL_SEN_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS d,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+daily AS (SELECT event_type, d, CAST(sum(cents) AS BIGINT) AS y FROM e GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM pairs
+),
+med AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+         sum(slope) / count(*) AS ts_slope_raw
+  FROM ranked
+  WHERE r * 2 = n OR r * 2 = n + 1 OR r * 2 = n + 2
+  GROUP BY 1
+),
+ols AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(d) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(d * y) AS BIGINT) AS sxy, CAST(sum(d * d) AS BIGINT) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days, n_pairs,
+       round(ts_slope_raw, 6) AS ts_slope_cents,
+       round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+             / CAST(n_days * sxx - sx * sx AS DOUBLE), 6) AS ols_slope_cents
+FROM med JOIN ols USING (event_type)
+ORDER BY event_type
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -12193,6 +12336,7 @@ QUERIES = {
     "lang_budget_waterfill": lang_budget_waterfill,
     "events_scd2_intervals": events_scd2_intervals,
     "lineitem_zorder_layout": lineitem_zorder_layout,
+    "events_theil_sen": events_theil_sen,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -12544,6 +12688,7 @@ ORACLES = {
     "lang_budget_waterfill": _WATERFILL_SQL,
     "events_scd2_intervals": _SCD2_SQL,
     "lineitem_zorder_layout": _ZORDER_SQL,
+    "events_theil_sen": _THEIL_SEN_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md
