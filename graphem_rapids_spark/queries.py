@@ -12238,6 +12238,154 @@ ORDER BY event_type
 """
 
 
+_LATE_DELAY_MIN = 45
+_LATE_BATCHES = 3
+_LATE_STAGE_CACHE: dict = {}
+
+
+def _stage_late_batches(spark, sf_dir) -> str:
+    """Stage events into 3 single-file micro-batches (event_id % 3,
+    mtimes 60 s apart so the file source replays them in order).
+    Every batch spans the FULL time range, so once the watermark has
+    advanced past batch 0's max, most of the later batches arrive
+    late — the out-of-order backfill worst case."""
+    import glob
+    import os
+    import shutil
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LATE_STAGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    stage = os.path.join(
+        "spark-warehouse", f"_late_stage_{abs(hash(key)) % 10**8}"
+    )
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
+    os.makedirs(stage)
+    e = _events(spark, sf_dir).select("event_id", "ts", "event_type")
+    for k in range(_LATE_BATCHES):
+        tmp = stage + f"_tmp{k}"
+        e.filter(F.col("event_id") % _LATE_BATCHES == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dst = os.path.join(stage, f"batch-{k}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1700000000 + 60 * k,) * 2)
+    _LATE_STAGE_CACHE[key] = stage
+    return stage
+
+
+def events_stream_late_drop(spark, sf_dir):
+    """Watermark late-data accounting — the streaming semantics the
+    other stream queries can't show under a single availableNow
+    batch: events are replayed as 3 micro-batches that each span the
+    whole time range (an out-of-order backfill), a 45-minute
+    watermark advances between batches, and rows whose hourly window
+    closed before the watermark are DROPPED by the stateful
+    aggregation, exactly as a 100 TB deployment would shed stragglers
+    to keep state bounded. The oracle replays Spark's measured
+    watermark protocol exactly: the watermark applied during batch k
+    is max-event-time over batches <= k-2 minus the delay (stats from
+    batch k-1 are committed with k's offsets and take effect in k+1 —
+    verified per-key against the engine at both SFs), and a row
+    survives iff its window END (ms) exceeds it. Output per (hour,
+    type): total events, accepted events, late-dropped events."""
+    stage = _stage_late_batches(spark, sf_dir)
+    from graphem_rapids_spark.streaming.events import run_available_now
+
+    schema = spark.read.parquet(stage).schema
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(stage)
+    )
+    agg = (
+        src.withColumn("_t", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("_t", f"{_LATE_DELAY_MIN} minutes")
+        .groupBy(F.window("_t", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_available_now(agg, output_mode="update")
+    accepted = (
+        out.groupBy("w", "event_type")
+        .agg(F.max("n").alias("n_accepted"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_accepted",
+        )
+    )
+    total = (
+        _events(spark, sf_dir)
+        .select(
+            F.date_format(
+                F.timestamp_micros(
+                    F.expr("(ts div 3600000000000) * 3600000000")
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("hour"),
+            "event_type",
+        )
+        .groupBy("hour", "event_type")
+        .agg(F.count("*").alias("n_total"))
+    )
+    return (
+        total.join(accepted, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            "n_total",
+            F.coalesce("n_accepted", F.lit(0)).alias("n_accepted"),
+            (F.col("n_total") - F.coalesce("n_accepted", F.lit(0))).alias(
+                "n_late_dropped"
+            ),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+_LATE_DROP_SQL = f"""
+WITH e AS (
+  SELECT event_id % {_LATE_BATCHES} AS b, epoch_ns(ts) // 1000 AS us,
+         event_type
+  FROM events
+),
+wm AS (
+  SELECT d.b,
+         (SELECT max(us) FROM e x WHERE x.b <= d.b - 2) // 1000
+           - {_LATE_DELAY_MIN} * 60 * 1000 AS wm_ms
+  FROM (SELECT DISTINCT b FROM e) d
+),
+acc AS (
+  SELECT e.us, e.event_type
+  FROM e JOIN wm ON e.b = wm.b
+  WHERE wm.wm_ms IS NULL
+     OR ((us // 3600000000) + 1) * 3600000 > wm.wm_ms
+),
+a AS (
+  SELECT strftime(make_timestamp((us // 3600000000) * 3600000000),
+                  '%Y-%m-%d %H:%M:%S') AS hour,
+         event_type, count(*) AS n_accepted
+  FROM acc GROUP BY 1, 2
+),
+t AS (
+  SELECT strftime(make_timestamp((us // 3600000000) * 3600000000),
+                  '%Y-%m-%d %H:%M:%S') AS hour,
+         event_type, count(*) AS n_total
+  FROM e GROUP BY 1, 2
+)
+SELECT t.hour, t.event_type, t.n_total,
+       coalesce(a.n_accepted, 0) AS n_accepted,
+       t.n_total - coalesce(a.n_accepted, 0) AS n_late_dropped
+FROM t LEFT JOIN a USING (hour, event_type)
+ORDER BY hour, event_type
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -12337,6 +12485,7 @@ QUERIES = {
     "events_scd2_intervals": events_scd2_intervals,
     "lineitem_zorder_layout": lineitem_zorder_layout,
     "events_theil_sen": events_theil_sen,
+    "events_stream_late_drop": events_stream_late_drop,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -12689,6 +12838,7 @@ ORACLES = {
     "events_scd2_intervals": _SCD2_SQL,
     "lineitem_zorder_layout": _ZORDER_SQL,
     "events_theil_sen": _THEIL_SEN_SQL,
+    "events_stream_late_drop": _LATE_DROP_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md
