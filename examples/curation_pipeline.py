@@ -76,6 +76,21 @@ def main() -> None:
         row["rel_err"],
     )
 
+    # 10-12. the mixture-planning stage: admit sources on the Wilson
+    # lower bound, spend the token budget under epoch caps, then
+    # score docs against the target distribution (DSIR)
+    from graphem_rapids_spark.queries import (
+        doc_dsir_weights,
+        lang_budget_waterfill,
+        source_wilson_gate,
+    )
+
+    gate = source_wilson_gate(spark, sf_dir)
+    print("sources admitted:", gate.filter("admitted").count(), "/", gate.count())
+    lang_budget_waterfill(spark, sf_dir).show()
+    dsir = doc_dsir_weights(spark, sf_dir)
+    dsir.orderBy(F.desc("dsir_logw")).show(5)
+
     spark.stop()
 
 

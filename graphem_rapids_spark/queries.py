@@ -11205,7 +11205,7 @@ FROM scored CROSS JOIN tot
 
 _WILSON_Z = 1.96          # 95% two-sided
 _WILSON_THRESHOLD = 0.5   # doc-level quality pass bar
-_WILSON_GATE = 0.35       # source admitted if the LOWER bound clears
+_WILSON_GATE = 0.2        # source admitted if the LOWER bound clears
 
 
 def source_wilson_gate(spark, sf_dir):
