@@ -11284,12 +11284,16 @@ FROM w ORDER BY source
 """
 
 
-_HB_P = 6                      # 2^6 = 64 registers per vertex
+_HB_P = 4                      # 2^4 = 16 registers per vertex
 _HB_M = 1 << _HB_P
 _HB_WBITS = 31 - _HB_P
 _HB_SEED = 4099
 _HB_ROUNDS = 2
-_HB_ALPHA = 0.7213 / (1.0 + 1.079 / _HB_M)
+# Flajolet et al. 2007 exact bias constants for small m (the
+# 0.7213/(1+1.079/m) closed form is the m>=128 asymptote)
+_HB_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+    _HB_M, 0.7213 / (1.0 + 1.079 / _HB_M)
+)
 _HB_TOPK = 20
 
 
@@ -11314,10 +11318,14 @@ def graph_hyperball(spark, sf_dir):
     distinct whose intermediate explodes quadratically in dense
     graphs (computed here alongside only to EXHIBIT the sketch
     error). Registers stay SPARSE — (v, bucket, max-rho) rows, absent
-    bucket ≡ 0 — so round-t state is min(ball, m) rows per vertex.
-    Exact-integer register math (31-bit mixer, CASE rho ladder shared
-    verbatim with the oracle); the harmonic sum adds ≤6+25-bit
-    exponent-spread powers of two → bit-identical across engines.
+    bucket ≡ 0 — so round-t state is min(ball, m) rows per vertex,
+    and the per-round join amplification is bounded by m (m=16: the
+    measured 10× smoke runs ~4× faster than m=64 at a 26% std err the
+    exact columns make visible — the m knob IS the accuracy/cost
+    trade). Exact-integer register math (31-bit mixer, CASE rho
+    ladder shared verbatim with the oracle); the harmonic sum adds
+    powers of two whose exponent spread stays far under the 53-bit
+    mantissa → bit-identical across engines.
     Output: top-20 vertices by radius-2 ball estimate with exact ball
     sizes at r=1,2 for comparison."""
     e = copurchase_edges(spark, sf_dir)
