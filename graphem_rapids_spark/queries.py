@@ -12394,6 +12394,108 @@ ORDER BY hour, event_type
 """
 
 
+_KL_BUCKETS = 4096
+_KL_SEED_COL = "w"
+
+
+def doc_source_kl(spark, sf_dir):
+    """Per-source KL divergence from the corpus unigram distribution
+    — KL(P_source ‖ P_corpus) over md5-hashed token buckets, the
+    'which source drifted' diagnostic that catches a boilerplate farm
+    or a language mislabel before it contaminates the mixture (the
+    distributional complement to :func:`doc_source_scorecard`'s
+    rule-based columns). Same two-pass shape as :func:`doc_dsir_weights`:
+    pass 1 folds the corpus to the ≤4096-row global bucket table
+    (collected, broadcast back); pass 2 is the only other scan,
+    reducing to (source, bucket) counts joined against it. The whole
+    sum is exact integers under 1e9 fixed-point ln —
+    ``KL_s = [Σ_b c_sb·(L(c_sb) − L(c_b)) + T_s·(L(T) − L(T_s))]
+    / (T_s·1e9)`` with L = round(ln·1e9) — one rounded division at
+    the end, so both engines agree bitwise."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    feats = toks.select(
+        "source",
+        (F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+         % _KL_BUCKETS).alias("b"),
+    )
+    brows = feats.groupBy("b").agg(F.count("*").alias("cb")).collect()
+    t_total = sum(r["cb"] for r in brows)
+    bstats = spark.createDataFrame(
+        [(r["b"], r["cb"]) for r in brows], "b long, cb long"
+    ).select(
+        "b", F.round(F.log(F.col("cb")) * 1e9).cast("long").alias("lcb")
+    )
+    lt = F.round(F.log(F.lit(float(t_total))) * 1e9).cast("long")
+    per_sb = feats.groupBy("source", "b").agg(F.count("*").alias("csb"))
+    scored = (
+        per_sb.join(F.broadcast(bstats), "b")
+        .select(
+            "source",
+            "csb",
+            (
+                F.col("csb")
+                * (
+                    F.round(F.log(F.col("csb").cast("double")) * 1e9).cast("long")
+                    - F.col("lcb")
+                )
+            ).alias("term"),
+        )
+        .groupBy("source")
+        .agg(F.sum("csb").alias("n_tokens"), F.sum("term").alias("s"))
+    )
+    lts = F.round(F.log(F.col("n_tokens").cast("double")) * 1e9).cast("long")
+    return scored.select(
+        "source",
+        "n_tokens",
+        F.round(
+            (F.col("s") + F.col("n_tokens") * (lt - lts)).cast("double")
+            / (F.col("n_tokens").cast("double") * 1e9),
+            6,
+        ).alias("kl_nats"),
+    ).orderBy("source")
+
+
+_SOURCE_KL_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents
+),
+feats AS (
+  SELECT source,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT % {_KL_BUCKETS} AS b
+  FROM toks WHERE w <> ''
+),
+bstats AS (
+  SELECT b, count(*) AS cb FROM feats GROUP BY 1
+),
+lb AS (
+  SELECT b, CAST(round(ln(cb) * 1e9) AS BIGINT) AS lcb FROM bstats
+),
+tot AS (
+  SELECT CAST(round(ln(CAST(sum(cb) AS DOUBLE)) * 1e9) AS BIGINT) AS lt
+  FROM bstats
+),
+per_sb AS (SELECT source, b, count(*) AS csb FROM feats GROUP BY 1, 2),
+scored AS (
+  SELECT source,
+         CAST(sum(csb) AS BIGINT) AS n_tokens,
+         CAST(sum(csb * (CAST(round(ln(CAST(csb AS DOUBLE)) * 1e9) AS BIGINT)
+                         - lcb)) AS BIGINT) AS s
+  FROM per_sb JOIN lb USING (b) GROUP BY 1
+)
+SELECT source, n_tokens,
+       round(CAST(s + n_tokens *
+                  (lt - CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e9) AS BIGINT))
+             AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e9), 6) AS kl_nats
+FROM scored CROSS JOIN tot
+ORDER BY source
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -12494,6 +12596,7 @@ QUERIES = {
     "lineitem_zorder_layout": lineitem_zorder_layout,
     "events_theil_sen": events_theil_sen,
     "events_stream_late_drop": events_stream_late_drop,
+    "doc_source_kl": doc_source_kl,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -12847,6 +12950,7 @@ ORACLES = {
     "lineitem_zorder_layout": _ZORDER_SQL,
     "events_theil_sen": _THEIL_SEN_SQL,
     "events_stream_late_drop": _LATE_DROP_SQL,
+    "doc_source_kl": _SOURCE_KL_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md
