@@ -12496,6 +12496,103 @@ ORDER BY source
 """
 
 
+def events_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection per event type — the day where the
+    cumulative deviation of daily value totals from the series mean
+    peaks, i.e. the most likely level-shift point (Page 1954; the
+    batch analog of the streaming EWMA burst detector, which flags
+    local spikes — CUSUM finds the global regime change). Exact
+    integers throughout: with daily cents y_i and total T over n
+    days, n·S_k = n·prefix_k − k·T needs no division, so the argmax
+    day is an integer comparison on both engines; the reported
+    cusum_dollars divides once at the end. One shuffle to daily
+    totals, one type-partitioned prefix window over the
+    calendar-bounded daily table, one groupBy-join for the argmax —
+    nothing global."""
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # ONE corpus scan: collect the calendar-bounded daily table (same
+    # discipline as events_theil_sen — the peak and argmax consumers
+    # would otherwise each re-scan raw events)
+    drows = (
+        e.groupBy("event_type", "d").agg(F.sum("cents").alias("y")).collect()
+    )
+    daily = spark.createDataFrame(
+        [(r["event_type"], r["d"], r["y"]) for r in drows],
+        "event_type string, d long, y long",
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    wall = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.sum("y").over(w).alias("pfx"),
+        F.row_number().over(w).alias("k"),
+        F.sum("y").over(wall).alias("tot"),
+        F.count("*").over(wall).alias("n"),
+    ).select(
+        "event_type",
+        "d",
+        "n",
+        (F.col("n") * F.col("pfx") - F.col("k") * F.col("tot")).alias("ns"),
+    )
+    peak = cum.groupBy("event_type").agg(
+        F.max(F.abs(F.col("ns"))).alias("peak_ns"),
+        F.max("n").alias("n_days"),
+    )
+    return (
+        cum.join(F.broadcast(peak), "event_type")
+        .filter(F.abs(F.col("ns")) == F.col("peak_ns"))
+        .groupBy("event_type", "n_days", "peak_ns")
+        .agg(F.min("d").alias("cp_day"))
+        .select(
+            "event_type",
+            "n_days",
+            "cp_day",
+            F.round(
+                F.col("peak_ns").cast("double")
+                / (F.col("n_days").cast("double") * 100.0),
+                4,
+            ).alias("cusum_dollars"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CUSUM_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS d,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+daily AS (SELECT event_type, d, CAST(sum(cents) AS BIGINT) AS y FROM e GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, d,
+         CAST(count(*) OVER p AS BIGINT) AS n,
+         CAST(count(*) OVER p AS BIGINT) * sum(y) OVER (p ORDER BY d)
+           - row_number() OVER (p ORDER BY d) * sum(y) OVER p AS ns
+  FROM daily
+  WINDOW p AS (PARTITION BY event_type)
+),
+peak AS (
+  SELECT event_type, max(abs(ns)) AS peak_ns, max(n) AS n_days
+  FROM cum GROUP BY 1
+)
+SELECT event_type, n_days,
+       CAST(min(d) AS BIGINT) AS cp_day,
+       round(CAST(peak_ns AS DOUBLE) / (CAST(n_days AS DOUBLE) * 100.0), 4)
+         AS cusum_dollars
+FROM cum JOIN peak USING (event_type)
+WHERE abs(ns) = peak_ns
+GROUP BY event_type, n_days, peak_ns
+ORDER BY event_type
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -12597,6 +12694,7 @@ QUERIES = {
     "events_theil_sen": events_theil_sen,
     "events_stream_late_drop": events_stream_late_drop,
     "doc_source_kl": doc_source_kl,
+    "events_cusum_changepoint": events_cusum_changepoint,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -12951,6 +13049,7 @@ ORACLES = {
     "events_theil_sen": _THEIL_SEN_SQL,
     "events_stream_late_drop": _LATE_DROP_SQL,
     "doc_source_kl": _SOURCE_KL_SQL,
+    "events_cusum_changepoint": _CUSUM_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md
