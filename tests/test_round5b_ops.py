@@ -11,6 +11,8 @@ from graphem_rapids_spark.queries import (
     _WILSON_GATE,
     dedup_passjoin,
     doc_dsir_weights,
+    doc_source_kl,
+    events_cusum_changepoint,
     events_scd2_intervals,
     events_stream_late_drop,
     events_theil_sen,
@@ -128,6 +130,27 @@ def test_theil_sen_pair_counts(spark):
         assert r["n_pairs"] == r["n_days"] * (r["n_days"] - 1) // 2
         assert r["ts_slope_cents"] is not None
         assert r["ols_slope_cents"] is not None
+
+
+def test_source_kl_nonnegative(spark):
+    out = doc_source_kl(spark, SF).collect()
+    assert len(out) > 0
+    total = sum(r["n_tokens"] for r in out)
+    for r in out:
+        # Gibbs: KL >= 0, up to the 1e-9 fixed-point ln quantization
+        assert r["kl_nats"] >= -1e-6
+        assert 0 < r["n_tokens"] < total
+
+
+def test_cusum_changepoint_in_range(spark):
+    out = events_cusum_changepoint(spark, SF).collect()
+    assert len(out) > 0
+    types = {r["event_type"] for r in out}
+    assert len(types) == len(out)  # one changepoint per type
+    for r in out:
+        assert r["cusum_dollars"] >= 0.0
+        assert r["n_days"] >= 2
+        assert r["cp_day"] >= 0
 
 
 def test_late_drop_accounting_balances(spark):
