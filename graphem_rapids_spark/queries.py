@@ -12268,6 +12268,14 @@ def _stage_late_batches(spark, sf_dir) -> str:
     stage = os.path.join(
         "spark-warehouse", f"_late_stage_{abs(hash(key)) % 10**8}"
     )
+    # sweep stale stages from PREVIOUS sessions (one dir per appId);
+    # a >1 day age guard leaves any concurrently-running session's
+    # stage alone
+    import time as _time
+
+    for old in glob.glob(os.path.join("spark-warehouse", "_late_stage_*")):
+        if old != stage and os.path.getmtime(old) < _time.time() - 86400:
+            shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(stage):
         shutil.rmtree(stage)
     os.makedirs(stage)
