@@ -12601,6 +12601,132 @@ ORDER BY event_type
 """
 
 
+_SPLIT_SEED = 86243
+_SPLIT_TRAIN = 0.8    # train < 0.8 <= val < 0.9 <= test
+_SPLIT_VAL = 0.9
+
+
+def doc_train_val_test_split(spark, sf_dir):
+    """Hash-based train/val/test split with a cross-split LEAKAGE
+    audit — the assignment is a pure function of the document (mixer
+    hash of doc_id), never of partitioning or arrival order, so
+    re-running the pipeline reproduces the split at any scale; and a
+    near-duplicate pair straddling a split boundary is test-set
+    contamination, the failure mode n-gram dedup papers warn
+    evaluation numbers inherit. A doc 'leaks' if it has a Jaccard
+    ≥ 0.5 shingle near-duplicate (the exact df-capped similarity
+    join behind :func:`dedup_ngram_jaccard`) assigned to a DIFFERENT
+    split. The leaked-id set is bounded by true near-dup pairs —
+    broadcast back over the split stats. Output per split: docs,
+    tokens, leaked docs, leaked fraction."""
+    d = _t(spark, sf_dir, "documents")
+    u = _mix_uniform(F.col("doc_id"), _SPLIT_SEED)
+    # one scan for the 3-column split table, reused by both pair-side
+    # joins and the final stats (un-checkpointed, column pruning
+    # re-derived it per consumer: 3 extra corpus scans)
+    splits = d.select(
+        "doc_id",
+        F.when(u < _SPLIT_TRAIN, "train")
+        .when(u < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.size(F.split(F.lower(F.col("text")), "\\s+")).alias("nt"),
+    ).localCheckpoint(eager=True)
+    # checkpointed: the union in `leaky` consumes the pair table twice
+    # (executor-side materialization — pair volume is the dedup output
+    # itself, never collected to the driver)
+    pairs = (
+        D.ngram_jaccard_pairs(
+            d, n=4, threshold=0.5, max_shingle_df=_MAX_SHINGLE_DF
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    sp = splits.select("doc_id", "split")
+    crossing = (
+        pairs.join(
+            sp.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "split", "sa"
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "split", "sb"
+            ),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    leaky = (
+        crossing.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(crossing.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .select("doc_id", F.lit(1).alias("leak"))
+    )
+    return (
+        splits.join(F.broadcast(leaky), "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum(F.coalesce("leak", F.lit(0))).cast("long").alias("n_leaked"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            "n_leaked",
+            F.round(
+                F.col("n_leaked").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("leak_frac"),
+        )
+        .orderBy("split")
+    )
+
+
+def _split_sql() -> str:
+    u = _mix_sql("doc_id", _SPLIT_SEED)
+    return f"""
+WITH {_SHINGLE_SQL.lstrip()},
+pairs AS (
+  SELECT doc_a, doc_b FROM j
+  WHERE CAST(n_common AS DOUBLE) >= 0.5 * n_union
+),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN {u} < {_SPLIT_TRAIN} THEN 'train'
+              WHEN {u} < {_SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split,
+         len(string_split_regex(lower(text), '\\s+')) AS nt
+  FROM documents
+),
+crossing AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN splits a ON p.doc_a = a.doc_id
+  JOIN splits b ON p.doc_b = b.doc_id
+  WHERE a.split <> b.split
+),
+leaky AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM crossing
+    UNION ALL SELECT doc_b AS doc_id FROM crossing
+  )
+)
+SELECT split,
+       count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN leaky.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leaked,
+       round(CAST(sum(CASE WHEN leaky.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS leak_frac
+FROM splits LEFT JOIN leaky ON splits.doc_id = leaky.doc_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -12703,6 +12829,7 @@ QUERIES = {
     "events_stream_late_drop": events_stream_late_drop,
     "doc_source_kl": doc_source_kl,
     "events_cusum_changepoint": events_cusum_changepoint,
+    "doc_train_val_test_split": doc_train_val_test_split,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -13058,6 +13185,7 @@ ORACLES = {
     "events_stream_late_drop": _LATE_DROP_SQL,
     "doc_source_kl": _SOURCE_KL_SQL,
     "events_cusum_changepoint": _CUSUM_SQL,
+    "doc_train_val_test_split": _split_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md

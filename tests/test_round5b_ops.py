@@ -12,6 +12,7 @@ from graphem_rapids_spark.queries import (
     dedup_passjoin,
     doc_dsir_weights,
     doc_source_kl,
+    doc_train_val_test_split,
     events_cusum_changepoint,
     events_scd2_intervals,
     events_stream_late_drop,
@@ -151,6 +152,18 @@ def test_cusum_changepoint_in_range(spark):
         assert r["cusum_dollars"] >= 0.0
         assert r["n_days"] >= 2
         assert r["cp_day"] >= 0
+
+
+def test_split_partitions_and_leak_bounds(spark):
+    out = doc_train_val_test_split(spark, SF).collect()
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    n_total = sum(r["n_docs"] for r in out)
+    assert n_total == _t(spark, SF, "documents").count()  # a partition
+    for r in out:
+        assert 0 <= r["n_leaked"] <= r["n_docs"]
+    # the 80/10/10 hash split: train holds the large majority
+    by = {r["split"]: r["n_docs"] for r in out}
+    assert by.get("train", 0) > 0.6 * n_total
 
 
 def test_late_drop_accounting_balances(spark):
