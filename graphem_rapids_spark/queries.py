@@ -12727,6 +12727,66 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+_PROBE_CURVE = (1, 2, 4)
+
+
+def ann_ivf_probe_curve(spark, sf_dir):
+    """IVF recall-vs-probe tuning curve — recall@5 against the exact
+    brute-force top-5 at n_probe ∈ {1, 2, 4} of 16 cells, the table
+    an embedding pipeline reads before picking its latency/recall
+    point (each probed cell costs one more candidate-scan share; the
+    curve shows where extra probes stop paying). Composes the same
+    bit-exact mixer-centroid IVF as :func:`ann_ivf_topk`; the exact
+    top-5 is computed once and checkpointed (≤ queries×5 rows) so the
+    three probe settings don't re-derive it. Output per n_probe:
+    queries, recall@5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .select("qid", "rid")
+        .localCheckpoint(eager=True)
+    )
+    nq = exact.select("qid").distinct().count()
+    outs = []
+    for p in _PROBE_CURVE:
+        approx = S.ivf_cosine_topk(
+            emb, q, k=5, n_cells=16, n_probe=p, iters=0, init="mix"
+        ).select("qid", "rid")
+        hits = approx.join(exact, ["qid", "rid"]).agg(
+            F.count("*").alias("hits")
+        )
+        outs.append(
+            hits.select(
+                F.lit(p).cast("int").alias("n_probe"),
+                F.lit(nq).cast("long").alias("n_queries"),
+                F.round(
+                    F.col("hits").cast("double") / F.lit(float(nq * 5)), 6
+                ).alias("recall_at_5"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("n_probe")
+
+
+def _probe_curve_sql() -> str:
+    parts = []
+    for p in _PROBE_CURVE:
+        parts.append(
+            f"""
+SELECT CAST({p} AS INTEGER) AS n_probe,
+       (SELECT count(DISTINCT qid) FROM ({_ANN_SQL})) AS n_queries,
+       round(CAST((SELECT count(*) FROM ({_ivf_sql(n_probe=p)}) a
+                   JOIN ({_ANN_SQL}) e ON a.qid = e.qid AND a.rid = e.rid)
+                  AS DOUBLE)
+             / ((SELECT count(DISTINCT qid) FROM ({_ANN_SQL})) * 5.0), 6)
+         AS recall_at_5"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY n_probe"
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -12830,6 +12890,7 @@ QUERIES = {
     "doc_source_kl": doc_source_kl,
     "events_cusum_changepoint": events_cusum_changepoint,
     "doc_train_val_test_split": doc_train_val_test_split,
+    "ann_ivf_probe_curve": ann_ivf_probe_curve,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -13186,6 +13247,7 @@ ORACLES = {
     "doc_source_kl": _SOURCE_KL_SQL,
     "events_cusum_changepoint": _CUSUM_SQL,
     "doc_train_val_test_split": _split_sql(),
+    "ann_ivf_probe_curve": _probe_curve_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md

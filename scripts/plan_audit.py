@@ -159,6 +159,8 @@ ALLOWED_BOUNDED_WINDOWS: dict[str, tuple[int, str]] = {
     # IVF centroid init ranks the hash-sampled top-n_cells rows after
     # .limit(n_cells) — window input <= 16 rows (similarity.ivf_build)
     "ann_ivf_topk": (4, "IVF init rank-after-limit: <= n_cells rows"),
+    # three IVF builds (n_probe curve) x 4 init windows each
+    "ann_ivf_probe_curve": (12, "IVF init rank-after-limit: <= n_cells rows"),
     "ann_recall_at_k": (4, "IVF init rank-after-limit: <= n_cells rows"),
     "semdedup_embeddings": (4, "IVF init rank-after-limit: <= n_cells rows"),
     "ann_ivfpq_recall": (4, "IVF init rank-after-limit: <= n_cells rows"),
