@@ -12875,6 +12875,92 @@ FROM counted ORDER BY support DESC, p_a, p_b, p_c
 """
 
 
+_HILL_KS = (25, 50, 100)
+
+
+def graph_degree_hill_tail(spark, sf_dir):
+    """Hill tail-index estimator over the degree distribution —
+    ``γ̂_k = (1/k) Σ_{i≤k} [ln d_(i) − ln d_(k+1)]`` on the top-k
+    order statistics, the MLE for the Pareto tail exponent
+    (α̂ = 1/γ̂) and the principled alternative to the least-squares
+    log-log fit in :func:`graph_degree_powerlaw_fit`, which is known
+    to be biased on binned tails. Reported at k ∈ {25, 50, 100} —
+    the k-sweep IS the diagnostic (a stable α̂ across k supports a
+    genuine power law). Scale shape: only the top-(k_max+1) degrees
+    leave the executors (partial top-k then a 101-row bounded
+    collect); every ln is a Spark expression in 1e9 fixed point over
+    exact integer degrees, summed exactly, one division at the end —
+    bit parity with the oracle's window-ranked form."""
+    e = copurchase_edges(spark, sf_dir)
+    degs = vertex_degrees(e)
+    kmax = max(_HILL_KS)
+    top = (
+        degs.orderBy(F.desc("degree"), "id")
+        .limit(kmax + 1)
+        .select("degree")
+        .collect()
+    )
+    tbl = spark.createDataFrame(
+        [(i + 1, int(r["degree"])) for i, r in enumerate(top)], "r int, d long"
+    ).select(
+        "r", "d", F.round(F.log(F.col("d").cast("double")) * 1e9).cast("long").alias("ld")
+    )
+    outs = []
+    for k in _HILL_KS:
+        cut = tbl.filter(F.col("r") == k + 1).select(
+            F.col("d").alias("d_cut"), F.col("ld").alias("ld_cut")
+        )
+        s = tbl.filter(F.col("r") <= k).agg(F.sum("ld").alias("s"))
+        gamma = (F.col("s") - F.lit(k) * F.col("ld_cut")).cast("double") / F.lit(
+            float(k) * 1e9
+        )
+        outs.append(
+            s.crossJoin(F.broadcast(cut)).select(
+                F.lit(k).cast("int").alias("k"),
+                "d_cut",
+                F.round(gamma, 6).alias("hill_gamma"),
+                F.round(F.lit(1.0) / gamma, 6).alias("alpha_hat"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("k")
+
+
+def _hill_sql() -> str:
+    kmax = max(_HILL_KS)
+    parts = [
+        f"""
+WITH {_COPURCHASE_SQL_CTE.strip().removeprefix("WITH")},
+deg AS (
+  SELECT id, count(*) AS degree FROM (
+    SELECT src AS id FROM ge UNION ALL SELECT dst AS id FROM ge
+  ) GROUP BY 1
+),
+top AS (
+  SELECT row_number() OVER (ORDER BY degree DESC, id) AS r,
+         degree AS d,
+         CAST(round(ln(CAST(degree AS DOUBLE)) * 1e9) AS BIGINT) AS ld
+  FROM deg ORDER BY degree DESC, id LIMIT {kmax + 1}
+)"""
+    ]
+    selects = []
+    for k in _HILL_KS:
+        g = (
+            f"(CAST((SELECT sum(ld) FROM top WHERE r <= {k}) "
+            f"- {k} * (SELECT ld FROM top WHERE r = {k + 1}) AS DOUBLE) "
+            f"/ {float(k) * 1e9!r})"
+        )
+        selects.append(
+            f"SELECT CAST({k} AS INTEGER) AS k, "
+            f"(SELECT d FROM top WHERE r = {k + 1}) AS d_cut, "
+            f"round({g}, 6) AS hill_gamma, "
+            f"round(1.0 / {g}, 6) AS alpha_hat"
+        )
+    return parts[0] + "\n" + " UNION ALL ".join(selects) + " ORDER BY k"
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -12980,6 +13066,7 @@ QUERIES = {
     "doc_train_val_test_split": doc_train_val_test_split,
     "ann_ivf_probe_curve": ann_ivf_probe_curve,
     "market_basket_triples": market_basket_triples,
+    "graph_degree_hill_tail": graph_degree_hill_tail,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -13338,6 +13425,7 @@ ORACLES = {
     "doc_train_val_test_split": _split_sql(),
     "ann_ivf_probe_curve": _probe_curve_sql(),
     "market_basket_triples": _TRIPLES_SQL,
+    "graph_degree_hill_tail": _hill_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md
