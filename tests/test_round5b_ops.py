@@ -5,7 +5,11 @@ invariants on the shared test data (cross-engine hash parity for all
 ten is covered by tests/test_oracle_parity.py and the driver gate)."""
 
 from graphem_rapids_spark.queries import (
+    _APRIORI_MIN_SUPPORT,
     _PJ_TAU,
+    ann_ivf_probe_curve,
+    graph_degree_hill_tail,
+    market_basket_triples,
     _WF_EPOCH_DEN,
     _WF_EPOCH_NUM,
     _WILSON_GATE,
@@ -164,6 +168,36 @@ def test_split_partitions_and_leak_bounds(spark):
     # the 80/10/10 hash split: train holds the large majority
     by = {r["split"]: r["n_docs"] for r in out}
     assert by.get("train", 0) > 0.6 * n_total
+
+
+def test_probe_curve_monotone(spark):
+    out = sorted(
+        ann_ivf_probe_curve(spark, SF).collect(), key=lambda r: r["n_probe"]
+    )
+    assert [r["n_probe"] for r in out] == [1, 2, 4]
+    recalls = [r["recall_at_5"] for r in out]
+    assert all(0.0 <= x <= 1.0 for x in recalls)
+    # more probed cells can only add candidates -> recall monotone
+    assert recalls == sorted(recalls)
+
+
+def test_basket_triples_ordered_and_supported(spark):
+    out = market_basket_triples(spark, SF).collect()
+    for r in out:
+        assert r["p_a"] < r["p_b"] < r["p_c"]
+        assert r["support"] >= _APRIORI_MIN_SUPPORT
+
+
+def test_hill_tail_positive_and_cut_monotone(spark):
+    out = sorted(
+        graph_degree_hill_tail(spark, SF).collect(), key=lambda r: r["k"]
+    )
+    assert [r["k"] for r in out] == [25, 50, 100]
+    cuts = [r["d_cut"] for r in out]
+    assert cuts == sorted(cuts, reverse=True)  # deeper k cuts lower
+    for r in out:
+        assert r["hill_gamma"] > 0.0
+        assert r["alpha_hat"] > 0.0
 
 
 def test_late_drop_accounting_balances(spark):
