@@ -12961,6 +12961,106 @@ top AS (
     return parts[0] + "\n" + " UNION ALL ".join(selects) + " ORDER BY k"
 
 
+def embedding_int8_rank_fidelity(spark, sf_dir):
+    """Quantization QA gate: does int8 similarity preserve the FLOAT
+    ranking? For each query, the top-5 by quantized-cosine (integer
+    dot products over the :func:`embedding_quantize_int8` codes,
+    norms on the codes themselves) is compared against the exact
+    float top-5 — mean and worst-case overlap@5. This is the check
+    that licenses running MMR/silhouette/ANN on the 4×-compressed
+    lattice at 100 TB instead of f32: rank fidelity, not
+    reconstruction error, is what retrieval actually consumes. The
+    integer dots are exact (codes ≤127, 64-d sums ≪ 2^63); the two
+    norm square roots and one division are the only float ops, and
+    the rounded-cosine cut mirrors :func:`ann_cosine_topk`. Output:
+    (n_queries, mean_overlap_at_5, min_overlap)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = S.quantize_int8(emb).select("vec_id", "q")
+    qq = qz.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qa")
+    )
+    rr = qz.select(F.col("vec_id").alias("rid"), F.col("q").alias("qb"))
+    intdot = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    )
+    sq = lambda c: F.expr(  # noqa: E731
+        f"aggregate(transform({c}, x -> x * x), 0L, (a, v) -> a + v)"
+    )
+    c8 = F.round(
+        intdot.cast("double")
+        / (F.sqrt(sq("qa").cast("double")) * F.sqrt(sq("qb").cast("double"))),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("c8").desc(), F.col("rid").asc())
+    i8 = (
+        rr.crossJoin(F.broadcast(qq))
+        .filter(F.col("qid") != F.col("rid"))
+        .select("qid", "rid", c8.alias("c8"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+        .select("qid", "rid")
+    )
+    exact = ann_cosine_topk(spark, sf_dir).select("qid", "rid")
+    ov = (
+        exact.join(i8.withColumn("hit", F.lit(1)), ["qid", "rid"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("hits"))
+    )
+    return ov.agg(
+        F.count("*").alias("n_queries"),
+        F.round(
+            F.sum("hits").cast("double") / (F.count("*") * F.lit(5)).cast("double"),
+            6,
+        ).alias("mean_overlap_at_5"),
+        F.min("hits").cast("long").alias("min_overlap"),
+    )
+
+
+_INT8_FIDELITY_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+           AS scale
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN list_transform(emb, x -> CAST(round(x / scale) AS BIGINT))
+              ELSE list_transform(emb, x -> CAST(0 AS BIGINT)) END AS q
+  FROM v
+),
+p8 AS (
+  SELECT a.vec_id AS qid, b.vec_id AS rid, unnest(a.q) AS qa, unnest(b.q) AS qb
+  FROM qz a, qz b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+),
+d8 AS (
+  SELECT qid, rid,
+         round(CAST(sum(qa * qb) AS DOUBLE)
+               / (sqrt(CAST(sum(qa * qa) AS DOUBLE))
+                  * sqrt(CAST(sum(qb * qb) AS DOUBLE))), 6) AS c8
+  FROM p8 GROUP BY 1, 2
+),
+rk8 AS (
+  SELECT qid, rid, row_number() OVER (PARTITION BY qid ORDER BY c8 DESC, rid)
+           AS r
+  FROM d8
+),
+i8 AS (SELECT qid, rid FROM rk8 WHERE r <= 5),
+exact AS (SELECT qid, rid FROM ({_ANN_SQL})),
+ov AS (
+  SELECT e.qid, count(i.rid) AS hits
+  FROM exact e LEFT JOIN i8 i ON e.qid = i.qid AND e.rid = i.rid
+  GROUP BY 1
+)
+SELECT count(*) AS n_queries,
+       round(CAST(sum(hits) AS DOUBLE) / (count(*) * 5.0), 6)
+         AS mean_overlap_at_5,
+       CAST(min(hits) AS BIGINT) AS min_overlap
+FROM ov
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -13067,6 +13167,7 @@ QUERIES = {
     "ann_ivf_probe_curve": ann_ivf_probe_curve,
     "market_basket_triples": market_basket_triples,
     "graph_degree_hill_tail": graph_degree_hill_tail,
+    "embedding_int8_rank_fidelity": embedding_int8_rank_fidelity,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -13426,6 +13527,7 @@ ORACLES = {
     "ann_ivf_probe_curve": _probe_curve_sql(),
     "market_basket_triples": _TRIPLES_SQL,
     "graph_degree_hill_tail": _hill_sql(),
+    "embedding_int8_rank_fidelity": _INT8_FIDELITY_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md
