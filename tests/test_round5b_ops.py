@@ -15,6 +15,7 @@ from graphem_rapids_spark.queries import (
     _WILSON_GATE,
     dedup_passjoin,
     doc_dsir_weights,
+    embedding_int8_rank_fidelity,
     doc_source_kl,
     doc_train_val_test_split,
     events_cusum_changepoint,
@@ -198,6 +199,15 @@ def test_hill_tail_positive_and_cut_monotone(spark):
     for r in out:
         assert r["hill_gamma"] > 0.0
         assert r["alpha_hat"] > 0.0
+
+
+def test_int8_fidelity_bounds(spark):
+    r = embedding_int8_rank_fidelity(spark, SF).first()
+    assert r["n_queries"] > 0
+    assert 0.0 <= r["mean_overlap_at_5"] <= 1.0
+    assert 0 <= r["min_overlap"] <= 5
+    # int8 keeps most of the float ranking on real embeddings
+    assert r["mean_overlap_at_5"] >= 0.6
 
 
 def test_late_drop_accounting_balances(spark):
