@@ -13061,6 +13061,65 @@ FROM ov
 """
 
 
+def events_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness per day — the product-health ratio of daily
+    to trailing-7-day active users. The exact computation avoids the
+    classic trap (a sliding COUNT DISTINCT window, which Spark would
+    have to hold per-day user sets for): the corpus collapses to the
+    distinct (user, day) grid first (one shuffle, map-side
+    combinable), and each user-day row fans out to the ≤7 window
+    days it serves — a bounded explode whose distinct-count groupBy
+    is the only other shuffle. At 100 TB the user-day grid is the
+    natural intermediate (users × active-days, orders of magnitude
+    below raw events). Output per day: dau, wau, stickiness."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.expr("ts div 86400000000000").alias("d")
+    )
+    ud = e.distinct()
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    wau = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("d"),
+        )
+        .distinct()
+        .groupBy("d")
+        .agg(F.count("*").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            "d",
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("d")
+    )
+
+
+_STICKINESS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS d
+  FROM events
+),
+dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY 1),
+wau AS (
+  SELECT wd AS d, count(*) AS wau FROM (
+    SELECT DISTINCT user_id, d + k.range AS wd
+    FROM ud, range(0, 7) k
+  ) GROUP BY 1
+)
+SELECT d, dau, wau,
+       round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN wau USING (d)
+ORDER BY d
+"""
+
+
 # Registry order = the round driver's check order (it samples the
 # FIRST 50 entries). Rotated each round; every entry regardless of
 # position is hash-verified each session by scripts/oracle_check.py
@@ -13168,6 +13227,7 @@ QUERIES = {
     "market_basket_triples": market_basket_triples,
     "graph_degree_hill_tail": graph_degree_hill_tail,
     "embedding_int8_rank_fidelity": embedding_int8_rank_fidelity,
+    "events_stickiness": events_stickiness,
     # last driver row: r2
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -13528,6 +13588,7 @@ ORACLES = {
     "market_basket_triples": _TRIPLES_SQL,
     "graph_degree_hill_tail": _hill_sql(),
     "embedding_int8_rank_fidelity": _INT8_FIDELITY_SQL,
+    "events_stickiness": _STICKINESS_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md
