@@ -10465,55 +10465,20 @@ def dedup_prefix_jaccard(spark, sf_dir):
     matching pairs are sparse, the full run is the intended mode.
     The oracle is ALGORITHMICALLY INDEPENDENT: brute all-pairs
     intersection — prefix filtering must lose nothing. Output per
-    Jaccard decile >= 8: pair count, distinct left docs, extremes."""
+    Jaccard decile >= 8: pair count, distinct left docs, extremes.
+    The join itself is the library operator
+    ``pipeline.dedup.prefix_jaccard_pairs`` (this entry is the
+    shard-filtered oracle harness around it; the full-corpus mode a
+    real user calls is the library function, pytest-verified against
+    brute force on a sparse fixture in tests/test_prefix_jaccard.py)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.col("text")), "\\s+"))
-        ).alias("tok"),
-    ).filter(F.col("tok") != "")
-    sized = toks.join(
-        toks.groupBy("doc_id").agg(F.count("*").alias("sz")), "doc_id"
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.md5("tok"))
-    pref = (
-        sized.select(
-            "doc_id", "tok", "sz", F.row_number().over(w).alias("rn")
-        )
-        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(_PPJ_T) * F.col("sz")) + 1)
-    )
-    cand = (
-        pref.alias("a")
-        .join(pref.alias("b"), "tok")
-        .filter(
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.lit(10) * F.col("b.sz") >= F.lit(8) * F.col("a.sz"))
-            & (F.lit(10) * F.col("a.sz") >= F.lit(8) * F.col("b.sz"))
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sz").alias("na"),
-            F.col("b.sz").alias("nb"),
-        )
-        .distinct()
-    )
-    inter = (
-        cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
-        .join(
-            toks.alias("tb"),
-            (F.col("doc_b") == F.col("tb.doc_id"))
-            & (F.col("ta.tok") == F.col("tb.tok")),
-        )
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count("*").alias("n_common"))
-    )
-    union = F.col("na") + F.col("nb") - F.col("n_common")
-    verified = inter.filter(F.lit(5) * F.col("n_common") >= F.lit(4) * union).select(
+    pairs = D.prefix_jaccard_pairs(docs, threshold=_PPJ_T)
+    verified = pairs.select(
         "doc_a",
         "n_common",
-        F.floor(F.lit(10) * F.col("n_common") / union).cast("int").alias("decile"),
+        F.floor(F.lit(10) * F.col("n_common") / F.col("n_union"))
+        .cast("int")
+        .alias("decile"),
     )
     return verified.groupBy("decile").agg(
         F.count("*").alias("n_pairs"),
@@ -13125,71 +13090,10 @@ ORDER BY d
 # position is hash-verified each session by scripts/oracle_check.py
 # and tests/test_oracle_parity.py.
 QUERIES = {
-    # ------- r5 driver window (first 50) -------
-    # (a) the 41 queries whose last driver row is r1 — all due now
-    # (every entry checked r2+ is <=3 rounds old after this round)
-    "ann_cosine_topk": ann_cosine_topk,
-    "ann_ivf_topk": ann_ivf_topk,
-    "closeness_sampled": closeness_sampled,
-    "cosine_near_dup": cosine_near_dup,
-    "customer_top_orders": customer_top_orders,
-    "customers_without_orders": customers_without_orders,
-    "dedup_exact": dedup_exact,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_simhash": dedup_simhash,
-    "dedup_stream_first_seen": dedup_stream_first_seen,
-    "doc_fingerprint": doc_fingerprint,
-    "doc_lang_id": doc_lang_id,
-    "doc_quality": doc_quality,
-    "doc_token_stats": doc_token_stats,
-    "eigenvector_copurchase": eigenvector_copurchase,
-    "events_hourly": events_hourly,
-    "events_stream_hourly": events_stream_hourly,
-    "gen_grid_degree": gen_grid_degree,
-    "gen_tree_degree": gen_tree_degree,
-    "graph_degree": graph_degree,
-    "graph_degree_topk": graph_degree_topk,
-    "graph_edges": graph_edges,
-    "graph_triangles": graph_triangles,
-    "influence_greedy": influence_greedy,
-    "influence_ic": influence_ic,
-    "knn_exact": knn_exact,
-    "label_centroids": label_centroids,
-    "multimodal_features": multimodal_features,
-    "orders_rollup": orders_rollup,
-    "part_brand_stats": part_brand_stats,
-    "q10_returned_items": q10_returned_items,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_top_orders": q3_top_orders,
-    "q4_order_priority": q4_order_priority,
-    "q5_nation_revenue": q5_nation_revenue,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q7_nation_volume": q7_nation_volume,
-    "q9_product_profit": q9_product_profit,
-    "seed_radial_topk": seed_radial_topk,
-    "spearman_matrix": spearman_matrix,
-    "top_customers": top_customers,
-    # (b) execution/oracle paths changed in r5: Bloom membership
-    # row-count fix, dHash 8-byte-band recall fix, scorecard md5
-    # join key, PCA k=2 components, MIS/matching SQL mixer scale
-    "sketch_bloom_join": sketch_bloom_join,
-    "multimodal_dhash_dedup": multimodal_dhash_dedup,
-    "doc_source_scorecard": doc_source_scorecard,
-    "embedding_pca_power": embedding_pca_power,
-    "graph_mis_luby": graph_mis_luby,
-    "graph_matching_luby": graph_matching_luby,
-    # (c) fresh canaries the r4 verdict asked to re-run (the two
-    # end-of-round snapshot additions)
-    "graph_rich_club": graph_rich_club,
-    "part_pareto_skyline": part_pareto_skyline,
-    # (d) stalest rows-only entry (driver rows from r2)
-    "layout_seed_selection": layout_seed_selection,
-    # ------- past the 50-entry cut: ordered stalest-first so the
-    # r6 window is simply the next 50 (r2-checked queries first);
-    # the strict local gate + pytest parity re-verify every entry
-    # each session regardless of position -------
-    # new in r5, never driver-checked — first in line for the r6
-    # window (hash-green in the local strict gate at 3 SFs)
+    # ------- r6 driver window (first 50) -------
+    # (a) the 38 round-5 additions that have never had a driver
+    # CORRECTNESS row (all hash-green in the local strict gate at
+    # 3 SFs; VERDICT r5 item 1)
     "sketch_hll_merge": sketch_hll_merge,
     "lineitem_ship_overlap": lineitem_ship_overlap,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -13228,7 +13132,7 @@ QUERIES = {
     "graph_degree_hill_tail": graph_degree_hill_tail,
     "embedding_int8_rank_fidelity": embedding_int8_rank_fidelity,
     "events_stickiness": events_stickiness,
-    # last driver row: r2
+    # (b) the 12 stalest r2-checked entries
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
@@ -13241,6 +13145,13 @@ QUERIES = {
     "q11_important_stock": q11_important_stock,
     "q12_late_lines": q12_late_lines,
     "q16_supplier_count": q16_supplier_count,
+    # ------- past the 50-entry cut: ordered stalest-first so the
+    # r7 window is simply the next 50; the strict local gate +
+    # pytest parity re-verify every entry each session regardless
+    # of position -------
+    # new in r6, never driver-checked — first in line for the r7
+    # window (spliced here as they land)
+    # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_acctbal_opportunity": q22_acctbal_opportunity,
@@ -13365,6 +13276,57 @@ QUERIES = {
     "embedding_ab_drift": embedding_ab_drift,
     "graph_stats": graph_stats_q,
     "spearman_qty_price": spearman_qty_price,
+    # last driver row: r5
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "closeness_sampled": closeness_sampled,
+    "cosine_near_dup": cosine_near_dup,
+    "customer_top_orders": customer_top_orders,
+    "customers_without_orders": customers_without_orders,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "dedup_stream_first_seen": dedup_stream_first_seen,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_lang_id": doc_lang_id,
+    "doc_quality": doc_quality,
+    "doc_token_stats": doc_token_stats,
+    "eigenvector_copurchase": eigenvector_copurchase,
+    "events_hourly": events_hourly,
+    "events_stream_hourly": events_stream_hourly,
+    "gen_grid_degree": gen_grid_degree,
+    "gen_tree_degree": gen_tree_degree,
+    "graph_degree": graph_degree,
+    "graph_degree_topk": graph_degree_topk,
+    "graph_edges": graph_edges,
+    "graph_triangles": graph_triangles,
+    "influence_greedy": influence_greedy,
+    "influence_ic": influence_ic,
+    "knn_exact": knn_exact,
+    "label_centroids": label_centroids,
+    "multimodal_features": multimodal_features,
+    "orders_rollup": orders_rollup,
+    "part_brand_stats": part_brand_stats,
+    "q10_returned_items": q10_returned_items,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q4_order_priority": q4_order_priority,
+    "q5_nation_revenue": q5_nation_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_nation_volume": q7_nation_volume,
+    "q9_product_profit": q9_product_profit,
+    "seed_radial_topk": seed_radial_topk,
+    "spearman_matrix": spearman_matrix,
+    "top_customers": top_customers,
+    "sketch_bloom_join": sketch_bloom_join,
+    "multimodal_dhash_dedup": multimodal_dhash_dedup,
+    "doc_source_scorecard": doc_source_scorecard,
+    "embedding_pca_power": embedding_pca_power,
+    "graph_mis_luby": graph_mis_luby,
+    "graph_matching_luby": graph_matching_luby,
+    "graph_rich_club": graph_rich_club,
+    "part_pareto_skyline": part_pareto_skyline,
+    "layout_seed_selection": layout_seed_selection,
 }
 
 ORACLES = {
