@@ -11292,50 +11292,18 @@ def graph_hyperball(spark, sf_dir):
     powers of two whose exponent spread stays far under the 53-bit
     mantissa → bit-identical across engines.
     Output: top-20 vertices by radius-2 ball estimate with exact ball
-    sizes at r=1,2 for comparison."""
+    sizes at r=1,2 for comparison. The sketch itself is the library
+    operator ``analytics.hyperball`` (sketch-only, the 100 TB mode —
+    this entry is the sf-small oracle harness that fuses the exact
+    verifier around it)."""
     e = copurchase_edges(spark, sf_dir)
     from graphem_rapids_spark.graph.canon import symmetrize_edges
 
     sym = symmetrize_edges(e)
     verts = sym.select(F.col("src").alias("id")).distinct()
-    hv = F.floor(_mix_uniform(F.col("id"), _HB_SEED) * F.lit(float(_LCG_M))).cast(
-        "long"
+    ests = A.hyperball(
+        sym, m=_HB_M, rounds=_HB_ROUNDS, seed=_HB_SEED, symmetrize=False
     )
-    regs = verts.select(
-        "id",
-        F.shiftright(hv, _HB_WBITS).alias("bucket"),
-        (hv % F.lit(1 << _HB_WBITS)).alias("w"),
-    ).select("id", "bucket", F.expr(_hb_rho_case("w")).alias("m"))
-
-    def _estimate(r, alias):
-        # sparse harmonic sum: absent buckets contribute 2^0 = 1 each
-        per_v = r.groupBy("id").agg(
-            F.count("*").alias("present"),
-            F.sum(
-                F.expr("1.0 / CAST(shiftleft(1L, CAST(m AS INT)) AS DOUBLE)")
-            ).alias("sp"),
-        )
-        s = (F.lit(_HB_M) - F.col("present")).cast("double") + F.col("sp")
-        zeros = (F.lit(_HB_M) - F.col("present")).cast("long")
-        raw = F.lit(_HB_ALPHA * _HB_M * _HB_M) / s
-        est = F.when(
-            (raw <= F.lit(2.5 * _HB_M)) & (zeros > 0),
-            F.lit(float(_HB_M)) * F.log(F.lit(float(_HB_M)) / zeros.cast("double")),
-        ).otherwise(raw)
-        return per_v.select("id", F.round(est, 4).alias(alias))
-
-    ests = []
-    for t in range(1, _HB_ROUNDS + 1):
-        nbr = (
-            sym.join(regs.withColumnRenamed("id", "src"), "src")
-            .select(F.col("dst").alias("id"), "bucket", "m")
-        )
-        regs = (
-            regs.unionByName(nbr)
-            .groupBy("id", "bucket")
-            .agg(F.max("m").alias("m"))
-        )
-        ests.append(_estimate(regs, f"est_r{t}"))
 
     deg = sym.groupBy(F.col("src").alias("id")).agg(
         (F.count("*") + 1).alias("exact_r1")
@@ -11354,8 +11322,7 @@ def graph_hyperball(spark, sf_dir):
     )
     out = (
         deg.join(two_hop, "id")
-        .join(ests[0], "id")
-        .join(ests[1], "id")
+        .join(ests, "id")
         .select("id", "exact_r1", "est_r1", "exact_r2", "est_r2")
     )
     return out.orderBy(F.desc("est_r2"), "id").limit(_HB_TOPK)
