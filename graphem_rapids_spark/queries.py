@@ -12180,6 +12180,17 @@ ORDER BY event_type
 
 _LATE_DELAY_MIN = 45
 _LATE_BATCHES = 3
+# The oracle replays Spark's microbatch watermark-propagation
+# protocol: the watermark applied during batch k derives from
+# max-event-time over batches <= k - _LATE_WM_OFFSET. The offset is
+# an ENGINE INTERNAL (stats from batch k-1 are committed with k's
+# offsets and take effect in k+1), measured = 2 on the Spark
+# versions below; tests/test_streaming_watermark.py::
+# test_watermark_propagation_offset DERIVES it empirically each run,
+# so a Spark upgrade that changes the protocol flips pytest red
+# instead of silently hash-mismatching at the driver.
+_LATE_WM_OFFSET = 2
+_LATE_WM_MEASURED_VERSIONS = ("4.0", "4.1")
 _LATE_STAGE_CACHE: dict = {}
 
 
@@ -12241,6 +12252,18 @@ def events_stream_late_drop(spark, sf_dir):
     verified per-key against the engine at both SFs), and a row
     survives iff its window END (ms) exceeds it. Output per (hour,
     type): total events, accepted events, late-dropped events."""
+    major_minor = ".".join(spark.version.split(".")[:2])
+    if major_minor not in _LATE_WM_MEASURED_VERSIONS:
+        import warnings
+
+        warnings.warn(
+            f"events_stream_late_drop: watermark-propagation offset "
+            f"{_LATE_WM_OFFSET} was measured on Spark "
+            f"{_LATE_WM_MEASURED_VERSIONS}, running {spark.version} — "
+            "re-derive via tests/test_streaming_watermark.py::"
+            "test_watermark_propagation_offset before trusting the oracle",
+            stacklevel=2,
+        )
     stage = _stage_late_batches(spark, sf_dir)
     from graphem_rapids_spark.streaming.events import run_available_now
 
@@ -12304,7 +12327,7 @@ WITH e AS (
 ),
 wm AS (
   SELECT d.b,
-         (SELECT max(us) FROM e x WHERE x.b <= d.b - 2) // 1000
+         (SELECT max(us) FROM e x WHERE x.b <= d.b - {_LATE_WM_OFFSET}) // 1000
            - {_LATE_DELAY_MIN} * 60 * 1000 AS wm_ms
   FROM (SELECT DISTINCT b FROM e) d
 ),

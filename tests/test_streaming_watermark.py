@@ -101,3 +101,71 @@ def test_late_rows_dropped_after_window_finalized(spark, three_file_stream_dir):
     )
     batch_counts = {str(r.w.start): r.n for r in batch.collect()}
     assert batch_counts["2024-01-01 10:00:00"] == 4
+
+
+def test_watermark_propagation_offset(spark, tmp_path):
+    """Empirically DERIVE the microbatch watermark-propagation offset
+    the `events_stream_late_drop` oracle replays (queries.py
+    `_LATE_WM_OFFSET`): the watermark applied during batch k derives
+    from max-event-time over batches <= k - offset.
+
+    Probe construction: every batch carries one row in the 00:00
+    window W0 plus a 10:00+k row that keeps max-event-time far past
+    W0's end + delay. The probe in batch k is accepted iff the
+    effective watermark at k still predates W0's end — i.e. iff
+    k < offset. In update mode the state count for W0 therefore
+    equals the offset. A Spark upgrade that changes the protocol
+    fails HERE instead of silently hash-mismatching at the driver."""
+    watch = tmp_path / "watch_off"
+    watch.mkdir()
+    for k in range(4):
+        staging = tmp_path / f"st_{k}"
+        rows = [
+            (1, _t("2024-01-01 00:30:00"), 1.0),  # probe in W0
+            (1, _t(f"2024-01-01 {10 + k}:00:00"), 1.0),  # wm driver
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        part = next(p for p in staging.iterdir() if p.name.endswith(".parquet"))
+        dest = watch / f"b{k}.parquet"
+        shutil.move(str(part), str(dest))
+        os.utime(dest, (1_700_000_000 + 300 * k,) * 2)
+
+    schema = "user_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch))
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("win"), "n")
+    )
+    name = f"wmoff_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(name).collect()
+    derived_offset = max(
+        (r.n for r in emitted if r.win == "2024-01-01 00:00:00"), default=0
+    )
+
+    from graphem_rapids_spark.queries import (
+        _LATE_WM_MEASURED_VERSIONS,
+        _LATE_WM_OFFSET,
+    )
+
+    assert derived_offset == _LATE_WM_OFFSET, (
+        f"Spark {spark.version} propagates watermarks with offset "
+        f"{derived_offset}, but the events_stream_late_drop oracle "
+        f"replays offset {_LATE_WM_OFFSET} — update _LATE_WM_OFFSET "
+        "and _LATE_WM_MEASURED_VERSIONS in queries.py"
+    )
+    assert ".".join(spark.version.split(".")[:2]) in _LATE_WM_MEASURED_VERSIONS
