@@ -2278,6 +2278,67 @@ def graph_weighted_layout(spark, sf_dir):
     )
 
 
+def layout_invariants(spark, sf_dir):
+    """Hash-oracled invariants of the flagship float-iterative layout
+    (VERDICT r5 item 6): the layout itself stays rows-only BY DESIGN —
+    coordinates depend on float summation order, and near-tie radial
+    ranks can legitimately swap across plans — but these facts about
+    the run are deterministic and the oracle derives every one of
+    them from the GRAPH alone: the layout must place exactly one
+    position per relabeled vertex (n_vertices), every position must
+    be 2-D (dim_min/dim_max read from the data, not assumed), every
+    coordinate finite after 2 force iterations + normalization
+    (n_nonfinite = 0), and the radial top-k must return
+    least(10, n) rows that all survive the id-mapping join back to
+    original part keys (n_seeds — a bogus layout id would be dropped
+    by that join and show up here). Mirrors the reference's own
+    invariant-test strategy for the float layout
+    (tests/test_pytorch_backend.py:326-379)."""
+    from graphem_rapids_spark.embedding.embedder import GraphEmbedderSpark
+    from graphem_rapids_spark.graph.canon import relabel_contiguous
+
+    e, mapping = relabel_contiguous(copurchase_edges(spark, sf_dir), canonical=True)
+    n = mapping.count()
+    emb = GraphEmbedderSpark(
+        e, n, n_components=2, seed=42, sample_size=128, canonical=True
+    )
+    emb.run_layout(2)
+    pos = emb.positions
+    bad = F.exists(
+        "pos", lambda x: F.isnan(x) | (F.abs(x) >= F.lit(float("inf")))
+    )
+    pstats = pos.agg(
+        F.count("*").alias("n_vertices"),
+        F.min(F.size("pos")).cast("long").alias("dim_min"),
+        F.max(F.size("pos")).cast("long").alias("dim_max"),
+        F.coalesce(
+            F.sum(F.when(bad, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_nonfinite"),
+    )
+    r = emb.radial_distances()
+    top = (
+        r.orderBy(F.col("radius").desc(), F.col("id").asc())
+        .limit(10)
+        .join(mapping, r.id == mapping.new_id)
+    )
+    sstats = top.agg(F.count("*").cast("long").alias("n_seeds"))
+    return pstats.crossJoin(sstats)
+
+
+_LAYOUT_INVARIANTS_SQL = f"""{_COPURCHASE_SQL_CTE},
+v AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM ge UNION ALL SELECT dst AS id FROM ge)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(2 AS BIGINT) AS dim_min,
+       CAST(2 AS BIGINT) AS dim_max,
+       CAST(0 AS BIGINT) AS n_nonfinite,
+       CAST(least(10, count(*)) AS BIGINT) AS n_seeds
+FROM v
+"""
+
+
 def influence_ic(spark, sf_dir):
     """IC spread of the top-5-degree seeds on the co-purchase graph.
     Deterministic AND oracle-checked: each directed edge gets exactly
@@ -13141,6 +13202,7 @@ QUERIES = {
     # of position -------
     # new in r6, never driver-checked — first in line for the r7
     # window (spliced here as they land)
+    "layout_invariants": layout_invariants,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -13541,7 +13603,9 @@ ORACLES = {
     "graph_degree_hill_tail": _hill_sql(),
     "embedding_int8_rank_fidelity": _INT8_FIDELITY_SQL,
     "events_stickiness": _STICKINESS_SQL,
+    "layout_invariants": _LAYOUT_INVARIANTS_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
-    # justifications in COVERAGE.md
+    # justifications in COVERAGE.md; their deterministic shape facts
+    # ARE hash-oracled via layout_invariants
 }
