@@ -11072,6 +11072,126 @@ def tokenizer_bpe_merge_topk(spark, sf_dir):
     )
 
 
+_BPE_TRAIN_ROUNDS = 6
+
+
+def tokenizer_bpe_train_rounds(spark, sf_dir):
+    """The FULL BPE training loop (Sennrich et al. 2016), iterated
+    _BPE_TRAIN_ROUNDS times — the vocabulary-building step
+    :func:`tokenizer_bpe_merge_topk` runs once. Per round: recount
+    adjacent symbol pairs over the CURRENT segmentation (weighted by
+    word frequency), merge the argmax pair everywhere, repeat.
+    Output: the merge table (round, sym_a, sym_b, merged,
+    pair_count) — the artifact a tokenizer ships.
+
+    Scale shape (SCALE.md §round-6): the corpus collapses ONCE to the
+    vocabulary-sized word-frequency table (map-side combinable); every
+    round then touches only that table — one explode-groupBy over
+    per-word symbol arrays plus a 1-row argmax collect — so 100 TB of
+    text costs one scan + R vocab-sized rounds, exactly how
+    industrial BPE trainers stage it. State per word is a DELIMITED
+    STRING (' a  b  c ': every symbol wrapped in its own leading and
+    trailing space), which makes the merge a plain left-to-right
+    non-overlapping ``replace(' a  b ', ' ab ')`` — bit-identical
+    semantics in Spark and DuckDB (both replace-all scan forward and
+    continue AFTER the replacement, which is exactly BPE's
+    non-overlapping merge of e.g. 'aaaa' → '(aa)(aa)'), no fold UDF
+    anywhere. localCheckpoint per round keeps the plan linear; ties
+    break by (count desc, sym_a, sym_b) under binary UTF-8 ordering
+    on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    enc = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+            "  ",
+        ),
+        F.lit(" "),
+    )
+    state = wc.select("c", enc.alias("e")).localCheckpoint(eager=True)
+    rows = []
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        st = state.select("c", F.split(F.trim(F.col("e")), "  ").alias("s")).filter(
+            F.size("s") >= 2
+        )
+        pc = (
+            st.select(
+                "c",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), i -> "
+                        "struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("c").alias("cnt"))
+        )
+        top = pc.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        rows.append((r, a, b, a + b, cnt))
+        state = state.select(
+            "c",
+            F.replace(
+                F.col("e"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            ).alias("e"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rows, "round long, sym_a string, sym_b string, merged string, pair_count long"
+    )
+
+
+def _bpe_train_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    """Unrolled per-round CTE chain replaying the exact loop: recount
+    pairs from s{r-1}, argmax with the same tie order, string-replace
+    merge. MATERIALIZED state CTEs keep DuckDB's planner linear."""
+    parts = [
+        """WITH wc AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1
+),
+s0 AS MATERIALIZED (
+  SELECT c, ' ' || array_to_string(
+    list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)), '  ')
+    || ' ' AS e
+  FROM wc
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(e), '  ') AS syms, c FROM s{r - 1}
+        WHERE len(string_split(trim(e), '  ')) >= 2),
+       unnest(generate_series(1, len(syms) - 1)) t(i)
+  GROUP BY 1, 2
+),
+m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+s{r} AS MATERIALIZED (
+  SELECT c, replace(e, ' ' || m.a || '  ' || m.b || ' ',
+                       ' ' || m.a || m.b || ' ') AS e
+  FROM s{r - 1}, m{r} m
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, a AS sym_a, b AS sym_b, "
+        f"a || b AS merged, cnt AS pair_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"\n{unions}\nORDER BY round")
+    return "".join(parts)
+
+
 _BPE_MERGE_SQL = """
 WITH words AS (
   SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents
@@ -13203,6 +13323,7 @@ QUERIES = {
     # new in r6, never driver-checked — first in line for the r7
     # window (spliced here as they land)
     "layout_invariants": layout_invariants,
+    "tokenizer_bpe_train_rounds": tokenizer_bpe_train_rounds,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -13604,6 +13725,7 @@ ORACLES = {
     "embedding_int8_rank_fidelity": _INT8_FIDELITY_SQL,
     "events_stickiness": _STICKINESS_SQL,
     "layout_invariants": _LAYOUT_INVARIANTS_SQL,
+    "tokenizer_bpe_train_rounds": _bpe_train_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts
