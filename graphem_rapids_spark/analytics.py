@@ -1964,3 +1964,134 @@ def hyperball(
     for e in ests[1:]:
         out = out.join(e, "id")
     return out
+
+
+def load_sampled(
+    edges: DataFrame,
+    n_vertices: int,
+    sources: DataFrame | None = None,
+    normalized: bool = True,
+    max_depth: int = 64,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed load centrality (Newman betweenness) over a batch
+    of source vertices — the scale upgrade of the driver-networkx
+    :func:`load_centrality` (reference guards it to n<5000,
+    ``benchmark.py:105-108``; SURVEY §2 A6), graduating exactly the
+    way betweenness (A2) did in round 3.
+
+    Load differs from Brandes betweenness only in the backward
+    accumulation convention: a vertex w at BFS level d+1 distributes
+    ``(1 + delta_w) / npred(w)`` EQUALLY to each shortest-path
+    predecessor — hypothetical packet routing — instead of
+    proportionally to path counts ``sigma_v / sigma_w``. The forward
+    pass therefore carries ``npred`` (number of level-d neighbors,
+    the free count(*) of the same predecessor-message groupBy Brandes
+    sums sigma over) and needs no path counts at all; the backward
+    pass is the same per-level broadcast-join + groupBy with the
+    ratio swapped. Contributions accumulate in the same 2^-40 fixed
+    point (DECIMAL(38,0) sums — exact integers, no float summation
+    order, bit-identical across engines/partitionings/reruns).
+
+    networkx conventions: contributions never flow INTO a source
+    (level 0 is excluded from the accumulation, matching nx's
+    ``x == source: break``), sampled sources rescale by n/k, and
+    ``normalized`` divides by (n-1)(n-2) — note NO extra /2 for
+    undirected graphs, unlike betweenness (nx.load_centrality does
+    not halve)."""
+    spark = edges.sparkSession
+    sym = symmetrize_edges(edges).repartition(F.col("src")).persist()
+    if sources is None:
+        sources = spark.range(n_vertices).select(F.col("id").cast("long"))
+    n_sources = sources.count()
+    from graphem_rapids_spark import session
+
+    broadcast_max = session.BROADCAST_POSITIONS_MAX
+
+    # npred of a source is never read (level 0 never plays w in the
+    # backward pass) — 1 is a placeholder
+    frontier = sources.select(
+        F.col("id").alias("s"), F.col("id"), F.lit(1).cast("long").alias("npred")
+    ).localCheckpoint(eager=True)
+    levels = [frontier]
+    level_counts = [n_sources]
+    seen = frontier.select("s", "id").localCheckpoint(eager=True)
+    frontier_n = n_sources
+    for _ in range(max_depth):
+        fr = F.broadcast(frontier) if frontier_n <= broadcast_max else frontier
+        msgs = (
+            sym.withColumnRenamed("src", "id")
+            .join(fr.select("s", "id"), "id")
+            .select("s", F.col("dst").alias("id"))
+            .groupBy("s", "id")
+            .agg(F.count("*").alias("npred"))
+        )
+        frontier = msgs.join(seen, ["s", "id"], "left_anti").localCheckpoint(eager=True)
+        frontier_n = frontier.count()
+        if frontier_n == 0:
+            break
+        levels.append(frontier)
+        level_counts.append(frontier_n)
+        seen = seen.unionAll(frontier.select("s", "id"))
+
+    acc = None
+    delta_next = levels[-1].withColumn("delta_fp", F.lit(0).cast("decimal(38,0)"))
+    for d in range(len(levels) - 2, -1, -1):
+        dn = delta_next.select(
+            "s", "id", F.col("npred").alias("npred_w"), F.col("delta_fp").alias("dfp_w")
+        )
+        up = (
+            sym.withColumnRenamed("src", "id")
+            .join(F.broadcast(dn) if level_counts[d + 1] <= broadcast_max else dn, "id")
+            .select("s", F.col("dst").alias("id"), "npred_w", "dfp_w")
+        )
+        cur = levels[d]
+        # (1 + delta_w)/npred_w in 2^-40 fixed point: the numerator is
+        # an exact DECIMAL sum converted once to double, one IEEE
+        # divide, round -> DECIMAL makes the groupBy sum order-free
+        contrib = (
+            cur.join(up, ["s", "id"])
+            .groupBy("s", "id")
+            .agg(
+                F.sum(
+                    F.round(
+                        (F.lit(DELTA_FP_SCALE) + F.col("dfp_w")).cast("double")
+                        / F.col("npred_w").cast("double")
+                    ).cast("decimal(38,0)")
+                ).alias("delta_fp")
+            )
+        )
+        delta_next = (
+            cur.join(contrib, ["s", "id"], "left")
+            .select(
+                "s",
+                "id",
+                "npred",
+                F.coalesce("delta_fp", F.lit(0).cast("decimal(38,0)")).alias(
+                    "delta_fp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if d > 0:
+            part = delta_next.select("id", "delta_fp")
+            acc = part if acc is None else acc.unionAll(part)
+    sym.unpersist()
+
+    if vertices is None:
+        vertices = spark.range(n_vertices).select(F.col("id").cast("long"))
+    else:
+        vertices = vertices.select(F.col("id").cast("long"))
+    if acc is None:
+        return vertices.select("id", F.lit(0.0).alias("value"))
+    raw = acc.groupBy("id").agg(F.sum("delta_fp").alias("dfp_sum"))
+    dsum = F.col("dfp_sum").cast("double") / F.lit(float(DELTA_FP_SCALE))
+    scale = float(n_vertices) / float(n_sources)
+    if normalized:
+        denom = float(max((n_vertices - 1) * (n_vertices - 2), 1))
+        val = dsum * scale / denom
+    else:
+        val = dsum * scale
+    return vertices.join(raw, "id", "left").select(
+        "id", F.coalesce(val, F.lit(0.0)).alias("value")
+    )

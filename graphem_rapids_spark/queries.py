@@ -4880,6 +4880,124 @@ ORDER BY value DESC, a.id ASC LIMIT 20"""
     return "".join(parts)
 
 
+def load_copurchase(spark, sf_dir):
+    """Sampled-source distributed LOAD centrality (Newman
+    betweenness) on the co-purchase graph — same 16 deterministic
+    sources, n/k rescale, and ``_BETW_DEPTH`` horizon as
+    :func:`betweenness_copurchase`, with the backward accumulation
+    distributing (1+δ_w)/npred(w) EQUALLY to predecessors instead of
+    proportionally to path counts (``analytics.load_sampled``; the
+    reference runs this operator driver-side via networkx,
+    benchmark.py:105-108 — this is the A6 scale graduation). Same
+    2^-40 fixed-point exactness, so the full forward+backward pass
+    unrolls to depth-bounded SQL. Top 20 products by load."""
+    from graphem_rapids_spark.analytics import load_sampled
+
+    edges = copurchase_edges(spark, sf_dir)
+    verts = vertices_from_edges(edges)
+    n = verts.count()
+    k = 16
+    sources = (
+        spark.range(k)
+        .select(((F.col("id") * 2654435761) % n).cast("long").alias("id"))
+        .distinct()
+        .join(verts, "id", "left_semi")
+    )
+    lc = load_sampled(
+        edges, n, sources=sources, normalized=True, max_depth=_BETW_DEPTH,
+        vertices=verts,
+    )
+    return (
+        lc.select("id", F.round("value", 6).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("id").asc())
+        .limit(20)
+    )
+
+
+def _load_copurchase_sql(depth: int = _BETW_DEPTH) -> str:
+    """Depth-bounded load centrality unrolled to SQL, mirroring
+    ``analytics.load_sampled`` level by level: forward BFS CTEs carry
+    (s, id, npred) with a visited anti-join; backward CTEs quantize
+    each (1+δ_w)/npred_w contribution to 2⁻⁴⁰ fixed point and sum
+    exact HUGEINTs. Same skeleton as ``_betw_copurchase_sql`` with
+    sigma replaced by the predecessor count."""
+    from graphem_rapids_spark.analytics import DELTA_FP_SCALE
+
+    fp = DELTA_FP_SCALE
+    parts = [
+        _COPURCHASE_SQL_CTE,
+        """
+, sym AS MATERIALIZED (SELECT src, dst FROM ge UNION ALL SELECT dst AS src, src AS dst FROM ge)
+, verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)
+, nv AS (SELECT count(*) AS n FROM verts)
+, s0 AS MATERIALIZED (
+  SELECT DISTINCT CAST((t.range * 2654435761) % nv.n AS BIGINT) AS id
+  FROM range(16) t CROSS JOIN nv
+  WHERE CAST((t.range * 2654435761) % nv.n AS BIGINT) IN (SELECT id FROM verts)
+)
+, kk AS (SELECT count(*) AS k FROM s0)
+, f0 AS MATERIALIZED (SELECT id AS s, id, CAST(1 AS BIGINT) AS npred FROM s0)
+, vis0 AS MATERIALIZED (SELECT s, id FROM f0)""",
+    ]
+    for d in range(1, depth + 1):
+        parts.append(
+            f"""
+, f{d} AS MATERIALIZED (
+  SELECT m.s, m.id, m.npred FROM (
+    SELECT p.s, e.dst AS id, count(*) AS npred
+    FROM sym e JOIN f{d - 1} p ON e.src = p.id
+    GROUP BY p.s, e.dst
+  ) m LEFT JOIN vis{d - 1} v ON m.s = v.s AND m.id = v.id
+  WHERE v.s IS NULL
+)
+, vis{d} AS MATERIALIZED (
+  SELECT s, id FROM vis{d - 1} UNION ALL SELECT s, id FROM f{d}
+)"""
+        )
+    parts.append(
+        f"""
+, del{depth} AS MATERIALIZED (
+  SELECT s, id, npred, CAST(0 AS HUGEINT) AS delta_fp FROM f{depth}
+)"""
+    )
+    for d in range(depth - 1, -1, -1):
+        parts.append(
+            f"""
+, up{d} AS (
+  SELECT dn.s, e.dst AS id, dn.npred AS npred_w, dn.delta_fp AS dfp_w
+  FROM sym e JOIN del{d + 1} dn ON e.src = dn.id
+)
+, con{d} AS (
+  SELECT c.s, c.id,
+         sum(CAST(round(CAST({fp} + u.dfp_w AS DOUBLE)
+                        / CAST(u.npred_w AS DOUBLE)) AS HUGEINT)) AS dfp
+  FROM f{d} c JOIN up{d} u ON c.s = u.s AND c.id = u.id
+  GROUP BY c.s, c.id
+)
+, del{d} AS MATERIALIZED (
+  SELECT c.s, c.id, c.npred, coalesce(n.dfp, CAST(0 AS HUGEINT)) AS delta_fp
+  FROM f{d} c LEFT JOIN con{d} n ON c.s = n.s AND c.id = n.id
+)"""
+        )
+    acc_union = "\n  UNION ALL ".join(
+        f"SELECT id, delta_fp FROM del{d}" for d in range(1, depth + 1)
+    )
+    parts.append(
+        f"""
+, accu AS (
+  {acc_union}
+)
+, agg AS (SELECT id, CAST(sum(delta_fp) AS DOUBLE) AS dfp_sum FROM accu GROUP BY id)
+SELECT a.id,
+       round(((coalesce(g.dfp_sum, 0.0) / {float(fp)!r})
+              * (CAST(nv.n AS DOUBLE) / CAST(kk.k AS DOUBLE)))
+             / CAST(greatest((nv.n - 1) * (nv.n - 2), 1) AS DOUBLE), 6) AS value
+FROM verts a LEFT JOIN agg g ON a.id = g.id CROSS JOIN nv CROSS JOIN kk
+ORDER BY value DESC, a.id ASC LIMIT 20"""
+    )
+    return "".join(parts)
+
+
 # Poisson(1) inverse-CDF breakpoints, identical float literals on both
 # engines (cum k=0..7; counts capped at 8).
 _POIS_CUM = [
@@ -13324,6 +13442,7 @@ QUERIES = {
     # window (spliced here as they land)
     "layout_invariants": layout_invariants,
     "tokenizer_bpe_train_rounds": tokenizer_bpe_train_rounds,
+    "load_copurchase": load_copurchase,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -13726,6 +13845,7 @@ ORACLES = {
     "events_stickiness": _STICKINESS_SQL,
     "layout_invariants": _LAYOUT_INVARIANTS_SQL,
     "tokenizer_bpe_train_rounds": _bpe_train_sql(),
+    "load_copurchase": _load_copurchase_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

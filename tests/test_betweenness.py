@@ -50,3 +50,34 @@ def test_sampled_rescale_is_unbiased_shape(spark, er_graph):
     top_exact = sorted(want, key=want.get, reverse=True)[:5]
     top_sampled = sorted(got, key=got.get, reverse=True)[:10]
     assert len(set(top_exact) & set(top_sampled)) >= 3
+
+
+def test_load_sampled_matches_networkx(spark, er_graph):
+    """analytics.load_sampled vs nx.load_centrality — the A6 scale
+    graduation (VERDICT r5 item 8): equal-split accumulation, no /2
+    for undirected, exact to 1e-9 via the 2^-40 fixed point."""
+    from graphem_rapids_spark.analytics import load_sampled
+
+    G, edges = er_graph
+    got = {r.id: r.value for r in load_sampled(edges, 40, normalized=True).collect()}
+    want = nx.load_centrality(G, normalized=True)
+    assert set(got) == set(range(40))
+    for i in range(40):
+        assert got[i] == pytest.approx(want[i], abs=1e-9), f"vertex {i}"
+
+
+def test_load_sampled_tree_closed_form(spark):
+    """On a tree normalized load == normalized betweenness exactly
+    (single shortest paths: every npred = 1 and every sigma ratio =
+    1, and BOTH normalized conventions are delta_sum/((n-1)(n-2)) —
+    nx only halves betweenness in the UNnormalized branch)."""
+    from graphem_rapids_spark.analytics import betweenness_sampled, load_sampled
+
+    n = 31
+    edges = spark.createDataFrame(
+        [(int((i - 1) // 2), i) for i in range(1, n)], "src long, dst long"
+    )
+    lc = {r.id: r.value for r in load_sampled(edges, n, normalized=True).collect()}
+    bc = {r.id: r.value for r in betweenness_sampled(edges, n, normalized=True).collect()}
+    for i in range(n):
+        assert lc[i] == pytest.approx(bc[i], abs=1e-9), f"vertex {i}"
