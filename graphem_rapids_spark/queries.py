@@ -2303,6 +2303,13 @@ def layout_invariants(spark, sf_dir):
         e, n, n_components=2, seed=42, sample_size=128, canonical=True
     )
     emb.run_layout(2)
+    return _layout_invariant_stats(emb, mapping)
+
+
+def _layout_invariant_stats(emb, mapping):
+    """Deterministic shape facts of a finished layout: one position
+    per relabeled vertex, per-row dimensionality, all-finite count,
+    and the mapping-surviving radial top-10 count."""
     pos = emb.positions
     bad = F.exists(
         "pos", lambda x: F.isnan(x) | (F.abs(x) >= F.lit(float("inf")))
@@ -2323,6 +2330,44 @@ def layout_invariants(spark, sf_dir):
     )
     sstats = top.agg(F.count("*").cast("long").alias("n_seeds"))
     return pstats.crossJoin(sstats)
+
+
+def weighted_layout_invariants(spark, sf_dir):
+    """The :func:`layout_invariants` companion for the WEIGHTED
+    flagship (`graph_weighted_layout`, the other rows-only entry):
+    same deterministic shape facts — one position per vertex of the
+    weighted co-purchase graph, 2-D, all-finite, mapping-surviving
+    top-10 — derived by the oracle from the graph alone. The weighted
+    graph's vertex set equals the unweighted one (same distinct
+    (order, part) co-occurrence pairs; only edge weights differ), so
+    the oracle CTE is shared."""
+    from graphem_rapids_spark.embedding.embedder import GraphEmbedderSpark
+    from graphem_rapids_spark.graph.canon import relabel_contiguous
+
+    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
+    we = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("src") < F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    _, mapping = relabel_contiguous(we.select("src", "dst"), canonical=True)
+    n = mapping.count()
+    m = mapping
+    wre = (
+        we.join(m, we.src == m.old_id)
+        .select(F.col("new_id").alias("src"), "dst", "w")
+        .join(m, F.col("dst") == m.old_id)
+        .select("src", F.col("new_id").alias("dst"), "w")
+    )
+    emb = GraphEmbedderSpark(
+        wre, n, n_components=2, seed=42, sample_size=128, canonical=True,
+        weight_col="w",
+    )
+    emb.run_layout(2)
+    return _layout_invariant_stats(emb, mapping)
 
 
 _LAYOUT_INVARIANTS_SQL = f"""{_COPURCHASE_SQL_CTE},
@@ -10667,11 +10712,44 @@ def dedup_prefix_jaccard(spark, sf_dir):
     )
 
 
-_PPJOIN_SQL = """
+def dedup_prefix_jaccard_df(spark, sf_dir):
+    """The ``token_order="df"`` mode of
+    :func:`pipeline.dedup.prefix_jaccard_pairs` under the same
+    brute-force oracle, on the disjoint doc_id % 10 == 1 shard: the
+    classic PPJoin document-frequency-ascending token order (prefixes
+    hold the RAREST tokens — the candidate-collapsing knob for skewed
+    real vocabularies) must lose NOTHING vs all-pairs, exactly like
+    the hash order. Same per-decile rollup as
+    :func:`dedup_prefix_jaccard`."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 1)
+    pairs = D.prefix_jaccard_pairs(docs, threshold=_PPJ_T, token_order="df")
+    verified = pairs.select(
+        "doc_a",
+        "n_common",
+        F.floor(F.lit(10) * F.col("n_common") / F.col("n_union"))
+        .cast("int")
+        .alias("decile"),
+    )
+    return verified.groupBy("decile").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("doc_a").alias("n_left_docs"),
+        F.min("n_common").alias("min_common"),
+        F.max("n_common").alias("max_common"),
+    )
+
+
+def _ppjoin_sql(shard: int) -> str:
+    """Brute all-pairs oracle for the prefix-filtered exact join on
+    the doc_id % 10 == ``shard`` slice — algorithmically independent
+    of the prefix/length filters, so ANY recall loss shows."""
+    return _PPJOIN_SQL_TMPL.format(shard=shard)
+
+
+_PPJOIN_SQL_TMPL = """
 WITH toks AS (
   SELECT DISTINCT doc_id, tok
   FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
-        FROM documents WHERE doc_id % 10 = 0)
+        FROM documents WHERE doc_id % 10 = {shard})
   WHERE tok <> ''
 ),
 sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
@@ -11267,6 +11345,154 @@ def tokenizer_bpe_train_rounds(spark, sf_dir):
     )
 
 
+def tokenizer_bpe_encode(spark, sf_dir):
+    """APPLY the trained tokenizer: run the same _BPE_TRAIN_ROUNDS
+    merge loop, then tokenize the whole corpus with the learned
+    merges and report per-language compression — the acceptance
+    metric a tokenizer ships with (tokens per character decides
+    training cost at 100 TB). The apply step is vocabulary-sized like
+    training: every DISTINCT word already carries its final
+    segmentation in the loop state, so per-word token counts are read
+    straight off the delimited string (n_syms = separators + 1, an
+    exact length difference) and the corpus pass is one
+    explode-join-aggregate against that word table. Output per lang:
+    docs, word instances, characters, BPE tokens, chars/token."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("w").agg(F.count("*").alias("c"))
+    enc = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+            "  ",
+        ),
+        F.lit(" "),
+    )
+    state = wc.select("w", "c", enc.alias("e")).localCheckpoint(eager=True)
+    for _ in range(_BPE_TRAIN_ROUNDS):
+        st = state.select("c", F.split(F.trim(F.col("e")), "  ").alias("s")).filter(
+            F.size("s") >= 2
+        )
+        pc = (
+            st.select(
+                "c",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), i -> "
+                        "struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("c").alias("cnt"))
+        )
+        top = pc.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        state = state.select(
+            "w",
+            "c",
+            F.replace(
+                F.col("e"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            ).alias("e"),
+        ).localCheckpoint(eager=True)
+    # n_syms = '  '-separator count + 1, an exact length difference
+    t = F.trim(F.col("e"))
+    wt = state.select(
+        "w",
+        (
+            F.length(t) - F.length(F.replace(t, F.lit("  "), F.lit(" "))) + 1
+        ).cast("long").alias("n_sym"),
+    )
+    per_lang = (
+        words.join(wt, "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+    )
+    docs = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return (
+        docs.join(per_lang, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_bpe_tokens").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_encode_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    """The encode oracle: the same unrolled training chain with the
+    word column carried through, then the per-language tokenize
+    aggregate."""
+    parts = [
+        """WITH wl AS (
+  SELECT lang, w FROM (
+    SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+wc AS (SELECT w, count(*) AS c FROM wl GROUP BY 1),
+s0 AS MATERIALIZED (
+  SELECT w, c, ' ' || array_to_string(
+    list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)), '  ')
+    || ' ' AS e
+  FROM wc
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(e), '  ') AS syms, c FROM s{r - 1}
+        WHERE len(string_split(trim(e), '  ')) >= 2),
+       unnest(generate_series(1, len(syms) - 1)) t(i)
+  GROUP BY 1, 2
+),
+m{r} AS (SELECT a, b FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+s{r} AS MATERIALIZED (
+  SELECT w, c, replace(e, ' ' || m.a || '  ' || m.b || ' ',
+                          ' ' || m.a || m.b || ' ') AS e
+  FROM s{r - 1}, m{r} m
+)"""
+        )
+    parts.append(
+        f""",
+wt AS (
+  SELECT w, CAST(len(trim(e)) - len(replace(trim(e), '  ', ' ')) + 1 AS BIGINT)
+           AS n_sym
+  FROM s{rounds}
+),
+pl AS (
+  SELECT lang, count(*) AS n_words,
+         CAST(sum(len(w)) AS BIGINT) AS n_chars,
+         CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+  FROM wl JOIN wt USING (w) GROUP BY 1
+),
+dl AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1)
+SELECT lang, n_docs, n_words, n_chars, n_bpe_tokens,
+       round(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE), 6)
+         AS chars_per_token
+FROM dl JOIN pl USING (lang)
+ORDER BY lang"""
+    )
+    return "".join(parts)
+
+
 def _bpe_train_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
     """Unrolled per-round CTE chain replaying the exact loop: recount
     pairs from s{r-1}, argmax with the same tie order, string-replace
@@ -11686,6 +11912,239 @@ SELECT id, exact_r1, est_r1, exact_r2, est_r2
 FROM deg JOIN ball2 USING (id) JOIN e1 USING (id) JOIN e2 USING (id)
 ORDER BY est_r2 DESC, id LIMIT {_HB_TOPK}
 """
+
+
+def supplier_transit_overlap(spark, sf_dir):
+    """Interval-overlap analytics WITHOUT the interval self-join: per
+    supplier, how many PAIRS of lineitems had overlapping fulfillment
+    windows [o_orderdate, l_shipdate], and the peak number
+    concurrently open — the 'max concurrent in-flight' question every
+    ops dashboard asks of interval data. The naive answer is a range
+    self-join (quadratic in the supplier's lineitems — the exact
+    shape the brief warns about); this is the LINEAR sweep instead:
+    each interval emits a start and an end event, a per-supplier
+    window (PARTITIONED, never global) running-counts both kinds, and
+    at every start event ``open = n_starts - n_ends_before`` gives
+    both answers — Σ(open-1) counts each overlapping pair exactly
+    once (at its later start; same-date tie groups contribute C(g,2)
+    regardless of internal order), max(open) is the concurrency peak.
+    End events at the same date sort AFTER starts, making the overlap
+    test inclusive (end == start still overlaps). The oracle is the
+    ALGORITHMICALLY INDEPENDENT brute-force pair join. Output: top 20
+    suppliers by overlap pairs."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # the synthetic generator draws the two dates independently, so
+    # canonicalize each interval to its unordered [min, max] span
+    iv = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.least("o_orderdate", "l_shipdate").alias("st"),
+        F.greatest("o_orderdate", "l_shipdate").alias("en"),
+    )
+    # one scan: each interval explodes to its (start, end) event pair
+    # map-side — a union of two selects would re-run the join twice
+    ev = iv.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.explode(
+            F.array(
+                F.struct(F.col("st").alias("t"), F.lit(0).alias("k")),
+                F.struct(F.col("en").alias("t"), F.lit(1).alias("k")),
+            )
+        ).alias("e"),
+    ).select("l_suppkey", "l_orderkey", "l_linenumber", "e.t", "e.k")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("t", "k", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sw = ev.select(
+        "l_suppkey",
+        "k",
+        F.sum(F.when(F.col("k") == 0, 1).otherwise(0)).over(w).alias("ns"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).over(w).alias("ne"),
+    ).filter(F.col("k") == 0)
+    return (
+        sw.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(F.col("ns") - 1 - F.col("ne")).alias("overlap_pairs"),
+            F.max(F.col("ns") - F.col("ne")).alias("max_concurrent"),
+        )
+        .orderBy(F.desc("overlap_pairs"), "l_suppkey")
+        .limit(20)
+    )
+
+
+_TRANSIT_OVERLAP_SQL = """
+WITH iv AS (
+  -- the synthetic lineitem has duplicate (orderkey, linenumber)
+  -- keys, so pair dedup needs a genuinely unique row id
+  SELECT l_suppkey AS s,
+         row_number() OVER () AS rid,
+         least(o_orderdate, l_shipdate) AS st,
+         greatest(o_orderdate, l_shipdate) AS en
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+np AS (
+  SELECT a.s, count(*) AS overlap_pairs
+  FROM iv a JOIN iv b
+    ON a.s = b.s AND a.rid < b.rid
+   AND a.st <= b.en AND b.st <= a.en
+  GROUP BY 1
+),
+mc AS (
+  SELECT s, CAST(max(cnt) AS BIGINT) AS max_concurrent FROM (
+    SELECT a.s, a.rid, count(*) AS cnt
+    FROM iv a JOIN iv b
+      ON a.s = b.s AND b.st <= a.st AND a.st <= b.en
+    GROUP BY 1, 2
+  ) GROUP BY 1
+),
+nl AS (SELECT s, count(*) AS n_lineitems FROM iv GROUP BY 1)
+SELECT nl.s AS l_suppkey, nl.n_lineitems,
+       CAST(coalesce(np.overlap_pairs, 0) AS BIGINT) AS overlap_pairs,
+       mc.max_concurrent
+FROM nl LEFT JOIN np ON nl.s = np.s JOIN mc ON nl.s = mc.s
+ORDER BY overlap_pairs DESC, l_suppkey LIMIT 20
+"""
+
+
+_EFF_DIAM_ROUNDS = 3
+_EFF_DIAM_QF = 1_000_000  # per-vertex estimate quantizer (1e-6 units)
+
+
+def graph_effective_diameter(spark, sf_dir):
+    """The neighborhood function + effective diameter — WHAT
+    HyperBall exists to compute (Boldi & Vigna 2013 §1: 'the 90%
+    effective diameter of the Facebook graph'): NF(t) = Σ_v
+    |ball_t(v)| estimated from the per-vertex HLL registers
+    (:func:`analytics.hyperball`, 3 rounds), and the horizon-3
+    effective diameter = the interpolated t where NF first reaches
+    90% of NF(3) (NF(0) = n exactly). Cross-engine exactness: each
+    per-vertex estimate is bit-identical (integer registers →
+    identical IEEE expression, round 4), so quantizing to 1e-6 units
+    BEFORE the global sum turns the float-order-sensitive Σ_v into an
+    exact integer aggregate — the same trick as the 2⁻⁴⁰ Brandes
+    fixed point; the interpolation is then a handful of identical
+    double ops on exact integers. At 100 TB the NF sums are one
+    map-side-combinable aggregate per round over sketch state
+    (DECIMAL accumulators for the 10⁹-vertex headroom)."""
+    e = copurchase_edges(spark, sf_dir)
+    from graphem_rapids_spark.graph.canon import symmetrize_edges
+
+    sym = symmetrize_edges(e)
+    ests = A.hyperball(
+        sym, m=_HB_M, rounds=_EFF_DIAM_ROUNDS, seed=_HB_SEED, symmetrize=False
+    )
+    q = ests.agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        *[
+            F.sum(
+                F.round(F.col(f"est_r{t}") * _EFF_DIAM_QF).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias(f"nf{t}_q")
+            for t in range(1, _EFF_DIAM_ROUNDS + 1)
+        ],
+    )
+    nf0 = (F.col("n_vertices") * F.lit(_EFF_DIAM_QF)).cast("double")
+    nf1, nf2, nf3 = (F.col(f"nf{t}_q").cast("double") for t in (1, 2, 3))
+    target = F.lit(0.9) * nf3
+    # first t with NF(t) >= 0.9*NF(3), linearly interpolated; each
+    # branch's divisor is positive whenever the branch is reachable
+    eff = (
+        F.when(nf0 >= target, F.lit(0.0))
+        .when(nf1 >= target, (target - nf0) / (nf1 - nf0))
+        .when(nf2 >= target, F.lit(1.0) + (target - nf1) / (nf2 - nf1))
+        .otherwise(F.lit(2.0) + (target - nf2) / (nf3 - nf2))
+    )
+    return q.select(
+        "n_vertices",
+        "nf1_q",
+        "nf2_q",
+        "nf3_q",
+        F.round(eff, 6).alias("eff_diameter_90"),
+    )
+
+
+def _eff_diam_sql() -> str:
+    hv = f"CAST(floor({_mix_sql('id', _HB_SEED)} * {_LCG_M}) AS BIGINT)"
+    rho = _hb_rho_case("w")
+    raw = f"({_HB_ALPHA * _HB_M * _HB_M!r} / s)"
+    est = (
+        f"round(CASE WHEN {raw} <= {2.5 * _HB_M!r} AND zeros > 0 "
+        f"THEN {float(_HB_M)!r} * ln({float(_HB_M)!r} / zeros) ELSE {raw} END, 4)"
+    )
+    est_cte = (
+        "SELECT id, {alias_expr} FROM (\n"
+        "  SELECT id,\n"
+        f"         ({_HB_M} - count(*)) + sum(1.0 / CAST(1 << m AS DOUBLE)) AS s,\n"
+        f"         CAST({_HB_M} - count(*) AS BIGINT) AS zeros\n"
+        "  FROM {src} GROUP BY id)"
+    )
+    parts = [
+        f"""{_COPURCHASE_SQL_CTE},
+sym AS MATERIALIZED (
+  SELECT src, dst FROM ge UNION ALL SELECT dst AS src, src AS dst FROM ge
+),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+h AS (SELECT id, {hv} AS hv FROM verts),
+regs0 AS MATERIALIZED (
+  SELECT id, bucket, {rho} AS m FROM (
+    SELECT id, hv >> {_HB_WBITS} AS bucket, hv % {1 << _HB_WBITS} AS w FROM h)
+)"""
+    ]
+    for t in range(1, _EFF_DIAM_ROUNDS + 1):
+        parts.append(
+            f""",
+regs{t} AS MATERIALIZED (
+  SELECT id, bucket, max(m) AS m FROM (
+    SELECT id, bucket, m FROM regs{t - 1}
+    UNION ALL
+    SELECT s.dst AS id, r.bucket, r.m FROM sym s JOIN regs{t - 1} r ON s.src = r.id
+  ) GROUP BY id, bucket
+),
+e{t} AS ({est_cte.format(alias_expr=f"{est} AS est", src=f"regs{t}")})"""
+        )
+    joins = " ".join(
+        f"JOIN e{t} ON e1.id = e{t}.id" for t in range(2, _EFF_DIAM_ROUNDS + 1)
+    )
+    nfs = ",\n         ".join(
+        f"CAST(sum(CAST(round(e{t}.est * {_EFF_DIAM_QF}) AS HUGEINT)) AS BIGINT)"
+        f" AS nf{t}_q"
+        for t in range(1, _EFF_DIAM_ROUNDS + 1)
+    )
+    parts.append(
+        f""",
+q AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+         {nfs}
+  FROM e1 {joins}
+)
+SELECT n_vertices, nf1_q, nf2_q, nf3_q,
+       round(CASE
+         WHEN CAST(n_vertices * {_EFF_DIAM_QF} AS DOUBLE)
+              >= 0.9 * CAST(nf3_q AS DOUBLE) THEN 0.0
+         WHEN CAST(nf1_q AS DOUBLE) >= 0.9 * CAST(nf3_q AS DOUBLE)
+           THEN (0.9 * CAST(nf3_q AS DOUBLE)
+                 - CAST(n_vertices * {_EFF_DIAM_QF} AS DOUBLE))
+                / (CAST(nf1_q AS DOUBLE)
+                   - CAST(n_vertices * {_EFF_DIAM_QF} AS DOUBLE))
+         WHEN CAST(nf2_q AS DOUBLE) >= 0.9 * CAST(nf3_q AS DOUBLE)
+           THEN 1.0 + (0.9 * CAST(nf3_q AS DOUBLE) - CAST(nf1_q AS DOUBLE))
+                      / (CAST(nf2_q AS DOUBLE) - CAST(nf1_q AS DOUBLE))
+         ELSE 2.0 + (0.9 * CAST(nf3_q AS DOUBLE) - CAST(nf2_q AS DOUBLE))
+                    / (CAST(nf3_q AS DOUBLE) - CAST(nf2_q AS DOUBLE))
+       END, 6) AS eff_diameter_90
+FROM q"""
+    )
+    return "".join(parts)
 
 
 _PJ_TAU = 2
@@ -13443,6 +13902,11 @@ QUERIES = {
     "layout_invariants": layout_invariants,
     "tokenizer_bpe_train_rounds": tokenizer_bpe_train_rounds,
     "load_copurchase": load_copurchase,
+    "weighted_layout_invariants": weighted_layout_invariants,
+    "dedup_prefix_jaccard_df": dedup_prefix_jaccard_df,
+    "tokenizer_bpe_encode": tokenizer_bpe_encode,
+    "graph_effective_diameter": graph_effective_diameter,
+    "supplier_transit_overlap": supplier_transit_overlap,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -13752,7 +14216,8 @@ ORACLES = {
     "embedding_label_silhouette": _silhouette_sql(),
     "events_stream_ewma": _ewma_stream_sql(),
     "lang_mixture_weights": _lang_mixture_sql(),
-    "dedup_prefix_jaccard": _PPJOIN_SQL,
+    "dedup_prefix_jaccard": _ppjoin_sql(0),
+    "dedup_prefix_jaccard_df": _ppjoin_sql(1),
     "retrieval_rrf_fusion": _rrf_sql(),
     "sketch_kmv_setops": _kmv_setops_sql(),
     "orders_merge_upsert": _MERGE_SQL,
@@ -13846,6 +14311,10 @@ ORACLES = {
     "layout_invariants": _LAYOUT_INVARIANTS_SQL,
     "tokenizer_bpe_train_rounds": _bpe_train_sql(),
     "load_copurchase": _load_copurchase_sql(),
+    "weighted_layout_invariants": _LAYOUT_INVARIANTS_SQL,
+    "tokenizer_bpe_encode": _bpe_encode_sql(),
+    "graph_effective_diameter": _eff_diam_sql(),
+    "supplier_transit_overlap": _TRANSIT_OVERLAP_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts
