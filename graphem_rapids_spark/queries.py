@@ -6352,6 +6352,195 @@ FROM pd CROSS JOIN tot
 """
 
 
+def doc_perplexity_buckets(spark, sf_dir):
+    """The CCNet head/middle/tail tiering (Wenzek et al. 2020) that
+    :func:`doc_unigram_logprob` exists to feed: per language, rank
+    documents by LM cross-entropy and cut into terciles — 'head' is
+    the fluent third that trains first, 'tail' the gibberish third
+    that gets dropped or down-weighted. Parity discipline: the
+    per-doc xent double is ONE division of exact integers (identical
+    across engines), so the per-lang ORDERING (xent, doc_id) is
+    identical; the tercile is then pure integer math on the rank
+    (3·(rn−1) div n_lang), and per-bucket mean xent sums 1e6
+    fixed-point quantizations (exact integers) rather than raw
+    doubles. The rank window is PARTITIONED per language — never
+    global. Output per (lang, bucket): docs, tokens, mean xent."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(T.tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    lnv = vocab.select(
+        "term", F.round(F.log("cnt") * F.lit(1e9)).cast("long").alias("lncnt")
+    )
+    tot = vocab.agg(
+        F.round(F.log(F.sum("cnt")) * F.lit(1e9)).cast("long").alias("lnn")
+    )
+    pd_ = tf.join(lnv, "term").groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("lncnt")).alias("_s"),
+    )
+    xent = (
+        pd_.crossJoin(F.broadcast(tot))
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (
+                (F.col("n_tokens") * F.col("lnn") - F.col("_s")).cast("double")
+                / F.col("n_tokens")
+                / F.lit(1e9)
+            ).alias("xent"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("xent", "doc_id")
+    # per-lang size via a partition window on the SAME pass — a
+    # separate groupBy branch would re-derive the whole tf/vocab
+    # chain (the ReuseExchange column-pruning trap)
+    wl = Window.partitionBy("lang")
+    ranked = xent.select(
+        "lang",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wl).alias("n_lang"),
+        F.round(F.col("xent") * F.lit(1e6)).cast("long").alias("xq"),
+    ).select(
+        "lang",
+        "n_tokens",
+        F.expr("(3 * (rn - 1)) div n_lang").cast("int").alias("bucket"),
+        "xq",
+    )
+    return (
+        ranked.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum("xq").cast("double") / F.count("*") / F.lit(1e6), 6
+            ).alias("mean_xent"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+_PPLX_BUCKETS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+lnv AS (SELECT term, CAST(round(ln(cnt) * 1e9) AS BIGINT) AS lncnt FROM vocab),
+tot AS (SELECT CAST(round(ln(CAST(sum(cnt) AS BIGINT)) * 1e9) AS BIGINT) AS lnn
+        FROM vocab),
+pd AS (
+  SELECT t.doc_id,
+         CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+         CAST(sum(t.tf * l.lncnt) AS BIGINT) AS s
+  FROM tf t JOIN lnv l USING (term) GROUP BY t.doc_id
+),
+x AS (
+  SELECT p.doc_id, d.lang, p.n_tokens,
+         CAST(p.n_tokens * tot.lnn - p.s AS DOUBLE) / p.n_tokens / 1e9 AS xent
+  FROM pd p CROSS JOIN tot JOIN documents d ON p.doc_id = d.doc_id
+),
+r AS (
+  SELECT lang, n_tokens, xent,
+         row_number() OVER (PARTITION BY lang ORDER BY xent, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n_lang,
+         CAST(round(xent * 1e6) AS BIGINT) AS xq
+  FROM x
+)
+SELECT lang, CAST((3 * (rn - 1)) // n_lang AS INTEGER) AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(CAST(sum(xq) AS DOUBLE) / count(*) / 1e6, 6) AS mean_xent
+FROM r
+GROUP BY 1, 2
+ORDER BY lang, bucket
+"""
+
+
+_TEMP_ALPHA = 0.3  # the multilingual sampling-temperature standard
+
+
+def lang_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled language sampling weights (the multilingual
+    pretraining standard, e.g. XLM-R: w_l ∝ n_l^α with α = 0.3) —
+    the knob between proportional sampling (α=1, head languages
+    drown the tail) and uniform (α=0): per language, raw token share
+    vs the temperature share the sampler should use, plus the
+    up/down-sampling factor. Parity: n_l^0.3 on identical integers is
+    an identical double per lang; each is quantized to a 1e9
+    fixed-point integer BEFORE the cross-lang total so the share
+    division is exact-integer-over-exact-integer — no float
+    summation order across languages. One corpus scan to the
+    per-lang count table (#langs rows), everything after is driver
+    arithmetic on that bounded table re-expressed in engine SQL."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.select(
+        "lang", F.size(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("nt")
+    ).groupBy("lang").agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    pw = per.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(_TEMP_ALPHA)) * F.lit(1e9))
+        .cast("long")
+        .alias("_pq"),
+    )
+    tots = pw.agg(
+        F.sum("n_tokens").alias("_tt"), F.sum("_pq").alias("_tp")
+    )
+    return (
+        pw.crossJoin(F.broadcast(tots))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("_tt"), 6).alias(
+                "raw_share"
+            ),
+            F.round(F.col("_pq").cast("double") / F.col("_tp"), 6).alias(
+                "temp_share"
+            ),
+            F.round(
+                (F.col("_pq").cast("double") / F.col("_tp"))
+                / (F.col("n_tokens").cast("double") / F.col("_tt")),
+                6,
+            ).alias("sample_factor"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TEMP_MIX_SQL = f"""
+WITH per AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1
+),
+pw AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(round(pow(CAST(n_tokens AS DOUBLE), {_TEMP_ALPHA}) * 1e9) AS BIGINT)
+           AS pq
+  FROM per
+),
+tots AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+                CAST(sum(pq) AS BIGINT) AS tp FROM pw)
+SELECT lang, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / tt, 6) AS raw_share,
+       round(CAST(pq AS DOUBLE) / tp, 6) AS temp_share,
+       round((CAST(pq AS DOUBLE) / tp) / (CAST(n_tokens AS DOUBLE) / tt), 6)
+         AS sample_factor
+FROM pw CROSS JOIN tots
+ORDER BY lang
+"""
+
+
 def doc_bigram_logprob(spark, sf_dir):
     """Bigram-LM cross-entropy per document with add-one smoothing —
     the next rung of the CCNet/KenLM perplexity-filter ladder after
@@ -13907,6 +14096,8 @@ QUERIES = {
     "tokenizer_bpe_encode": tokenizer_bpe_encode,
     "graph_effective_diameter": graph_effective_diameter,
     "supplier_transit_overlap": supplier_transit_overlap,
+    "doc_perplexity_buckets": doc_perplexity_buckets,
+    "lang_temperature_mixture": lang_temperature_mixture,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -14315,6 +14506,8 @@ ORACLES = {
     "tokenizer_bpe_encode": _bpe_encode_sql(),
     "graph_effective_diameter": _eff_diam_sql(),
     "supplier_transit_overlap": _TRANSIT_OVERLAP_SQL,
+    "doc_perplexity_buckets": _PPLX_BUCKETS_SQL,
+    "lang_temperature_mixture": _TEMP_MIX_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts
