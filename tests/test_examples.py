@@ -53,3 +53,10 @@ def test_graph_insights_example():
     assert "sampled diameter lower bound:" in stdout
     assert "minimum spanning forest:" in stdout
     assert "node2vec most-visited parts:" in stdout
+
+
+def test_tokenizer_and_sketches_example():
+    stdout = _run("examples/tokenizer_and_sketches.py", "/root/testdata/sf0.001")
+    assert "BPE merge table:" in stdout
+    assert "90% effective diameter" in stdout
+    assert "top load-centrality vertex:" in stdout
