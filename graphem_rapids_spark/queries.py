@@ -5623,6 +5623,136 @@ FROM st, ex
 """
 
 
+def events_sliding_hll_users(spark, sf_dir):
+    """Sliding-window COUNT DISTINCT the way a 100 TB pipeline
+    actually does it: ONE HLL register table per DAY (a
+    map-side-combinable groupBy), then each day's trailing-7-day WAU
+    is the max-merge of 7 daily sketches — new days touch only their
+    own registers, history is never rescanned (contrast the exact
+    path, which must re-expand every user-day into its window; here
+    that exact form is computed alongside as the error yardstick,
+    the same exhibit pattern as :func:`sketch_hll_distinct`).
+    Registers stay SPARSE ((day, bucket, max-rho) rows) and the
+    window fanout is a bounded explode(sequence) ≤ 7 — state per day
+    is ≤ m = 256 rows regardless of traffic. Exact-integer register
+    math shared verbatim with the oracle; the harmonic sum adds
+    powers of two — bit-identical in any order. Output per day:
+    exact WAU, HLL WAU, relative error."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.expr("ts div 86400000000000").alias("d")
+    )
+    ud = e.distinct()
+    hv_int = F.floor(
+        _mix_uniform(F.col("user_id"), _HLL_SEED) * F.lit(float(_LCG_M))
+    ).cast("long")
+    daily = (
+        ud.select("d", hv_int.alias("hv"))
+        .select(
+            "d",
+            F.shiftright(F.col("hv"), _HLL_WBITS).alias("bucket"),
+            (F.col("hv") % F.lit(1 << _HLL_WBITS)).alias("w"),
+        )
+        .select("d", "bucket", F.expr(_hll_rho_case("w")).alias("rho"))
+        .groupBy("d", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    merged = (
+        daily.select(
+            F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("d"),
+            "bucket",
+            "m",
+        )
+        .groupBy("d", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    per_day = merged.groupBy("d").agg(
+        F.count("*").alias("present"),
+        F.sum(
+            F.expr("1.0 / CAST(shiftleft(1L, CAST(m AS INT)) AS DOUBLE)")
+        ).alias("sp"),
+    )
+    s = (F.lit(_HLL_M) - F.col("present")).cast("double") + F.col("sp")
+    zeros = (F.lit(_HLL_M) - F.col("present")).cast("long")
+    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (zeros > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    hll = per_day.select("d", F.round(est, 4).alias("wau_hll"))
+    exact = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("d"),
+        )
+        .distinct()
+        .groupBy("d")
+        .agg(F.count("*").alias("wau_exact"))
+    )
+    return (
+        exact.join(hll, "d")
+        .select(
+            "d",
+            "wau_exact",
+            "wau_hll",
+            F.round(
+                F.abs(F.col("wau_hll") - F.col("wau_exact"))
+                / F.col("wau_exact"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("d")
+    )
+
+
+def _sliding_hll_sql() -> str:
+    hv = f"CAST(floor({_mix_sql('user_id', _HLL_SEED)} * {_LCG_M}) AS BIGINT)"
+    rho = _hll_rho_case("w")
+    raw = f"({_HLL_ALPHA * _HLL_M * _HLL_M!r} / s)"
+    est = (
+        f"CASE WHEN {raw} <= {2.5 * _HLL_M!r} AND zeros > 0 "
+        f"THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zeros) ELSE {raw} END"
+    )
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS d
+  FROM events
+),
+h AS (SELECT d, {hv} AS hv FROM ud),
+daily AS (
+  SELECT d, bucket, max({rho}) AS m FROM (
+    SELECT d, hv >> {_HLL_WBITS} AS bucket, hv % {1 << _HLL_WBITS} AS w FROM h)
+  GROUP BY 1, 2
+),
+merged AS (
+  SELECT d + k.range AS d, bucket, max(m) AS m
+  FROM daily, range(0, 7) k
+  GROUP BY 1, 2
+),
+pd AS (
+  SELECT d, count(*) AS present,
+         sum(1.0 / CAST(1 << m AS DOUBLE)) AS sp
+  FROM merged GROUP BY 1
+),
+st AS (
+  SELECT d, ({_HLL_M} - present) + sp AS s,
+         CAST({_HLL_M} - present AS BIGINT) AS zeros
+  FROM pd
+),
+hll AS (SELECT d, round({est}, 4) AS wau_hll FROM st),
+exact AS (
+  SELECT wd AS d, count(*) AS wau_exact FROM (
+    SELECT DISTINCT user_id, d + k.range AS wd
+    FROM ud, range(0, 7) k
+  ) GROUP BY 1
+)
+SELECT d, wau_exact, wau_hll,
+       round(abs(wau_hll - wau_exact) / wau_exact, 6) AS rel_err
+FROM exact JOIN hll USING (d)
+ORDER BY d
+"""
+
+
 def sketch_hll_merge(spark, sf_dir):
     """HLL MERGEABILITY demonstrated end-to-end: one register table
     per event_type (the per-shard sketch a 100 TB pipeline computes
@@ -14098,6 +14228,7 @@ QUERIES = {
     "supplier_transit_overlap": supplier_transit_overlap,
     "doc_perplexity_buckets": doc_perplexity_buckets,
     "lang_temperature_mixture": lang_temperature_mixture,
+    "events_sliding_hll_users": events_sliding_hll_users,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -14508,6 +14639,7 @@ ORACLES = {
     "supplier_transit_overlap": _TRANSIT_OVERLAP_SQL,
     "doc_perplexity_buckets": _PPLX_BUCKETS_SQL,
     "lang_temperature_mixture": _TEMP_MIX_SQL,
+    "events_sliding_hll_users": _sliding_hll_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts
