@@ -18,6 +18,8 @@ Oracle-parity rules used throughout (see tests/test_oracle_parity.py):
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -14093,6 +14095,146 @@ FROM ov
 """
 
 
+_NDCG_K = 5
+# integer DCG discounts: round(1e9 / log2(r+1)) computed ONCE in
+# Python and inlined as literals on both engines — the Σ rel·w DCG
+# sums are then exact integers (no float summation order, no libm
+# log parity concerns)
+_NDCG_W = {r: round(1e9 / math.log2(r + 1)) for r in range(1, _NDCG_K + 1)}
+_NDCG_IDCG = sum((_NDCG_K + 1 - r) * _NDCG_W[r] for r in range(1, _NDCG_K + 1))
+
+
+def retrieval_ndcg(spark, sf_dir):
+    """Graded retrieval quality of the int8-lattice ranking: nDCG@5
+    against the exact float-cosine ground truth — the eval every
+    retrieval stack reports, one rung above
+    :func:`embedding_int8_rank_fidelity`'s set overlap (nDCG sees
+    WHERE in the top-k the quantization reshuffles, overlap only
+    whether). Relevance is graded off the float ranking (rank 1 →
+    rel 5 … rank 5 → rel 1, absent → 0); DCG = Σ rel·w_r with the
+    1/log2(r+1) discounts precomputed in Python as 1e9 fixed-point
+    INTEGER literals, so every per-query DCG is an exact integer and
+    nDCG is one division by the constant ideal. Per-query nDCG is
+    quantized to 1e-6 before the cross-query mean (the standard
+    summation-order guard). Output: n_queries, mean_ndcg_at_5,
+    min_ndcg_at_5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = S.quantize_int8(emb).select("vec_id", "q")
+    qq = qz.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qa")
+    )
+    rr = qz.select(F.col("vec_id").alias("rid"), F.col("q").alias("qb"))
+    intdot = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    )
+    sq = lambda c: F.expr(  # noqa: E731
+        f"aggregate(transform({c}, x -> x * x), 0L, (a, v) -> a + v)"
+    )
+    c8 = F.round(
+        intdot.cast("double")
+        / (F.sqrt(sq("qa").cast("double")) * F.sqrt(sq("qb").cast("double"))),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("c8").desc(), F.col("rid").asc())
+    i8 = (
+        rr.crossJoin(F.broadcast(qq))
+        .filter(F.col("qid") != F.col("rid"))
+        .select("qid", "rid", c8.alias("c8"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _NDCG_K)
+        .select("qid", "rid", "r")
+    )
+    gt = ann_cosine_topk(spark, sf_dir).select(
+        "qid", "rid", (F.lit(_NDCG_K + 1) - F.col("rank")).alias("rel")
+    )
+    w_expr = "CASE r " + " ".join(
+        f"WHEN {r} THEN {_NDCG_W[r]}L" for r in range(1, _NDCG_K + 1)
+    ) + " END"
+    per_q = (
+        i8.join(gt, ["qid", "rid"], "left")
+        .select(
+            "qid",
+            (F.coalesce("rel", F.lit(0)).cast("long") * F.expr(w_expr)).alias(
+                "_g"
+            ),
+        )
+        .groupBy("qid")
+        .agg(F.sum("_g").alias("dcg_int"))
+        .select(
+            "qid",
+            F.round(
+                F.col("dcg_int").cast("double") / F.lit(float(_NDCG_IDCG)) * 1e6
+            )
+            .cast("long")
+            .alias("xq"),
+        )
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.sum("xq").cast("double") / F.count("*") / F.lit(1e6), 6).alias(
+            "mean_ndcg_at_5"
+        ),
+        F.round(F.min("xq").cast("double") / F.lit(1e6), 6).alias(
+            "min_ndcg_at_5"
+        ),
+    )
+
+
+def _ndcg_sql() -> str:
+    w_expr = "CASE r " + " ".join(
+        f"WHEN {r} THEN {_NDCG_W[r]}" for r in range(1, _NDCG_K + 1)
+    ) + " END"
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+           AS scale
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN list_transform(emb, x -> CAST(round(x / scale) AS BIGINT))
+              ELSE list_transform(emb, x -> CAST(0 AS BIGINT)) END AS q
+  FROM v
+),
+p8 AS (
+  SELECT a.vec_id AS qid, b.vec_id AS rid, unnest(a.q) AS qa, unnest(b.q) AS qb
+  FROM qz a, qz b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+),
+d8 AS (
+  SELECT qid, rid,
+         round(CAST(sum(qa * qb) AS DOUBLE)
+               / (sqrt(CAST(sum(qa * qa) AS DOUBLE))
+                  * sqrt(CAST(sum(qb * qb) AS DOUBLE))), 6) AS c8
+  FROM p8 GROUP BY 1, 2
+),
+i8 AS (
+  SELECT qid, rid, r FROM (
+    SELECT qid, rid,
+           row_number() OVER (PARTITION BY qid ORDER BY c8 DESC, rid) AS r
+    FROM d8) WHERE r <= {_NDCG_K}
+),
+gt AS (SELECT qid, rid, {_NDCG_K + 1} - rank AS rel FROM ({_ANN_SQL})),
+pq AS (
+  SELECT i.qid,
+         CAST(sum(coalesce(g.rel, 0) * ({w_expr})) AS BIGINT) AS dcg_int
+  FROM i8 i LEFT JOIN gt g ON i.qid = g.qid AND i.rid = g.rid
+  GROUP BY 1
+),
+xq AS (
+  SELECT qid,
+         CAST(round(CAST(dcg_int AS DOUBLE) / {float(_NDCG_IDCG)!r} * 1e6)
+              AS BIGINT) AS xq
+  FROM pq
+)
+SELECT count(*) AS n_queries,
+       round(CAST(sum(xq) AS DOUBLE) / count(*) / 1e6, 6) AS mean_ndcg_at_5,
+       round(CAST(min(xq) AS DOUBLE) / 1e6, 6) AS min_ndcg_at_5
+FROM xq
+"""
+
+
 def events_stickiness(spark, sf_dir):
     """DAU/WAU stickiness per day — the product-health ratio of daily
     to trailing-7-day active users. The exact computation avoids the
@@ -14229,6 +14371,7 @@ QUERIES = {
     "doc_perplexity_buckets": doc_perplexity_buckets,
     "lang_temperature_mixture": lang_temperature_mixture,
     "events_sliding_hll_users": events_sliding_hll_users,
+    "retrieval_ndcg": retrieval_ndcg,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -14640,6 +14783,7 @@ ORACLES = {
     "doc_perplexity_buckets": _PPLX_BUCKETS_SQL,
     "lang_temperature_mixture": _TEMP_MIX_SQL,
     "events_sliding_hll_users": _sliding_hll_sql(),
+    "retrieval_ndcg": _ndcg_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts
