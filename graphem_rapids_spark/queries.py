@@ -7910,6 +7910,145 @@ ORDER BY aa_score DESC, u ASC, v ASC LIMIT 20
 )
 
 
+_LP_SEED = 5309
+_LP_TRAIN_NUM = 4  # train coin < 4/5
+
+
+def link_pred_auc(spark, sf_dir):
+    """Link-prediction EVALUATION — the missing half of the
+    :func:`link_adamic_adar` family: hold out ~20% of co-purchase
+    edges (deterministic mixer coin per canonical edge), score on the
+    80% train graph, and report the exact Mann–Whitney AUC of
+    Adamic–Adar against hard negatives (2-hop non-edges — candidates
+    a real ranker must actually beat; held-out edges with no common
+    train neighbor score 0 and STAY in the positive set, the honest
+    convention). Exactness: each 1/ln(deg) term is quantized to a 1e9
+    fixed-point integer BEFORE summing, so every pair score is an
+    exact integer; AUC comes from per-score-value aggregates via the
+    rank-sum identity AUC = Σ_s np(s)·(nn_below(s) + nn(s)/2)/(NP·NN)
+    — held as ×2 integers until one final division. The cum-negatives
+    prefix runs over the DISTINCT-SCORE table (allowlisted bounded
+    window: #distinct quantized scores ≪ #pairs; at 100 TB coarsen
+    the quantizer or histogram the scores, same discipline as the
+    quantile sketch). Candidates restricted to the ``_AA_BLOCK`` id
+    block like every link-prediction query here."""
+    from graphem_rapids_spark.functions import edge_coin_key, mix_uniform
+    from graphem_rapids_spark.graph.canon import symmetrize_edges
+
+    e = copurchase_edges(spark, sf_dir)
+    coin = mix_uniform(
+        edge_coin_key(F.col("src"), F.col("dst"), F.lit(0)), _LP_SEED
+    )
+    split = e.select("src", "dst", (coin < F.lit(_LP_TRAIN_NUM / 5.0)).alias("tr"))
+    train = split.filter("tr").select("src", "dst")
+    test = split.filter("NOT tr").select("src", "dst")
+    sym = symmetrize_edges(train)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    nbrs = (
+        sym.filter(F.col("dst") < _AA_BLOCK)
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("ns"))
+    )
+    wed = (
+        nbrs.join(deg.select(F.col("id").alias("src"), "deg"), "src")
+        .select(
+            F.round(F.lit(1e9) / F.log(F.col("deg"))).cast("long").alias("w"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, x -> "
+                    "transform(filter(ns, y -> y > x), y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p"),
+        )
+        .select("p.u", "p.v", "w")
+    )
+    scores = wed.groupBy("u", "v").agg(F.sum("w").alias("s"))
+    pos = (
+        test.filter((F.col("src") < _AA_BLOCK) & (F.col("dst") < _AA_BLOCK))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(scores, ["u", "v"], "left")
+        .select(
+            F.coalesce("s", F.lit(0)).alias("s"),
+            F.lit(1).alias("np"),
+            F.lit(0).alias("nn"),
+        )
+    )
+    neg = scores.join(
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    ).select("s", F.lit(0).alias("np"), F.lit(1).alias("nn"))
+    per_s = (
+        pos.unionByName(neg)
+        .groupBy("s")
+        .agg(F.sum("np").alias("np"), F.sum("nn").alias("nn"))
+    )
+    w_ord = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_s.select(
+        "s", "np", "nn", F.coalesce(F.sum("nn").over(w_ord), F.lit(0)).alias("nnb")
+    )
+    return cum.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(F.col("np") * (F.lit(2) * F.col("nnb") + F.col("nn"))).cast(
+                "double"
+            )
+            / (F.lit(2.0) * F.sum("np") * F.sum("nn")),
+            6,
+        ).alias("auc"),
+    )
+
+
+def _link_pred_auc_sql() -> str:
+    from graphem_rapids_spark.functions import edge_coin_key_sql, mix_sql
+
+    coin = mix_sql(edge_coin_key_sql("src", "dst", "0"), _LP_SEED)
+    return (
+        _COPURCHASE_SQL_CTE
+        + f"""
+, sp AS (SELECT src, dst, ({coin}) < {_LP_TRAIN_NUM / 5.0!r} AS tr FROM ge),
+train AS (SELECT src, dst FROM sp WHERE tr),
+test AS (SELECT src, dst FROM sp WHERE NOT tr),
+sym AS (SELECT src, dst FROM train UNION ALL SELECT dst, src FROM train),
+deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+wed AS (
+  SELECT a.dst AS u, b.dst AS v,
+         CAST(round(1e9 / ln(d.deg)) AS BIGINT) AS w
+  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+  JOIN deg d ON d.id = a.src
+  WHERE a.dst < {_AA_BLOCK} AND b.dst < {_AA_BLOCK}
+),
+scores AS (SELECT u, v, CAST(sum(w) AS BIGINT) AS s FROM wed GROUP BY u, v),
+pos AS (
+  SELECT coalesce(sc.s, 0) AS s, 1 AS np, 0 AS nn
+  FROM test t LEFT JOIN scores sc ON t.src = sc.u AND t.dst = sc.v
+  WHERE t.src < {_AA_BLOCK} AND t.dst < {_AA_BLOCK}
+),
+neg AS (
+  SELECT sc.s, 0 AS np, 1 AS nn
+  FROM scores sc
+  WHERE NOT EXISTS (SELECT 1 FROM ge WHERE ge.src = sc.u AND ge.dst = sc.v)
+),
+per_s AS (
+  SELECT s, CAST(sum(np) AS BIGINT) AS np, CAST(sum(nn) AS BIGINT) AS nn
+  FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg) GROUP BY s
+),
+cum AS (
+  SELECT s, np, nn,
+         coalesce(sum(nn) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nnb
+  FROM per_s
+)
+SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       CAST(sum(nn) AS BIGINT) AS n_neg,
+       round(CAST(sum(np * (2 * nnb + nn)) AS DOUBLE)
+             / (2.0 * sum(np) * sum(nn)), 6) AS auc
+FROM cum
+"""
+    )
+
+
 def link_jaccard(spark, sf_dir):
     """Jaccard-coefficient link prediction: top-20 non-adjacent pairs
     by |N(u)∩N(v)| / |N(u)∪N(v)| over the same candidate block as
@@ -14372,6 +14511,7 @@ QUERIES = {
     "lang_temperature_mixture": lang_temperature_mixture,
     "events_sliding_hll_users": events_sliding_hll_users,
     "retrieval_ndcg": retrieval_ndcg,
+    "link_pred_auc": link_pred_auc,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -14784,6 +14924,7 @@ ORACLES = {
     "lang_temperature_mixture": _TEMP_MIX_SQL,
     "events_sliding_hll_users": _sliding_hll_sql(),
     "retrieval_ndcg": _ndcg_sql(),
+    "link_pred_auc": _link_pred_auc_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

@@ -156,6 +156,13 @@ ALLOWED_BOUNDED_WINDOWS: dict[str, tuple[int, str]] = {
     # lag() over per-month revenue aggregates — input = #distinct
     # months (time-range bounded, not data-size bounded)
     "orders_monthly_growth": (1, "lag over per-month aggregates (#months rows)"),
+    # rank-sum AUC cum-negatives prefix over per-score-value
+    # aggregates — input = #distinct quantized AA scores (≪ #pairs;
+    # coarsen the quantizer / histogram at 100 TB, see docstring)
+    "link_pred_auc": (
+        1,
+        "cum negatives over per-score aggregates (#distinct scores rows)",
+    ),
     # IVF centroid init ranks the hash-sampled top-n_cells rows after
     # .limit(n_cells) — window input <= 16 rows (similarity.ivf_build)
     "ann_ivf_topk": (4, "IVF init rank-after-limit: <= n_cells rows"),
