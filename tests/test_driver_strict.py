@@ -36,6 +36,11 @@ REPRESENTATIVE = [
     "kcore_copurchase",
     "events_value_histogram",
     "dedup_minhash_lsh",
+    # round-6 canaries: string-state BPE (replace semantics), integer
+    # rank-sum AUC, quantized-estimate sums (effective diameter)
+    "tokenizer_bpe_train_rounds",
+    "link_pred_auc",
+    "graph_effective_diameter",
 ]
 
 
