@@ -3350,6 +3350,148 @@ FROM documents GROUP BY md5(text)
 """
 
 
+_SLSH_PERMS = 32
+_SLSH_BANDS = 8
+_SLSH_SEED = 7
+
+
+def dedup_stream_lsh_buckets(spark, sf_dir):
+    """Custom stateful streaming operator: MinHash-LSH INDEX
+    maintenance — the streaming half of near-dup dedup. Every
+    arriving document hashes into 8 band buckets map-side
+    (``mapInPandas`` — a signature is a pure function of the doc);
+    ``applyInPandasWithState`` keyed by (band, bucket) emits each
+    bucket's FIRST claimant only (bounded boolean state per bucket,
+    the :func:`dedup_stream_first_seen` pattern at LSH granularity).
+    A later document colliding on any claimed bucket is a near-dup
+    candidate; one that claims ALL its buckets is novel. Output per
+    document: buckets claimed first, novelty flag. Hashing is the
+    engine-replayable md5 path of :func:`dedup_minhash_calibration`
+    (not xxhash64), so the streamed claims replay exactly as a batch
+    GROUP BY min in the oracle."""
+    from graphem_rapids_spark.pipeline.dedup import (
+        _MERSENNE31,
+        _minhash_params,
+        token_shingles,
+    )
+    from graphem_rapids_spark.streaming.events import (
+        run_available_now,
+        stream_table,
+    )
+    from graphem_rapids_spark.streaming.lsh import lsh_bucket_claims_stream
+
+    sdocs = stream_table(spark, sf_dir, "documents")
+    claims = run_available_now(
+        lsh_bucket_claims_stream(
+            sdocs, num_perm=_SLSH_PERMS, bands=_SLSH_BANDS, seed=_SLSH_SEED
+        ),
+        output_mode="append",
+    ).withColumnRenamed("doc_id", "owner")
+
+    # batch-side doc -> bucket table (same md5 signature path) to
+    # score every document against the streamed claims
+    docs = _t(spark, sf_dir, "documents")
+    sh = token_shingles(docs, 4)
+    h = F.pmod(
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long"),
+        F.lit(_MERSENNE31),
+    )
+    params = _minhash_params(_SLSH_PERMS, _SLSH_SEED)
+    sig = (
+        sh.select("doc_id", h.alias("_h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.pmod(F.col("_h") * a + b, F.lit(_MERSENNE31))).alias(f"m{i}")
+                for i, (a, b) in enumerate(params)
+            ]
+        )
+    )
+    rows = _SLSH_PERMS // _SLSH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"m{rows * j + r}") for r in range(rows)]
+                    )
+                ).alias("bucket"),
+            )
+            for j in range(_SLSH_BANDS)
+        ]
+    )
+    bk = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band", "b.bucket"
+    )
+    per = (
+        bk.join(claims, ["band", "bucket"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("owner") == F.col("doc_id")).cast("long")).alias(
+                "n_claimed"
+            )
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_claimed",
+        (F.col("n_claimed") == _SLSH_BANDS).cast("long").alias("is_novel"),
+    ).orderBy("doc_id")
+
+
+def _stream_lsh_sql() -> str:
+    from graphem_rapids_spark.pipeline.dedup import _MERSENNE31, _minhash_params
+
+    params = _minhash_params(_SLSH_PERMS, _SLSH_SEED)
+    p = _MERSENNE31
+    rows = _SLSH_PERMS // _SLSH_BANDS
+    mins = ",\n         ".join(
+        f"min((h * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, md5({expr}) AS bucket FROM sig".format(
+            j=j,
+            expr=" || ',' || ".join(
+                f"CAST(m{rows * j + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for j in range(_SLSH_BANDS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 3, 1) + 1),
+                               i -> array_to_string(t[i:i+3], ' '))) AS shingle
+  FROM toks
+),
+shh AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {p} AS h FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM shh GROUP BY doc_id
+),
+bk AS (
+  {band_rows}
+),
+claims AS (SELECT band, bucket, min(doc_id) AS owner FROM bk GROUP BY 1, 2),
+per AS (
+  SELECT bk.doc_id,
+         CAST(sum(CASE WHEN c.owner = bk.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_claimed
+  FROM bk JOIN claims c USING (band, bucket)
+  GROUP BY 1
+)
+SELECT doc_id, n_claimed,
+       CAST(CASE WHEN n_claimed = {_SLSH_BANDS} THEN 1 ELSE 0 END AS BIGINT)
+         AS is_novel
+FROM per ORDER BY doc_id
+"""
+
+
 def graph_monthly_new_edges(spark, sf_dir):
     """Temporal graph growth: every canonical co-purchase pair stamped
     with the FIRST order month it appears, counted per month — the
@@ -14512,6 +14654,7 @@ QUERIES = {
     "events_sliding_hll_users": events_sliding_hll_users,
     "retrieval_ndcg": retrieval_ndcg,
     "link_pred_auc": link_pred_auc,
+    "dedup_stream_lsh_buckets": dedup_stream_lsh_buckets,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -14925,6 +15068,7 @@ ORACLES = {
     "events_sliding_hll_users": _sliding_hll_sql(),
     "retrieval_ndcg": _ndcg_sql(),
     "link_pred_auc": _link_pred_auc_sql(),
+    "dedup_stream_lsh_buckets": _stream_lsh_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts
