@@ -3350,6 +3350,133 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def events_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition per event type —
+    count(t) = trend (centered 7-row moving mean over observed days)
+    + day-of-week seasonal + residual — and Hyndman's seasonality
+    strength 1 − Var(residual)/Var(detrended), the 'is this metric
+    actually weekly-periodic' statistic an observability stack
+    computes before alerting on deviations (complements
+    :func:`events_weekday_hour_profile`'s raw profile and
+    :func:`events_cusum_changepoint`'s level shifts). Exactness
+    ladder: daily counts are ints; the trend is one division of
+    exact integer window sums (identical IEEE); detrended values
+    quantize to 1e6 fixed-point ints; weekday seasonal means are one
+    division of exact sums; residuals re-quantize to ints, so both
+    variances are divisions of exact DECIMAL sums of squares — no
+    float summation order anywhere. Windows are partitioned per
+    event type (never global)."""
+    e = _events(spark, sf_dir).select(
+        "event_type", F.expr("ts div 86400000000000").alias("d")
+    )
+    daily = e.groupBy("event_type", "d").agg(F.count("*").alias("c"))
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    trended = daily.select(
+        "event_type",
+        "d",
+        "c",
+        (
+            F.sum("c").over(wt).cast("double") / F.count("*").over(wt)
+        ).alias("trend"),
+    ).select(
+        "event_type",
+        "d",
+        (F.col("d") % 7).alias("wd"),
+        F.round((F.col("c") - F.col("trend")) * F.lit(1e6))
+        .cast("long")
+        .alias("dq"),
+    )
+    ww = Window.partitionBy("event_type", "wd")
+    resid = trended.select(
+        "event_type",
+        "dq",
+        (
+            F.col("dq")
+            - F.sum("dq").over(ww).cast("double") / F.count("*").over(ww)
+        ).alias("_r"),
+    ).select(
+        "event_type", "dq", F.round("_r").cast("long").alias("rq")
+    )
+    stats = resid.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.col("dq").cast("decimal(38,0)")).alias("sd"),
+        F.sum((F.col("dq") * F.col("dq")).cast("decimal(38,0)")).alias("sd2"),
+        F.sum(F.col("rq").cast("decimal(38,0)")).alias("sr"),
+        F.sum((F.col("rq") * F.col("rq")).cast("decimal(38,0)")).alias("sr2"),
+    )
+    n = F.col("n_days").cast("double")
+    var_d = (
+        F.col("sd2").cast("double") / n
+        - (F.col("sd").cast("double") / n) * (F.col("sd").cast("double") / n)
+    ) / F.lit(1e12)
+    var_r = (
+        F.col("sr2").cast("double") / n
+        - (F.col("sr").cast("double") / n) * (F.col("sr").cast("double") / n)
+    ) / F.lit(1e12)
+    strength = F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_d)
+    return stats.select(
+        "event_type",
+        "n_days",
+        F.round(var_d, 4).alias("var_detrended"),
+        F.round(var_r, 4).alias("var_residual"),
+        F.round(strength, 6).alias("seasonal_strength"),
+    ).orderBy("event_type")
+
+
+_SEASONAL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS d,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+tr AS (
+  SELECT event_type, d, c,
+         CAST(sum(c) OVER w AS DOUBLE) / count(*) OVER w AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+dt AS (
+  SELECT event_type, d % 7 AS wd,
+         CAST(round((c - trend) * 1e6) AS BIGINT) AS dq
+  FROM tr
+),
+rs AS (
+  SELECT event_type, dq,
+         CAST(round(dq - CAST(sum(dq) OVER w AS DOUBLE) / (count(*) OVER w))
+              AS BIGINT) AS rq
+  FROM dt
+  WINDOW w AS (PARTITION BY event_type, wd)
+),
+st AS (
+  SELECT event_type, count(*) AS n_days,
+         sum(CAST(dq AS HUGEINT)) AS sd, sum(CAST(dq AS HUGEINT) * dq) AS sd2,
+         sum(CAST(rq AS HUGEINT)) AS sr, sum(CAST(rq AS HUGEINT) * rq) AS sr2
+  FROM rs GROUP BY 1
+)
+SELECT event_type, n_days,
+       round((CAST(sd2 AS DOUBLE) / n_days
+              - (CAST(sd AS DOUBLE) / n_days) * (CAST(sd AS DOUBLE) / n_days))
+             / 1e12, 4) AS var_detrended,
+       round((CAST(sr2 AS DOUBLE) / n_days
+              - (CAST(sr AS DOUBLE) / n_days) * (CAST(sr AS DOUBLE) / n_days))
+             / 1e12, 4) AS var_residual,
+       round(greatest(0.0, 1.0
+             - ((CAST(sr2 AS DOUBLE) / n_days
+                 - (CAST(sr AS DOUBLE) / n_days) * (CAST(sr AS DOUBLE) / n_days))
+                / (CAST(sd2 AS DOUBLE) / n_days
+                   - (CAST(sd AS DOUBLE) / n_days)
+                     * (CAST(sd AS DOUBLE) / n_days)))), 6)
+         AS seasonal_strength
+FROM st
+ORDER BY event_type
+"""
+
+
 _SLSH_PERMS = 32
 _SLSH_BANDS = 8
 _SLSH_SEED = 7
@@ -14655,6 +14782,7 @@ QUERIES = {
     "retrieval_ndcg": retrieval_ndcg,
     "link_pred_auc": link_pred_auc,
     "dedup_stream_lsh_buckets": dedup_stream_lsh_buckets,
+    "events_seasonal_decompose": events_seasonal_decompose,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -15069,6 +15197,7 @@ ORACLES = {
     "retrieval_ndcg": _ndcg_sql(),
     "link_pred_auc": _link_pred_auc_sql(),
     "dedup_stream_lsh_buckets": _stream_lsh_sql(),
+    "events_seasonal_decompose": _SEASONAL_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts
