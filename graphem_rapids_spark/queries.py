@@ -3350,6 +3350,122 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def customer_survival_km(spark, sf_dir):
+    """Kaplan–Meier survival curve for time-to-next-order — the
+    churn-analysis staple, with honest RIGHT-CENSORING: every
+    consecutive-order gap is an observed event, and each customer's
+    open-ended wait since their last order (to the dataset's max
+    order date) is a censored observation that stays in the risk set
+    without counting as an event — dropping it (the naive 'average
+    gap' number) biases survival low. S(t) = Π_{t_i <= t}
+    (1 − d_i/n_i) over distinct gap durations. Exactness ladder: each
+    factor's ln(1 − d/n) is ONE division + one ln of exact integers
+    (identical IEEE on both engines), quantized to a 1e9 fixed-point
+    integer; the running product is then an exact integer prefix sum
+    over the distinct-duration table (allowlisted bounded window —
+    #distinct gap-days ≤ the calendar span), and S(t) is one exp of
+    an identical double. Output per distinct duration: at-risk,
+    events, survival."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    nxt = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lead("o_orderdate").over(w).alias("nxt"),
+    )
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    obs = nxt.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("nxt").isNotNull(),
+            F.datediff(F.col("nxt"), F.col("o_orderdate")),
+        )
+        .otherwise(F.datediff(F.col("mxd"), F.col("o_orderdate")))
+        .cast("long")
+        .alias("dur"),
+        F.col("nxt").isNotNull().cast("long").alias("ev"),
+    )
+    per_t = obs.groupBy("dur").agg(
+        F.count("*").alias("n_obs"), F.sum("ev").alias("d")
+    )
+    wo = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    total = obs.count()
+    at_risk = per_t.select(
+        "dur",
+        "d",
+        (F.lit(total) - F.coalesce(F.sum("n_obs").over(wo), F.lit(0))).alias(
+            "n_risk"
+        ),
+    )
+    # d == n_risk empties the risk set (necessarily the final step):
+    # survival hits exactly 0 there — keep ln() off that row
+    lnq = F.when(F.col("d") < F.col("n_risk"), F.round(
+        F.log(
+            (F.col("n_risk") - F.col("d")).cast("double")
+            / F.col("n_risk").cast("double")
+        )
+        * F.lit(1e9)
+    ).cast("long")).otherwise(F.lit(0))
+    stepped = at_risk.filter(F.col("d") > 0).select(
+        "dur", "d", "n_risk", lnq.alias("_lq")
+    )
+    wc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    return stepped.select(
+        "dur",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(F.sum("_lq").over(wc).cast("double") / F.lit(1e9)), 6
+            )
+        )
+        .alias("survival"),
+    ).orderBy("dur")
+
+
+_KM_SQL = """
+WITH o AS (SELECT o_custkey, o_orderdate FROM orders),
+nxt AS (
+  SELECT o_custkey, o_orderdate,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate) AS nxt
+  FROM o
+),
+mx AS (SELECT max(o_orderdate) AS mxd FROM o),
+obs AS (
+  SELECT CAST(CASE WHEN nxt IS NOT NULL
+              THEN date_diff('day', o_orderdate, nxt)
+              ELSE date_diff('day', o_orderdate, mxd) END AS BIGINT) AS dur,
+         CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM nxt CROSS JOIN mx
+),
+per_t AS (SELECT dur, count(*) AS n_obs, CAST(sum(ev) AS BIGINT) AS d
+          FROM obs GROUP BY 1),
+ar AS (
+  SELECT dur, d,
+         (SELECT count(*) FROM obs)
+           - coalesce(sum(n_obs) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM per_t
+),
+st AS (
+  SELECT dur, d, n_risk,
+         CASE WHEN d < n_risk
+              THEN CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT)
+              ELSE 0 END AS lq
+  FROM ar WHERE d > 0
+)
+SELECT dur, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+       CASE WHEN d = n_risk THEN 0.0
+            ELSE round(exp(CAST(sum(lq) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 1e9), 6) END AS survival
+FROM st
+ORDER BY dur
+"""
+
+
 def events_seasonal_decompose(spark, sf_dir):
     """Classical additive seasonal decomposition per event type —
     count(t) = trend (centered 7-row moving mean over observed days)
@@ -14783,6 +14899,7 @@ QUERIES = {
     "link_pred_auc": link_pred_auc,
     "dedup_stream_lsh_buckets": dedup_stream_lsh_buckets,
     "events_seasonal_decompose": events_seasonal_decompose,
+    "customer_survival_km": customer_survival_km,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -15198,6 +15315,7 @@ ORACLES = {
     "link_pred_auc": _link_pred_auc_sql(),
     "dedup_stream_lsh_buckets": _stream_lsh_sql(),
     "events_seasonal_decompose": _SEASONAL_SQL,
+    "customer_survival_km": _KM_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

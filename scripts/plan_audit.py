@@ -163,6 +163,12 @@ ALLOWED_BOUNDED_WINDOWS: dict[str, tuple[int, str]] = {
         1,
         "cum negatives over per-score aggregates (#distinct scores rows)",
     ),
+    # Kaplan–Meier at-risk prefix + ln-factor cumsum, both over the
+    # per-distinct-duration aggregate (≤ calendar-span days rows)
+    "customer_survival_km": (
+        2,
+        "KM prefixes over per-duration aggregates (#distinct gap-days rows)",
+    ),
     # IVF centroid init ranks the hash-sampled top-n_cells rows after
     # .limit(n_cells) — window input <= 16 rows (similarity.ivf_build)
     "ann_ivf_topk": (4, "IVF init rank-after-limit: <= n_cells rows"),
