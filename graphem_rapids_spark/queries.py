@@ -3350,6 +3350,141 @@ FROM documents GROUP BY md5(text)
 """
 
 
+_HOLT_A_NUM = 5   # alpha = 5/10
+_HOLT_B_NUM = 3   # beta  = 3/10
+_HOLT_H = 3       # forecast horizon (months)
+
+
+def _holt_step(yq: int, lv: int, tr: int) -> tuple[int, int]:
+    """One Holt update in 1e6 fixed point — EXACT integer arithmetic
+    with floor-of-double rounding replicated verbatim in the DuckDB
+    recursive CTE (all magnitudes ≪ 2^53, so the float division is
+    exact enough for floor to agree)."""
+    lnew = math.floor(
+        (_HOLT_A_NUM * yq + (10 - _HOLT_A_NUM) * (lv + tr) + 5) / 10.0
+    )
+    tnew = math.floor(
+        (_HOLT_B_NUM * (lnew - lv) + (10 - _HOLT_B_NUM) * tr + 5) / 10.0
+    )
+    return lnew, tnew
+
+
+def orders_forecast_holt(spark, sf_dir):
+    """Holt's linear-trend exponential smoothing over monthly order
+    counts — the FORECASTING rung the trend family was missing
+    (Theil–Sen fits a single slope, EWMA smooths without trend; Holt
+    maintains level+trend state and extrapolates). Two-phase shape:
+    the corpus collapses to the calendar-bounded monthly table (ONE
+    map-side-combinable aggregate — that is the only part that sees
+    100 TB), and the inherently sequential recursion runs over those
+    ≤ #months rows under the repo's bounded-collect discipline
+    (doc_dsir_weights precedent), re-created as a DataFrame. Every
+    smoothing step is exact 1e6 fixed-point integer arithmetic
+    (alpha = 1/2, beta = 3/10 as rationals, floor-rounded), and the
+    oracle replays the identical recursion as a DuckDB RECURSIVE CTE
+    — bit-equal state at every month. Output: per month the actual
+    count and the 1-step-ahead forecast made the month before, plus
+    _HOLT_H future months (is_future = 1, actual = -1)."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.select(F.date_format("o_orderdate", "yyyy-MM").alias("m"))
+        .groupBy("m")
+        .agg(F.count("*").alias("y"))
+        .orderBy("m")
+    )
+    rows = monthly.collect()  # calendar-bounded (~80 rows)
+    if len(rows) < 2:
+        return spark.createDataFrame(
+            [], "m string, actual long, forecast double, is_future long"
+        )
+    ms = [r["m"] for r in rows]
+    ys = [int(r["y"]) * 1_000_000 for r in rows]
+    lv, tr = ys[0], ys[1] - ys[0]
+    # month 0 has no prior state — its "forecast" is its own value
+    res = [(ms[0], int(rows[0]["y"]), float(int(rows[0]["y"])), 0)]
+    for t in range(1, len(ys)):
+        fcast = (lv + tr) / 1e6
+        res.append((ms[t], int(rows[t]["y"]), round(fcast, 6), 0))
+        lv, tr = _holt_step(ys[t], lv, tr)
+    # future horizon: extrapolate from the final state; month labels
+    # continue the yyyy-MM grid
+    yy, mm = map(int, ms[-1].split("-"))
+    for h in range(1, _HOLT_H + 1):
+        mm += 1
+        if mm == 13:
+            mm, yy = 1, yy + 1
+        res.append(
+            (f"{yy:04d}-{mm:02d}", -1, round((lv + h * tr) / 1e6, 6), 1)
+        )
+    return spark.createDataFrame(
+        res, "m string, actual long, forecast double, is_future long"
+    )
+
+
+def _holt_sql() -> str:
+    a, b, h = _HOLT_A_NUM, _HOLT_B_NUM, _HOLT_H
+    return f"""
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m, count(*) AS y
+  FROM orders GROUP BY 1
+),
+mo AS (
+  SELECT row_number() OVER (ORDER BY m) - 1 AS i, m,
+         CAST(y AS BIGINT) AS y, CAST(y AS BIGINT) * 1000000 AS yq
+  FROM monthly
+),
+nm AS (SELECT max(i) AS tmax FROM mo),
+init AS (
+  SELECT (SELECT yq FROM mo WHERE i = 0) AS l,
+         (SELECT yq FROM mo WHERE i = 1) - (SELECT yq FROM mo WHERE i = 0)
+           AS t
+),
+st AS (
+  -- replay the Spark loop exactly: state BEFORE consuming month j
+  -- (j >= 1) — state(1) = init; state(j+1) = step(state(j), yq_j)
+  WITH RECURSIVE s(j, l, t) AS (
+    SELECT 1, l, t FROM init
+    UNION ALL
+    SELECT s.j + 1,
+           CAST(floor(({a} * mo.yq + {10 - a} * (s.l + s.t) + 5) / 10.0)
+                AS BIGINT),
+           CAST(floor(({b} * (CAST(floor(({a} * mo.yq
+                                          + {10 - a} * (s.l + s.t) + 5)
+                                         / 10.0) AS BIGINT) - s.l)
+                       + {10 - b} * s.t + 5) / 10.0) AS BIGINT)
+    FROM s JOIN mo ON mo.i = s.j CROSS JOIN nm WHERE s.j <= nm.tmax
+  )
+  SELECT * FROM s
+),
+hist AS (
+  SELECT mo.m, mo.y AS actual,
+         CASE WHEN mo.i = 0 THEN round(CAST(mo.y AS DOUBLE), 6)
+              ELSE round(CAST(st.l + st.t AS DOUBLE) / 1e6, 6) END AS forecast,
+         CAST(0 AS BIGINT) AS is_future
+  FROM mo LEFT JOIN st ON st.j = mo.i
+),
+fin AS (SELECT l, t FROM st CROSS JOIN nm WHERE st.j = nm.tmax + 1),
+lastm AS (SELECT m FROM mo CROSS JOIN nm WHERE mo.i = nm.tmax),
+fut AS (
+  SELECT strftime(make_date(
+           CAST(substr(lastm.m, 1, 4) AS INTEGER)
+             + CAST((CAST(substr(lastm.m, 6, 2) AS INTEGER) + hh.range - 1)
+                    // 12 AS INTEGER),
+           CAST((CAST(substr(lastm.m, 6, 2) AS INTEGER) + hh.range - 1) % 12
+                AS INTEGER) + 1,
+           1), '%Y-%m') AS m,
+         CAST(-1 AS BIGINT) AS actual,
+         round(CAST(fin.l + hh.range * fin.t AS DOUBLE) / 1e6, 6) AS forecast,
+         CAST(1 AS BIGINT) AS is_future
+  FROM range(1, {h + 1}) hh CROSS JOIN fin CROSS JOIN lastm
+)
+SELECT m, actual, forecast, is_future FROM hist
+UNION ALL
+SELECT m, actual, forecast, is_future FROM fut
+ORDER BY m
+"""
+
+
 def customer_survival_km(spark, sf_dir):
     """Kaplan–Meier survival curve for time-to-next-order — the
     churn-analysis staple, with honest RIGHT-CENSORING: every
@@ -14900,6 +15035,7 @@ QUERIES = {
     "dedup_stream_lsh_buckets": dedup_stream_lsh_buckets,
     "events_seasonal_decompose": events_seasonal_decompose,
     "customer_survival_km": customer_survival_km,
+    "orders_forecast_holt": orders_forecast_holt,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -15316,6 +15452,7 @@ ORACLES = {
     "dedup_stream_lsh_buckets": _stream_lsh_sql(),
     "events_seasonal_decompose": _SEASONAL_SQL,
     "customer_survival_km": _KM_SQL,
+    "orders_forecast_holt": _holt_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts
