@@ -14894,6 +14894,108 @@ FROM xq
 """
 
 
+_MRL_DIMS = (8, 16, 32)
+
+
+def embedding_truncation_fidelity(spark, sf_dir):
+    """Matryoshka-style truncation fidelity: does retrieval survive
+    using only the first d dimensions of the embedding? For each
+    d ∈ {8, 16, 32}, rank the corpus by cosine over the d-prefix and
+    report mean/min overlap@5 against the full-vector ranking — the
+    measurement behind MRL-style 'store the prefix, spend 4× less'
+    serving decisions, complementing the int8 axis of
+    :func:`embedding_int8_rank_fidelity` (precision vs DIMENSION
+    truncation). Same exactness shape: per-pair cosine is a handful
+    of identical IEEE ops rounded to 6, ranking ties break on rid,
+    overlaps are exact integers. Output per d: mean_overlap_at_5,
+    min_overlap."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("vec")
+    )
+    exact = ann_cosine_topk(spark, sf_dir).select("qid", "rid")
+    outs = []
+    for d in _MRL_DIMS:
+        sl = emb.select("vec_id", F.slice("vec", 1, d).alias("v"))
+        q = sl.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("_qv")
+        )
+        r = sl.select(F.col("vec_id").alias("rid"), F.col("v").alias("_rv"))
+        cos = S._dot(F.col("_qv"), F.col("_rv")) / (
+            S._norm(F.col("_qv")) * S._norm(F.col("_rv"))
+        )
+        j = (
+            r.crossJoin(F.broadcast(q))
+            .filter(F.col("qid") != F.col("rid"))
+            .select("qid", "rid", F.round(cos, 6).alias("c"))
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("rid").asc())
+        top = (
+            j.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 5)
+            .select("qid", "rid")
+        )
+        ov = (
+            exact.join(top.withColumn("hit", F.lit(1)), ["qid", "rid"], "left")
+            .groupBy("qid")
+            .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("hits"))
+        )
+        outs.append(
+            ov.agg(
+                F.lit(d).cast("long").alias("dim"),
+                F.round(
+                    F.sum("hits").cast("double")
+                    / (F.count("*") * F.lit(5)).cast("double"),
+                    6,
+                ).alias("mean_overlap_at_5"),
+                F.min("hits").cast("long").alias("min_overlap"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("dim")
+
+
+def _trunc_fidelity_sql() -> str:
+    blocks = []
+    for d in _MRL_DIMS:
+        blocks.append(
+            f"""
+SELECT CAST({d} AS BIGINT) AS dim,
+       round(CAST(sum(hits) AS DOUBLE) / (count(*) * 5.0), 6)
+         AS mean_overlap_at_5,
+       CAST(min(hits) AS BIGINT) AS min_overlap
+FROM (
+  SELECT e.qid, count(t.rid) AS hits
+  FROM exact e LEFT JOIN (
+    SELECT qid, rid FROM (
+      SELECT qid, rid,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, rid) AS r
+      FROM (
+        SELECT qid, rid,
+               round(sum(qv * rv)
+                     / (sqrt(sum(qv * qv)) * sqrt(sum(rv * rv))), 6) AS c
+        FROM (
+          SELECT q.vec_id AS qid, r.vec_id AS rid,
+                 unnest((q.embedding::DOUBLE[])[1:{d}]) AS qv,
+                 unnest((r.embedding::DOUBLE[])[1:{d}]) AS rv
+          FROM embeddings q, embeddings r
+          WHERE q.vec_id < 10 AND r.vec_id <> q.vec_id
+        ) GROUP BY qid, rid
+      )
+    ) WHERE r <= 5
+  ) t ON e.qid = t.qid AND e.rid = t.rid
+  GROUP BY e.qid
+)"""
+        )
+    u = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH exact AS (SELECT qid, rid FROM ({_ANN_SQL}))
+{u}
+ORDER BY dim
+"""
+
+
 def events_stickiness(spark, sf_dir):
     """DAU/WAU stickiness per day — the product-health ratio of daily
     to trailing-7-day active users. The exact computation avoids the
@@ -15036,6 +15138,7 @@ QUERIES = {
     "events_seasonal_decompose": events_seasonal_decompose,
     "customer_survival_km": customer_survival_km,
     "orders_forecast_holt": orders_forecast_holt,
+    "embedding_truncation_fidelity": embedding_truncation_fidelity,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -15453,6 +15556,7 @@ ORACLES = {
     "events_seasonal_decompose": _SEASONAL_SQL,
     "customer_survival_km": _KM_SQL,
     "orders_forecast_holt": _holt_sql(),
+    "embedding_truncation_fidelity": _trunc_fidelity_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts
