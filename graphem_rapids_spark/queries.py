@@ -14996,6 +14996,395 @@ ORDER BY dim
 """
 
 
+_MRR_K = 10
+
+
+def retrieval_mrr_jl(spark, sf_dir):
+    """MRR@10 of the Johnson–Lindenstrauss-projected (64→16 dims)
+    cosine ranking against the exact float-cosine nearest neighbor —
+    the DIMENSION-REDUCTION axis of the retrieval-eval family
+    (:func:`retrieval_ndcg` measures int8 quantization,
+    :func:`embedding_truncation_fidelity` prefix truncation; this
+    measures the random-projection index most ANN stacks actually
+    serve). The relevant item per query is the exact rank-1 neighbor;
+    its reciprocal rank in the JL top-10 (0 if absent) is quantized
+    to an exact 1e6 fixed-point integer per query before the
+    cross-query mean (the summation-order guard). The JL projection
+    itself is the bit-stable left-fold of
+    :func:`pipeline.similarity.project_jl`. Output: n_queries,
+    n_hits_at_10, mrr_at_10."""
+    proj = S.project_jl(
+        _t(spark, sf_dir, "embeddings"), k=_JL_K, dim=_JL_DIM, seed=_JL_SEED
+    )
+    q = proj.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("proj").alias("_qv")
+    )
+    r = proj.select(F.col("vec_id").alias("rid"), F.col("proj").alias("_rv"))
+    cos = S._dot(F.col("_qv"), F.col("_rv")) / (
+        S._norm(F.col("_qv")) * S._norm(F.col("_rv"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("rid").asc())
+    top = (
+        r.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("rid"))
+        .select("qid", "rid", F.round(cos, 6).alias("c"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _MRR_K)
+        .select("qid", "rid", "r")
+    )
+    gt = (
+        ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") == 1)
+        .select("qid", "rid")
+    )
+    # both sides are query-bounded (10 ground-truth rows, <= 10·K
+    # top rows) — broadcast beats the static planner's SMJ guess
+    per_q = gt.join(F.broadcast(top), ["qid", "rid"], "left").select(
+        "qid",
+        F.coalesce(
+            F.round(F.lit(1e6) / F.col("r")).cast("long"), F.lit(0)
+        ).alias("rr6"),
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.sum((F.col("rr6") > 0).cast("long")).alias("n_hits_at_10"),
+        F.round(F.sum("rr6").cast("double") / F.count("*") / 1e6, 6).alias(
+            "mrr_at_10"
+        ),
+    )
+
+
+def _mrr_jl_sql() -> str:
+    rows = S.jl_sign_matrix(_JL_K, _JL_DIM, _JL_SEED)
+    mat = "[" + ", ".join(
+        "[" + ", ".join(str(s) for s in row) + "]" for row in rows
+    ) + "]"
+    inv_sqrt_k = repr(1.0 / (_JL_K**0.5))
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+p AS (
+  SELECT vec_id,
+         list_transform({mat}::DOUBLE[][],
+             row -> round(list_reduce(
+                 list_transform(range(1, {_JL_DIM} + 1),
+                                i -> emb[CAST(i AS INT)] * row[CAST(i AS INT)]),
+                 (a, b) -> a + b) * {inv_sqrt_k}, 6)) AS proj
+  FROM v
+),
+pairs AS (
+  SELECT q.vec_id AS qid, r.vec_id AS rid,
+         unnest(q.proj) AS qv, unnest(r.proj) AS rv
+  FROM p q, p r WHERE q.vec_id < 10 AND r.vec_id <> q.vec_id
+),
+d AS (
+  SELECT qid, rid,
+         round(sum(qv * rv) / (sqrt(sum(qv * qv)) * sqrt(sum(rv * rv))), 6) AS c
+  FROM pairs GROUP BY 1, 2
+),
+topk AS (
+  SELECT qid, rid, r FROM (
+    SELECT qid, rid,
+           row_number() OVER (PARTITION BY qid ORDER BY c DESC, rid) AS r
+    FROM d) WHERE r <= {_MRR_K}
+),
+gt AS (SELECT qid, rid FROM ({_ANN_SQL}) WHERE rank = 1),
+pq AS (
+  SELECT g.qid, coalesce(CAST(round(1e6 / t.r) AS BIGINT), 0) AS rr6
+  FROM gt g LEFT JOIN topk t ON g.qid = t.qid AND g.rid = t.rid
+)
+SELECT count(*) AS n_queries,
+       CAST(sum(CASE WHEN rr6 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_at_10,
+       round(CAST(sum(rr6) AS DOUBLE) / count(*) / 1e6, 6) AS mrr_at_10
+FROM pq
+"""
+
+
+def _doc_pred_outcome(spark, sf_dir):
+    """(p6, y) per document — the cheap quality score as an exact 1e6
+    fixed-point integer prediction, and the Gopher structural gate
+    (all five rules of :func:`doc_gopher_filter`) as the 0/1 outcome.
+    ONE narrow scan computes both signal families from a single
+    tokens pass — no join between predictor and label."""
+    d = _t(spark, sf_dir, "documents")
+    sw = F.array([F.lit(s) for s in T.EN_STOPWORDS])
+    t = d.select(T.tokens_col("text").alias("_t")).select(
+        F.size("_t").alias("n"),
+        F.round(F.size(F.array_distinct("_t")) / F.size("_t"), 6).alias("ttr"),
+        F.round(
+            F.size(F.filter("_t", lambda x: F.array_contains(sw, x)))
+            / F.size("_t"),
+            6,
+        ).alias("swr"),
+        F.aggregate("_t", F.lit(0), lambda a, x: a + F.length(x)).alias("sl"),
+        F.size(F.filter("_t", lambda x: F.length(x) > 15)).alias("lw"),
+        F.size(F.filter("_t", lambda x: F.array_contains(sw, x))).alias("swc"),
+        F.size(F.filter("_t", lambda x: x.rlike("[a-z]"))).alias("al"),
+    )
+    quality = F.round(
+        F.least(F.col("n") / 100.0, F.lit(1.0)) * 0.4
+        + F.col("ttr") * 0.4
+        + F.least(F.col("swr") * 4.0, F.lit(1.0)) * 0.2,
+        6,
+    )
+    gate = (
+        ~((F.col("n") < 50) | (F.col("n") > 100000))
+        & ~((F.col("sl") < 3 * F.col("n")) | (F.col("sl") > 10 * F.col("n")))
+        & ~(10 * F.col("lw") > F.col("n"))
+        & ~(F.col("swc") == 0)
+        & ~(5 * F.col("al") < 4 * F.col("n"))
+    )
+    return t.select(
+        F.round(quality * 1e6).cast("long").alias("p6"),
+        gate.cast("long").alias("y"),
+    )
+
+
+_PRED_OUTCOME_SQL = f"""
+WITH t AS (SELECT {_TOKENS_SQL} AS toks FROM documents),
+s AS (
+  SELECT len(toks) AS n,
+         round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+         round(CAST(len(list_filter(toks, x -> list_contains({_SW_LIST}, x)))
+                    AS DOUBLE) / len(toks), 6) AS swr,
+         list_sum(list_transform(toks, x -> len(x))) AS sl,
+         len(list_filter(toks, x -> len(x) > 15)) AS lw,
+         len(list_filter(toks, x -> list_contains({_SW_LIST}, x))) AS swc,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS al
+  FROM t
+),
+py AS (
+  SELECT CAST(round(round(least(n / 100.0, 1.0) * 0.4 + ttr * 0.4
+                          + least(swr * 4.0, 1.0) * 0.2, 6) * 1e6) AS BIGINT)
+           AS p6,
+         CASE WHEN (n < 50 OR n > 100000) OR (sl < 3 * n OR sl > 10 * n)
+                   OR (10 * lw > n) OR (swc = 0) OR (5 * al < 4 * n)
+              THEN 0 ELSE 1 END AS y
+  FROM s
+)
+"""
+
+
+def quality_brier_calibration(spark, sf_dir):
+    """Calibration table + Brier decomposition of the cheap quality
+    score against the expensive Gopher structural gate — the eval a
+    classifier-filtered pipeline (FineWeb-Edu / DCLM style) reports
+    before trusting a fast scorer to stand in for a slow one. Docs
+    are binned by predicted score (width 0.05); each bin reports its
+    mean prediction, observed pass rate, and mean squared error
+    (Brier contribution). Every per-doc quantity is an exact 1e6
+    fixed-point integer (score pre-rounded to 6 decimals, outcome
+    0/1), so per-bin sums are exact integer arithmetic and each
+    ratio is one final division. ONE scan + one ≤20-group aggregate —
+    scan-bound at 100 TB. Output per bin: bin, n_docs, n_pass,
+    mean_pred, frac_pass, brier."""
+    py = _doc_pred_outcome(spark, sf_dir)
+    sq = (F.col("p6") - F.col("y") * 1_000_000)
+    return (
+        py.select(
+            F.least(F.floor(F.col("p6") / 50000.0), F.lit(19))
+            .cast("long")
+            .alias("bin"),
+            "p6",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("y").alias("n_pass"),
+            F.round(F.sum("p6").cast("double") / F.count("*") / 1e6, 6).alias(
+                "mean_pred"
+            ),
+            F.round(F.sum("y").cast("double") / F.count("*"), 6).alias(
+                "frac_pass"
+            ),
+            F.round(
+                F.sum(sq * sq).cast("double") / F.count("*") / 1e12, 6
+            ).alias("brier"),
+        )
+        .orderBy("bin")
+    )
+
+
+_BRIER_SQL = f"""{_PRED_OUTCOME_SQL}
+SELECT least(CAST(floor(p6 / 50000.0) AS BIGINT), 19) AS bin,
+       count(*) AS n_docs,
+       CAST(sum(y) AS BIGINT) AS n_pass,
+       round(CAST(sum(p6) AS DOUBLE) / count(*) / 1e6, 6) AS mean_pred,
+       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pass,
+       round(CAST(sum((p6 - y * 1000000) * (p6 - y * 1000000)) AS DOUBLE)
+             / count(*) / 1e12, 6) AS brier
+FROM py GROUP BY 1 ORDER BY bin
+"""
+
+
+_KAPPA_T = 460_000  # quality >= 0.46 (the corpus median) — gate A
+
+
+def rater_agreement_kappa(spark, sf_dir):
+    """Cohen's kappa between two independent document gates — the
+    cheap quality-score threshold (>= 0.46, the corpus median) and
+    the Gopher structural rule gate — the agreement statistic teams
+    report before swapping one filter for another (or an LLM judge
+    for either). Chance-corrected: kappa = (po - pe) / (1 - pe), with
+    po and pe computed from the exact 2×2 integer contingency table
+    by cross-multiplication (n·(n11+n00) - Σ marginal products over
+    n² - Σ) — ONE float division at the end. One scan, one aggregate.
+    Output: n_docs, n11, n10, n01, n00, po, pe, kappa."""
+    py = _doc_pred_outcome(spark, sf_dir)
+    a = (F.col("p6") >= _KAPPA_T).cast("long")
+    c = py.agg(
+        F.count("*").alias("n"),
+        F.sum(a * F.col("y")).alias("n11"),
+        F.sum(a * (1 - F.col("y"))).alias("n10"),
+        F.sum((1 - a) * F.col("y")).alias("n01"),
+        F.sum((1 - a) * (1 - F.col("y"))).alias("n00"),
+    )
+    marg = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    return c.select(
+        F.col("n").alias("n_docs"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round((F.col("n11") + F.col("n00")).cast("double") / F.col("n"), 6).alias(
+            "po"
+        ),
+        F.round(marg.cast("double") / F.col("n") / F.col("n"), 6).alias("pe"),
+        F.round(
+            (F.col("n") * (F.col("n11") + F.col("n00")) - marg).cast("double")
+            / (F.col("n") * F.col("n") - marg),
+            6,
+        ).alias("kappa"),
+    )
+
+
+_KAPPA_SQL = f"""{_PRED_OUTCOME_SQL},
+c AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN p6 >= {_KAPPA_T} AND y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n11,
+         CAST(sum(CASE WHEN p6 >= {_KAPPA_T} AND y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN p6 < {_KAPPA_T} AND y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n01,
+         CAST(sum(CASE WHEN p6 < {_KAPPA_T} AND y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n00
+  FROM py
+)
+SELECT n AS n_docs, n11, n10, n01, n00,
+       round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+       round(CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+                  AS DOUBLE) / n / n, 6) AS pe,
+       round(CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
+                                     + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+             / (n * n - ((n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00))), 6) AS kappa
+FROM c
+"""
+
+
+_ACF_LAGS = (1, 2, 3, 6, 12, 24, 48, 168)
+
+
+def events_acf(spark, sf_dir):
+    """Autocorrelation function of the hourly event-count series at
+    lags 1 h – 1 week — the seasonality diagnostic that motivates the
+    period choice in :func:`events_seasonal_decompose` (a daily cycle
+    shows as a peak at lag 24, weekly at 168). Two-phase shape: the
+    event stream collapses to the calendar-bounded hourly-count grid
+    (the ONLY part that sees 100 TB — one map-side-combinable
+    aggregate), densified with zero-fill so lags align across silent
+    hours; deviations are cross-multiplied integers (n·y_t − S), so
+    every lag's numerator and the shared denominator are exact
+    integer sums and ACF is one final division. The lag align is one
+    equi-join of the tiny dev table against itself fanned out by the
+    8 lags — no global window. (Integer bound: n·max|dev|²·n must fit
+    int64 — holds through ~1e5 events/hour on a decade grid; beyond
+    that switch the dev columns to DECIMAL(38,0).) Output per lag:
+    lag, n_pairs, acf."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.select(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("y"))
+    )
+    b = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = b.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    ys = (
+        grid.join(hourly, "h", "left")
+        .crossJoin(F.broadcast(b))
+        .select(
+            ((F.col("h").cast("long") - F.col("h0").cast("long")) / 3600)
+            .cast("long")
+            .alias("i"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    st = ys.agg(F.count("*").alias("n"), F.sum("y").alias("s"))
+    d = ys.crossJoin(F.broadcast(st)).select(
+        "i", (F.col("n") * F.col("y") - F.col("s")).alias("dv")
+    )
+    den = d.agg(F.sum(F.col("dv") * F.col("dv")).alias("den"))
+    lags = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(k).cast("long") for k in _ACF_LAGS])
+        ).alias("lag")
+    )
+    a = d.select(F.col("i").alias("ai"), F.col("dv").alias("adv"))
+    b2 = d.select(F.col("i").alias("bi"), F.col("dv").alias("bdv"))
+    nums = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b2, F.col("bi") == F.col("ai") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("adv") * F.col("bdv")).alias("num"),
+        )
+    )
+    return (
+        nums.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(F.col("num").cast("double") / F.col("den"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+_ACF_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS y FROM events GROUP BY 1
+),
+b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b
+),
+ys AS (
+  SELECT CAST((epoch(g.h) - epoch(b.h0)) / 3600 AS BIGINT) AS i,
+         CAST(coalesce(hourly.y, 0) AS BIGINT) AS y
+  FROM grid g CROSS JOIN b LEFT JOIN hourly ON hourly.h = g.h
+),
+st AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS s FROM ys),
+d AS (SELECT i, n * y - s AS dv FROM ys CROSS JOIN st),
+den AS (SELECT CAST(sum(dv * dv) AS BIGINT) AS den FROM d),
+nums AS (
+  SELECT l.lag AS lag, count(*) AS n_pairs,
+         CAST(sum(a.dv * b2.dv) AS BIGINT) AS num
+  FROM (SELECT unnest({list(_ACF_LAGS)}::BIGINT[]) AS lag) l
+  CROSS JOIN d a
+  JOIN d b2 ON b2.i = a.i + l.lag
+  GROUP BY 1
+)
+SELECT lag, n_pairs, round(CAST(num AS DOUBLE) / den, 6) AS acf
+FROM nums CROSS JOIN den ORDER BY lag
+"""
+
+
 def events_stickiness(spark, sf_dir):
     """DAU/WAU stickiness per day — the product-health ratio of daily
     to trailing-7-day active users. The exact computation avoids the
@@ -15139,6 +15528,10 @@ QUERIES = {
     "customer_survival_km": customer_survival_km,
     "orders_forecast_holt": orders_forecast_holt,
     "embedding_truncation_fidelity": embedding_truncation_fidelity,
+    "retrieval_mrr_jl": retrieval_mrr_jl,
+    "quality_brier_calibration": quality_brier_calibration,
+    "rater_agreement_kappa": rater_agreement_kappa,
+    "events_acf": events_acf,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -15557,6 +15950,10 @@ ORACLES = {
     "customer_survival_km": _KM_SQL,
     "orders_forecast_holt": _holt_sql(),
     "embedding_truncation_fidelity": _trunc_fidelity_sql(),
+    "retrieval_mrr_jl": _mrr_jl_sql(),
+    "quality_brier_calibration": _BRIER_SQL,
+    "rater_agreement_kappa": _KAPPA_SQL,
+    "events_acf": _ACF_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts
