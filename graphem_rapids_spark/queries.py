@@ -15385,6 +15385,495 @@ FROM nums CROSS JOIN den ORDER BY lag
 """
 
 
+_HW_M = 7        # weekly season over daily counts
+_HW_A_NUM = 5    # alpha = 5/10
+_HW_B_NUM = 3    # beta  = 3/10
+_HW_G_NUM = 2    # gamma = 2/10
+_HW_H = 7        # forecast horizon (days)
+
+
+def _hw_step(yq: int, lv: int, tr: int, s_old: int) -> tuple[int, int, int]:
+    """One additive Holt-Winters update in 1e6 fixed point — the
+    seasonal extension of :func:`_holt_step` (same floor-of-double
+    rounding, replicated verbatim in the DuckDB recursive CTE)."""
+    lnew = math.floor(
+        (_HW_A_NUM * (yq - s_old) + (10 - _HW_A_NUM) * (lv + tr) + 5) / 10.0
+    )
+    tnew = math.floor(
+        (_HW_B_NUM * (lnew - lv) + (10 - _HW_B_NUM) * tr + 5) / 10.0
+    )
+    snew = math.floor(
+        (_HW_G_NUM * (yq - lnew) + (10 - _HW_G_NUM) * s_old + 5) / 10.0
+    )
+    return lnew, tnew, snew
+
+
+def events_forecast_hw(spark, sf_dir):
+    """Additive Holt-Winters (level + trend + weekly seasonal) over
+    daily event counts — the SEASONAL forecasting rung above
+    :func:`orders_forecast_holt` (which has no seasonal state) and
+    the predictive complement of :func:`events_seasonal_decompose`
+    (which only describes the cycle). Same two-phase shape: the
+    stream collapses to the zero-filled calendar-day count grid (ONE
+    map-side-combinable aggregate — the only 100 TB stage), and the
+    inherently sequential recursion runs over those ≤ #days rows
+    under the bounded-collect discipline. Init is the standard
+    two-season start (level = week-1 mean, trend = (week-2 −
+    week-1 sums)/m², seasonals = week-1 deviations); every update is
+    exact 1e6 fixed-point integer arithmetic (alpha 1/2, beta 3/10,
+    gamma 1/5, floor-rounded) and the oracle replays the identical
+    recursion as a DuckDB RECURSIVE CTE carrying the 7-slot seasonal
+    ring as a LIST column — bit-equal state at every day. Output per
+    day: actual count and the 1-step-ahead forecast made the day
+    before (init days echo their own value), plus _HW_H future days
+    (is_future = 1, actual = -1)."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(F.date_trunc("day", F.col("ts")).alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("y"))
+    )
+    b = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = b.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    rows = (
+        grid.join(daily, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+        )
+        .orderBy("d")
+        .collect()
+    )  # calendar-bounded (~30 rows at any SF)
+    m = _HW_M
+    if len(rows) < 2 * m:
+        return spark.createDataFrame(
+            [], "d string, actual long, forecast double, is_future long"
+        )
+    ds = [r["d"] for r in rows]
+    ys = [int(r["y"]) for r in rows]
+    yq = [y * 1_000_000 for y in ys]
+    w1, w2 = sum(yq[:m]), sum(yq[m : 2 * m])
+    lv = math.floor(w1 / float(m))
+    tr = math.floor((w2 - w1) / float(m * m))
+    season = [yq[i] - lv for i in range(m)]  # ring: oldest first
+    res = [(ds[i], ys[i], round(yq[i] / 1e6, 6), 0) for i in range(m)]
+    for t in range(m, len(yq)):
+        s_old = season[0]
+        res.append((ds[t], ys[t], round((lv + tr + s_old) / 1e6, 6), 0))
+        lv, tr, snew = _hw_step(yq[t], lv, tr, s_old)
+        season = season[1:] + [snew]
+    import datetime as _dt
+
+    last = _dt.date.fromisoformat(ds[-1])
+    for h in range(1, _HW_H + 1):
+        d = (last + _dt.timedelta(days=h)).isoformat()
+        res.append(
+            (d, -1, round((lv + h * tr + season[(h - 1) % m]) / 1e6, 6), 1)
+        )
+    return spark.createDataFrame(
+        res, "d string, actual long, forecast double, is_future long"
+    )
+
+
+def _hw_sql() -> str:
+    a, bn, g, m, h = _HW_A_NUM, _HW_B_NUM, _HW_G_NUM, _HW_M, _HW_H
+    # one Holt-Winters step in SQL, factored as macros over the
+    # recursive row (s.l level, s.t trend, s.s 7-slot LIST ring)
+    lnew = (
+        f"CAST(floor(({a} * (dy.yq - s.s[1]) + {10 - a} * (s.l + s.t) + 5)"
+        " / 10.0) AS BIGINT)"
+    )
+    tnew = (
+        f"CAST(floor(({bn} * ({lnew} - s.l) + {10 - bn} * s.t + 5) / 10.0)"
+        " AS BIGINT)"
+    )
+    snew = (
+        f"CAST(floor(({g} * (dy.yq - {lnew}) + {10 - g} * s.s[1] + 5) / 10.0)"
+        " AS BIGINT)"
+    )
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, count(*) AS y FROM events GROUP BY 1
+),
+bnd AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+grid AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM bnd),
+dy AS (
+  SELECT row_number() OVER (ORDER BY g.d) - 1 AS i,
+         strftime(g.d, '%Y-%m-%d') AS d,
+         CAST(coalesce(daily.y, 0) AS BIGINT) AS y,
+         CAST(coalesce(daily.y, 0) AS BIGINT) * 1000000 AS yq
+  FROM grid g LEFT JOIN daily ON daily.d = g.d
+),
+nm AS (SELECT max(i) AS tmax FROM dy),
+init AS (
+  SELECT CAST(floor((SELECT sum(yq) FROM dy WHERE i < {m}) / {m}.0)
+              AS BIGINT) AS l,
+         CAST(floor(((SELECT sum(yq) FROM dy WHERE i >= {m} AND i < {2 * m})
+                     - (SELECT sum(yq) FROM dy WHERE i < {m})) / {m * m}.0)
+              AS BIGINT) AS t
+),
+s0 AS (
+  SELECT init.l, init.t,
+         (SELECT list(yq - init.l ORDER BY i) FROM dy WHERE i < {m}) AS s
+  FROM init
+),
+st AS (
+  -- state BEFORE consuming day j (j >= m): state(m) = init;
+  -- state(j+1) = step(state(j), yq_j); s is the seasonal ring,
+  -- oldest first (s[1] = s_(j-m))
+  WITH RECURSIVE s(j, l, t, s) AS (
+    SELECT {m}, l, t, s FROM s0
+    UNION ALL
+    SELECT s.j + 1, {lnew}, {tnew}, s.s[2:{m}] || [{snew}]
+    FROM s JOIN dy ON dy.i = s.j CROSS JOIN nm WHERE s.j <= nm.tmax
+  )
+  SELECT * FROM s
+),
+hist AS (
+  SELECT dy.d, dy.y AS actual,
+         CASE WHEN dy.i < {m} THEN round(CAST(dy.yq AS DOUBLE) / 1e6, 6)
+              ELSE round(CAST(st.l + st.t + st.s[1] AS DOUBLE) / 1e6, 6)
+         END AS forecast,
+         CAST(0 AS BIGINT) AS is_future
+  FROM dy LEFT JOIN st ON st.j = dy.i
+),
+fin AS (SELECT l, t, s FROM st CROSS JOIN nm WHERE st.j = nm.tmax + 1),
+lastd AS (SELECT d FROM dy CROSS JOIN nm WHERE dy.i = nm.tmax),
+fut AS (
+  SELECT strftime(CAST(lastd.d AS DATE) + CAST(hh.range AS INTEGER),
+                  '%Y-%m-%d') AS d,
+         CAST(-1 AS BIGINT) AS actual,
+         round(CAST(fin.l + hh.range * fin.t
+                    + fin.s[CAST((hh.range - 1) % {m} AS INTEGER) + 1]
+                    AS DOUBLE) / 1e6, 6) AS forecast,
+         CAST(1 AS BIGINT) AS is_future
+  FROM range(1, {h + 1}) hh CROSS JOIN fin CROSS JOIN lastd
+)
+SELECT d, actual, forecast, is_future FROM hist
+UNION ALL
+SELECT d, actual, forecast, is_future FROM fut
+ORDER BY d
+"""
+
+
+_PSI_BINS = 10
+_PSI_SPLIT_DAYS = 15
+
+
+def events_psi_drift(spark, sf_dir):
+    """Population Stability Index of the event-value distribution,
+    first half-month (reference) vs second (current) — the standard
+    drift gate for a feature / score distribution before a model or
+    mixture built on the reference window is trusted on new data
+    (complements :func:`embedding_ab_drift`, which compares embedding
+    spaces). Fixed width-50 value bins (clamped to 10), +1 Laplace
+    smoothing over the full bin spine so empty bins stay defined.
+    Exactness: bin counts are integers; ln factors are 1e9
+    fixed-point integer L(x) = round(ln x · 1e9) (the
+    :func:`doc_source_kl` discipline), p−q differences are
+    cross-multiplied integers (a'·B − b'·A), and each bin's term is
+    one identical IEEE expression quantized to 1e-9 before the exact
+    integer total. ONE scan → 10-group aggregate — scan-bound at
+    100 TB. Output: one row per bin (n_ref, n_cur, psi_term) plus a
+    bin = -1 total row whose psi_term is the PSI."""
+    e = _t(spark, sf_dir, "events")
+    b0 = e.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    binned = (
+        e.crossJoin(F.broadcast(b0))
+        .select(
+            F.least(
+                F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)),
+                F.lit(_PSI_BINS - 1),
+            )
+            .cast("long")
+            .alias("bin"),
+            (
+                F.datediff(F.col("ts").cast("date"), F.col("d0").cast("date"))
+                < _PSI_SPLIT_DAYS
+            ).alias("is_ref"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
+            F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
+        )
+    )
+    spine = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+    cnt = spine.join(F.broadcast(binned), "bin", "left").select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = cnt.agg(
+        (F.sum("n_ref") + _PSI_BINS).alias("ta"),
+        (F.sum("n_cur") + _PSI_BINS).alias("tb"),
+    )
+
+    def L(c):
+        return F.round(F.log(c.cast("double")) * 1e9).cast("long")
+
+    ap, bp = F.col("n_ref") + 1, F.col("n_cur") + 1
+    li = L(ap) - L(F.col("ta")) - L(bp) + L(F.col("tb"))
+    diff = ap * F.col("tb") - bp * F.col("ta")
+    term = (
+        diff.cast("double") / F.col("ta") / F.col("tb")
+        * li.cast("double")
+        / 1e9
+    )
+    per_bin = cnt.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(term * 1e9).cast("long").alias("t9"),
+    )
+    bins_out = per_bin.select(
+        "bin", "n_ref", "n_cur", F.round(F.col("t9") / 1e9, 6).alias("psi_term")
+    )
+    total = per_bin.agg(
+        F.lit(-1).cast("long").alias("bin"),
+        F.sum("n_ref").alias("n_ref"),
+        F.sum("n_cur").alias("n_cur"),
+        F.round(F.sum("t9") / 1e9, 6).alias("psi_term"),
+    )
+    return bins_out.unionByName(total).orderBy("bin")
+
+
+_PSI_SQL = f"""
+WITH b0 AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+binned AS (
+  SELECT least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0),
+               {_PSI_BINS - 1}) AS bin,
+         date_diff('day', CAST(b0.d0 AS DATE), CAST(ts AS DATE))
+           < {_PSI_SPLIT_DAYS} AS is_ref
+  FROM events CROSS JOIN b0
+),
+g AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM binned GROUP BY 1
+),
+cnt AS (
+  SELECT sp.range AS bin, coalesce(g.n_ref, 0) AS n_ref,
+         coalesce(g.n_cur, 0) AS n_cur
+  FROM range({_PSI_BINS}) sp LEFT JOIN g ON g.bin = sp.range
+),
+tot AS (
+  SELECT CAST(sum(n_ref) + {_PSI_BINS} AS BIGINT) AS ta,
+         CAST(sum(n_cur) + {_PSI_BINS} AS BIGINT) AS tb
+  FROM cnt
+),
+t AS (
+  SELECT bin, n_ref, n_cur,
+         CAST(round(
+           (CAST((n_ref + 1) * tb - (n_cur + 1) * ta AS DOUBLE) / ta / tb
+            * CAST(CAST(round(ln(CAST(n_ref + 1 AS DOUBLE)) * 1e9) AS BIGINT)
+                   - CAST(round(ln(CAST(ta AS DOUBLE)) * 1e9) AS BIGINT)
+                   - CAST(round(ln(CAST(n_cur + 1 AS DOUBLE)) * 1e9) AS BIGINT)
+                   + CAST(round(ln(CAST(tb AS DOUBLE)) * 1e9) AS BIGINT)
+                   AS DOUBLE) / 1e9) * 1e9) AS BIGINT) AS t9
+  FROM cnt CROSS JOIN tot
+)
+SELECT bin, n_ref, n_cur, round(CAST(t9 AS DOUBLE) / 1e9, 6) AS psi_term
+FROM t
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS bin, CAST(sum(n_ref) AS BIGINT) AS n_ref,
+       CAST(sum(n_cur) AS BIGINT) AS n_cur,
+       round(CAST(sum(t9) AS DOUBLE) / 1e9, 6) AS psi_term
+FROM t
+ORDER BY bin
+"""
+
+
+_MARKOV_ITERS = 12
+_MARKOV_P0 = 10**6  # pi in 1e6 fixed point → output has exactly 6 decimals
+
+
+def events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the user-behavior Markov chain —
+    power iteration over the row-normalized event-type transition
+    matrix (the PageRank of the behavior graph: where sessions
+    spend their time in the long run, the summary a funnel analysis
+    reads against). Two-phase shape: the transition counting is the
+    only stage that sees 100 TB (the :func:`events_transition_topk`
+    per-user lead + groupBy); the #types² ≤ 25-row matrix is then
+    collected (bounded-collect discipline) and iterated in exact
+    integer arithmetic — row-stochastic entries as floor(c·1e6/r)
+    fixed-point integers, pi in 1e6 units with floor division per
+    step, so the DuckDB RECURSIVE CTE (carrying pi as a LIST column)
+    replays every iteration bit-equal, and pi/1e6 has exactly 6
+    decimals (rounding is the identity on both engines). Output per
+    type: event_type, n_out (outgoing transitions), pi."""
+    rows = events_transition_topk(spark, sf_dir).collect()  # <= #types^2
+    types = sorted({r["from_type"] for r in rows} | {r["to_type"] for r in rows})
+    idx = {t: i for i, t in enumerate(types)}
+    n = len(types)
+    r_out = [0] * n
+    cells = {}
+    for r in rows:
+        i, j = idx[r["from_type"]], idx[r["to_type"]]
+        cells[(i, j)] = int(r["n_transitions"])
+        r_out[i] += int(r["n_transitions"])
+    q6 = {ij: c * 10**6 // r_out[ij[0]] for ij, c in cells.items()}
+    pi = [_MARKOV_P0 // n] * n
+    for _ in range(_MARKOV_ITERS):
+        acc = [0] * n
+        for (i, j), q in q6.items():
+            acc[j] += pi[i] * q
+        pi = [v // 10**6 for v in acc]
+    out = [
+        (types[j], r_out[j], round(pi[j] / 1e6, 6)) for j in range(n)
+    ]
+    return spark.createDataFrame(out, "event_type string, n_out long, pi double")
+
+
+_MARKOV_SQL = f"""
+WITH t AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events
+),
+tr AS (
+  SELECT event_type AS ft, next_type AS tt, count(*) AS c
+  FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+ty AS (
+  SELECT tname, row_number() OVER (ORDER BY tname) - 1 AS ix
+  FROM (SELECT ft AS tname FROM tr UNION SELECT tt FROM tr)
+),
+nt AS (SELECT count(*) AS n FROM ty),
+ro AS (
+  SELECT ty.ix AS i, CAST(sum(tr.c) AS BIGINT) AS r
+  FROM tr JOIN ty ON tr.ft = ty.tname GROUP BY 1
+),
+q AS (
+  SELECT a.ix AS i, b.ix AS j, CAST(tr.c AS BIGINT) * 1000000 // ro.r AS q6
+  FROM tr JOIN ty a ON tr.ft = a.tname
+          JOIN ty b ON tr.tt = b.tname
+          JOIN ro ON ro.i = a.ix
+),
+rec AS (
+  WITH RECURSIVE p(it, pi) AS (
+    SELECT 0,
+           (SELECT list(CAST({_MARKOV_P0} // (SELECT n FROM nt) AS BIGINT))
+            FROM ty)
+    UNION ALL
+    SELECT p.it + 1,
+           (SELECT list(v ORDER BY j) FROM (
+              SELECT ty.ix AS j,
+                     CAST(coalesce(sum(p.pi[CAST(q.i AS INT) + 1] * q.q6), 0)
+                          // 1000000 AS BIGINT) AS v
+              FROM ty LEFT JOIN q ON q.j = ty.ix GROUP BY 1))
+    FROM p WHERE p.it < {_MARKOV_ITERS}
+  )
+  SELECT pi FROM p WHERE it = {_MARKOV_ITERS}
+)
+SELECT ty.tname AS event_type,
+       CAST(coalesce(ro.r, 0) AS BIGINT) AS n_out,
+       round(CAST(rec.pi[CAST(ty.ix AS INT) + 1] AS DOUBLE) / 1e6, 6) AS pi
+FROM ty LEFT JOIN ro ON ro.i = ty.ix CROSS JOIN rec
+ORDER BY event_type
+"""
+
+
+_KC_K = 8
+
+
+def _kc_dist6(vec_col, center_vals):
+    """Rounded squared L2 between an array column and a literal
+    center — the exact left-fold shape the oracle's list_reduce
+    replays (0.0 + x1 == x1, so the fold seeds agree bitwise)."""
+    c = F.array(*[F.lit(float(x)) for x in center_vals])
+    return F.round(
+        F.aggregate(
+            F.zip_with(vec_col, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+        6,
+    )
+
+
+def embedding_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center (Gonzalez farthest-first) coreset selection —
+    the diversity-pruning rung of the data-selection family
+    (SemDeDup drops redundant points; k-center KEEPS a maximally
+    spread skeleton, the selection rule behind coreset-based training
+    -data pruning). Round t broadcasts the t chosen centers as plan
+    literals and takes the argmax of the rounded min-squared-distance
+    (ties on vec_id) — ONE corpus scan per round, a 1-row TakeOrdered
+    collect each (bounded-collect discipline), k scans total at any
+    corpus size; no pairwise matrix ever materializes. Distances are
+    6-decimal-rounded identical IEEE folds on both engines and the
+    per-round argmax is replayed by the oracle's unrolled CTE chain.
+    Output per selected center: sel_round, vec_id, sel_dist (the
+    covering radius of the first t centers — monotonically
+    non-increasing)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("vec"),
+    )
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    out = [(0, int(first["vec_id"]), 0.0)]
+    cvecs = [list(first["vec"])]
+    for t in range(1, _KC_K):
+        dists = [_kc_dist6(F.col("vec"), cv) for cv in cvecs]
+        dmin = dists[0] if len(dists) == 1 else F.least(*dists)
+        row = (
+            emb.select("vec_id", "vec", dmin.alias("dmin"))
+            .orderBy(F.col("dmin").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        out.append((t, int(row["vec_id"]), float(row["dmin"])))
+        cvecs.append(list(row["vec"]))
+    return spark.createDataFrame(
+        out, "sel_round long, vec_id long, sel_dist double"
+    )
+
+
+def _kcenter_sql(k: int = _KC_K) -> str:
+    dist = (
+        "round(list_reduce(list_transform(range(1, 65), "
+        "i -> ({a}[CAST(i AS INT)] - {b}[CAST(i AS INT)]) "
+        "* ({a}[CAST(i AS INT)] - {b}[CAST(i AS INT)])), "
+        "(x, y) -> x + y), 6)"
+    )
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),",
+        "c0 AS (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT 1),",
+        "d0 AS (SELECT v.vec_id, v.emb, "
+        + dist.format(a="v.emb", b="c0.emb")
+        + " AS dmin FROM v CROSS JOIN c0),",
+    ]
+    for t in range(1, k):
+        comma = "," if t < k - 1 else ""
+        parts.append(
+            f"p{t} AS (SELECT vec_id, emb, dmin FROM d{t - 1} "
+            f"ORDER BY dmin DESC, vec_id LIMIT 1){comma}"
+        )
+        if t < k - 1:
+            parts.append(
+                f"d{t} AS (SELECT d.vec_id, d.emb, least(d.dmin, "
+                + dist.format(a="d.emb", b=f"p{t}.emb")
+                + f") AS dmin FROM d{t - 1} d CROSS JOIN p{t}),"
+            )
+    rows = [
+        "SELECT CAST(0 AS BIGINT) AS sel_round, "
+        "CAST(vec_id AS BIGINT) AS vec_id, "
+        "CAST(0.0 AS DOUBLE) AS sel_dist FROM c0"
+    ] + [
+        f"SELECT CAST({t} AS BIGINT), CAST(vec_id AS BIGINT), dmin FROM p{t}"
+        for t in range(1, k)
+    ]
+    parts.append("\nUNION ALL\n".join(rows))
+    parts.append("ORDER BY sel_round")
+    return "\n".join(parts)
+
+
 def events_stickiness(spark, sf_dir):
     """DAU/WAU stickiness per day — the product-health ratio of daily
     to trailing-7-day active users. The exact computation avoids the
@@ -15532,6 +16021,10 @@ QUERIES = {
     "quality_brier_calibration": quality_brier_calibration,
     "rater_agreement_kappa": rater_agreement_kappa,
     "events_acf": events_acf,
+    "embedding_kcenter_coreset": embedding_kcenter_coreset,
+    "events_forecast_hw": events_forecast_hw,
+    "events_psi_drift": events_psi_drift,
+    "events_markov_stationary": events_markov_stationary,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -15954,6 +16447,10 @@ ORACLES = {
     "quality_brier_calibration": _BRIER_SQL,
     "rater_agreement_kappa": _KAPPA_SQL,
     "events_acf": _ACF_SQL,
+    "embedding_kcenter_coreset": _kcenter_sql(),
+    "events_forecast_hw": _hw_sql(),
+    "events_psi_drift": _PSI_SQL,
+    "events_markov_stationary": _MARKOV_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

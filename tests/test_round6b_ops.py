@@ -1,13 +1,22 @@
 """Round-6 second batch: JL-retrieval MRR, quality-score calibration
-(Brier), two-gate Cohen's kappa, and the hourly-series ACF —
-structural invariants on the shared test data (cross-engine hash
-parity for all four is covered by tests/test_oracle_parity.py and
-the driver gate)."""
+(Brier), two-gate Cohen's kappa, the hourly-series ACF, greedy
+k-center coreset, Holt-Winters seasonal forecast, PSI drift, and the
+Markov stationary distribution — structural invariants on the shared
+test data (cross-engine hash parity for all is covered by
+tests/test_oracle_parity.py and the driver gate)."""
 
 from graphem_rapids_spark.queries import (
     _ACF_LAGS,
+    _HW_H,
+    _HW_M,
+    _KC_K,
     _MRR_K,
+    embedding_kcenter_coreset,
     events_acf,
+    events_forecast_hw,
+    events_markov_stationary,
+    events_psi_drift,
+    events_transition_topk,
     quality_brier_calibration,
     rater_agreement_kappa,
     retrieval_mrr_jl,
@@ -74,3 +83,68 @@ def test_acf_dense_grid_and_bounds(spark):
     for r in rows:
         assert r["n_pairs"] == n - r["lag"]
         assert -1.0 - 1e-6 <= r["acf"] <= 1.0 + 1e-6
+
+
+def test_kcenter_radius_monotone(spark):
+    rows = embedding_kcenter_coreset(spark, SF).collect()
+    assert len(rows) == _KC_K
+    assert [r["sel_round"] for r in rows] == list(range(_KC_K))
+    assert rows[0]["sel_dist"] == 0.0
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == _KC_K  # a center is never re-selected
+    # farthest-first: each selection's distance to the chosen set is
+    # the covering radius of the prefix — monotonically non-increasing
+    dists = [r["sel_dist"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    assert all(d > 0 for d in dists)
+    valid = {
+        r["vec_id"] for r in _t(spark, SF, "embeddings").select("vec_id").collect()
+    }
+    assert set(ids) <= valid
+
+
+def test_forecast_hw_grid_and_horizon(spark):
+    rows = events_forecast_hw(spark, SF).collect()
+    hist = [r for r in rows if r["is_future"] == 0]
+    fut = [r for r in rows if r["is_future"] == 1]
+    assert len(fut) == _HW_H
+    assert len(hist) >= 2 * _HW_M
+    # history covers the full 30-day event calendar and sums to the
+    # event count (zero-fill keeps silent days)
+    n_events = _t(spark, SF, "events").count()
+    assert sum(r["actual"] for r in hist) == n_events
+    assert all(r["actual"] == -1 for r in fut)
+    days = [r["d"] for r in rows]
+    assert days == sorted(days)
+    # init days echo their own value
+    for r in hist[:_HW_M]:
+        assert abs(r["forecast"] - r["actual"]) < 1e-9
+
+
+def test_psi_terms_nonnegative_and_total(spark):
+    rows = events_psi_drift(spark, SF).collect()
+    total = [r for r in rows if r["bin"] == -1][0]
+    bins = [r for r in rows if r["bin"] >= 0]
+    assert len(bins) == 10
+    n_events = _t(spark, SF, "events").count()
+    assert total["n_ref"] + total["n_cur"] == n_events
+    # each PSI term (p-q)ln(p/q) is individually non-negative
+    assert all(r["psi_term"] >= -1e-9 for r in bins)
+    assert total["psi_term"] >= 0
+    s = sum(r["psi_term"] for r in bins)
+    assert abs(s - total["psi_term"]) < 1e-5
+
+
+def test_markov_stationary_is_distribution(spark):
+    rows = events_markov_stationary(spark, SF).collect()
+    names = [r["event_type"] for r in rows]
+    assert names == sorted(names)
+    pis = [r["pi"] for r in rows]
+    assert all(0.0 <= p <= 1.0 for p in pis)
+    # fixed-point floor losses only shave ~1e-5 of mass over 12 rounds
+    assert 1.0 - 5e-4 <= sum(pis) <= 1.0 + 1e-9
+    n_trans = sum(
+        r["n_transitions"]
+        for r in events_transition_topk(spark, SF).collect()
+    )
+    assert sum(r["n_out"] for r in rows) == n_trans
