@@ -977,3 +977,62 @@ def pca_power_int8(
     for o in outs[1:]:
         result = result.unionAll(o)
     return result
+
+
+def kcenter_select(
+    vectors: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, float]]:
+    """Greedy k-center (Gonzalez farthest-first) coreset selection —
+    returns [(sel_round, id, sel_dist)], the maximally spread k-point
+    skeleton used for diversity-based training-data pruning (the
+    complement of :func:`semdedup`, which drops redundant points).
+    sel_dist is the covering radius of the first t centers
+    (non-increasing); the classic 2-approximation guarantee of the
+    farthest-first traversal applies.
+
+    Scale shape: round t broadcasts the t chosen centers as plan
+    LITERALS (no join, no pairwise matrix) and takes a 1-row
+    TakeOrdered argmax of the rounded min-squared-distance — ONE
+    corpus scan per round, k scans total at any corpus size. For
+    large k, run the two-level variant: cluster with
+    :func:`ivf_build` cells first, then greedy-select over cell
+    centroids (k scans of the centroid table, corpus touched once).
+
+    Distances are 6-decimal-rounded identical IEEE left-folds, ties
+    break on id — fully deterministic (oracle-replayable; see
+    queries.embedding_kcenter_coreset)."""
+    emb = vectors.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    first = emb.orderBy("_id").limit(1).collect()[0]
+    out = [(0, first["_id"], 0.0)]
+    cvecs = [list(first["_v"])]
+    for t in range(1, k):
+        dists = [
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_v"),
+                        F.array(*[F.lit(float(x)) for x in cv]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                ),
+                6,
+            )
+            for cv in cvecs
+        ]
+        dmin = dists[0] if len(dists) == 1 else F.least(*dists)
+        row = (
+            emb.select("_id", "_v", dmin.alias("_dmin"))
+            .orderBy(F.col("_dmin").desc(), F.col("_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        out.append((t, row["_id"], float(row["_dmin"])))
+        cvecs.append(list(row["_v"]))
+    return out

@@ -15782,21 +15782,6 @@ ORDER BY event_type
 _KC_K = 8
 
 
-def _kc_dist6(vec_col, center_vals):
-    """Rounded squared L2 between an array column and a literal
-    center — the exact left-fold shape the oracle's list_reduce
-    replays (0.0 + x1 == x1, so the fold seeds agree bitwise)."""
-    c = F.array(*[F.lit(float(x)) for x in center_vals])
-    return F.round(
-        F.aggregate(
-            F.zip_with(vec_col, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        ),
-        6,
-    )
-
-
 def embedding_kcenter_coreset(spark, sf_dir):
     """Greedy k-center (Gonzalez farthest-first) coreset selection —
     the diversity-pruning rung of the data-selection family
@@ -15809,27 +15794,16 @@ def embedding_kcenter_coreset(spark, sf_dir):
     corpus size; no pairwise matrix ever materializes. Distances are
     6-decimal-rounded identical IEEE folds on both engines and the
     per-round argmax is replayed by the oracle's unrolled CTE chain.
-    Output per selected center: sel_round, vec_id, sel_dist (the
-    covering radius of the first t centers — monotonically
-    non-increasing)."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda v: v.cast("double")).alias("vec"),
-    )
-    first = emb.orderBy("vec_id").limit(1).collect()[0]
-    out = [(0, int(first["vec_id"]), 0.0)]
-    cvecs = [list(first["vec"])]
-    for t in range(1, _KC_K):
-        dists = [_kc_dist6(F.col("vec"), cv) for cv in cvecs]
-        dmin = dists[0] if len(dists) == 1 else F.least(*dists)
-        row = (
-            emb.select("vec_id", "vec", dmin.alias("dmin"))
-            .orderBy(F.col("dmin").desc(), F.col("vec_id").asc())
-            .limit(1)
-            .collect()[0]
+    Thin wrapper over :func:`pipeline.similarity.kcenter_select` (the
+    library API a user calls on their own vector table). Output per
+    selected center: sel_round, vec_id, sel_dist (the covering radius
+    of the first t centers — monotonically non-increasing)."""
+    out = [
+        (r, int(i), float(d))
+        for r, i, d in S.kcenter_select(
+            _t(spark, sf_dir, "embeddings"), k=_KC_K
         )
-        out.append((t, int(row["vec_id"]), float(row["dmin"])))
-        cvecs.append(list(row["vec"]))
+    ]
     return spark.createDataFrame(
         out, "sel_round long, vec_id long, sel_dist double"
     )

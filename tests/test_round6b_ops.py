@@ -148,3 +148,15 @@ def test_markov_stationary_is_distribution(spark):
         for r in events_transition_topk(spark, SF).collect()
     )
     assert sum(r["n_out"] for r in rows) == n_trans
+
+
+def test_kcenter_library_known_order(spark):
+    from graphem_rapids_spark.pipeline.similarity import kcenter_select
+
+    pts = [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [5.0, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    sel = kcenter_select(df, k=4)
+    # farthest-first from id 0: 1 (d2=100), then the midpoint 2
+    # (covering radius 25), then 3 (radius 1)
+    assert [(r, i) for r, i, _ in sel] == [(0, 0), (1, 1), (2, 2), (3, 3)]
+    assert [d for _, _, d in sel] == [0.0, 100.0, 25.0, 1.0]
