@@ -15687,6 +15687,106 @@ ORDER BY bin
 """
 
 
+_BP_SEG = 10  # tokens per pseudo-paragraph segment
+_BP_DF = 3    # segment boilerplate threshold: appears in >= 3 docs
+
+
+def doc_boilerplate_lines(spark, sf_dir):
+    """CCNet/Dolma-style boilerplate removal, re-expressed on the
+    synthetic corpus: hash consecutive 10-token segments
+    (pseudo-paragraphs — the corpus has no newlines), mark every
+    segment whose hash appears in >= 3 DISTINCT documents as
+    boilerplate (navigation/footer templates in real crawls), and
+    REWRITE each document keeping only the non-boilerplate segments
+    in order. This is the removal stage the detection-side operators
+    (:func:`dedup_substring_spans`) stop short of — the output
+    carries the rewritten text's md5 fingerprint so the rewrite
+    itself is hash-verified, plus kept-token accounting. Scale: one
+    segment explode (10-token granularity, ~n_tokens/10 rows), one
+    distinct-doc count per segment hash (map-side combinable), one
+    hash-keyed join back, one per-doc rebuild — all shuffles on
+    fixed-width md5 keys, never on text. Output per doc: doc_id,
+    n_segments, n_boiler, n_kept_tokens, kept_fp."""
+    d = _t(spark, sf_dir, "documents")
+    segs = (
+        d.select("doc_id", T.tokens_col("text").alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, int(floor((size(_t) - 1) / {_BP_SEG}))),"
+                    f" i -> array_join(slice(_t, i * {_BP_SEG} + 1, {_BP_SEG}), ' '))"
+                )
+            ).alias("seg_idx", "seg"),
+        )
+        .withColumn("h", F.md5("seg"))
+    )
+    df_tab = segs.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    j = segs.join(df_tab, "h")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum((F.col("nd") >= _BP_DF).cast("long")).alias("n_boiler"),
+            F.sum(
+                F.when(
+                    F.col("nd") < _BP_DF, F.size(F.split("seg", " "))
+                ).otherwise(0).cast("long")
+            ).alias("n_kept_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.sort_array(
+                                F.collect_list(F.struct("seg_idx", "seg", "nd"))
+                            ),
+                            lambda s: s["nd"] < _BP_DF,
+                        ),
+                        lambda s: s["seg"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BOILER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0,
+                  CAST(floor((len(toks) - 1) / {_BP_SEG}.0) AS INT) + 1),
+                i -> {{'seg_idx': i,
+                      'seg': array_to_string(
+                        toks[i * {_BP_SEG} + 1 : i * {_BP_SEG} + {_BP_SEG}],
+                        ' ')}}),
+                recursive := true)
+  FROM t WHERE len(toks) > 0
+),
+sh AS (SELECT doc_id, seg_idx, seg, md5(seg) AS h FROM segs),
+df_tab AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1),
+j AS (SELECT sh.doc_id, sh.seg_idx, sh.seg, df_tab.nd
+      FROM sh JOIN df_tab USING (h))
+SELECT doc_id,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN nd >= {_BP_DF} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       CAST(sum(CASE WHEN nd < {_BP_DF}
+                THEN len(string_split(seg, ' ')) ELSE 0 END) AS BIGINT)
+         AS n_kept_tokens,
+       md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                      FILTER (WHERE nd < {_BP_DF}), '')) AS kept_fp
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _MARKOV_ITERS = 12
 _MARKOV_P0 = 10**6  # pi in 1e6 fixed point → output has exactly 6 decimals
 
@@ -15999,6 +16099,7 @@ QUERIES = {
     "events_forecast_hw": events_forecast_hw,
     "events_psi_drift": events_psi_drift,
     "events_markov_stationary": events_markov_stationary,
+    "doc_boilerplate_lines": doc_boilerplate_lines,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -16425,6 +16526,7 @@ ORACLES = {
     "events_forecast_hw": _hw_sql(),
     "events_psi_drift": _PSI_SQL,
     "events_markov_stationary": _MARKOV_SQL,
+    "doc_boilerplate_lines": _BOILER_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

@@ -160,3 +160,25 @@ def test_kcenter_library_known_order(spark):
     # (covering radius 25), then 3 (radius 1)
     assert [(r, i) for r, i, _ in sel] == [(0, 0), (1, 1), (2, 2), (3, 3)]
     assert [d for _, _, d in sel] == [0.0, 100.0, 25.0, 1.0]
+
+
+def test_boilerplate_accounting(spark):
+    import hashlib
+
+    from graphem_rapids_spark.queries import doc_boilerplate_lines
+
+    rows = doc_boilerplate_lines(spark, SF).collect()
+    docs = _t(spark, SF, "documents").count()
+    assert len(rows) == docs
+    empty_fp = hashlib.md5(b"").hexdigest()
+    assert any(r["n_boiler"] > 0 for r in rows)  # template dups exist
+    for r in rows:
+        assert 0 <= r["n_boiler"] <= r["n_segments"]
+        # every kept segment holds <= _BP_SEG tokens
+        assert r["n_kept_tokens"] <= r["n_segments"] * 10
+        if r["n_boiler"] == r["n_segments"]:
+            assert r["n_kept_tokens"] == 0
+            assert r["kept_fp"] == empty_fp
+        else:
+            assert r["n_kept_tokens"] > 0
+            assert r["kept_fp"] != empty_fp
