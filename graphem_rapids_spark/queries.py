@@ -15787,6 +15787,332 @@ FROM j GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def embedding_cluster_purity(spark, sf_dir):
+    """Cluster-vs-label agreement of the SemDeDup cell partition —
+    majority purity and Normalized Mutual Information, the external
+    clustering eval that says whether the semantic cells used for
+    dedup/pruning actually align with the label taxonomy (the
+    information-theoretic complement of
+    :func:`embedding_label_silhouette`'s geometric score). The cell
+    assignment is the exact mixer-seeded partition of
+    :func:`semdedup_embeddings` (same seed/cells — bit-reproducible);
+    purity is Σ_c max_l n_cl / N (pure integers, one division); MI
+    and both entropies use 1e9 fixed-point ln factors over the exact
+    contingency counts (the :func:`doc_source_kl` discipline), so
+    every sum is integer-exact and NMI = MI9 / √(HC9·HL9) is one
+    float expression at the end. Contingency is ≤ cells×labels rows —
+    the only corpus-sized stage is the assignment join. Output:
+    n_points, n_cells, n_labels, purity, mi, h_cells, h_labels,
+    nmi."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assign, _ = S.ivf_build(
+        emb,
+        n_cells=_SEMDEDUP_CELLS,
+        iters=0,
+        seed=_SEMDEDUP_SEED,
+        init="mix",
+    )
+    cl = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count("*").alias("n_cl"))
+    )
+    nc = cl.groupBy("cell").agg(
+        F.sum("n_cl").alias("n_c"), F.max("n_cl").alias("n_c_max")
+    )
+    nl = cl.groupBy("label").agg(F.sum("n_cl").alias("n_l"))
+    tot = cl.agg(F.sum("n_cl").alias("n"))
+
+    def L(c):
+        return F.round(F.log(c.cast("double")) * 1e9).cast("long")
+
+    mi9 = (
+        cl.join(F.broadcast(nc), "cell")
+        .join(F.broadcast(nl), "label")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("n_cl")
+                * (
+                    L(F.col("n") * F.col("n_cl"))
+                    - L(F.col("n_c") * F.col("n_l"))
+                )
+            ).alias("mi9"),
+            F.countDistinct("cell").alias("n_cells"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )
+    hc9 = nc.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.col("n_c") * (L(F.col("n")) - L(F.col("n_c")))).alias("hc9"),
+        F.sum("n_c_max").alias("n_maj"),
+    )
+    hl9 = nl.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.col("n_l") * (L(F.col("n")) - L(F.col("n_l")))).alias("hl9")
+    )
+    return (
+        tot.crossJoin(F.broadcast(mi9))
+        .crossJoin(F.broadcast(hc9))
+        .crossJoin(F.broadcast(hl9))
+        .select(
+            F.col("n").alias("n_points"),
+            "n_cells",
+            "n_labels",
+            F.round(F.col("n_maj").cast("double") / F.col("n"), 6).alias(
+                "purity"
+            ),
+            F.round(
+                F.col("mi9").cast("double") / F.col("n") / 1e9, 6
+            ).alias("mi"),
+            F.round(
+                F.col("hc9").cast("double") / F.col("n") / 1e9, 6
+            ).alias("h_cells"),
+            F.round(
+                F.col("hl9").cast("double") / F.col("n") / 1e9, 6
+            ).alias("h_labels"),
+            F.round(
+                F.col("mi9").cast("double")
+                / F.sqrt(F.col("hc9").cast("double") * F.col("hl9").cast("double")),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
+def _nmi_sql() -> str:
+    from graphem_rapids_spark.functions import mix_sql
+
+    u = mix_sql("vec_id", _SEMDEDUP_SEED)
+    ln = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9) AS BIGINT)"
+    return f"""
+WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cent AS MATERIALIZED (
+  SELECT cell, emb AS cvec FROM (
+    SELECT emb, row_number() OVER (ORDER BY {u} ASC, vec_id ASC) - 1 AS cell
+    FROM v
+  ) WHERE cell < {_SEMDEDUP_CELLS}
+),
+vc AS (SELECT vec_id, cell, unnest(emb) AS x, unnest(cvec) AS c FROM v, cent),
+vd AS (SELECT vec_id, cell, sum((x - c) * (x - c)) AS d2 FROM vc GROUP BY 1, 2),
+assign AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+    FROM vd
+  ) WHERE rk = 1
+),
+cl AS (
+  SELECT a.cell, e.label, CAST(count(*) AS BIGINT) AS n_cl
+  FROM assign a JOIN embeddings e USING (vec_id) GROUP BY 1, 2
+),
+nc AS (SELECT cell, CAST(sum(n_cl) AS BIGINT) AS n_c,
+              CAST(max(n_cl) AS BIGINT) AS n_c_max FROM cl GROUP BY 1),
+nl AS (SELECT label, CAST(sum(n_cl) AS BIGINT) AS n_l FROM cl GROUP BY 1),
+tot AS (SELECT CAST(sum(n_cl) AS BIGINT) AS n FROM cl),
+mi AS (
+  SELECT CAST(sum(n_cl * ({ln.format(x='tot.n * n_cl')}
+                           - {ln.format(x='nc.n_c * nl.n_l')})) AS BIGINT) AS mi9,
+         count(DISTINCT cl.cell) AS n_cells,
+         count(DISTINCT cl.label) AS n_labels
+  FROM cl JOIN nc USING (cell) JOIN nl USING (label) CROSS JOIN tot
+),
+hc AS (
+  SELECT CAST(sum(n_c * ({ln.format(x='tot.n')} - {ln.format(x='n_c')}))
+              AS BIGINT) AS hc9,
+         CAST(sum(n_c_max) AS BIGINT) AS n_maj
+  FROM nc CROSS JOIN tot
+),
+hl AS (
+  SELECT CAST(sum(n_l * ({ln.format(x='tot.n')} - {ln.format(x='n_l')}))
+              AS BIGINT) AS hl9
+  FROM nl CROSS JOIN tot
+)
+SELECT tot.n AS n_points, mi.n_cells, mi.n_labels,
+       round(CAST(hc.n_maj AS DOUBLE) / tot.n, 6) AS purity,
+       round(CAST(mi.mi9 AS DOUBLE) / tot.n / 1e9, 6) AS mi,
+       round(CAST(hc.hc9 AS DOUBLE) / tot.n / 1e9, 6) AS h_cells,
+       round(CAST(hl.hl9 AS DOUBLE) / tot.n / 1e9, 6) AS h_labels,
+       round(CAST(mi.mi9 AS DOUBLE)
+             / sqrt(CAST(hc.hc9 AS DOUBLE) * CAST(hl.hl9 AS DOUBLE)), 6) AS nmi
+FROM tot CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl
+"""
+
+
+def customer_ltv_cohorts(spark, sf_dir):
+    """Cohort lifetime-value curve — customers grouped by
+    first-order month, cumulative revenue per customer tracked by
+    cohort age in months (the LTV table a retention model is
+    validated against; the revenue-weighted complement of
+    :func:`events_cohort_retention`'s activity counts). Exactness:
+    revenue quantizes to integer CENTS at the scan (round(price·100)
+    — prices carry 2 decimals), so every aggregate and running sum is
+    exact integer arithmetic; LTV is one division at the end. Shape:
+    two corpus aggregates (first-order month, cohort×age revenue) and
+    a COHORT-PARTITIONED running sum over the ≤ months² aggregate
+    table — never a global window, never a float sum. Output per
+    (cohort, age): n_customers, cum_rev_cents, ltv."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    cs = first.groupBy("cohort").agg(
+        F.countDistinct("o_custkey").alias("n_customers")
+    )
+
+    def _mix(col):
+        return (
+            F.substring(col, 1, 4).cast("long") * 12
+            + F.substring(col, 6, 2).cast("long")
+        )
+
+    per = (
+        o.join(first, "o_custkey")
+        .select(
+            "cohort",
+            (_mix(F.col("m")) - _mix(F.col("cohort"))).alias("age"),
+            "cents",
+        )
+        .groupBy("cohort", "age")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per.withColumn("cum_rev_cents", F.sum("rev_cents").over(w))
+        .join(F.broadcast(cs), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "n_customers",
+            "cum_rev_cents",
+            F.round(
+                F.col("cum_rev_cents").cast("double")
+                / F.col("n_customers")
+                / 100,
+                6,
+            ).alias("ltv"),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+first AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY 1),
+cs AS (SELECT cohort, count(DISTINCT o_custkey) AS n_customers
+       FROM first GROUP BY 1),
+per AS (
+  SELECT f.cohort,
+         (CAST(substr(o.m, 1, 4) AS BIGINT) * 12
+          + CAST(substr(o.m, 6, 2) AS BIGINT))
+         - (CAST(substr(f.cohort, 1, 4) AS BIGINT) * 12
+            + CAST(substr(f.cohort, 6, 2) AS BIGINT)) AS age,
+         CAST(sum(o.cents) AS BIGINT) AS rev_cents
+  FROM o JOIN first f USING (o_custkey) GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort, age,
+         CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_rev_cents
+  FROM per
+)
+SELECT c.cohort, c.age, cs.n_customers, c.cum_rev_cents,
+       round(CAST(c.cum_rev_cents AS DOUBLE) / cs.n_customers / 100, 6) AS ltv
+FROM cum c JOIN cs USING (cohort)
+ORDER BY cohort, age
+"""
+
+
+def events_attribution(spark, sf_dir):
+    """First-touch attribution — every 30-minute-gap session is
+    credited to its FIRST event type, and per first-touch type the
+    session count, converted-session count (contains a purchase) and
+    conversion rate are reported: the marketing-analytics read on
+    which entry points actually convert (builds on
+    :func:`events_sessionize`'s gap rule; the sessionful complement
+    of :func:`events_funnel`'s fixed path). All windows are
+    user-partitioned (lag, running session id) — never global; counts
+    are exact integers, CVR one division. Output per first_type:
+    n_sessions, n_converted, cvr."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("ts div 1000000").alias("ms"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    s = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ms").over(w).isNull()
+            | ((F.col("ms") - F.lag("ms").over(w)) > 1_800_000),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = s.groupBy("user_id", "sid").agg(
+        F.min(F.struct("ms", "event_id", "event_type")).alias("first"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias(
+            "converted"
+        ),
+    )
+    return (
+        per.groupBy(F.col("first.event_type").alias("first_type"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("converted").alias("n_converted"),
+            F.round(
+                F.sum("converted").cast("double") / F.count("*"), 6
+            ).alias("cvr"),
+        )
+        .orderBy("first_type")
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH l AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_ms(ts), event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END
+              AS ns
+  FROM l
+),
+s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+),
+r AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ms, event_id) AS rn,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id, sid) AS conv
+  FROM s
+)
+SELECT event_type AS first_type, count(*) AS n_sessions,
+       CAST(sum(conv) AS BIGINT) AS n_converted,
+       round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS cvr
+FROM r WHERE rn = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
 _MARKOV_ITERS = 12
 _MARKOV_P0 = 10**6  # pi in 1e6 fixed point → output has exactly 6 decimals
 
@@ -16100,6 +16426,9 @@ QUERIES = {
     "events_psi_drift": events_psi_drift,
     "events_markov_stationary": events_markov_stationary,
     "doc_boilerplate_lines": doc_boilerplate_lines,
+    "embedding_cluster_purity": embedding_cluster_purity,
+    "customer_ltv_cohorts": customer_ltv_cohorts,
+    "events_attribution": events_attribution,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -16527,6 +16856,9 @@ ORACLES = {
     "events_psi_drift": _PSI_SQL,
     "events_markov_stationary": _MARKOV_SQL,
     "doc_boilerplate_lines": _BOILER_SQL,
+    "embedding_cluster_purity": _nmi_sql(),
+    "customer_ltv_cohorts": _LTV_SQL,
+    "events_attribution": _ATTRIBUTION_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

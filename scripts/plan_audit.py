@@ -176,6 +176,7 @@ ALLOWED_BOUNDED_WINDOWS: dict[str, tuple[int, str]] = {
     "ann_ivf_probe_curve": (12, "IVF init rank-after-limit: <= n_cells rows"),
     "ann_recall_at_k": (4, "IVF init rank-after-limit: <= n_cells rows"),
     "semdedup_embeddings": (4, "IVF init rank-after-limit: <= n_cells rows"),
+    "embedding_cluster_purity": (4, "IVF init rank-after-limit: <= n_cells rows"),
     "ann_ivfpq_recall": (4, "IVF init rank-after-limit: <= n_cells rows"),
     # Zipf head-term rank assigned AFTER .orderBy().limit(1000)
     # (TakeOrdered) — window input <= 1000 rows

@@ -182,3 +182,64 @@ def test_boilerplate_accounting(spark):
         else:
             assert r["n_kept_tokens"] > 0
             assert r["kept_fp"] != empty_fp
+
+
+def test_cluster_purity_information_bounds(spark):
+    from graphem_rapids_spark.queries import embedding_cluster_purity
+
+    row = embedding_cluster_purity(spark, SF).collect()[0]
+    n_vecs = _t(spark, SF, "embeddings").count()
+    assert row["n_points"] == n_vecs
+    assert row["n_cells"] >= 2 and row["n_labels"] >= 2
+    # purity is at least the trivial majority-class floor 1/n_labels
+    assert 1.0 / row["n_labels"] - 1e-6 <= row["purity"] <= 1.0
+    # information-theoretic sandwiches: 0 <= MI <= min(H_C, H_L),
+    # 0 <= NMI <= 1 (fixed-point rounding gives ~1e-9 slack)
+    assert -1e-6 <= row["mi"] <= min(row["h_cells"], row["h_labels"]) + 1e-6
+    assert -1e-6 <= row["nmi"] <= 1.0 + 1e-6
+    assert row["h_cells"] > 0 and row["h_labels"] > 0
+
+
+def test_ltv_cohorts_monotone(spark):
+    from graphem_rapids_spark.queries import customer_ltv_cohorts
+
+    rows = customer_ltv_cohorts(spark, SF).collect()
+    orders = _t(spark, SF, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    # cohort sizes partition the customer base
+    sizes = {}
+    for r in rows:
+        sizes[r["cohort"]] = r["n_customers"]
+    assert sum(sizes.values()) == n_cust
+    # within a cohort the LTV curve is cumulative → non-decreasing in age
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append((r["age"], r["cum_rev_cents"]))
+    for vals in by_cohort.values():
+        ages = [a for a, _ in vals]
+        assert ages == sorted(ages)
+        cums = [c for _, c in vals]
+        assert all(a < b for a, b in zip(cums, cums[1:])) or len(cums) == 1
+    # total terminal revenue equals the corpus revenue in cents
+    total_cents = sum(max(c for _, c in v) for v in by_cohort.values())
+    from pyspark.sql import functions as F
+
+    corpus_cents = orders.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    ).collect()[0][0]
+    assert total_cents == corpus_cents
+
+
+def test_attribution_partitions_sessions(spark):
+    from graphem_rapids_spark.queries import events_attribution, events_sessionize
+
+    rows = events_attribution(spark, SF).collect()
+    # attributed sessions partition the sessionize count exactly
+    # (events_sessionize returns per-user n_sessions)
+    per_user = events_sessionize(spark, SF).collect()
+    assert sum(r["n_sessions"] for r in per_user) == sum(
+        r["n_sessions"] for r in rows
+    )
+    for r in rows:
+        assert 0 <= r["n_converted"] <= r["n_sessions"]
+        assert abs(r["cvr"] - r["n_converted"] / r["n_sessions"]) < 1e-6
