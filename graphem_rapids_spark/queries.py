@@ -16113,6 +16113,201 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def events_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov D statistic on the event-value
+    distribution, first half-month vs second — the bin-free
+    complement of :func:`events_psi_drift` (PSI depends on the bin
+    design; KS is the sup-distance between the empirical CDFs and
+    catches shifts PSI's 10 bins blur). EXACT by construction:
+    per-distinct-value counts are integers, the CDF gap at value v is
+    the cross-multiplied integer |c1(v)·n2 − c2(v)·n1| (never a float
+    CDF), the max is an integer argmax with ties broken on the
+    smallest value, and D is ONE division at the end. The cumulative
+    window runs over per-VALUE aggregates — the corpus collapses to
+    ≤ #distinct-2-decimal-values rows first (the link_pred_auc
+    bounded-window discipline; the value domain, not traffic, bounds
+    it). (Integer bound: n1·n2 < 2^63 holds through ~3e9 rows per
+    side; beyond that the gap columns switch to DECIMAL(38,0).)
+    Output: n_ref, n_cur, ks_d, at_value."""
+    e = _t(spark, sf_dir, "events")
+    b0 = e.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    t = e.crossJoin(F.broadcast(b0)).select(
+        F.col("value").alias("v"),
+        (
+            F.datediff(F.col("ts").cast("date"), F.col("d0").cast("date"))
+            < _PSI_SPLIT_DAYS
+        ).alias("is_ref"),
+    )
+    per = t.groupBy("v").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("a"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("b"),
+    )
+    tot = per.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "v",
+        F.sum("a").over(w).alias("c1"),
+        F.sum("b").over(w).alias("c2"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias(
+            "dnum"
+        ),
+        "n1",
+        "n2",
+    )
+    return (
+        d.orderBy(F.col("dnum").desc(), F.col("v").asc())
+        .limit(1)
+        .select(
+            F.col("n1").alias("n_ref"),
+            F.col("n2").alias("n_cur"),
+            F.round(
+                F.col("dnum").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                6,
+            ).alias("ks_d"),
+            F.col("v").alias("at_value"),
+        )
+    )
+
+
+_KS_SQL = f"""
+WITH b0 AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+t AS (
+  SELECT value AS v,
+         date_diff('day', CAST(b0.d0 AS DATE), CAST(ts AS DATE))
+           < {_PSI_SPLIT_DAYS} AS is_ref
+  FROM events CROSS JOIN b0
+),
+per AS (
+  SELECT v,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM t GROUP BY 1
+),
+tot AS (SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2
+        FROM per),
+cum AS (
+  SELECT v,
+         CAST(sum(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS c1,
+         CAST(sum(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS c2
+  FROM per
+),
+d AS (
+  SELECT v, abs(c1 * n2 - c2 * n1) AS dnum, n1, n2
+  FROM cum CROSS JOIN tot
+)
+SELECT n1 AS n_ref, n2 AS n_cur,
+       round(CAST(dnum AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS ks_d,
+       v AS at_value
+FROM d ORDER BY dnum DESC, v ASC LIMIT 1
+"""
+
+
+_CONF_ALPHA_DEN = 10  # miscoverage 1/10 → 90% target coverage
+
+
+def quality_conformal_gate(spark, sf_dir):
+    """Split-conformal quality gate — calibrate a score threshold on
+    half the corpus (doc_id parity split) at the conformal rank
+    ceil((n_cal+1)/10), then report the achieved coverage on the
+    held-out half: the distribution-free guarantee construction
+    (Vovk; split conformal) a pipeline uses to turn 'quality >= τ'
+    into 'keeps >= 90% of in-distribution docs' without modeling the
+    score. Exactness: scores are 1e6 fixed-point integers, the
+    threshold is an exact order statistic read off cumulative counts
+    over per-SCORE aggregates (the corpus collapses to ≤ score-domain
+    rows before the window — link_pred_auc discipline), and coverage
+    is one division. τ = tau6/1e6 carries exactly 6 decimals, so
+    rounding is the identity on both engines. Output: n_cal, n_test,
+    tau, n_kept, coverage."""
+    q = T.quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.round(F.col("quality") * 1e6).cast("long").alias("p6")
+    )
+    cal = q.filter(F.col("doc_id") % 2 == 0)
+    test = q.filter(F.col("doc_id") % 2 == 1)
+    percal = cal.groupBy("p6").agg(F.count("*").alias("c"))
+    ncal = percal.agg(F.sum("c").alias("n_cal"))
+    w = Window.orderBy("p6").rowsBetween(Window.unboundedPreceding, 0)
+    cum = percal.select("p6", F.sum("c").over(w).alias("cum"))
+    tau = (
+        cum.crossJoin(F.broadcast(ncal))
+        .filter(
+            F.col("cum")
+            >= F.expr(f"(n_cal + {_CONF_ALPHA_DEN}) div {_CONF_ALPHA_DEN}")
+        )
+        .orderBy("p6")
+        .limit(1)
+        .select(F.col("p6").alias("tau6"), "n_cal")
+    )
+    return (
+        test.crossJoin(F.broadcast(tau))
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.count("*").alias("n_test"),
+            F.round(F.max("tau6") / 1e6, 6).alias("tau"),
+            F.sum((F.col("p6") >= F.col("tau6")).cast("long")).alias(
+                "n_kept"
+            ),
+            F.round(
+                F.sum((F.col("p6") >= F.col("tau6")).cast("long")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+_CONFORMAL_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, len(toks) AS n,
+         round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+         round(CAST(len(list_filter(toks, x -> list_contains({_SW_LIST}, x)))
+                    AS DOUBLE) / len(toks), 6) AS swr
+  FROM t
+),
+q AS (
+  SELECT doc_id,
+         CAST(round(round(least(n / 100.0, 1.0) * 0.4 + ttr * 0.4
+                          + least(swr * 4.0, 1.0) * 0.2, 6) * 1e6) AS BIGINT)
+           AS p6
+  FROM s
+),
+percal AS (
+  SELECT p6, count(*) AS c FROM q WHERE doc_id % 2 = 0 GROUP BY 1
+),
+ncal AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM percal),
+cum AS (
+  SELECT p6,
+         CAST(sum(c) OVER (ORDER BY p6 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum
+  FROM percal
+),
+tau AS (
+  SELECT p6 AS tau6, n_cal FROM cum CROSS JOIN ncal
+  WHERE cum >= (n_cal + {_CONF_ALPHA_DEN}) // {_CONF_ALPHA_DEN}
+  ORDER BY p6 LIMIT 1
+)
+SELECT max(tau.n_cal) AS n_cal,
+       count(*) AS n_test,
+       round(CAST(max(tau.tau6) AS DOUBLE) / 1e6, 6) AS tau,
+       CAST(sum(CASE WHEN q.p6 >= tau.tau6 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       round(CAST(sum(CASE WHEN q.p6 >= tau.tau6 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS coverage
+FROM q CROSS JOIN tau WHERE q.doc_id % 2 = 1
+"""
+
+
 _MARKOV_ITERS = 12
 _MARKOV_P0 = 10**6  # pi in 1e6 fixed point → output has exactly 6 decimals
 
@@ -16429,6 +16624,8 @@ QUERIES = {
     "embedding_cluster_purity": embedding_cluster_purity,
     "customer_ltv_cohorts": customer_ltv_cohorts,
     "events_attribution": events_attribution,
+    "events_ks_test": events_ks_test,
+    "quality_conformal_gate": quality_conformal_gate,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -16859,6 +17056,8 @@ ORACLES = {
     "embedding_cluster_purity": _nmi_sql(),
     "customer_ltv_cohorts": _LTV_SQL,
     "events_attribution": _ATTRIBUTION_SQL,
+    "events_ks_test": _KS_SQL,
+    "quality_conformal_gate": _CONFORMAL_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

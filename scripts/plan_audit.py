@@ -159,6 +159,14 @@ ALLOWED_BOUNDED_WINDOWS: dict[str, tuple[int, str]] = {
     # rank-sum AUC cum-negatives prefix over per-score-value
     # aggregates — input = #distinct quantized AA scores (≪ #pairs;
     # coarsen the quantizer / histogram at 100 TB, see docstring)
+    "events_ks_test": (
+        1,
+        "cum CDF counts over per-VALUE aggregates (#distinct 2-decimal values rows — value-domain-bounded)",
+    ),
+    "quality_conformal_gate": (
+        1,
+        "cum counts over per-SCORE aggregates (<= 1e6-quantized score domain rows)",
+    ),
     "link_pred_auc": (
         1,
         "cum negatives over per-score aggregates (#distinct scores rows)",

@@ -243,3 +243,30 @@ def test_attribution_partitions_sessions(spark):
     for r in rows:
         assert 0 <= r["n_converted"] <= r["n_sessions"]
         assert abs(r["cvr"] - r["n_converted"] / r["n_sessions"]) < 1e-6
+
+
+def test_ks_test_bounds(spark):
+    from graphem_rapids_spark.queries import events_ks_test
+
+    row = events_ks_test(spark, SF).collect()[0]
+    n_events = _t(spark, SF, "events").count()
+    assert row["n_ref"] + row["n_cur"] == n_events
+    assert 0.0 <= row["ks_d"] <= 1.0
+    # the synthetic generator draws both halves from one distribution:
+    # D stays small (but nonzero — finite samples)
+    assert row["ks_d"] < 0.2
+    assert 0.0 < row["at_value"] <= 500.0
+
+
+def test_conformal_gate_coverage(spark):
+    from graphem_rapids_spark.queries import quality_conformal_gate
+
+    row = quality_conformal_gate(spark, SF).collect()[0]
+    docs = _t(spark, SF, "documents").count()
+    assert row["n_cal"] + row["n_test"] == docs
+    assert 0 < row["n_kept"] <= row["n_test"]
+    assert abs(row["coverage"] - row["n_kept"] / row["n_test"]) < 1e-6
+    # the conformal construction targets 90% coverage; exchangeable
+    # splits land near it (finite-sample slack)
+    assert 0.8 <= row["coverage"] <= 1.0
+    assert 0.0 < row["tau"] < 1.0
