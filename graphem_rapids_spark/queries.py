@@ -16308,6 +16308,235 @@ FROM q CROSS JOIN tau WHERE q.doc_id % 2 = 1
 """
 
 
+def events_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend test per event type — the nonparametric
+    SIGNIFICANCE companion of :func:`events_theil_sen` (Theil–Sen
+    estimates the slope; MK says whether a monotone trend exists at
+    all, robust to outliers and distribution shape). Entirely exact
+    until the last step: S = Σ_{i<j} sign(y_j − y_i) over the
+    zero-filled daily-count grid is an integer pair sum (the grid is
+    calendar-bounded, so the i<j self-join is days² per type — tiny
+    at any corpus size; the corpus collapses to per-(type, day)
+    counts first), the tie-corrected variance numerator 18·Var(S) =
+    n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) is pure integer arithmetic, and
+    the normal Z statistic is ONE identical float expression. Output
+    per type: event_type, n_days, s_stat, var18, z."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count("*").alias("y"))
+    )
+    b = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = b.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d")
+    ).crossJoin(daily.select("event_type").distinct())
+    ys = (
+        grid.join(daily, ["event_type", "d"], "left")
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            ((F.col("d").cast("long") - F.col("d0").cast("long")) / 86400)
+            .cast("long")
+            .alias("i"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    a = ys.select(
+        "event_type", F.col("i").alias("ai"), F.col("y").alias("ay")
+    )
+    b2 = ys.select(
+        "event_type", F.col("i").alias("bi"), F.col("y").alias("by")
+    )
+    s = (
+        a.join(b2, ["event_type"])
+        .filter(F.col("bi") > F.col("ai"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum(F.col("by") - F.col("ay")).cast("long")).alias(
+                "s_stat"
+            )
+        )
+    )
+    nn = ys.groupBy("event_type").agg(F.count("*").alias("n"))
+    ties = (
+        ys.groupBy("event_type", "y")
+        .agg(F.count("*").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_sum")
+        )
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_sum")
+    )
+    zcore = F.when(F.col("s_stat") > 0, F.col("s_stat") - 1).when(
+        F.col("s_stat") < 0, F.col("s_stat") + 1
+    ).otherwise(0)
+    return (
+        s.join(F.broadcast(nn), "event_type")
+        .join(F.broadcast(ties), "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "s_stat",
+            var18.alias("var18"),
+            F.round(
+                zcore.cast("double")
+                / F.sqrt(var18.cast("double") / 18.0),
+                6,
+            ).alias("z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MK_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d, count(*) AS y
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+grid AS (
+  SELECT t.event_type, g.d
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+              FROM b) g
+),
+ys AS (
+  SELECT g.event_type,
+         CAST((epoch(g.d) - epoch(b.d0)) / 86400 AS BIGINT) AS i,
+         CAST(coalesce(daily.y, 0) AS BIGINT) AS y
+  FROM grid g CROSS JOIN b
+  LEFT JOIN daily ON daily.event_type = g.event_type AND daily.d = g.d
+),
+s AS (
+  SELECT a.event_type,
+         CAST(sum(sign(b2.y - a.y)) AS BIGINT) AS s_stat
+  FROM ys a JOIN ys b2 ON a.event_type = b2.event_type AND b2.i > a.i
+  GROUP BY 1
+),
+nn AS (SELECT event_type, count(*) AS n FROM ys GROUP BY 1),
+ties AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+  FROM (SELECT event_type, y, count(*) AS t FROM ys GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT s.event_type, nn.n AS n_days, s.s_stat,
+       CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_sum AS BIGINT)
+         AS var18,
+       round(CAST(CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                       WHEN s.s_stat < 0 THEN s.s_stat + 1
+                       ELSE 0 END AS DOUBLE)
+             / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_sum
+                         AS DOUBLE) / 18.0), 6) AS z
+FROM s JOIN nn USING (event_type) JOIN ties USING (event_type)
+ORDER BY event_type
+"""
+
+
+def dedup_cross_source_matrix(spark, sf_dir):
+    """Cross-source duplication matrix — for every shared 10-token
+    segment (the :func:`doc_boilerplate_lines` granularity, which
+    subsumes exact-duplicate texts), count the co-occurring DOC PAIRS
+    by (source, source): the provenance read on WHO copies WHOM that
+    a per-source dup rate (:func:`doc_source_scorecard`) can't show
+    (a mirror pair concentrates in one off-diagonal cell). n_pairs
+    weights a doc pair once per shared segment (co-occurrence
+    weight). Pair counts come from per-(segment, source) DISTINCT-doc
+    COUNTS (n_a·n_b cross, C(n_s,2) within) — never a pair join, so a
+    10-million-copy template costs two integers, not 10¹⁴ rows.
+    Shuffles are on md5 keys only. Output per (source_a <=
+    source_b): n_pairs, n_groups."""
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.select("doc_id", "source", T.tokens_col("text").alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, int(floor((size(_t) - 1) / {_BP_SEG}))),"
+                    f" i -> array_join(slice(_t, i * {_BP_SEG} + 1, {_BP_SEG}), ' '))"
+                )
+            ).alias("seg"),
+        )
+        .select("doc_id", "source", F.md5("seg").alias("h"))
+        .groupBy("h", "source")
+        .agg(F.countDistinct("doc_id").alias("c"))
+    )
+    tot = per.groupBy("h").agg(F.sum("c").alias("n")).filter(F.col("n") >= 2)
+    pp = per.join(tot.select("h"), "h")
+    a = pp.select("h", F.col("source").alias("source_a"), F.col("c").alias("ca"))
+    b = pp.select("h", F.col("source").alias("source_b"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .select(
+            "h",
+            "source_a",
+            "source_b",
+            F.when(
+                F.col("source_a") == F.col("source_b"),
+                F.col("ca") * (F.col("ca") - 1) / 2,
+            )
+            .otherwise(F.col("ca") * F.col("cb"))
+            .cast("long")
+            .alias("np"),
+        )
+        .filter(F.col("np") > 0)
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.sum("np").alias("n_pairs"),
+            F.countDistinct("h").alias("n_groups"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_XSOURCE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, {_TOKENS_SQL} AS toks FROM documents
+),
+segs AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(0,
+                  CAST(floor((len(toks) - 1) / {_BP_SEG}.0) AS INT) + 1),
+                i -> array_to_string(
+                       toks[i * {_BP_SEG} + 1 : i * {_BP_SEG} + {_BP_SEG}],
+                       ' '))) AS seg
+  FROM t WHERE len(toks) > 0
+),
+per AS (
+  SELECT md5(seg) AS h, source, count(DISTINCT doc_id) AS c
+  FROM segs GROUP BY 1, 2
+),
+tot AS (SELECT h FROM (SELECT h, sum(c) AS n FROM per GROUP BY 1)
+        WHERE n >= 2),
+pp AS (SELECT per.* FROM per JOIN tot USING (h)),
+pairs AS (
+  SELECT a.h, a.source AS source_a, b.source AS source_b,
+         CAST(CASE WHEN a.source = b.source
+                   THEN a.c * (a.c - 1) / 2
+                   ELSE a.c * b.c END AS BIGINT) AS np
+  FROM pp a JOIN pp b ON a.h = b.h AND a.source <= b.source
+)
+SELECT source_a, source_b, CAST(sum(np) AS BIGINT) AS n_pairs,
+       count(DISTINCT h) AS n_groups
+FROM pairs WHERE np > 0
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 _MARKOV_ITERS = 12
 _MARKOV_P0 = 10**6  # pi in 1e6 fixed point → output has exactly 6 decimals
 
@@ -16626,6 +16855,8 @@ QUERIES = {
     "events_attribution": events_attribution,
     "events_ks_test": events_ks_test,
     "quality_conformal_gate": quality_conformal_gate,
+    "events_mann_kendall": events_mann_kendall,
+    "dedup_cross_source_matrix": dedup_cross_source_matrix,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -17058,6 +17289,8 @@ ORACLES = {
     "events_attribution": _ATTRIBUTION_SQL,
     "events_ks_test": _KS_SQL,
     "quality_conformal_gate": _CONFORMAL_SQL,
+    "events_mann_kendall": _MK_SQL,
+    "dedup_cross_source_matrix": _XSOURCE_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

@@ -270,3 +270,38 @@ def test_conformal_gate_coverage(spark):
     # splits land near it (finite-sample slack)
     assert 0.8 <= row["coverage"] <= 1.0
     assert 0.0 < row["tau"] < 1.0
+
+
+def test_mann_kendall_consistency(spark):
+    import math
+
+    from graphem_rapids_spark.queries import events_mann_kendall
+
+    rows = events_mann_kendall(spark, SF).collect()
+    types = [r["event_type"] for r in rows]
+    assert types == sorted(types) and len(types) >= 2
+    n = rows[0]["n_days"]
+    for r in rows:
+        assert r["n_days"] == n  # shared dense calendar grid
+        # |S| is bounded by the pair count
+        assert abs(r["s_stat"]) <= n * (n - 1) // 2
+        assert 0 < r["var18"] <= n * (n - 1) * (2 * n + 5)
+        # recompute z from the integer columns
+        s = r["s_stat"]
+        zc = s - 1 if s > 0 else (s + 1 if s < 0 else 0)
+        assert abs(r["z"] - zc / math.sqrt(r["var18"] / 18.0)) < 1e-6
+
+
+def test_cross_source_matrix_counts(spark):
+    from graphem_rapids_spark.queries import dedup_cross_source_matrix
+
+    rows = dedup_cross_source_matrix(spark, SF).collect()
+    assert len(rows) > 0  # template segments repeat across docs
+    sources = {
+        r["source"]
+        for r in _t(spark, SF, "documents").select("source").distinct().collect()
+    }
+    for r in rows:
+        assert r["source_a"] <= r["source_b"]
+        assert r["source_a"] in sources and r["source_b"] in sources
+        assert r["n_pairs"] >= r["n_groups"] >= 1
