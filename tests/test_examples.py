@@ -60,3 +60,14 @@ def test_tokenizer_and_sketches_example():
     assert "BPE merge table:" in stdout
     assert "90% effective diameter" in stdout
     assert "top load-centrality vertex:" in stdout
+
+
+def test_eval_and_drift_example():
+    stdout = _run("examples/eval_and_drift.py", "/root/testdata/sf0.001")
+    assert "JL retrieval MRR@10:" in stdout
+    assert "two-gate Cohen's kappa:" in stdout
+    assert "conformal gate: tau=" in stdout
+    assert "value drift: PSI=" in stdout
+    assert "Markov stationary distribution:" in stdout
+    assert "k-center coreset" in stdout
+    assert "boilerplate segments dropped:" in stdout
