@@ -16796,6 +16796,213 @@ ORDER BY score DESC, piece ASC LIMIT {_USEED_TOPK}
 """
 
 
+def langid_confusion(spark, sf_dir):
+    """Language-ID eval — confusion matrix + precision/recall/F1 of
+    the stopword-heuristic classifier (:func:`doc_lang_id`) against
+    the ground-truth ``lang`` column (collapsed to its en/other
+    decision space): the accuracy card a pipeline publishes before
+    routing documents by predicted language. ONE narrow scan, one
+    4-cell aggregate; every metric divides two exact integer counts.
+    Output: tp, fp, fn, tn, precision, recall, f1."""
+    d = _t(spark, sf_dir, "documents")
+    pred = T.language_id(d).select("doc_id", "pred_lang")
+    j = (
+        d.select("doc_id", (F.col("lang") == "en").alias("t"))
+        .join(pred, "doc_id")
+        .select("t", (F.col("pred_lang") == "en").alias("p"))
+    )
+    c = j.agg(
+        F.sum((F.col("t") & F.col("p")).cast("long")).alias("tp"),
+        F.sum((~F.col("t") & F.col("p")).cast("long")).alias("fp"),
+        F.sum((F.col("t") & ~F.col("p")).cast("long")).alias("fn"),
+        F.sum((~F.col("t") & ~F.col("p")).cast("long")).alias("tn"),
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6
+        ).alias("recall"),
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ).alias("f1"),
+    )
+
+
+_LANGID_CONF_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         round(CAST(len(list_filter({_TOKENS_SQL},
+                           x -> list_contains({_SW_LIST}, x))) AS DOUBLE)
+               / len({_TOKENS_SQL}), 6) AS r
+  FROM documents
+),
+j AS (
+  SELECT lang = 'en' AS t, r >= 0.08 AS p FROM s
+),
+c AS (
+  SELECT CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+           AS tn
+  FROM j
+)
+SELECT tp, fp, fn, tn,
+       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+       round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+       round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS f1
+FROM c
+"""
+
+
+_KLEIN_RATE_NUM = 2  # burst state rate = 2x base rate
+
+
+def _klein_consts(s_total: int, n_hours: int) -> tuple[int, int, int, int, int]:
+    """(c0, c1, l0, l1, gamma) — Poisson NLL pieces in 1e9 fixed
+    point, half-up rounded (floor(x+0.5) — Python round() is
+    banker's, DuckDB round() half-away; floor(x+0.5) is identical on
+    both engines for positive x)."""
+    lam0 = s_total / n_hours
+    lam1 = lam0 * _KLEIN_RATE_NUM
+    f = lambda x: math.floor(x * 1e9 + 0.5)  # noqa: E731
+    return f(lam0), f(lam1), f(math.log(lam0)), f(math.log(lam1)), f(
+        math.log(n_hours)
+    )
+
+
+def events_burst_kleinberg(spark, sf_dir):
+    """Kleinberg 2-state burst detection over the hourly event-count
+    series — the named burst-detection algorithm (Kleinberg 2002,
+    'Bursty and Hierarchical Structure in Streams') re-expressed on
+    the batch grid: a Viterbi DP over {base, burst} states with
+    Poisson NLL step costs (the state-independent ln y! term cancels)
+    and a ln(n) state-entry cost. Two-phase shape: the stream
+    collapses to the zero-filled calendar-hour grid (the only 100 TB
+    stage); the inherently sequential DP runs over those ≤ #hours
+    rows under the bounded-collect discipline, every cost an exact
+    1e9 fixed-point integer (half-up constants from the same
+    float expressions on both engines), ties preferring the base
+    state — the DuckDB RECURSIVE CTE replays the DP bit-equal,
+    carrying the best-path-per-state burst statistics forward
+    (hours/events/episodes), so no backtracking pass is needed.
+    Output: n_hours, final_state, burst_hours, burst_events,
+    n_episodes, final_cost9."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.select(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("y"))
+    )
+    b = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = b.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    ys = [
+        int(r["y"])
+        for r in (
+            grid.join(hourly, "h", "left")
+            .select(
+                "h", F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y")
+            )
+            .orderBy("h")
+            .collect()
+        )
+    ]  # calendar-bounded (~720 rows)
+    n = len(ys)
+    s_total = sum(ys)
+    c0, c1, l0, l1, gam = _klein_consts(s_total, n)
+    # state tuples: (cost, burst_hours, burst_events, episodes)
+    d0 = (c0 - ys[0] * l0, 0, 0, 0)
+    d1 = (c1 - ys[0] * l1 + gam, 1, ys[0], 1)
+    for y in ys[1:]:
+        step0, step1 = c0 - y * l0, c1 - y * l1
+        # enter state 0: prefer staying (tie -> 0)
+        src0 = d0 if d0[0] <= d1[0] else d1
+        n0 = (src0[0] + step0, src0[1], src0[2], src0[3])
+        # enter state 1: entering from 0 pays gamma; tie -> stay in 1
+        if d0[0] + gam < d1[0]:
+            n1 = (d0[0] + gam + step1, d0[1] + 1, d0[2] + y, d0[3] + 1)
+        else:
+            n1 = (d1[0] + step1, d1[1] + 1, d1[2] + y, d1[3])
+        d0, d1 = n0, n1
+    win, state = (d0, 0) if d0[0] <= d1[0] else (d1, 1)
+    return spark.createDataFrame(
+        [(n, state, win[1], win[2], win[3], win[0])],
+        "n_hours long, final_state long, burst_hours long,"
+        " burst_events long, n_episodes long, final_cost9 long",
+    )
+
+
+_KLEIN_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS y FROM events GROUP BY 1
+),
+b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b
+),
+dy AS (
+  SELECT row_number() OVER (ORDER BY g.h) - 1 AS i,
+         CAST(coalesce(hourly.y, 0) AS BIGINT) AS y
+  FROM grid g LEFT JOIN hourly ON hourly.h = g.h
+),
+nm AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS s FROM dy),
+ct AS (
+  SELECT CAST(floor(CAST(s AS DOUBLE) / n * 1e9 + 0.5) AS BIGINT) AS c0,
+         CAST(floor(CAST(s AS DOUBLE) / n * {_KLEIN_RATE_NUM} * 1e9 + 0.5)
+              AS BIGINT) AS c1,
+         CAST(floor(ln(CAST(s AS DOUBLE) / n) * 1e9 + 0.5) AS BIGINT) AS l0,
+         CAST(floor(ln(CAST(s AS DOUBLE) / n * {_KLEIN_RATE_NUM}) * 1e9 + 0.5)
+              AS BIGINT) AS l1,
+         CAST(floor(ln(CAST(n AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS gam,
+         n
+  FROM nm
+),
+st AS (
+  WITH RECURSIVE v(i, d0, h0, e0, p0, d1, h1, e1, p1) AS (
+    SELECT 0,
+           ct.c0 - dy.y * ct.l0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT),
+           ct.c1 - dy.y * ct.l1 + ct.gam, CAST(1 AS BIGINT), dy.y,
+           CAST(1 AS BIGINT)
+    FROM ct JOIN dy ON dy.i = 0
+    UNION ALL
+    SELECT v.i + 1,
+           (CASE WHEN v.d0 <= v.d1 THEN v.d0 ELSE v.d1 END)
+             + ct.c0 - dy.y * ct.l0,
+           CASE WHEN v.d0 <= v.d1 THEN v.h0 ELSE v.h1 END,
+           CASE WHEN v.d0 <= v.d1 THEN v.e0 ELSE v.e1 END,
+           CASE WHEN v.d0 <= v.d1 THEN v.p0 ELSE v.p1 END,
+           (CASE WHEN v.d0 + ct.gam < v.d1 THEN v.d0 + ct.gam ELSE v.d1 END)
+             + ct.c1 - dy.y * ct.l1,
+           CASE WHEN v.d0 + ct.gam < v.d1 THEN v.h0 + 1 ELSE v.h1 + 1 END,
+           CASE WHEN v.d0 + ct.gam < v.d1 THEN v.e0 + dy.y
+                ELSE v.e1 + dy.y END,
+           CASE WHEN v.d0 + ct.gam < v.d1 THEN v.p0 + 1 ELSE v.p1 END
+    FROM v JOIN dy ON dy.i = v.i + 1 CROSS JOIN ct
+  )
+  SELECT * FROM v CROSS JOIN ct WHERE v.i = ct.n - 1
+)
+SELECT CAST(ct.n AS BIGINT) AS n_hours,
+       CAST(CASE WHEN st.d0 <= st.d1 THEN 0 ELSE 1 END AS BIGINT)
+         AS final_state,
+       CASE WHEN st.d0 <= st.d1 THEN st.h0 ELSE st.h1 END AS burst_hours,
+       CASE WHEN st.d0 <= st.d1 THEN st.e0 ELSE st.e1 END AS burst_events,
+       CASE WHEN st.d0 <= st.d1 THEN st.p0 ELSE st.p1 END AS n_episodes,
+       CASE WHEN st.d0 <= st.d1 THEN st.d0 ELSE st.d1 END AS final_cost9
+FROM st CROSS JOIN ct
+"""
+
+
 _MARKOV_ITERS = 12
 _MARKOV_P0 = 10**6  # pi in 1e6 fixed point → output has exactly 6 decimals
 
@@ -17119,6 +17326,8 @@ QUERIES = {
     "lineitem_compaction_plan": lineitem_compaction_plan,
     "events_neyman_allocation": events_neyman_allocation,
     "tokenizer_unigram_seed": tokenizer_unigram_seed,
+    "langid_confusion": langid_confusion,
+    "events_burst_kleinberg": events_burst_kleinberg,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -17556,6 +17765,8 @@ ORACLES = {
     "lineitem_compaction_plan": _COMPACT_SQL,
     "events_neyman_allocation": _NEYMAN_SQL,
     "tokenizer_unigram_seed": _useed_sql(),
+    "langid_confusion": _LANGID_CONF_SQL,
+    "events_burst_kleinberg": _KLEIN_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

@@ -369,3 +369,32 @@ def test_unigram_seed_scores(spark):
         assert _USEED_KMIN <= len(r["piece"]) <= _USEED_KMAX
         assert r["score"] == r["total_freq"] * len(r["piece"])
         assert r["n_words"] >= 1
+
+
+def test_langid_confusion_counts(spark):
+    from graphem_rapids_spark.queries import langid_confusion
+
+    row = langid_confusion(spark, SF).collect()[0]
+    docs = _t(spark, SF, "documents")
+    n = docs.count()
+    n_en = docs.filter("lang = 'en'").count()
+    assert row["tp"] + row["fp"] + row["fn"] + row["tn"] == n
+    assert row["tp"] + row["fn"] == n_en
+    assert abs(row["precision"] - row["tp"] / (row["tp"] + row["fp"])) < 1e-6
+    assert abs(row["recall"] - row["tp"] / (row["tp"] + row["fn"])) < 1e-6
+    assert 0.0 <= row["f1"] <= 1.0
+
+
+def test_kleinberg_path_consistency(spark):
+    from graphem_rapids_spark.queries import events_burst_kleinberg
+
+    row = events_burst_kleinberg(spark, SF).collect()[0]
+    n_events = _t(spark, SF, "events").count()
+    assert row["n_hours"] >= 24
+    assert row["final_state"] in (0, 1)
+    assert 0 <= row["burst_hours"] <= row["n_hours"]
+    assert 0 <= row["burst_events"] <= n_events
+    # episodes can't outnumber burst hours, and a burst hour needs
+    # an episode
+    assert row["n_episodes"] <= row["burst_hours"] or row["burst_hours"] == 0
+    assert (row["n_episodes"] > 0) == (row["burst_hours"] > 0)
