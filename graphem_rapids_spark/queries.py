@@ -17003,6 +17003,209 @@ FROM st CROSS JOIN ct
 """
 
 
+_RULES_MIN_SUP = 3
+_RULES_TOPK = 20
+
+
+def market_basket_rules(spark, sf_dir):
+    """Directional association rules a→b over order baskets —
+    confidence, lift and leverage for every co-occurrence with
+    support >= 3, top-20 by confidence: the RULE layer above
+    :func:`market_basket_pairs`' symmetric affinity (confidence is
+    directional — 'a implies b' can be strong while 'b implies a' is
+    weak). Exactness: confidence = sup/cnt_a is one division of
+    integers; leverage uses the cross-multiplied integer numerator
+    sup·N − cnt_a·cnt_b. Same map-side per-order pair generation
+    (fanout bounded by basket size), shuffle carries pair partials
+    only. Output: antecedent, consequent, support, confidence, lift,
+    leverage."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    parts = op.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = parts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, x -> "
+                "transform(filter(ps, y -> y > x), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    sup = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _RULES_MIN_SUP)
+    )
+    cnt = op.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    tot = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    # both directions: a->b and b->a
+    dirs = sup.select(
+        F.col("a").alias("antecedent"),
+        F.col("b").alias("consequent"),
+        "support",
+    ).unionByName(
+        sup.select(
+            F.col("b").alias("antecedent"),
+            F.col("a").alias("consequent"),
+            "support",
+        )
+    )
+    return (
+        dirs.join(
+            cnt.select(
+                F.col("l_partkey").alias("antecedent"),
+                F.col("cnt").alias("cnt_a"),
+            ),
+            "antecedent",
+        )
+        .join(
+            cnt.select(
+                F.col("l_partkey").alias("consequent"),
+                F.col("cnt").alias("cnt_b"),
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.round(
+                F.col("support").cast("double") / F.col("cnt_a"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("support") * F.col("n_orders")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+            F.round(
+                (
+                    F.col("support") * F.col("n_orders")
+                    - F.col("cnt_a") * F.col("cnt_b")
+                ).cast("double")
+                / (F.col("n_orders") * F.col("n_orders")),
+                6,
+            ).alias("leverage"),
+        )
+        .orderBy(
+            F.col("confidence").desc(),
+            F.col("antecedent").asc(),
+            F.col("consequent").asc(),
+        )
+        .limit(_RULES_TOPK)
+    )
+
+
+_RULES_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND b.l_partkey > a.l_partkey
+),
+sup AS (
+  SELECT a, b, count(*) AS support FROM pairs GROUP BY 1, 2
+  HAVING count(*) >= {_RULES_MIN_SUP}
+),
+cnt AS (SELECT l_partkey, count(*) AS cnt FROM op GROUP BY 1),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+dirs AS (
+  SELECT a AS antecedent, b AS consequent, support FROM sup
+  UNION ALL
+  SELECT b AS antecedent, a AS consequent, support FROM sup
+)
+SELECT d.antecedent, d.consequent, d.support,
+       round(CAST(d.support AS DOUBLE) / ca.cnt, 6) AS confidence,
+       round(CAST(d.support * tot.n_orders AS DOUBLE)
+             / (ca.cnt * cb.cnt), 6) AS lift,
+       round(CAST(d.support * tot.n_orders - ca.cnt * cb.cnt AS DOUBLE)
+             / (tot.n_orders * tot.n_orders), 6) AS leverage
+FROM dirs d
+JOIN cnt ca ON ca.l_partkey = d.antecedent
+JOIN cnt cb ON cb.l_partkey = d.consequent
+CROSS JOIN tot
+ORDER BY confidence DESC, antecedent ASC, consequent ASC
+LIMIT {_RULES_TOPK}
+"""
+
+
+def doc_char_entropy(spark, sf_dir):
+    """Per-document character-level Shannon entropy (bits/char) — the
+    gibberish/compressibility signal quality pipelines use to catch
+    encoded blobs (entropy too high) and template spam (too low);
+    complements the token-level :func:`doc_repetition_stats`. Pure
+    map pass, ZERO shuffles: each doc's char histogram comes from a
+    higher-order-function fold over its distinct characters
+    (O(distinct·len) per row, distinct ≤ alphabet), and H = Σ
+    c_i·(L(n) − L(c_i)) with 1e9 fixed-point integer ln factors, so
+    the per-doc sum is exact integer arithmetic and bits/char is one
+    division by n·1e9·ln2. Output: doc_id, n_chars, n_distinct,
+    entropy_bits."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.array_distinct(F.split(F.col("text"), "")).alias("cs"),
+        F.split(F.col("text"), "").alias("all_cs"),
+    ).select(
+        "doc_id",
+        "n",
+        F.size("cs").alias("n_distinct"),
+        F.aggregate(
+            F.transform(
+                "cs",
+                lambda ch: F.size(
+                    F.filter(F.col("all_cs"), lambda x: x == ch)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc
+            + c
+            * (
+                F.round(F.log(F.col("n").cast("double")) * 1e9).cast("long")
+                - F.round(F.log(c.cast("double")) * 1e9).cast("long")
+            ),
+        ).alias("h9"),
+    )
+    return t.select(
+        "doc_id",
+        F.col("n").alias("n_chars"),
+        "n_distinct",
+        F.round(
+            F.col("h9").cast("double")
+            / F.col("n")
+            / 1e9
+            / float(math.log(2.0)),
+            6,
+        ).alias("entropy_bits"),
+    ).orderBy("doc_id")
+
+
+_CHAR_ENTROPY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len(text) AS n,
+         list_distinct(string_split(text, '')) AS cs,
+         string_split(text, '') AS all_cs
+  FROM documents
+),
+h AS (
+  SELECT doc_id, n, len(cs) AS n_distinct,
+         list_sum(list_transform(cs, ch ->
+           CAST(len(list_filter(all_cs, x -> x = ch)) AS BIGINT)
+           * (CAST(round(ln(CAST(n AS DOUBLE)) * 1e9) AS BIGINT)
+              - CAST(round(ln(CAST(len(list_filter(all_cs, x -> x = ch))
+                                   AS DOUBLE)) * 1e9) AS BIGINT)))) AS h9
+  FROM t
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(CAST(h9 AS DOUBLE) / n / 1e9 / {math.log(2.0)!r}, 6)
+         AS entropy_bits
+FROM h ORDER BY doc_id
+"""
+
+
 _MARKOV_ITERS = 12
 _MARKOV_P0 = 10**6  # pi in 1e6 fixed point → output has exactly 6 decimals
 
@@ -17328,6 +17531,8 @@ QUERIES = {
     "tokenizer_unigram_seed": tokenizer_unigram_seed,
     "langid_confusion": langid_confusion,
     "events_burst_kleinberg": events_burst_kleinberg,
+    "market_basket_rules": market_basket_rules,
+    "doc_char_entropy": doc_char_entropy,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -17767,6 +17972,8 @@ ORACLES = {
     "tokenizer_unigram_seed": _useed_sql(),
     "langid_confusion": _LANGID_CONF_SQL,
     "events_burst_kleinberg": _KLEIN_SQL,
+    "market_basket_rules": _RULES_SQL,
+    "doc_char_entropy": _CHAR_ENTROPY_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

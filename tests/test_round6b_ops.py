@@ -398,3 +398,41 @@ def test_kleinberg_path_consistency(spark):
     # an episode
     assert row["n_episodes"] <= row["burst_hours"] or row["burst_hours"] == 0
     assert (row["n_episodes"] > 0) == (row["burst_hours"] > 0)
+
+
+def test_basket_rules_math(spark):
+    from graphem_rapids_spark.queries import (
+        _RULES_MIN_SUP,
+        _RULES_TOPK,
+        market_basket_rules,
+    )
+
+    rows = market_basket_rules(spark, SF).collect()
+    assert 0 < len(rows) <= _RULES_TOPK
+    confs = [r["confidence"] for r in rows]
+    assert confs == sorted(confs, reverse=True)
+    for r in rows:
+        assert r["support"] >= _RULES_MIN_SUP
+        assert 0.0 < r["confidence"] <= 1.0
+        assert r["lift"] > 0
+        # positive leverage iff lift > 1 (same cross-multiplied sign)
+        if r["lift"] > 1.000001:
+            assert r["leverage"] > 0
+        assert r["antecedent"] != r["consequent"]
+
+
+def test_char_entropy_bounds(spark):
+    import math
+
+    from graphem_rapids_spark.queries import doc_char_entropy
+
+    rows = doc_char_entropy(spark, SF).collect()
+    assert len(rows) == _t(spark, SF, "documents").count()
+    for r in rows:
+        assert r["n_distinct"] >= 1
+        # 0 <= H <= log2(distinct chars)
+        assert -1e-6 <= r["entropy_bits"] <= math.log2(r["n_distinct"]) + 1e-6
+        assert r["n_chars"] >= r["n_distinct"]
+    # natural-language-like text sits well above 3 bits/char on average
+    avg = sum(r["entropy_bits"] for r in rows) / len(rows)
+    assert 2.0 < avg < 6.0
