@@ -17206,6 +17206,172 @@ FROM h ORDER BY doc_id
 """
 
 
+_DBSCAN_TAU = 0.3
+_DBSCAN_MINPTS = 3
+_DBSCAN_ROUNDS = 12
+
+
+def embedding_dbscan(spark, sf_dir):
+    """Density-based clustering (DBSCAN) over the embedding corpus
+    with cosine >= 0.3 as the eps-neighborhood — core points have >=
+    3 neighbors, clusters are connected components of the core-core
+    graph, borders attach to their minimum-labeled core neighbor,
+    the rest is noise: the density complement of the centroid-based
+    :func:`embedding_kmeans` (DBSCAN finds non-convex clusters and
+    an explicit noise set — the shape semantic dedup inherits). The
+    eps-neighbor join reuses :func:`pipeline.similarity.
+    cosine_near_dup_join`'s auto strategy (exact all-pairs at test
+    scale — bit-stable vs the oracle; banded-LSH candidates at 100 TB
+    — Σbucket², never O(n²)); the component labels run the
+    :func:`connected_components_copurchase` min-label loop over CORE
+    edges only, unrolled to a fixed depth in the oracle (idempotent
+    past the fixpoint). Output per cluster: cluster (min core id),
+    n_core, n_border; noise as the cluster = -1 row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    e = S.cosine_near_dup_join(
+        emb, threshold=_DBSCAN_TAU, n_vectors=n_total
+    ).select("vec_a", "vec_b")
+    # sym fans out to THREE consumers (degrees, core edges, border
+    # attach) — materialize it once or the eps-neighbor join (the
+    # expensive stage) re-evaluates per consumer
+    sym = (
+        e.select(F.col("vec_a").alias("id"), F.col("vec_b").alias("nb"))
+        .unionAll(
+            e.select(F.col("vec_b").alias("id"), F.col("vec_a").alias("nb"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("id").agg(F.count("*").alias("d"))
+    core = (
+        deg.filter(F.col("d") >= _DBSCAN_MINPTS)
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
+    core_edges = (
+        sym.join(core, "id")
+        .join(core.select(F.col("id").alias("nb")), "nb")
+        .select("id", "nb")
+        .localCheckpoint(eager=True)
+    )
+    labels = core.select("id", F.col("id").alias("cluster")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(30):
+        nbr = (
+            labels.join(core_edges, "id")
+            .select(F.col("nb").alias("id"), F.col("cluster").alias("c"))
+            .groupBy("id")
+            .agg(F.min("c").alias("nbr"))
+        )
+        new_labels = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(
+                F.col("cluster"), F.coalesce("nbr", F.col("cluster"))
+            ).alias("cluster"),
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("cluster").alias("o")), "id"
+            )
+            .filter(F.col("cluster") != F.col("o"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    border = (
+        sym.join(core.select(F.col("id").alias("nb")), "nb")
+        .join(core, "id", "left_anti")
+        .join(labels.select(F.col("id").alias("nb"), "cluster"), "nb")
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    per_core = labels.groupBy("cluster").agg(F.count("*").alias("n_core"))
+    per_border = border.groupBy("cluster").agg(
+        F.count("*").alias("n_border")
+    )
+    clusters = per_core.join(per_border, "cluster", "left").select(
+        "cluster",
+        "n_core",
+        F.coalesce("n_border", F.lit(0)).cast("long").alias("n_border"),
+    )
+    assigned = clusters.agg(
+        (F.sum("n_core") + F.sum("n_border")).alias("a")
+    ).collect()[0]["a"]
+    noise = spark.createDataFrame(
+        [(-1, 0, int(n_total) - int(assigned))],
+        "cluster long, n_core long, n_border long",
+    )
+    return clusters.unionByName(noise).orderBy("cluster")
+
+
+def _dbscan_sql(rounds: int = _DBSCAN_ROUNDS) -> str:
+    parts = [
+        f"""
+WITH pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         unnest(a.embedding::DOUBLE[]) AS x, unnest(b.embedding::DOUBLE[]) AS y
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+),
+d AS (
+  SELECT va, vb, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+  FROM pairs GROUP BY 1, 2
+),
+e AS MATERIALIZED (SELECT va, vb FROM d WHERE c >= {_DBSCAN_TAU}),
+sym AS MATERIALIZED (
+  SELECT va AS id, vb AS nb FROM e UNION ALL SELECT vb AS id, va AS nb FROM e
+),
+deg AS (SELECT id, count(*) AS dg FROM sym GROUP BY 1),
+core AS MATERIALIZED (SELECT id FROM deg WHERE dg >= {_DBSCAN_MINPTS}),
+ce AS MATERIALIZED (
+  SELECT s.id, s.nb FROM sym s
+  JOIN core c1 ON s.id = c1.id JOIN core c2 ON s.nb = c2.id
+),
+lab0 AS MATERIALIZED (SELECT id, id AS cluster FROM core)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", lab{i} AS MATERIALIZED (
+  SELECT v.id, least(v.cluster, coalesce(m.c, v.cluster)) AS cluster
+  FROM lab{i - 1} v LEFT JOIN (
+    SELECT s.nb AS id, min(x.cluster) AS c
+    FROM ce s JOIN lab{i - 1} x ON s.id = x.id
+    GROUP BY s.nb
+  ) m ON v.id = m.id
+)"""
+        )
+    parts.append(
+        f""", border AS (
+  SELECT s.id, min(l.cluster) AS cluster
+  FROM sym s
+  JOIN core cn ON s.nb = cn.id
+  LEFT JOIN core cs ON s.id = cs.id
+  JOIN lab{rounds} l ON l.id = s.nb
+  WHERE cs.id IS NULL
+  GROUP BY s.id
+),
+per_core AS (SELECT cluster, count(*) AS n_core FROM lab{rounds} GROUP BY 1),
+per_border AS (SELECT cluster, count(*) AS n_border FROM border GROUP BY 1),
+clusters AS (
+  SELECT pc.cluster, pc.n_core,
+         CAST(coalesce(pb.n_border, 0) AS BIGINT) AS n_border
+  FROM per_core pc LEFT JOIN per_border pb USING (cluster)
+),
+tot AS (SELECT count(*) AS n FROM embeddings),
+asg AS (SELECT CAST(coalesce(sum(n_core + n_border), 0) AS BIGINT) AS a
+        FROM clusters)
+SELECT CAST(cluster AS BIGINT) AS cluster, CAST(n_core AS BIGINT) AS n_core,
+       n_border
+FROM clusters
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(tot.n - asg.a AS BIGINT)
+FROM tot CROSS JOIN asg
+ORDER BY cluster"""
+    )
+    return "\n".join(parts)
+
+
 _MARKOV_ITERS = 12
 _MARKOV_P0 = 10**6  # pi in 1e6 fixed point → output has exactly 6 decimals
 
@@ -17533,6 +17699,7 @@ QUERIES = {
     "events_burst_kleinberg": events_burst_kleinberg,
     "market_basket_rules": market_basket_rules,
     "doc_char_entropy": doc_char_entropy,
+    "embedding_dbscan": embedding_dbscan,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -17974,6 +18141,7 @@ ORACLES = {
     "events_burst_kleinberg": _KLEIN_SQL,
     "market_basket_rules": _RULES_SQL,
     "doc_char_entropy": _CHAR_ENTROPY_SQL,
+    "embedding_dbscan": _dbscan_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

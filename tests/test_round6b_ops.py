@@ -436,3 +436,25 @@ def test_char_entropy_bounds(spark):
     # natural-language-like text sits well above 3 bits/char on average
     avg = sum(r["entropy_bits"] for r in rows) / len(rows)
     assert 2.0 < avg < 6.0
+
+
+def test_dbscan_partition_accounting(spark):
+    from graphem_rapids_spark.queries import embedding_dbscan
+
+    rows = embedding_dbscan(spark, SF).collect()
+    n_vecs = _t(spark, SF, "embeddings").count()
+    noise = [r for r in rows if r["cluster"] == -1][0]
+    clusters = [r for r in rows if r["cluster"] >= 0]
+    # core + border + noise partition the corpus
+    assert (
+        sum(r["n_core"] + r["n_border"] for r in clusters)
+        + noise["n_border"]
+        == n_vecs
+    )
+    assert noise["n_core"] == 0
+    assert len(clusters) >= 1
+    for r in clusters:
+        assert r["n_core"] >= 1  # a cluster has at least one core point
+        # the label is the minimum core id of the component, so it is
+        # itself a member id
+        assert 0 <= r["cluster"] < n_vecs
