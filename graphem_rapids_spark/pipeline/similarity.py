@@ -178,14 +178,21 @@ def cosine_near_dup_join(
     """Size-based exact↔LSH switch for near-dup pairs, mirroring
     knn_join's auto strategy (reference index-type selection,
     ``embedder_cuvs.py:255-272``): exact all-pairs is bit-stable and
-    fine up to EXACT_KNN_MAX_ROWS; beyond that the all-pairs crossJoin
-    is a scale-killer and the banded-LSH candidate path takes over."""
+    fine up to EXACT_ALLPAIRS_MAX_ROWS; beyond that the all-pairs
+    crossJoin is a scale-killer (pair volume grows quadratically —
+    unlike bounded-output kNN, which keeps the higher
+    EXACT_KNN_MAX_ROWS cap) and the banded-LSH candidate path takes
+    over."""
     if method == "auto":
         if n_vectors is None:
             n_vectors = vectors.count()
         from graphem_rapids_spark import session
 
-        method = "exact" if n_vectors <= session.EXACT_KNN_MAX_ROWS else "lsh"
+        method = (
+            "exact"
+            if n_vectors <= session.EXACT_ALLPAIRS_MAX_ROWS
+            else "lsh"
+        )
     if method == "exact":
         return cosine_near_dup_pairs(vectors, threshold, id_col=id_col, vec_col=vec_col)
     if "n_bands" not in lsh_kw and "n_planes" not in lsh_kw:

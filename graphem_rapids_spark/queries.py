@@ -610,7 +610,7 @@ SELECT qid, rid, cosine, rank FROM rk WHERE rank <= 5
 
 
 def cosine_near_dup(spark, sf_dir):
-    # auto strategy: exact all-pairs below EXACT_KNN_MAX_ROWS (bit-
+    # auto strategy: exact all-pairs below EXACT_ALLPAIRS_MAX_ROWS (bit-
     # stable vs the oracle at test scale), banded-LSH candidates +
     # exact verify above it (the 100 TB shape — an unconditional
     # crossJoin is O(n²))

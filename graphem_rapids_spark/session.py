@@ -23,6 +23,13 @@ from pyspark.sql import SparkSession
 # semantics (reference utils/backend_selection.py:178-196): small →
 # exact/driver algorithms, large → approximate/distributed ones.
 EXACT_KNN_MAX_ROWS = int(os.environ.get("GRAPHEM_EXACT_KNN_MAX", "100000"))
+# ALL-PAIRS consumers (near-dup joins, DBSCAN eps-neighborhoods) flip
+# to the banded-LSH path far earlier than bounded-output kNN: pair
+# volume grows quadratically, so the measured knee sits near 1e4
+# vectors (sf1 smoke: 20k vectors exact ran >15 min, LSH ~3 min)
+EXACT_ALLPAIRS_MAX_ROWS = int(
+    os.environ.get("GRAPHEM_EXACT_ALLPAIRS_MAX", "20000")
+)
 DRIVER_EIG_MAX_VERTICES = int(os.environ.get("GRAPHEM_DRIVER_EIG_MAX", "1000000"))
 BROADCAST_POSITIONS_MAX = int(os.environ.get("GRAPHEM_BROADCAST_POS_MAX", "10000000"))
 # connected_components auto-switch: vertex counts above this use the
@@ -123,6 +130,7 @@ def get_backend_info(spark: SparkSession | None = None) -> dict:
         "broadcast_threshold": conf.get("spark.sql.autoBroadcastJoinThreshold"),
         "strategy_thresholds": {
             "exact_knn_max_rows": EXACT_KNN_MAX_ROWS,
+            "exact_allpairs_max_rows": EXACT_ALLPAIRS_MAX_ROWS,
             "driver_eig_max_vertices": DRIVER_EIG_MAX_VERTICES,
             "cc_star_min_vertices": CC_STAR_MIN_VERTICES,
             "broadcast_positions_max": BROADCAST_POSITIONS_MAX,

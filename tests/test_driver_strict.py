@@ -41,6 +41,13 @@ REPRESENTATIVE = [
     "tokenizer_bpe_train_rounds",
     "link_pred_auc",
     "graph_effective_diameter",
+    # session-2 canaries: recursive-CTE seasonal ring (Holt-Winters),
+    # fixed-point ln calibration sums (Brier), list-carrying Markov
+    # recursion, integer CDF-gap argmax (KS)
+    "events_forecast_hw",
+    "quality_brier_calibration",
+    "events_markov_stationary",
+    "events_ks_test",
 ]
 
 

@@ -1,4 +1,4 @@
-"""cosine_near_dup auto strategy: exact below EXACT_KNN_MAX_ROWS,
+"""cosine_near_dup auto strategy: exact below EXACT_ALLPAIRS_MAX_ROWS,
 banded-LSH candidates + exact verify above. The LSH path must (a) be
 a subset of the exact pairs (verify step guarantees no false
 positives), (b) reach high recall at the default band geometry, and
@@ -40,7 +40,7 @@ def test_lsh_near_dup_subset_and_recall(emb):
 
 
 def test_auto_switch_picks_lsh_above_threshold(emb, monkeypatch):
-    monkeypatch.setattr(session, "EXACT_KNN_MAX_ROWS", 0)
+    monkeypatch.setattr(session, "EXACT_ALLPAIRS_MAX_ROWS", 0)
     df = cosine_near_dup_join(emb, threshold=0.4, dim=64)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
@@ -71,7 +71,7 @@ def test_plan_lsh_geometry_bounds():
 def test_auto_geometry_recall(emb, monkeypatch):
     """Auto-planned geometry must hit the target recall on real data
     when the LSH path is forced."""
-    monkeypatch.setattr(session, "EXACT_KNN_MAX_ROWS", 0)
+    monkeypatch.setattr(session, "EXACT_ALLPAIRS_MAX_ROWS", 0)
     exact = _pairs(cosine_near_dup_pairs(emb, threshold=0.4))
     approx = _pairs(cosine_near_dup_join(emb, threshold=0.4, dim=64))
     assert approx <= exact
