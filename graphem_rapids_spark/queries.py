@@ -17372,6 +17372,189 @@ ORDER BY cluster"""
     return "\n".join(parts)
 
 
+def community_louvain_move(spark, sf_dir):
+    """One synchronized Louvain modularity-gain pass over the LPA
+    partition — every vertex evaluates moving to each NEIGHBOR
+    community against the old labels and all strictly-positive best
+    moves apply simultaneously (the parallel Louvain variant used by
+    distributed implementations; synchronized moves may oscillate, so
+    both before/after Q are reported — this pass REFINES LPA rather
+    than claiming convergence). Exactness: the gain of i→c is the
+    cross-multiplied integer 2m·(k_ic − k_own) − d_i·(D_c − (D_own −
+    d_i)) over 2m² (never a float), ties break on the smallest target
+    community, and both modularities use the exact
+    :func:`community_modularity` numerator. Shapes: neighbor-
+    community counts are one edges⋈labels groupBy; the per-vertex
+    argmax is a vertex-PARTITIONED window. Output: m_edges, n_moved,
+    modularity_before, modularity_after."""
+    from graphem_rapids_spark.analytics import label_propagation
+    from graphem_rapids_spark.graph.canon import symmetrize_edges
+
+    e = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    lab = label_propagation(e, max_rounds=_LPA_ROUNDS).localCheckpoint(
+        eager=True
+    )
+    sym = symmetrize_edges(e)
+    deg = sym.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
+        "src", "id"
+    )
+    dc = (
+        deg.join(lab, "id").groupBy("label").agg(F.sum("d").alias("dsum"))
+    )
+    m = e.count()
+
+    def q_num(labels):
+        la = labels.select(F.col("id").alias("src"), F.col("label").alias("_la"))
+        lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("_lb"))
+        intra = (
+            e.join(la, "src")
+            .join(lb, "dst")
+            .filter(F.col("_la") == F.col("_lb"))
+            .groupBy(F.col("_la").alias("label"))
+            .agg(F.count("*").alias("mc"))
+        )
+        dcx = (
+            deg.join(labels, "id")
+            .groupBy("label")
+            .agg(F.sum("d").alias("dsum"))
+        )
+        return (
+            dcx.join(intra, "label", "left")
+            .select(
+                (
+                    F.lit(4) * F.lit(m) * F.coalesce("mc", F.lit(0))
+                    - F.col("dsum") * F.col("dsum")
+                ).alias("qn")
+            )
+            .agg(F.sum("qn").alias("q_num"))
+            .collect()[0]["q_num"]
+        )
+
+    nbc = (
+        sym.join(
+            lab.select(F.col("id").alias("dst"), F.col("label").alias("c")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("id"), "c")
+        .agg(F.count("*").alias("k"))
+    )
+    own = lab.withColumnRenamed("label", "own")
+    kown = (
+        nbc.join(own, "id")
+        .filter(F.col("c") == F.col("own"))
+        .select("id", F.col("k").alias("k_own"))
+    )
+    cand = (
+        nbc.join(own, "id")
+        .filter(F.col("c") != F.col("own"))
+        .join(kown, "id", "left")
+        .join(deg, "id")
+        .join(dc.select(F.col("label").alias("c"), F.col("dsum").alias("dc")), "c")
+        .join(
+            dc.select(F.col("label").alias("own"), F.col("dsum").alias("down")),
+            "own",
+        )
+        .select(
+            "id",
+            "c",
+            (
+                F.lit(2) * F.lit(m)
+                * (F.col("k") - F.coalesce("k_own", F.lit(0)))
+                - F.col("d") * (F.col("dc") - (F.col("down") - F.col("d")))
+            ).alias("g"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("g").desc(), F.col("c").asc())
+    moves = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("g") > 0))
+        .select("id", F.col("c").alias("new_label"))
+    )
+    n_moved = moves.count()
+    new_lab = (
+        lab.join(moves, "id", "left")
+        .select("id", F.coalesce("new_label", F.col("label")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    qb, qa = q_num(lab), q_num(new_lab)
+    den = 4.0 * m * m
+    return spark.createDataFrame(
+        [(m, n_moved, round(qb / den, 6), round(qa / den, 6))],
+        "m_edges long, n_moved long, modularity_before double,"
+        " modularity_after double",
+    )
+
+
+def _louvain_sql(rounds: int = _LPA_ROUNDS) -> str:
+    qblock = """
+  SELECT CAST(sum(4 * mm.m * coalesce(intra.mc, 0) - dcx.dsum * dcx.dsum)
+              AS BIGINT) AS q_num
+  FROM (
+    SELECT l.label, CAST(sum(deg.d) AS BIGINT) AS dsum
+    FROM deg JOIN {lab} l USING (id) GROUP BY l.label
+  ) dcx
+  LEFT JOIN (
+    SELECT la.label, CAST(count(*) AS BIGINT) AS mc
+    FROM ge JOIN {lab} la ON ge.src = la.id JOIN {lab} lb ON ge.dst = lb.id
+    WHERE la.label = lb.label GROUP BY la.label
+  ) intra USING (label)
+  CROSS JOIN mm
+"""
+    return (
+        _lpa_cte(rounds)
+        + f"""
+, lab AS MATERIALIZED (SELECT id, label FROM lab{rounds})
+, deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+, dc AS (
+  SELECT l.label, CAST(sum(deg.d) AS BIGINT) AS dsum
+  FROM deg JOIN lab l USING (id) GROUP BY l.label
+)
+, mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ge)
+, nbc AS (
+  SELECT s.src AS id, l.label AS c, CAST(count(*) AS BIGINT) AS k
+  FROM sym s JOIN lab l ON s.dst = l.id GROUP BY 1, 2
+)
+, own AS (SELECT id, label AS own FROM lab)
+, kown AS (
+  SELECT nbc.id, nbc.k AS k_own FROM nbc JOIN own USING (id)
+  WHERE nbc.c = own.own
+)
+, cand AS (
+  SELECT nbc.id, nbc.c,
+         2 * mm.m * (nbc.k - coalesce(kown.k_own, 0))
+           - deg.d * (dcc.dsum - (dco.dsum - deg.d)) AS g
+  FROM nbc JOIN own USING (id)
+  LEFT JOIN kown ON kown.id = nbc.id
+  JOIN deg ON deg.id = nbc.id
+  JOIN dc dcc ON dcc.label = nbc.c
+  JOIN dc dco ON dco.label = own.own
+  CROSS JOIN mm
+  WHERE nbc.c <> own.own
+)
+, moves AS MATERIALIZED (
+  SELECT id, c AS new_label FROM (
+    SELECT id, c, g,
+           row_number() OVER (PARTITION BY id ORDER BY g DESC, c ASC) AS rk
+    FROM cand
+  ) WHERE rk = 1 AND g > 0
+)
+, newlab AS MATERIALIZED (
+  SELECT lab.id, coalesce(moves.new_label, lab.label) AS label
+  FROM lab LEFT JOIN moves USING (id)
+)
+, qb AS ({qblock.format(lab="lab")})
+, qa AS ({qblock.format(lab="newlab")})
+SELECT mm.m AS m_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM moves) AS n_moved,
+       round(CAST(qb.q_num AS DOUBLE) / (4.0 * mm.m * mm.m), 6)
+         AS modularity_before,
+       round(CAST(qa.q_num AS DOUBLE) / (4.0 * mm.m * mm.m), 6)
+         AS modularity_after
+FROM mm CROSS JOIN qb CROSS JOIN qa
+"""
+    )
+
+
 _MARKOV_ITERS = 12
 _MARKOV_P0 = 10**6  # pi in 1e6 fixed point → output has exactly 6 decimals
 
@@ -17700,6 +17883,7 @@ QUERIES = {
     "market_basket_rules": market_basket_rules,
     "doc_char_entropy": doc_char_entropy,
     "embedding_dbscan": embedding_dbscan,
+    "community_louvain_move": community_louvain_move,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -18142,6 +18326,7 @@ ORACLES = {
     "market_basket_rules": _RULES_SQL,
     "doc_char_entropy": _CHAR_ENTROPY_SQL,
     "embedding_dbscan": _dbscan_sql(),
+    "community_louvain_move": _louvain_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts
