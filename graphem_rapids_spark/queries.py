@@ -17555,6 +17555,242 @@ FROM mm CROSS JOIN qb CROSS JOIN qa
     )
 
 
+_LOUVAIN_ROUNDS = 3
+
+
+def community_louvain_rounds(spark, sf_dir):
+    """Iterated parallel Louvain — _LOUVAIN_ROUNDS synchronized
+    modularity-gain passes over the LPA partition, reporting the Q
+    trajectory per round (the full local-moving phase of distributed
+    Louvain; :func:`community_louvain_move` is one step of this
+    loop). Same exact integer gain and tie rules per pass; labels
+    localCheckpoint between rounds (iteration discipline). Output per
+    round: round, n_moved, n_communities, modularity — a refinement
+    curve (monotone on this graph; synchronized moves may oscillate
+    in general, which the trajectory would SHOW rather than hide)."""
+    from graphem_rapids_spark.analytics import label_propagation
+    from graphem_rapids_spark.graph.canon import symmetrize_edges
+
+    e = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    lab = label_propagation(e, max_rounds=_LPA_ROUNDS).localCheckpoint(
+        eager=True
+    )
+    sym = symmetrize_edges(e).localCheckpoint(eager=True)
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .withColumnRenamed("src", "id")
+        .localCheckpoint(eager=True)
+    )
+    m = e.count()
+
+    def q_and_comms(labels):
+        la = labels.select(F.col("id").alias("src"), F.col("label").alias("_la"))
+        lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("_lb"))
+        intra = (
+            e.join(la, "src")
+            .join(lb, "dst")
+            .filter(F.col("_la") == F.col("_lb"))
+            .groupBy(F.col("_la").alias("label"))
+            .agg(F.count("*").alias("mc"))
+        )
+        dcx = (
+            deg.join(labels, "id")
+            .groupBy("label")
+            .agg(F.sum("d").alias("dsum"))
+        )
+        row = (
+            dcx.join(intra, "label", "left")
+            .select(
+                (
+                    F.lit(4) * F.lit(m) * F.coalesce("mc", F.lit(0))
+                    - F.col("dsum") * F.col("dsum")
+                ).alias("qn")
+            )
+            .agg(F.sum("qn").alias("q_num"), F.count("*").alias("nc"))
+            .collect()[0]
+        )
+        return int(row["q_num"]), int(row["nc"])
+
+    def one_pass(labels):
+        dc = (
+            deg.join(labels, "id")
+            .groupBy("label")
+            .agg(F.sum("d").alias("dsum"))
+        )
+        nbc = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("c")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), "c")
+            .agg(F.count("*").alias("k"))
+        )
+        own = labels.withColumnRenamed("label", "own")
+        kown = (
+            nbc.join(own, "id")
+            .filter(F.col("c") == F.col("own"))
+            .select("id", F.col("k").alias("k_own"))
+        )
+        cand = (
+            nbc.join(own, "id")
+            .filter(F.col("c") != F.col("own"))
+            .join(kown, "id", "left")
+            .join(deg, "id")
+            .join(
+                dc.select(F.col("label").alias("c"), F.col("dsum").alias("dc")),
+                "c",
+            )
+            .join(
+                dc.select(
+                    F.col("label").alias("own"), F.col("dsum").alias("down")
+                ),
+                "own",
+            )
+            .select(
+                "id",
+                "c",
+                (
+                    F.lit(2) * F.lit(m)
+                    * (F.col("k") - F.coalesce("k_own", F.lit(0)))
+                    - F.col("d")
+                    * (F.col("dc") - (F.col("down") - F.col("d")))
+                ).alias("g"),
+            )
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("g").desc(), F.col("c").asc()
+        )
+        moves = (
+            cand.withColumn("rk", F.row_number().over(w))
+            .filter((F.col("rk") == 1) & (F.col("g") > 0))
+            .select("id", F.col("c").alias("new_label"))
+        )
+        n_moved = moves.count()
+        new_labels = (
+            labels.join(moves, "id", "left")
+            .select(
+                "id",
+                F.coalesce("new_label", F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return new_labels, n_moved
+
+    den = 4.0 * m * m
+    q0, nc0 = q_and_comms(lab)
+    out = [(0, 0, nc0, round(q0 / den, 6))]
+    for r in range(1, _LOUVAIN_ROUNDS + 1):
+        lab, moved = one_pass(lab)
+        q, nc = q_and_comms(lab)
+        out.append((r, moved, nc, round(q / den, 6)))
+    return spark.createDataFrame(
+        out, "round long, n_moved long, n_communities long, modularity double"
+    )
+
+
+def _louvain_rounds_sql(
+    rounds: int = _LOUVAIN_ROUNDS, lpa_rounds: int = _LPA_ROUNDS
+) -> str:
+    def move_block(r: int) -> str:
+        src, dst = f"ml{r - 1}", f"ml{r}"
+        return f"""
+, dc{r} AS (
+  SELECT l.label, CAST(sum(deg.d) AS BIGINT) AS dsum
+  FROM deg JOIN {src} l USING (id) GROUP BY l.label
+)
+, nbc{r} AS (
+  SELECT s.src AS id, l.label AS c, CAST(count(*) AS BIGINT) AS k
+  FROM sym s JOIN {src} l ON s.dst = l.id GROUP BY 1, 2
+)
+, own{r} AS (SELECT id, label AS own FROM {src})
+, kown{r} AS (
+  SELECT nbc{r}.id, nbc{r}.k AS k_own FROM nbc{r} JOIN own{r} USING (id)
+  WHERE nbc{r}.c = own{r}.own
+)
+, cand{r} AS (
+  SELECT nbc{r}.id, nbc{r}.c,
+         2 * mm.m * (nbc{r}.k - coalesce(kown{r}.k_own, 0))
+           - deg.d * (dcc.dsum - (dco.dsum - deg.d)) AS g
+  FROM nbc{r} JOIN own{r} USING (id)
+  LEFT JOIN kown{r} ON kown{r}.id = nbc{r}.id
+  JOIN deg ON deg.id = nbc{r}.id
+  JOIN dc{r} dcc ON dcc.label = nbc{r}.c
+  JOIN dc{r} dco ON dco.label = own{r}.own
+  CROSS JOIN mm
+  WHERE nbc{r}.c <> own{r}.own
+)
+, moves{r} AS MATERIALIZED (
+  SELECT id, c AS new_label FROM (
+    SELECT id, c, g,
+           row_number() OVER (PARTITION BY id ORDER BY g DESC, c ASC) AS rk
+    FROM cand{r}
+  ) WHERE rk = 1 AND g > 0
+)
+, {dst} AS MATERIALIZED (
+  SELECT l.id, coalesce(moves{r}.new_label, l.label) AS label
+  FROM {src} l LEFT JOIN moves{r} USING (id)
+)
+, q{r} AS (
+  SELECT CAST(sum(4 * mm.m * coalesce(intra.mc, 0) - dcx.dsum * dcx.dsum)
+              AS BIGINT) AS q_num,
+         (SELECT count(*) FROM (SELECT DISTINCT label FROM {dst})) AS nc
+  FROM (
+    SELECT l.label, CAST(sum(deg.d) AS BIGINT) AS dsum
+    FROM deg JOIN {dst} l USING (id) GROUP BY l.label
+  ) dcx
+  LEFT JOIN (
+    SELECT la.label, CAST(count(*) AS BIGINT) AS mc
+    FROM ge JOIN {dst} la ON ge.src = la.id JOIN {dst} lb ON ge.dst = lb.id
+    WHERE la.label = lb.label GROUP BY la.label
+  ) intra USING (label)
+  CROSS JOIN mm
+)"""
+
+    parts = [
+        _lpa_cte(lpa_rounds),
+        f"""
+, ml0 AS MATERIALIZED (SELECT id, label FROM lab{lpa_rounds})
+, deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+, mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ge)
+, q0 AS (
+  SELECT CAST(sum(4 * mm.m * coalesce(intra.mc, 0) - dcx.dsum * dcx.dsum)
+              AS BIGINT) AS q_num,
+         (SELECT count(*) FROM (SELECT DISTINCT label FROM ml0)) AS nc
+  FROM (
+    SELECT l.label, CAST(sum(deg.d) AS BIGINT) AS dsum
+    FROM deg JOIN ml0 l USING (id) GROUP BY l.label
+  ) dcx
+  LEFT JOIN (
+    SELECT la.label, CAST(count(*) AS BIGINT) AS mc
+    FROM ge JOIN ml0 la ON ge.src = la.id JOIN ml0 lb ON ge.dst = lb.id
+    WHERE la.label = lb.label GROUP BY la.label
+  ) intra USING (label)
+  CROSS JOIN mm
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(move_block(r))
+    rows = [
+        "SELECT CAST(0 AS BIGINT) AS round, CAST(0 AS BIGINT) AS n_moved,"
+        " CAST(q0.nc AS BIGINT) AS n_communities,"
+        " round(CAST(q0.q_num AS DOUBLE) / (4.0 * mm.m * mm.m), 6)"
+        " AS modularity FROM q0 CROSS JOIN mm"
+    ] + [
+        f"SELECT CAST({r} AS BIGINT),"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM moves{r}),"
+        f" CAST(q{r}.nc AS BIGINT),"
+        f" round(CAST(q{r}.q_num AS DOUBLE) / (4.0 * mm.m * mm.m), 6)"
+        f" FROM q{r} CROSS JOIN mm"
+        for r in range(1, rounds + 1)
+    ]
+    parts.append("\nUNION ALL\n".join(rows))
+    parts.append("ORDER BY round")
+    return "\n".join(parts)
+
+
 _MARKOV_ITERS = 12
 _MARKOV_P0 = 10**6  # pi in 1e6 fixed point → output has exactly 6 decimals
 
@@ -17884,6 +18120,7 @@ QUERIES = {
     "doc_char_entropy": doc_char_entropy,
     "embedding_dbscan": embedding_dbscan,
     "community_louvain_move": community_louvain_move,
+    "community_louvain_rounds": community_louvain_rounds,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -18327,6 +18564,7 @@ ORACLES = {
     "doc_char_entropy": _CHAR_ENTROPY_SQL,
     "embedding_dbscan": _dbscan_sql(),
     "community_louvain_move": _louvain_sql(),
+    "community_louvain_rounds": _louvain_rounds_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

@@ -473,3 +473,23 @@ def test_louvain_move_refines_lpa(spark):
     # fixture they strictly improve)
     if row["n_moved"] > 0:
         assert row["modularity_after"] > row["modularity_before"]
+
+
+def test_louvain_rounds_trajectory(spark):
+    from graphem_rapids_spark.queries import (
+        _LOUVAIN_ROUNDS,
+        community_louvain_move,
+        community_louvain_rounds,
+    )
+
+    rows = community_louvain_rounds(spark, SF).collect()
+    assert [r["round"] for r in rows] == list(range(_LOUVAIN_ROUNDS + 1))
+    assert rows[0]["n_moved"] == 0
+    qs = [r["modularity"] for r in rows]
+    # refinement on this fixture is monotone non-decreasing
+    assert all(a <= b + 1e-9 for a, b in zip(qs, qs[1:]))
+    # round 1 must agree with the single-pass operator
+    one = community_louvain_move(spark, SF).collect()[0]
+    assert rows[1]["n_moved"] == one["n_moved"]
+    assert abs(rows[1]["modularity"] - one["modularity_after"]) < 1e-9
+    assert abs(rows[0]["modularity"] - one["modularity_before"]) < 1e-9
