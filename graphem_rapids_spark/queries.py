@@ -17791,6 +17791,272 @@ def _louvain_rounds_sql(
     return "\n".join(parts)
 
 
+def events_cuped_adjustment(spark, sf_dir):
+    """CUPED variance reduction for an A/B readout — the standard
+    experimentation-platform technique (Deng et al. 2013, public):
+    use each user's PRE-period value as a covariate, θ = cov(pre,
+    post)/var(pre), and report the naive vs CUPED-adjusted group
+    difference plus the variance-reduction factor ρ². Groups are the
+    deterministic user-id parity split; periods are the half-month
+    halves. Exactness: values quantize to integer CENTS, per-user
+    pre/post sums are exact, and every moment (n·Σxy − ΣxΣy,
+    n·Σx² − (Σx)²) is an exact integer NUMERATOR — θ, the adjusted
+    difference and ρ² are a handful of identical float expressions
+    over those integers. One scan → per-user aggregate → one global
+    + one per-group aggregate. Output: n_users, naive_diff, theta,
+    cuped_diff, rho2."""
+    e = _t(spark, sf_dir, "events")
+    b0 = e.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    per_user = (
+        e.crossJoin(F.broadcast(b0))
+        .select(
+            "user_id",
+            (
+                F.datediff(F.col("ts").cast("date"), F.col("d0").cast("date"))
+                < _PSI_SPLIT_DAYS
+            ).alias("is_pre"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("is_pre"), F.col("c")).otherwise(0)).alias(
+                "pre"
+            ),
+            F.sum(F.when(~F.col("is_pre"), F.col("c")).otherwise(0)).alias(
+                "post"
+            ),
+        )
+        .select(
+            "pre", "post", (F.col("user_id") % 2 == 1).alias("treated")
+        )
+    )
+    g = per_user.groupBy("treated").agg(
+        F.count("*").alias("n"),
+        F.sum("pre").alias("sp"),
+        F.sum("post").alias("so"),
+    )
+    pooled = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("pre").alias("sp"),
+        F.sum("post").alias("so"),
+        F.sum(F.col("pre") * F.col("pre")).alias("spp"),
+        F.sum(F.col("post") * F.col("post")).alias("soo"),
+        F.sum(F.col("pre") * F.col("post")).alias("spo"),
+    )
+    t = g.filter(F.col("treated")).select(
+        F.col("n").alias("nt"), F.col("sp").alias("spt"), F.col("so").alias("sot")
+    )
+    c = g.filter(~F.col("treated")).select(
+        F.col("n").alias("nc"), F.col("sp").alias("spc"), F.col("so").alias("soc")
+    )
+    j = pooled.crossJoin(F.broadcast(t)).crossJoin(F.broadcast(c))
+    covnum = F.col("n") * F.col("spo") - F.col("sp") * F.col("so")
+    varnum = F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")
+    varonum = F.col("n") * F.col("soo") - F.col("so") * F.col("so")
+    theta = covnum.cast("double") / varnum.cast("double")
+    naive = (
+        F.col("sot").cast("double") / F.col("nt")
+        - F.col("soc").cast("double") / F.col("nc")
+    ) / 100.0
+    pre_diff = (
+        F.col("spt").cast("double") / F.col("nt")
+        - F.col("spc").cast("double") / F.col("nc")
+    ) / 100.0
+    return j.select(
+        F.col("n").alias("n_users"),
+        F.round(naive, 6).alias("naive_diff"),
+        F.round(theta, 6).alias("theta"),
+        F.round(naive - theta * pre_diff, 6).alias("cuped_diff"),
+        F.round(
+            (covnum.cast("double") / varnum.cast("double"))
+            * (covnum.cast("double") / varonum.cast("double")),
+            6,
+        ).alias("rho2"),
+    )
+
+
+_CUPED_SQL = f"""
+WITH b0 AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+pu AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN date_diff('day', CAST(b0.d0 AS DATE),
+                                      CAST(ts AS DATE)) < {_PSI_SPLIT_DAYS}
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS pre,
+         CAST(sum(CASE WHEN date_diff('day', CAST(b0.d0 AS DATE),
+                                      CAST(ts AS DATE)) >= {_PSI_SPLIT_DAYS}
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS post
+  FROM events CROSS JOIN b0 GROUP BY user_id
+),
+u AS (SELECT pre, post, user_id % 2 = 1 AS treated FROM pu),
+g AS (
+  SELECT treated, count(*) AS n, CAST(sum(pre) AS BIGINT) AS sp,
+         CAST(sum(post) AS BIGINT) AS so
+  FROM u GROUP BY 1
+),
+pooled AS (
+  SELECT count(*) AS n, CAST(sum(pre) AS BIGINT) AS sp,
+         CAST(sum(post) AS BIGINT) AS so,
+         CAST(sum(pre * pre) AS BIGINT) AS spp,
+         CAST(sum(post * post) AS BIGINT) AS soo,
+         CAST(sum(pre * post) AS BIGINT) AS spo
+  FROM u
+),
+t AS (SELECT n AS nt, sp AS spt, so AS sot FROM g WHERE treated),
+c AS (SELECT n AS nc, sp AS spc, so AS soc FROM g WHERE NOT treated)
+SELECT pooled.n AS n_users,
+       round((CAST(sot AS DOUBLE) / nt - CAST(soc AS DOUBLE) / nc) / 100.0,
+             6) AS naive_diff,
+       round(CAST(pooled.n * spo - sp * so AS DOUBLE)
+             / CAST(pooled.n * spp - sp * sp AS DOUBLE), 6) AS theta,
+       round((CAST(sot AS DOUBLE) / nt - CAST(soc AS DOUBLE) / nc) / 100.0
+             - (CAST(pooled.n * spo - sp * so AS DOUBLE)
+                / CAST(pooled.n * spp - sp * sp AS DOUBLE))
+               * ((CAST(spt AS DOUBLE) / nt - CAST(spc AS DOUBLE) / nc)
+                  / 100.0), 6) AS cuped_diff,
+       round((CAST(pooled.n * spo - sp * so AS DOUBLE)
+              / CAST(pooled.n * spp - sp * sp AS DOUBLE))
+             * (CAST(pooled.n * spo - sp * so AS DOUBLE)
+                / CAST(pooled.n * soo - so * so AS DOUBLE)), 6) AS rho2
+FROM pooled CROSS JOIN t CROSS JOIN c
+"""
+
+
+def events_did_estimate(spark, sf_dir):
+    """Difference-in-differences point estimate with a pooled
+    standard error — the basic causal readout over the half-month
+    periods with 'error' events as the treated stratum (a synthetic
+    but fixed assignment; the operator shape is the real one). Every
+    cell's (n, Σc, Σc²) sufficient statistics are exact integer
+    CENTS; the four cell means, DiD, the pooled SE √(Σ s²_cell /
+    n_cell) and the t statistic are identical float expressions over
+    those integers. ONE scan, one 4-cell aggregate. Output:
+    mean_t1, mean_t2, mean_c1, mean_c2, did, se, t_stat."""
+    e = _t(spark, sf_dir, "events")
+    b0 = e.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    cells = (
+        e.crossJoin(F.broadcast(b0))
+        .select(
+            (F.col("event_type") == "error").alias("treated"),
+            (
+                F.datediff(F.col("ts").cast("date"), F.col("d0").cast("date"))
+                >= _PSI_SPLIT_DAYS
+            ).alias("post"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("treated", "post")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        )
+    )
+
+    def cell(tr, po, name):
+        d = cells.filter(
+            (F.col("treated") == tr) & (F.col("post") == po)
+        ).select(
+            F.col("n").alias(f"n_{name}"),
+            F.col("s1").alias(f"s1_{name}"),
+            F.col("s2").alias(f"s2_{name}"),
+        )
+        return d
+
+    j = (
+        cell(True, False, "t1")
+        .crossJoin(F.broadcast(cell(True, True, "t2")))
+        .crossJoin(F.broadcast(cell(False, False, "c1")))
+        .crossJoin(F.broadcast(cell(False, True, "c2")))
+    )
+
+    def mean(name):
+        return F.col(f"s1_{name}").cast("double") / F.col(f"n_{name}") / 100.0
+
+    def var_over_n(name):
+        n, s1, s2 = (
+            F.col(f"n_{name}"),
+            F.col(f"s1_{name}"),
+            F.col(f"s2_{name}"),
+        )
+        return (
+            (n * s2 - s1 * s1).cast("double")
+            / (n * (n - 1)).cast("double")
+            / n
+            / 10000.0
+        )
+
+    did = mean("t2") - mean("t1") - (mean("c2") - mean("c1"))
+    se = F.sqrt(
+        var_over_n("t1") + var_over_n("t2") + var_over_n("c1")
+        + var_over_n("c2")
+    )
+    return j.select(
+        F.round(mean("t1"), 6).alias("mean_t1"),
+        F.round(mean("t2"), 6).alias("mean_t2"),
+        F.round(mean("c1"), 6).alias("mean_c1"),
+        F.round(mean("c2"), 6).alias("mean_c2"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(did / se, 6).alias("t_stat"),
+    )
+
+
+_DID_SQL = f"""
+WITH b0 AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+cells AS (
+  SELECT event_type = 'error' AS treated,
+         date_diff('day', CAST(b0.d0 AS DATE), CAST(ts AS DATE))
+           >= {_PSI_SPLIT_DAYS} AS post,
+         count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+  FROM events CROSS JOIN b0 GROUP BY 1, 2
+),
+t1 AS (SELECT n AS n_t1, s1 AS s1_t1, s2 AS s2_t1 FROM cells
+       WHERE treated AND NOT post),
+t2 AS (SELECT n AS n_t2, s1 AS s1_t2, s2 AS s2_t2 FROM cells
+       WHERE treated AND post),
+c1 AS (SELECT n AS n_c1, s1 AS s1_c1, s2 AS s2_c1 FROM cells
+       WHERE NOT treated AND NOT post),
+c2 AS (SELECT n AS n_c2, s1 AS s1_c2, s2 AS s2_c2 FROM cells
+       WHERE NOT treated AND post)
+SELECT round(CAST(s1_t1 AS DOUBLE) / n_t1 / 100.0, 6) AS mean_t1,
+       round(CAST(s1_t2 AS DOUBLE) / n_t2 / 100.0, 6) AS mean_t2,
+       round(CAST(s1_c1 AS DOUBLE) / n_c1 / 100.0, 6) AS mean_c1,
+       round(CAST(s1_c2 AS DOUBLE) / n_c2 / 100.0, 6) AS mean_c2,
+       round(CAST(s1_t2 AS DOUBLE) / n_t2 / 100.0
+             - CAST(s1_t1 AS DOUBLE) / n_t1 / 100.0
+             - (CAST(s1_c2 AS DOUBLE) / n_c2 / 100.0
+                - CAST(s1_c1 AS DOUBLE) / n_c1 / 100.0), 6) AS did,
+       round(sqrt(
+         CAST(n_t1 * s2_t1 - s1_t1 * s1_t1 AS DOUBLE)
+           / CAST(n_t1 * (n_t1 - 1) AS DOUBLE) / n_t1 / 10000.0
+         + CAST(n_t2 * s2_t2 - s1_t2 * s1_t2 AS DOUBLE)
+           / CAST(n_t2 * (n_t2 - 1) AS DOUBLE) / n_t2 / 10000.0
+         + CAST(n_c1 * s2_c1 - s1_c1 * s1_c1 AS DOUBLE)
+           / CAST(n_c1 * (n_c1 - 1) AS DOUBLE) / n_c1 / 10000.0
+         + CAST(n_c2 * s2_c2 - s1_c2 * s1_c2 AS DOUBLE)
+           / CAST(n_c2 * (n_c2 - 1) AS DOUBLE) / n_c2 / 10000.0), 6) AS se,
+       round((CAST(s1_t2 AS DOUBLE) / n_t2 / 100.0
+              - CAST(s1_t1 AS DOUBLE) / n_t1 / 100.0
+              - (CAST(s1_c2 AS DOUBLE) / n_c2 / 100.0
+                 - CAST(s1_c1 AS DOUBLE) / n_c1 / 100.0))
+             / sqrt(
+         CAST(n_t1 * s2_t1 - s1_t1 * s1_t1 AS DOUBLE)
+           / CAST(n_t1 * (n_t1 - 1) AS DOUBLE) / n_t1 / 10000.0
+         + CAST(n_t2 * s2_t2 - s1_t2 * s1_t2 AS DOUBLE)
+           / CAST(n_t2 * (n_t2 - 1) AS DOUBLE) / n_t2 / 10000.0
+         + CAST(n_c1 * s2_c1 - s1_c1 * s1_c1 AS DOUBLE)
+           / CAST(n_c1 * (n_c1 - 1) AS DOUBLE) / n_c1 / 10000.0
+         + CAST(n_c2 * s2_c2 - s1_c2 * s1_c2 AS DOUBLE)
+           / CAST(n_c2 * (n_c2 - 1) AS DOUBLE) / n_c2 / 10000.0), 6)
+         AS t_stat
+FROM t1 CROSS JOIN t2 CROSS JOIN c1 CROSS JOIN c2
+"""
+
+
 _MARKOV_ITERS = 12
 _MARKOV_P0 = 10**6  # pi in 1e6 fixed point → output has exactly 6 decimals
 
@@ -18121,6 +18387,8 @@ QUERIES = {
     "embedding_dbscan": embedding_dbscan,
     "community_louvain_move": community_louvain_move,
     "community_louvain_rounds": community_louvain_rounds,
+    "events_cuped_adjustment": events_cuped_adjustment,
+    "events_did_estimate": events_did_estimate,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -18565,6 +18833,8 @@ ORACLES = {
     "embedding_dbscan": _dbscan_sql(),
     "community_louvain_move": _louvain_sql(),
     "community_louvain_rounds": _louvain_rounds_sql(),
+    "events_cuped_adjustment": _CUPED_SQL,
+    "events_did_estimate": _DID_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

@@ -493,3 +493,35 @@ def test_louvain_rounds_trajectory(spark):
     assert rows[1]["n_moved"] == one["n_moved"]
     assert abs(rows[1]["modularity"] - one["modularity_after"]) < 1e-9
     assert abs(rows[0]["modularity"] - one["modularity_before"]) < 1e-9
+
+
+def test_cuped_consistency(spark):
+    from graphem_rapids_spark.queries import events_cuped_adjustment
+
+    row = events_cuped_adjustment(spark, SF).collect()[0]
+    users = (
+        _t(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert row["n_users"] == users
+    # rho2 is a squared correlation
+    assert -1e-6 <= row["rho2"] <= 1.0 + 1e-6
+    # CUPED shifts the estimate by theta * pre-difference; with a
+    # near-zero pre/post correlation the shift stays modest
+    assert abs(row["cuped_diff"] - row["naive_diff"]) < abs(
+        row["naive_diff"]
+    ) + 100.0
+
+
+def test_did_cell_algebra(spark):
+    from graphem_rapids_spark.queries import events_did_estimate
+
+    row = events_did_estimate(spark, SF).collect()[0]
+    did = (
+        row["mean_t2"] - row["mean_t1"] - (row["mean_c2"] - row["mean_c1"])
+    )
+    assert abs(row["did"] - did) < 1e-5
+    assert row["se"] > 0
+    assert abs(row["t_stat"] - row["did"] / row["se"]) < 1e-4
+    # the synthetic generator applies no treatment: the effect is
+    # statistically null
+    assert abs(row["t_stat"]) < 4.0
