@@ -18057,6 +18057,128 @@ FROM t1 CROSS JOIN t2 CROSS JOIN c1 CROSS JOIN c2
 """
 
 
+_SKIP_LO, _SKIP_HI = "1995-06-01", "1995-06-30"
+_SKIP_OK_WIDTH = 1500  # orderkeys per simulated file in layout B
+
+
+def lineitem_skipping_probe(spark, sf_dir):
+    """File-skipping effectiveness probe — quantifies what min/max
+    zone maps buy for a shipdate-range predicate under two physical
+    layouts: date-clustered files (one per ship day) vs
+    orderkey-clustered files (fixed orderkey width). For each layout:
+    file count, files whose [min,max] shipdate overlaps the
+    predicate, rows inside those files, and the scan amplification
+    (rows scanned / rows matched) — the number a lakehouse reads
+    before choosing a clustering key (the WHY behind
+    :func:`lineitem_zorder_layout`'s interleaved ordering and
+    :func:`lineitem_compaction_plan`'s file boundaries). Pure
+    metadata math: per-file min/max/count aggregates (one groupBy per
+    layout), all integers, one division. Output per layout: n_files,
+    files_scanned, rows_in_scanned, rows_matched, scan_amplification,
+    skip_ratio."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("string").alias("d"),
+        F.col("l_orderkey"),
+    )
+    rows_matched = li.filter(
+        (F.col("d") >= _SKIP_LO) & (F.col("d") <= _SKIP_HI)
+    ).count()
+
+    def probe(files, layout):
+        per = files.groupBy("f").agg(
+            F.min("d").alias("lo"),
+            F.max("d").alias("hi"),
+            F.count("*").alias("rows"),
+        )
+        return per.agg(
+            F.lit(layout).alias("layout"),
+            F.count("*").alias("n_files"),
+            F.sum(
+                (
+                    (F.col("lo") <= _SKIP_HI) & (F.col("hi") >= _SKIP_LO)
+                ).cast("long")
+            ).alias("files_scanned"),
+            F.sum(
+                F.when(
+                    (F.col("lo") <= _SKIP_HI) & (F.col("hi") >= _SKIP_LO),
+                    F.col("rows"),
+                ).otherwise(0)
+            ).alias("rows_in_scanned"),
+        )
+
+    by_date = probe(li.select(F.col("d").alias("f"), "d"), "date_clustered")
+    by_key = probe(
+        li.select(
+            F.floor(F.col("l_orderkey") / _SKIP_OK_WIDTH).alias("f"), "d"
+        ),
+        "orderkey_clustered",
+    )
+    return (
+        by_date.unionByName(by_key)
+        .select(
+            "layout",
+            "n_files",
+            "files_scanned",
+            "rows_in_scanned",
+            F.lit(rows_matched).alias("rows_matched"),
+            F.round(
+                F.col("rows_in_scanned").cast("double")
+                / F.lit(float(max(rows_matched, 1))),
+                6,
+            ).alias("scan_amplification"),
+            F.round(
+                1.0
+                - F.col("files_scanned").cast("double") / F.col("n_files"),
+                6,
+            ).alias("skip_ratio"),
+        )
+        .orderBy("layout")
+    )
+
+
+_SKIP_SQL = f"""
+WITH li AS (
+  SELECT CAST(l_shipdate AS VARCHAR) AS d, l_orderkey FROM lineitem
+),
+matched AS (
+  SELECT count(*) AS rows_matched FROM li
+  WHERE d >= '{_SKIP_LO}' AND d <= '{_SKIP_HI}'
+),
+pd AS (
+  SELECT f, min(d) AS lo, max(d) AS hi, count(*) AS rows
+  FROM (SELECT d AS f, d FROM li) GROUP BY f
+),
+pk AS (
+  SELECT f, min(d) AS lo, max(d) AS hi, count(*) AS rows
+  FROM (SELECT CAST(floor(l_orderkey / {_SKIP_OK_WIDTH}.0) AS BIGINT) AS f, d
+        FROM li) GROUP BY f
+),
+agg AS (
+  SELECT 'date_clustered' AS layout, count(*) AS n_files,
+         CAST(sum(CASE WHEN lo <= '{_SKIP_HI}' AND hi >= '{_SKIP_LO}'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         CAST(sum(CASE WHEN lo <= '{_SKIP_HI}' AND hi >= '{_SKIP_LO}'
+                  THEN rows ELSE 0 END) AS BIGINT) AS rows_in_scanned
+  FROM pd
+  UNION ALL
+  SELECT 'orderkey_clustered', count(*),
+         CAST(sum(CASE WHEN lo <= '{_SKIP_HI}' AND hi >= '{_SKIP_LO}'
+                  THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN lo <= '{_SKIP_HI}' AND hi >= '{_SKIP_LO}'
+                  THEN rows ELSE 0 END) AS BIGINT)
+  FROM pk
+)
+SELECT layout, n_files, files_scanned, rows_in_scanned,
+       CAST(matched.rows_matched AS BIGINT) AS rows_matched,
+       round(CAST(rows_in_scanned AS DOUBLE)
+             / greatest(CAST(matched.rows_matched AS DOUBLE), 1.0), 6)
+         AS scan_amplification,
+       round(1.0 - CAST(files_scanned AS DOUBLE) / n_files, 6) AS skip_ratio
+FROM agg CROSS JOIN matched
+ORDER BY layout
+"""
+
+
 _MARKOV_ITERS = 12
 _MARKOV_P0 = 10**6  # pi in 1e6 fixed point → output has exactly 6 decimals
 
@@ -18389,6 +18511,7 @@ QUERIES = {
     "community_louvain_rounds": community_louvain_rounds,
     "events_cuped_adjustment": events_cuped_adjustment,
     "events_did_estimate": events_did_estimate,
+    "lineitem_skipping_probe": lineitem_skipping_probe,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -18835,6 +18958,7 @@ ORACLES = {
     "community_louvain_rounds": _louvain_rounds_sql(),
     "events_cuped_adjustment": _CUPED_SQL,
     "events_did_estimate": _DID_SQL,
+    "lineitem_skipping_probe": _SKIP_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

@@ -525,3 +525,22 @@ def test_did_cell_algebra(spark):
     # the synthetic generator applies no treatment: the effect is
     # statistically null
     assert abs(row["t_stat"]) < 4.0
+
+
+def test_skipping_probe_layouts(spark):
+    from graphem_rapids_spark.queries import lineitem_skipping_probe
+
+    rows = {r["layout"]: r for r in lineitem_skipping_probe(spark, SF).collect()}
+    d, k = rows["date_clustered"], rows["orderkey_clustered"]
+    # both layouts cover the same data and the same predicate
+    assert d["rows_matched"] == k["rows_matched"] > 0
+    # date clustering is exact for a date predicate: amplification 1,
+    # strong skipping
+    assert abs(d["scan_amplification"] - 1.0) < 1e-6
+    assert d["skip_ratio"] > 0.5
+    # orderkey clustering scatters dates: every file overlaps
+    assert k["skip_ratio"] <= d["skip_ratio"]
+    assert k["scan_amplification"] >= d["scan_amplification"]
+    for r in (d, k):
+        assert 0 <= r["files_scanned"] <= r["n_files"]
+        assert r["rows_in_scanned"] >= r["rows_matched"]
