@@ -15302,58 +15302,12 @@ def events_acf(spark, sf_dir):
     equi-join of the tiny dev table against itself fanned out by the
     8 lags — no global window. (Integer bound: n·max|dev|²·n must fit
     int64 — holds through ~1e5 events/hour on a decade grid; beyond
-    that switch the dev columns to DECIMAL(38,0).) Output per lag:
-    lag, n_pairs, acf."""
-    e = _t(spark, sf_dir, "events")
-    hourly = (
-        e.select(F.date_trunc("hour", F.col("ts")).alias("h"))
-        .groupBy("h")
-        .agg(F.count("*").alias("y"))
-    )
-    b = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    grid = b.select(
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
-    )
-    ys = (
-        grid.join(hourly, "h", "left")
-        .crossJoin(F.broadcast(b))
-        .select(
-            ((F.col("h").cast("long") - F.col("h0").cast("long")) / 3600)
-            .cast("long")
-            .alias("i"),
-            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
-        )
-    )
-    st = ys.agg(F.count("*").alias("n"), F.sum("y").alias("s"))
-    d = ys.crossJoin(F.broadcast(st)).select(
-        "i", (F.col("n") * F.col("y") - F.col("s")).alias("dv")
-    )
-    den = d.agg(F.sum(F.col("dv") * F.col("dv")).alias("den"))
-    lags = spark.range(1).select(
-        F.explode(
-            F.array(*[F.lit(k).cast("long") for k in _ACF_LAGS])
-        ).alias("lag")
-    )
-    a = d.select(F.col("i").alias("ai"), F.col("dv").alias("adv"))
-    b2 = d.select(F.col("i").alias("bi"), F.col("dv").alias("bdv"))
-    nums = (
-        a.crossJoin(F.broadcast(lags))
-        .join(b2, F.col("bi") == F.col("ai") + F.col("lag"))
-        .groupBy("lag")
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.sum(F.col("adv") * F.col("bdv")).alias("num"),
-        )
-    )
-    return (
-        nums.crossJoin(F.broadcast(den))
-        .select(
-            "lag",
-            "n_pairs",
-            F.round(F.col("num").cast("double") / F.col("den"), 6).alias("acf"),
-        )
-        .orderBy("lag")
-    )
+    that switch the dev columns to DECIMAL(38,0).) Thin wrapper over
+    :func:`pipeline.timeseries.acf` (the library API a user calls on
+    their own stream). Output per lag: lag, n_pairs, acf."""
+    from graphem_rapids_spark.pipeline import timeseries as TS
+
+    return TS.acf(_t(spark, sf_dir, "events"), lags=_ACF_LAGS)
 
 
 _ACF_SQL = f"""
@@ -16320,80 +16274,13 @@ def events_mann_kendall(spark, sf_dir):
     counts first), the tie-corrected variance numerator 18·Var(S) =
     n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) is pure integer arithmetic, and
     the normal Z statistic is ONE identical float expression. Output
-    per type: event_type, n_days, s_stat, var18, z."""
-    e = _t(spark, sf_dir, "events")
-    daily = (
-        e.select(
-            "event_type", F.date_trunc("day", F.col("ts")).alias("d")
-        )
-        .groupBy("event_type", "d")
-        .agg(F.count("*").alias("y"))
-    )
-    b = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
-    grid = b.select(
-        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d")
-    ).crossJoin(daily.select("event_type").distinct())
-    ys = (
-        grid.join(daily, ["event_type", "d"], "left")
-        .crossJoin(F.broadcast(b))
-        .select(
-            "event_type",
-            ((F.col("d").cast("long") - F.col("d0").cast("long")) / 86400)
-            .cast("long")
-            .alias("i"),
-            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
-        )
-    )
-    a = ys.select(
-        "event_type", F.col("i").alias("ai"), F.col("y").alias("ay")
-    )
-    b2 = ys.select(
-        "event_type", F.col("i").alias("bi"), F.col("y").alias("by")
-    )
-    s = (
-        a.join(b2, ["event_type"])
-        .filter(F.col("bi") > F.col("ai"))
-        .groupBy("event_type")
-        .agg(
-            F.sum(F.signum(F.col("by") - F.col("ay")).cast("long")).alias(
-                "s_stat"
-            )
-        )
-    )
-    nn = ys.groupBy("event_type").agg(F.count("*").alias("n"))
-    ties = (
-        ys.groupBy("event_type", "y")
-        .agg(F.count("*").alias("t"))
-        .groupBy("event_type")
-        .agg(
-            F.sum(
-                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
-            ).alias("tie_sum")
-        )
-    )
-    var18 = (
-        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
-        - F.col("tie_sum")
-    )
-    zcore = F.when(F.col("s_stat") > 0, F.col("s_stat") - 1).when(
-        F.col("s_stat") < 0, F.col("s_stat") + 1
-    ).otherwise(0)
-    return (
-        s.join(F.broadcast(nn), "event_type")
-        .join(F.broadcast(ties), "event_type")
-        .select(
-            "event_type",
-            F.col("n").alias("n_days"),
-            "s_stat",
-            var18.alias("var18"),
-            F.round(
-                zcore.cast("double")
-                / F.sqrt(var18.cast("double") / 18.0),
-                6,
-            ).alias("z"),
-        )
-        .orderBy("event_type")
-    )
+    per type: event_type, n_days, s_stat, var18, z. Thin wrapper
+    over :func:`pipeline.timeseries.mann_kendall`."""
+    from graphem_rapids_spark.pipeline import timeseries as TS
+
+    return TS.mann_kendall(
+        _t(spark, sf_dir, "events"), group_cols=("event_type",)
+    ).withColumnRenamed("n", "n_days")
 
 
 _MK_SQL = """

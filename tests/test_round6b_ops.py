@@ -544,3 +544,35 @@ def test_skipping_probe_layouts(spark):
     for r in (d, k):
         assert 0 <= r["files_scanned"] <= r["n_files"]
         assert r["rows_in_scanned"] >= r["rows_matched"]
+
+
+def test_timeseries_library_known_series(spark):
+    """acf/mann_kendall on a crafted series with a known period-2
+    cycle and a strictly increasing trend."""
+    import datetime as dt
+
+    from graphem_rapids_spark.pipeline.timeseries import acf, mann_kendall
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # alternating 1/3 events per hour for 48 hours -> strong negative
+    # ACF at lag 1, strong positive at lag 2
+    for h in range(48):
+        for _ in range(1 if h % 2 == 0 else 3):
+            rows.append((eid, base + dt.timedelta(hours=h)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r["lag"]: r["acf"] for r in acf(df, lags=(1, 2)).collect()}
+    assert out[1] < -0.9 and out[2] > 0.9
+    # strictly increasing daily counts -> S = n(n-1)/2, z > 0
+    rows2 = []
+    eid = 0
+    for d in range(8):
+        for _ in range(d + 1):
+            rows2.append((eid, base + dt.timedelta(days=d)))
+            eid += 1
+    df2 = spark.createDataFrame(rows2, "event_id long, ts timestamp")
+    mk = mann_kendall(df2, grain="day").collect()[0]
+    assert mk["s_stat"] == 8 * 7 // 2
+    assert mk["z"] > 2.0
