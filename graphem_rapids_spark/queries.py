@@ -18066,6 +18066,169 @@ ORDER BY layout
 """
 
 
+def multimodal_audio_vad(spark, sf_dir):
+    """Voice-activity detection over the synthesized PCM clips —
+    per-clip active-frame runs from the :func:`multimodal_audio_energy`
+    frame energies (active = energy >= the silence floor): active
+    count, segment count (run starts) and longest run. With the
+    stub's fixed 4-frame clips the run statistics are CLOSED-FORM
+    boolean expressions over (a1..a4) — identical on both engines, no
+    fold state — and the whole operator stays a zero-shuffle map pass
+    (the real-codec swap point is the frame-energy kernel, not this
+    logic). Output per clip: doc_id, n_active, n_segments,
+    longest_run."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    u = _mix_sql_spark(
+        f"doc_id * {_AUDIO_FRAMES * _AUDIO_FRAME_LEN} + i", _AUDIO_SEED
+    )
+    amp = f"(CAST(floor({u} * {_LCG_M}) AS BIGINT) % 65536 - 32768)"
+    frames = (
+        f"transform(sequence(0, {_AUDIO_FRAMES - 1}), f -> "
+        f"aggregate(sequence(f * {_AUDIO_FRAME_LEN}, f * {_AUDIO_FRAME_LEN}"
+        f" + {_AUDIO_FRAME_LEN - 1}), "
+        f"CAST(0 AS BIGINT), (acc, i) -> acc + {amp} * {amp}))"
+    )
+    act = f"transform({frames}, x -> x >= {_AUDIO_SILENCE})"
+    t = docs.select("doc_id", F.expr(act).alias("a")).select(
+        "doc_id",
+        *[F.element_at("a", i + 1).alias(f"a{i + 1}") for i in range(4)],
+    )
+    a1, a2, a3, a4 = (F.col(f"a{i}") for i in range(1, 5))
+    longest = (
+        F.when(a1 & a2 & a3 & a4, 4)
+        .when((a1 & a2 & a3) | (a2 & a3 & a4), 3)
+        .when((a1 & a2) | (a2 & a3) | (a3 & a4), 2)
+        .when(a1 | a2 | a3 | a4, 1)
+        .otherwise(0)
+    )
+    segs = (
+        a1.cast("long")
+        + (a2 & ~a1).cast("long")
+        + (a3 & ~a2).cast("long")
+        + (a4 & ~a3).cast("long")
+    )
+    return t.select(
+        "doc_id",
+        (
+            a1.cast("long") + a2.cast("long") + a3.cast("long")
+            + a4.cast("long")
+        ).alias("n_active"),
+        segs.alias("n_segments"),
+        longest.cast("long").alias("longest_run"),
+    ).orderBy("doc_id")
+
+
+def _audio_vad_sql() -> str:
+    u = _mix_sql(
+        f"doc_id * {_AUDIO_FRAMES * _AUDIO_FRAME_LEN} + i", _AUDIO_SEED
+    )
+    amp = f"(CAST(floor({u} * {_LCG_M}) AS BIGINT) % 65536 - 32768)"
+    frames = (
+        f"list_transform(range(0, {_AUDIO_FRAMES}), f -> "
+        f"list_sum(list_transform(range(f * {_AUDIO_FRAME_LEN}, (f + 1)"
+        f" * {_AUDIO_FRAME_LEN}), i -> {amp} * {amp})))"
+    )
+    return f"""
+WITH act AS (
+  SELECT doc_id,
+         list_transform({frames}, x -> x >= {_AUDIO_SILENCE}) AS a
+  FROM documents WHERE doc_id % 2 = 1
+),
+b AS (
+  SELECT doc_id, a[1] AS a1, a[2] AS a2, a[3] AS a3, a[4] AS a4 FROM act
+)
+SELECT doc_id,
+       CAST((CASE WHEN a1 THEN 1 ELSE 0 END) + (CASE WHEN a2 THEN 1 ELSE 0 END)
+            + (CASE WHEN a3 THEN 1 ELSE 0 END)
+            + (CASE WHEN a4 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+       CAST((CASE WHEN a1 THEN 1 ELSE 0 END)
+            + (CASE WHEN a2 AND NOT a1 THEN 1 ELSE 0 END)
+            + (CASE WHEN a3 AND NOT a2 THEN 1 ELSE 0 END)
+            + (CASE WHEN a4 AND NOT a3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_segments,
+       CAST(CASE WHEN a1 AND a2 AND a3 AND a4 THEN 4
+                 WHEN (a1 AND a2 AND a3) OR (a2 AND a3 AND a4) THEN 3
+                 WHEN (a1 AND a2) OR (a2 AND a3) OR (a3 AND a4) THEN 2
+                 WHEN a1 OR a2 OR a3 OR a4 THEN 1
+                 ELSE 0 END AS BIGINT) AS longest_run
+FROM b ORDER BY doc_id
+"""
+
+
+_POWER_Z_A = 1.959963984540054   # z_{0.975} (two-sided alpha 0.05)
+_POWER_Z_B = 0.8416212335729143  # z_{0.80} (80% power)
+_POWER_MDES = (1, 2, 5)          # minimum detectable effects, % of mean
+
+
+def events_power_analysis(spark, sf_dir):
+    """Experiment power analysis — per-arm sample sizes for detecting
+    a 1/2/5% lift of the mean event value at alpha = 0.05 two-sided
+    and 80% power: the sizing table every A/B platform computes
+    before :func:`events_cuped_adjustment` runs the readout (CUPED's
+    rho² plugs straight in: n' = n·(1 − rho²)). Exactness: sigma² and
+    the mean come from the exact integer-cents sufficient statistics
+    (n·Σc² − (Σc)², Σc); the z constants are fixed literals; each
+    row's n_per_arm = ceil(2(z_a+z_b)²·sigma²/delta²) is one
+    identical float expression. ONE scan, one aggregate. Output per
+    MDE: mde_pct, mean_value, delta, n_per_arm."""
+    e = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    st = e.agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mdes = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(k).cast("long") for k in _POWER_MDES])
+        ).alias("mde_pct")
+    )
+    j = st.crossJoin(mdes)
+    mean = F.col("s1").cast("double") / F.col("n") / 100.0
+    var = (
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+        / 10000.0
+    )
+    delta = mean * F.col("mde_pct").cast("double") / 100.0
+    zsum = F.lit(_POWER_Z_A + _POWER_Z_B)
+    n_arm = F.ceil(F.lit(2.0) * zsum * zsum * var / (delta * delta))
+    return j.select(
+        "mde_pct",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(delta, 6).alias("delta"),
+        n_arm.cast("long").alias("n_per_arm"),
+    ).orderBy("mde_pct")
+
+
+_POWER_SQL = f"""
+WITH st AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+  FROM events
+),
+m AS (SELECT unnest({list(_POWER_MDES)}::BIGINT[]) AS mde_pct)
+SELECT m.mde_pct,
+       round(CAST(s1 AS DOUBLE) / n / 100.0, 6) AS mean_value,
+       round(CAST(s1 AS DOUBLE) / n / 100.0 * CAST(m.mde_pct AS DOUBLE)
+             / 100.0, 6) AS delta,
+       CAST(ceil(2.0 * {_POWER_Z_A + _POWER_Z_B!r}
+                 * {_POWER_Z_A + _POWER_Z_B!r}
+                 * (CAST(n * s2 - s1 * s1 AS DOUBLE)
+                    / CAST(n * (n - 1) AS DOUBLE) / 10000.0)
+                 / ((CAST(s1 AS DOUBLE) / n / 100.0
+                     * CAST(m.mde_pct AS DOUBLE) / 100.0)
+                    * (CAST(s1 AS DOUBLE) / n / 100.0
+                       * CAST(m.mde_pct AS DOUBLE) / 100.0)))
+            AS BIGINT) AS n_per_arm
+FROM st CROSS JOIN m
+ORDER BY mde_pct
+"""
+
+
 _MARKOV_ITERS = 12
 _MARKOV_P0 = 10**6  # pi in 1e6 fixed point → output has exactly 6 decimals
 
@@ -18399,6 +18562,8 @@ QUERIES = {
     "events_cuped_adjustment": events_cuped_adjustment,
     "events_did_estimate": events_did_estimate,
     "lineitem_skipping_probe": lineitem_skipping_probe,
+    "multimodal_audio_vad": multimodal_audio_vad,
+    "events_power_analysis": events_power_analysis,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -18846,6 +19011,8 @@ ORACLES = {
     "events_cuped_adjustment": _CUPED_SQL,
     "events_did_estimate": _DID_SQL,
     "lineitem_skipping_probe": _SKIP_SQL,
+    "multimodal_audio_vad": _audio_vad_sql(),
+    "events_power_analysis": _POWER_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

@@ -576,3 +576,39 @@ def test_timeseries_library_known_series(spark):
     mk = mann_kendall(df2, grain="day").collect()[0]
     assert mk["s_stat"] == 8 * 7 // 2
     assert mk["z"] > 2.0
+
+
+def test_audio_vad_consistency(spark):
+    from graphem_rapids_spark.queries import (
+        multimodal_audio_energy,
+        multimodal_audio_vad,
+    )
+
+    vad = {r["doc_id"]: r for r in multimodal_audio_vad(spark, SF).collect()}
+    en = {
+        r["doc_id"]: r for r in multimodal_audio_energy(spark, SF).collect()
+    }
+    assert set(vad) == set(en)
+    for d, r in vad.items():
+        # active frames = 4 - silent frames from the energy op
+        assert r["n_active"] == 4 - en[d]["n_silent"]
+        assert 0 <= r["n_segments"] <= r["n_active"]
+        assert r["longest_run"] <= r["n_active"]
+        assert (r["longest_run"] > 0) == (r["n_active"] > 0)
+        # segments * longest >= active (pigeonhole over runs)
+        if r["n_segments"]:
+            assert r["n_segments"] * r["longest_run"] >= r["n_active"]
+
+
+def test_power_analysis_scaling(spark):
+    from graphem_rapids_spark.queries import events_power_analysis
+
+    rows = {r["mde_pct"]: r for r in events_power_analysis(spark, SF).collect()}
+    assert set(rows) == {1, 2, 5}
+    # n scales ~ 1/delta^2: the 1% arm needs ~4x the 2% arm
+    r1, r2, r5 = rows[1], rows[2], rows[5]
+    assert r1["n_per_arm"] > r2["n_per_arm"] > r5["n_per_arm"]
+    assert abs(r1["n_per_arm"] / r2["n_per_arm"] - 4.0) < 0.1
+    assert abs(r1["delta"] * 2 - r2["delta"]) < 1e-6
+    for r in rows.values():
+        assert r["n_per_arm"] > 0 and r["mean_value"] > 0
