@@ -18229,6 +18229,133 @@ ORDER BY mde_pct
 """
 
 
+_KANON_K = 5
+
+
+def privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity audit of the event stream under the
+    quasi-identifier (event_type, day, value decile-bucket) — the
+    re-identification risk read a privacy review runs BEFORE a
+    dataset ships: the equivalence-class size distribution, the share
+    of rows in classes smaller than k = 5, and the l-diversity floor
+    (min distinct users per class — a large class is still unsafe if
+    one user fills it). All exact integer counts; one scan → one
+    quasi-identifier groupBy → one histogram aggregate. Output:
+    n_rows, n_classes, min_class, n_rows_below_k, frac_below_k,
+    min_l_diversity."""
+    e = _t(spark, sf_dir, "events")
+    q = e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)), F.lit(9)
+        ).alias("vb"),
+        "user_id",
+    )
+    cls = q.groupBy("event_type", "d", "vb").agg(
+        F.count("*").alias("sz"),
+        F.countDistinct("user_id").alias("l_div"),
+    )
+    return cls.agg(
+        F.sum("sz").alias("n_rows"),
+        F.count("*").alias("n_classes"),
+        F.min("sz").alias("min_class"),
+        F.sum(F.when(F.col("sz") < _KANON_K, F.col("sz")).otherwise(0)).alias(
+            "n_rows_below_k"
+        ),
+        F.round(
+            F.sum(
+                F.when(F.col("sz") < _KANON_K, F.col("sz")).otherwise(0)
+            ).cast("double")
+            / F.sum("sz"),
+            6,
+        ).alias("frac_below_k"),
+        F.min("l_div").alias("min_l_diversity"),
+    )
+
+
+_KANON_SQL = f"""
+WITH q AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS vb,
+         user_id
+  FROM events
+),
+cls AS (
+  SELECT event_type, d, vb, count(*) AS sz,
+         count(DISTINCT user_id) AS l_div
+  FROM q GROUP BY 1, 2, 3
+)
+SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+       count(*) AS n_classes,
+       CAST(min(sz) AS BIGINT) AS min_class,
+       CAST(sum(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+         AS n_rows_below_k,
+       round(CAST(sum(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END)
+                  AS DOUBLE) / sum(sz), 6) AS frac_below_k,
+       CAST(min(l_div) AS BIGINT) AS min_l_diversity
+FROM cls
+"""
+
+
+_DP_EPS_NUM = 1   # epsilon = 1 (sensitivity 1 counting query)
+_DP_SEED = 4242
+
+
+def privacy_dp_release(spark, sf_dir):
+    """Differentially-private count release (Laplace mechanism,
+    epsilon = 1, sensitivity 1) for the per-type event counts — the
+    NOISY-aggregate publication shape (the noise here comes from the
+    repo's deterministic cross-engine mixer so the release is
+    oracle-checkable; a production release swaps in a real CSPRNG,
+    same plumbing). noise = −b·sign(u−½)·ln(1−2|u−½|) with b =
+    1/epsilon, u mixed from the type's md5 — one identical float
+    expression per row over exact integer counts. Output per type:
+    true_count (what the DP release withholds — shown for the
+    error column), noisy_count, abs_err."""
+    e = _t(spark, sf_dir, "events")
+    cnt = e.groupBy("event_type").agg(F.count("*").alias("true_count"))
+    u = _mix_uniform(
+        F.conv(F.substring(F.md5("event_type"), 1, 8), 16, 10).cast("long"),
+        _DP_SEED,
+    )
+    b = 1.0 / _DP_EPS_NUM
+    centered = u - F.lit(0.5)
+    noise = (
+        -F.lit(b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return (
+        cnt.select(
+            "event_type",
+            "true_count",
+            F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+            F.round(F.abs(noise), 6).alias("abs_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _dp_release_sql() -> str:
+    u = _mix_sql(
+        f"CAST(('0x' || substr(md5(event_type), 1, 8)) AS BIGINT)", _DP_SEED
+    )
+    noise = (
+        f"(-(1.0 / {_DP_EPS_NUM}) * sign({u} - 0.5)"
+        f" * ln(1.0 - 2.0 * abs({u} - 0.5)))"
+    )
+    return f"""
+WITH cnt AS (
+  SELECT event_type, count(*) AS true_count FROM events GROUP BY 1
+)
+SELECT event_type, true_count,
+       round(true_count + {noise}, 6) AS noisy_count,
+       round(abs({noise}), 6) AS abs_err
+FROM cnt ORDER BY event_type
+"""
+
+
 _MARKOV_ITERS = 12
 _MARKOV_P0 = 10**6  # pi in 1e6 fixed point → output has exactly 6 decimals
 
@@ -18564,6 +18691,8 @@ QUERIES = {
     "lineitem_skipping_probe": lineitem_skipping_probe,
     "multimodal_audio_vad": multimodal_audio_vad,
     "events_power_analysis": events_power_analysis,
+    "privacy_k_anonymity": privacy_k_anonymity,
+    "privacy_dp_release": privacy_dp_release,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -19013,6 +19142,8 @@ ORACLES = {
     "lineitem_skipping_probe": _SKIP_SQL,
     "multimodal_audio_vad": _audio_vad_sql(),
     "events_power_analysis": _POWER_SQL,
+    "privacy_k_anonymity": _KANON_SQL,
+    "privacy_dp_release": _dp_release_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

@@ -612,3 +612,30 @@ def test_power_analysis_scaling(spark):
     assert abs(r1["delta"] * 2 - r2["delta"]) < 1e-6
     for r in rows.values():
         assert r["n_per_arm"] > 0 and r["mean_value"] > 0
+
+
+def test_k_anonymity_accounting(spark):
+    from graphem_rapids_spark.queries import privacy_k_anonymity
+
+    row = privacy_k_anonymity(spark, SF).collect()[0]
+    n_events = _t(spark, SF, "events").count()
+    assert row["n_rows"] == n_events
+    assert 1 <= row["min_class"]
+    assert 1 <= row["min_l_diversity"] <= row["min_class"]
+    assert 0 <= row["n_rows_below_k"] <= row["n_rows"]
+    assert abs(row["frac_below_k"] - row["n_rows_below_k"] / row["n_rows"]) < 1e-6
+    # a (type, day, decile) cell holds far fewer rows than the corpus
+    assert row["n_classes"] > 100
+
+
+def test_dp_release_error_profile(spark):
+    from graphem_rapids_spark.queries import privacy_dp_release
+
+    rows = privacy_dp_release(spark, SF).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["true_count"] > 0
+        assert abs(r["noisy_count"] - r["true_count"]) - r["abs_err"] < 1e-5
+        # Laplace(b=1) noise: a draw beyond 20 has probability ~2e-9 —
+        # the deterministic mixer draws sit in the plausible range
+        assert r["abs_err"] < 20.0
