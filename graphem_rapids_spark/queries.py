@@ -18356,6 +18356,135 @@ FROM cnt ORDER BY event_type
 """
 
 
+_HLL_CAL_PS = (4, 6, 8)  # m = 16 / 64 / 256 registers
+
+
+def _hll_alpha_for(m: int) -> float:
+    """Canonical HLL bias constants (Flajolet et al. 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_rho_case_w(col: str, wbits: int) -> str:
+    whens = " ".join(
+        f"WHEN {col} >= {1 << (wbits - 1 - i)} THEN {i + 1}"
+        for i in range(wbits)
+    )
+    return f"(CASE {whens} ELSE {wbits + 1} END)"
+
+
+def sketch_hll_calibration(spark, sf_dir):
+    """HLL register-count calibration — the accuracy/memory trade
+    measured, not quoted: the same distinct-user estimate at m = 16 /
+    64 / 256 registers against the exact count, with the theoretical
+    1.04/√m error bound alongside (the table that justifies a
+    register budget before a 100 TB rollout; the HLL twin of
+    :func:`dedup_minhash_calibration`). Same exact machinery as
+    :func:`sketch_hll_distinct` per m (integer rho ladders, exact
+    power-of-two harmonic sums, linear-counting small-range branch),
+    canonical per-m alpha constants. Output per m: m, n_exact,
+    estimate, rel_err, bound_1p04."""
+    e = _t(spark, sf_dir, "events")
+    hv_int = F.floor(
+        _mix_uniform(F.col("user_id"), _HLL_SEED) * F.lit(float(_LCG_M))
+    ).cast("long")
+    hashed = (
+        e.select("user_id").distinct().select(hv_int.alias("hv"))
+    ).localCheckpoint(eager=True)
+    exact = int(e.select("user_id").distinct().count())
+    outs = []
+    for p in _HLL_CAL_PS:
+        m, wbits = 1 << p, 31 - p
+        alpha = _hll_alpha_for(m)
+        bw = hashed.select(
+            F.shiftright(F.col("hv"), wbits).alias("bucket"),
+            (F.col("hv") % F.lit(1 << wbits)).alias("w"),
+        ).select("bucket", F.expr(_hll_rho_case_w("w", wbits)).alias("rho"))
+        regs = (
+            spark.range(m)
+            .select(F.col("id").alias("bucket"))
+            .join(
+                bw.groupBy("bucket").agg(F.max("rho").alias("mx")),
+                "bucket",
+                "left",
+            )
+            .select(F.coalesce("mx", F.lit(0)).alias("mx"))
+        )
+        st = regs.agg(
+            F.sum(
+                F.expr("1.0 / CAST(shiftleft(1L, CAST(mx AS INT)) AS DOUBLE)")
+            ).alias("s"),
+            F.sum((F.col("mx") == 0).cast("long")).alias("zeros"),
+        )
+        raw = F.lit(alpha * m * m) / F.col("s")
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
+        ).otherwise(raw)
+        outs.append(
+            st.select(
+                F.lit(m).cast("long").alias("m"),
+                F.lit(exact).alias("n_exact"),
+                F.round(est, 4).alias("estimate"),
+                F.round(F.abs(est - F.lit(exact)) / F.lit(exact), 6).alias(
+                    "rel_err"
+                ),
+                F.round(F.lit(1.04 / (m**0.5)), 6).alias("bound_1p04"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("m")
+
+
+def _hll_calibration_sql() -> str:
+    hv = f"CAST(floor({_mix_sql('user_id', _HLL_SEED)} * {_LCG_M}) AS BIGINT)"
+    blocks = []
+    for p in _HLL_CAL_PS:
+        m, wbits = 1 << p, 31 - p
+        alpha = _hll_alpha_for(m)
+        rho = _hll_rho_case_w(f"(hv % {1 << wbits})", wbits)
+        raw = f"({alpha * m * m!r} / s)"
+        est = (
+            f"CASE WHEN {raw} <= {2.5 * m!r} AND zeros > 0 "
+            f"THEN {float(m)!r} * ln({float(m)!r} / zeros) ELSE {raw} END"
+        )
+        blocks.append(
+            f"""
+SELECT CAST({m} AS BIGINT) AS m,
+       (SELECT n_exact FROM ex) AS n_exact,
+       round({est}, 4) AS estimate,
+       round(abs(({est}) - (SELECT n_exact FROM ex))
+             / (SELECT n_exact FROM ex), 6) AS rel_err,
+       round({1.04 / (m**0.5)!r}, 6) AS bound_1p04
+FROM (
+  SELECT sum(1.0 / CAST(1 << mx AS DOUBLE)) AS s,
+         CAST(sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+  FROM (
+    SELECT coalesce(r.mx, 0) AS mx
+    FROM range({m}) t LEFT JOIN (
+      SELECT hv >> {wbits} AS bucket, max({rho}) AS mx
+      FROM h GROUP BY 1
+    ) r ON t.range = r.bucket
+  )
+)"""
+        )
+    u = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH uk AS (SELECT DISTINCT user_id FROM events),
+h AS (SELECT {hv} AS hv FROM uk),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM uk)
+{u}
+ORDER BY m
+"""
+
+
 _MARKOV_ITERS = 12
 _MARKOV_P0 = 10**6  # pi in 1e6 fixed point → output has exactly 6 decimals
 
@@ -18693,6 +18822,7 @@ QUERIES = {
     "events_power_analysis": events_power_analysis,
     "privacy_k_anonymity": privacy_k_anonymity,
     "privacy_dp_release": privacy_dp_release,
+    "sketch_hll_calibration": sketch_hll_calibration,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -19144,6 +19274,7 @@ ORACLES = {
     "events_power_analysis": _POWER_SQL,
     "privacy_k_anonymity": _KANON_SQL,
     "privacy_dp_release": _dp_release_sql(),
+    "sketch_hll_calibration": _hll_calibration_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

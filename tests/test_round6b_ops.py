@@ -639,3 +639,21 @@ def test_dp_release_error_profile(spark):
         # Laplace(b=1) noise: a draw beyond 20 has probability ~2e-9 —
         # the deterministic mixer draws sit in the plausible range
         assert r["abs_err"] < 20.0
+
+
+def test_hll_calibration_error_shrinks(spark):
+    from graphem_rapids_spark.queries import sketch_hll_calibration
+
+    rows = sketch_hll_calibration(spark, SF).collect()
+    assert [r["m"] for r in rows] == [16, 64, 256]
+    n_exact = rows[0]["n_exact"]
+    assert all(r["n_exact"] == n_exact for r in rows)
+    # the theoretical bound halves per 4x registers
+    bounds = [r["bound_1p04"] for r in rows]
+    assert bounds[0] > bounds[1] > bounds[2]
+    # the m=256 estimate sits within ~4 sigma of its bound; tiny-m
+    # estimates can exceed their bound on one draw (that is the point
+    # of measuring)
+    assert rows[2]["rel_err"] < 4 * bounds[2]
+    for r in rows:
+        assert r["estimate"] > 0
