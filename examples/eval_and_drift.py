@@ -81,6 +81,24 @@ def main() -> None:
                  F.sum("n_segments").alias("s")).collect()[0]
     print(f"boilerplate segments dropped: {agg['b']}/{agg['s']}")
 
+    # --- experimentation: CUPED readout + sizing table
+    cu = Q.events_cuped_adjustment(spark, sf_dir).collect()[0]
+    print(f"A/B readout: naive={cu['naive_diff']}"
+          f" CUPED={cu['cuped_diff']} (rho2={cu['rho2']})")
+    for r in Q.events_power_analysis(spark, sf_dir).collect():
+        print(f"  MDE {r['mde_pct']}%: n_per_arm={r['n_per_arm']}")
+
+    # --- privacy audit before shipping
+    ka = Q.privacy_k_anonymity(spark, sf_dir).collect()[0]
+    print(f"k-anonymity: min class {ka['min_class']},"
+          f" {ka['frac_below_k']:.3f} of rows below k=5,"
+          f" l-diversity floor {ka['min_l_diversity']}")
+
+    # --- layout physics: what file skipping buys
+    for r in Q.lineitem_skipping_probe(spark, sf_dir).collect():
+        print(f"skipping[{r['layout']}]: scan x{r['scan_amplification']}"
+              f" (skips {r['skip_ratio']:.3f} of files)")
+
     spark.stop()
 
 

@@ -71,3 +71,6 @@ def test_eval_and_drift_example():
     assert "Markov stationary distribution:" in stdout
     assert "k-center coreset" in stdout
     assert "boilerplate segments dropped:" in stdout
+    assert "A/B readout: naive=" in stdout
+    assert "k-anonymity: min class" in stdout
+    assert "skipping[date_clustered]:" in stdout
