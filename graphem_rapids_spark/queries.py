@@ -18485,6 +18485,201 @@ ORDER BY m
 """
 
 
+def orders_abc_analysis(spark, sf_dir):
+    """ABC inventory analysis per brand — parts classified A/B/C by
+    cumulative revenue share WITHIN their brand (A = first 80% of
+    brand revenue, B = next 15%, C = tail): the classic
+    assortment-concentration readout, partition-safe by construction
+    (the running share is a BRAND-partitioned window over per-part
+    aggregates — never global; brands bound each partition to its
+    catalog slice). Revenue quantizes to integer cents, the class
+    cut compares cross-multiplied integers (100·cum ≤ 80·total), and
+    per-class shares are one division. Output per (brand, class):
+    n_parts, revenue_share."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    per_part = (
+        li.join(p, "l_partkey")
+        .groupBy("brand", "l_partkey")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("brand")
+        .orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per_part.groupBy("brand").agg(F.sum("rev").alias("brand_rev"))
+    classed = (
+        per_part.withColumn("cum", F.sum("rev").over(w))
+        .join(F.broadcast(tot), "brand")
+        .select(
+            "brand",
+            "rev",
+            "brand_rev",
+            F.when(
+                100 * F.col("cum") <= 80 * F.col("brand_rev"), "A"
+            )
+            .when(100 * F.col("cum") <= 95 * F.col("brand_rev"), "B")
+            .otherwise("C")
+            .alias("abc"),
+        )
+    )
+    return (
+        classed.groupBy("brand", "abc")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(
+                F.sum("rev").cast("double") / F.max("brand_rev"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("brand", "abc")
+    )
+
+
+_ABC_SQL = """
+WITH per_part AS (
+  SELECT p.p_brand AS brand, li.l_partkey,
+         CAST(sum(CAST(round(li.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT brand, CAST(sum(rev) AS BIGINT) AS brand_rev
+        FROM per_part GROUP BY 1),
+classed AS (
+  SELECT pp.brand, pp.rev, tot.brand_rev,
+         CASE WHEN 100 * CAST(sum(pp.rev) OVER (
+                    PARTITION BY pp.brand
+                    ORDER BY pp.rev DESC, pp.l_partkey ASC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   <= 80 * tot.brand_rev THEN 'A'
+              WHEN 100 * CAST(sum(pp.rev) OVER (
+                    PARTITION BY pp.brand
+                    ORDER BY pp.rev DESC, pp.l_partkey ASC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   <= 95 * tot.brand_rev THEN 'B'
+              ELSE 'C' END AS abc
+  FROM per_part pp JOIN tot USING (brand)
+)
+SELECT brand, abc, count(*) AS n_parts,
+       round(CAST(sum(rev) AS DOUBLE) / max(brand_rev), 6) AS revenue_share
+FROM classed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+_CF_TOPK = 3
+_CF_MIN_SUP = 2
+
+
+def item_item_recs(spark, sf_dir):
+    """Item-item collaborative filtering — per-part top-3 'customers
+    also bought' recommendations by co-occurrence cosine sim =
+    support/√(cnt_a·cnt_b) over order baskets (the production
+    recommender primitive behind 'frequently bought together';
+    :func:`market_basket_rules` scores the same pairs by directional
+    confidence, this ranks per ITEM by symmetric similarity). Same
+    map-side basket pair generation; the per-item cut is an
+    item-PARTITIONED window. sim is one identical float expression
+    over exact integer counts, ranked after 6-decimal rounding so
+    the cut is engine-portable. Output per (item, rank): rec,
+    support, sim."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    parts = op.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = parts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, x -> "
+                "transform(filter(ps, y -> y > x), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    sup = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _CF_MIN_SUP)
+    )
+    cnt = op.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    dirs = sup.select(
+        F.col("a").alias("item"), F.col("b").alias("rec"), "support"
+    ).unionByName(
+        sup.select(
+            F.col("b").alias("item"), F.col("a").alias("rec"), "support"
+        )
+    )
+    scored = (
+        dirs.join(
+            cnt.select(F.col("l_partkey").alias("item"), F.col("cnt").alias("ca")),
+            "item",
+        )
+        .join(
+            cnt.select(F.col("l_partkey").alias("rec"), F.col("cnt").alias("cb")),
+            "rec",
+        )
+        .select(
+            "item",
+            "rec",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                / F.sqrt((F.col("ca") * F.col("cb")).cast("double")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("sim").desc(), F.col("rec").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _CF_TOPK)
+        .select("item", "rank", "rec", "support", "sim")
+        .orderBy("item", "rank")
+    )
+
+
+_CF_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND b.l_partkey > a.l_partkey
+),
+sup AS (
+  SELECT a, b, count(*) AS support FROM pairs GROUP BY 1, 2
+  HAVING count(*) >= {_CF_MIN_SUP}
+),
+cnt AS (SELECT l_partkey, count(*) AS cnt FROM op GROUP BY 1),
+dirs AS (
+  SELECT a AS item, b AS rec, support FROM sup
+  UNION ALL
+  SELECT b AS item, a AS rec, support FROM sup
+),
+scored AS (
+  SELECT d.item, d.rec, d.support,
+         round(CAST(d.support AS DOUBLE)
+               / sqrt(CAST(ca.cnt * cb.cnt AS DOUBLE)), 6) AS sim
+  FROM dirs d
+  JOIN cnt ca ON ca.l_partkey = d.item
+  JOIN cnt cb ON cb.l_partkey = d.rec
+)
+SELECT item, rank, rec, support, sim FROM (
+  SELECT item, rec, support, sim,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY sim DESC, rec ASC) AS rank
+  FROM scored
+) WHERE rank <= {_CF_TOPK}
+ORDER BY item, rank
+"""
+
+
 _MARKOV_ITERS = 12
 _MARKOV_P0 = 10**6  # pi in 1e6 fixed point → output has exactly 6 decimals
 
@@ -18823,6 +19018,8 @@ QUERIES = {
     "privacy_k_anonymity": privacy_k_anonymity,
     "privacy_dp_release": privacy_dp_release,
     "sketch_hll_calibration": sketch_hll_calibration,
+    "orders_abc_analysis": orders_abc_analysis,
+    "item_item_recs": item_item_recs,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -19275,6 +19472,8 @@ ORACLES = {
     "privacy_k_anonymity": _KANON_SQL,
     "privacy_dp_release": _dp_release_sql(),
     "sketch_hll_calibration": _hll_calibration_sql(),
+    "orders_abc_analysis": _ABC_SQL,
+    "item_item_recs": _CF_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

@@ -657,3 +657,42 @@ def test_hll_calibration_error_shrinks(spark):
     assert rows[2]["rel_err"] < 4 * bounds[2]
     for r in rows:
         assert r["estimate"] > 0
+
+
+def test_abc_analysis_shares(spark):
+    from graphem_rapids_spark.queries import orders_abc_analysis
+
+    rows = orders_abc_analysis(spark, SF).collect()
+    by_brand = {}
+    for r in rows:
+        by_brand.setdefault(r["brand"], {})[r["abc"]] = r
+    for brand, cls in by_brand.items():
+        assert "A" in cls  # the 80% head always exists
+        total_share = sum(r["revenue_share"] for r in cls.values())
+        assert abs(total_share - 1.0) < 1e-4
+        # A-class concentrates revenue in few parts: share per part
+        # is higher in A than in C
+        if "C" in cls:
+            a, c = cls["A"], cls["C"]
+            assert (
+                a["revenue_share"] / a["n_parts"]
+                > c["revenue_share"] / c["n_parts"]
+            )
+
+
+def test_item_item_recs_ranking(spark):
+    from graphem_rapids_spark.queries import _CF_TOPK, item_item_recs
+
+    rows = item_item_recs(spark, SF).collect()
+    by_item = {}
+    for r in rows:
+        by_item.setdefault(r["item"], []).append(r)
+    assert len(by_item) > 10
+    for item, recs in by_item.items():
+        assert [r["rank"] for r in recs] == list(range(1, len(recs) + 1))
+        assert len(recs) <= _CF_TOPK
+        sims = [r["sim"] for r in recs]
+        assert sims == sorted(sims, reverse=True)
+        for r in recs:
+            assert 0.0 < r["sim"] <= 1.0
+            assert r["rec"] != item
