@@ -18680,6 +18680,145 @@ ORDER BY item, rank
 """
 
 
+_MASE_H = 7  # holdout horizon (days)
+
+
+def events_forecast_mase(spark, sf_dir):
+    """Forecast-accuracy evaluation — hold out the last 7 days, train
+    the Holt-Winters recursion on the rest, and score its holdout
+    forecasts against the SEASONAL-NAIVE baseline (y_{t−7}) via MASE
+    = MAE_model/MAE_naive, the scale-free metric forecasting
+    literature standardizes on (MASE < 1 beats the naive; the
+    acceptance gate :func:`events_forecast_hw` ships with). Exact:
+    the model forecast is already a 1e6 fixed-point integer, actuals
+    scale to the same units, so both MAEs are exact integer sums of
+    absolute differences and MASE is ONE division. Same two-phase
+    shape as the forecaster (daily-grid collapse → bounded-collect
+    recursion). Output: n_train, n_test, mae_model, mae_naive,
+    mase."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(F.date_trunc("day", F.col("ts")).alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("y"))
+    )
+    b = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = b.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    ys = [
+        int(r["y"])
+        for r in (
+            grid.join(daily, "d", "left")
+            .select(
+                "d", F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y")
+            )
+            .orderBy("d")
+            .collect()
+        )
+    ]
+    m = _HW_M
+    n = len(ys)
+    n_test = _MASE_H
+    n_train = n - n_test
+    if n_train < 2 * m + 1:
+        return spark.createDataFrame(
+            [],
+            "n_train long, n_test long, mae_model long, mae_naive long,"
+            " mase double",
+        )
+    yq = [y * 1_000_000 for y in ys]
+    w1, w2 = sum(yq[:m]), sum(yq[m : 2 * m])
+    lv = math.floor(w1 / float(m))
+    tr = math.floor((w2 - w1) / float(m * m))
+    season = [yq[i] - lv for i in range(m)]
+    for t in range(m, n_train):
+        lv, tr, snew = _hw_step(yq[t], lv, tr, season[0])
+        season = season[1:] + [snew]
+    mae_model = 0
+    mae_naive = 0
+    for h in range(1, n_test + 1):
+        t = n_train + h - 1
+        fc = lv + h * tr + season[(h - 1) % m]
+        mae_model += abs(fc - yq[t])
+        mae_naive += abs(yq[t - m] - yq[t])
+    mase = round(mae_model / mae_naive, 6) if mae_naive else None
+    return spark.createDataFrame(
+        [(n_train, n_test, mae_model, mae_naive, mase)],
+        "n_train long, n_test long, mae_model long, mae_naive long,"
+        " mase double",
+    )
+
+
+def _mase_sql() -> str:
+    a, bn, g, m, h = _HW_A_NUM, _HW_B_NUM, _HW_G_NUM, _HW_M, _MASE_H
+    lnew = (
+        f"CAST(floor(({a} * (dy.yq - s.s[1]) + {10 - a} * (s.l + s.t) + 5)"
+        " / 10.0) AS BIGINT)"
+    )
+    tnew = (
+        f"CAST(floor(({bn} * ({lnew} - s.l) + {10 - bn} * s.t + 5) / 10.0)"
+        " AS BIGINT)"
+    )
+    # mirrors _hw_step exactly: floor((g*(yq-lnew) + (10-g)*s_old + 5)/10)
+    snew = (
+        f"CAST(floor(({g} * (dy.yq - {lnew}) + {10 - g} * s.s[1] + 5) / 10.0)"
+        " AS BIGINT)"
+    )
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, count(*) AS y FROM events GROUP BY 1
+),
+bnd AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+grid AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM bnd),
+dy AS (
+  SELECT row_number() OVER (ORDER BY g.d) - 1 AS i,
+         CAST(coalesce(daily.y, 0) AS BIGINT) * 1000000 AS yq
+  FROM grid g LEFT JOIN daily ON daily.d = g.d
+),
+nm AS (SELECT max(i) + 1 AS n, max(i) + 1 - {h} AS n_train FROM dy),
+init AS (
+  SELECT CAST(floor((SELECT sum(yq) FROM dy WHERE i < {m}) / {m}.0)
+              AS BIGINT) AS l,
+         CAST(floor(((SELECT sum(yq) FROM dy WHERE i >= {m} AND i < {2 * m})
+                     - (SELECT sum(yq) FROM dy WHERE i < {m})) / {m * m}.0)
+              AS BIGINT) AS t
+),
+s0 AS (
+  SELECT init.l, init.t,
+         (SELECT list(yq - init.l ORDER BY i) FROM dy WHERE i < {m}) AS s
+  FROM init
+),
+st AS (
+  WITH RECURSIVE s(j, l, t, s) AS (
+    SELECT {m}, l, t, s FROM s0
+    UNION ALL
+    SELECT s.j + 1, {lnew}, {tnew}, s.s[2:{m}] || [{snew}]
+    FROM s JOIN dy ON dy.i = s.j CROSS JOIN nm WHERE s.j < nm.n_train
+  )
+  SELECT * FROM s
+),
+fin AS (SELECT l, t, s FROM st CROSS JOIN nm WHERE st.j = nm.n_train),
+errs AS (
+  SELECT hh.range AS h,
+         abs((fin.l + hh.range * fin.t
+              + fin.s[CAST((hh.range - 1) % {m} AS INTEGER) + 1])
+             - dyt.yq) AS e_model,
+         abs(dyn.yq - dyt.yq) AS e_naive
+  FROM range(1, {h + 1}) hh
+  CROSS JOIN fin CROSS JOIN nm
+  JOIN dy dyt ON dyt.i = nm.n_train + hh.range - 1
+  JOIN dy dyn ON dyn.i = nm.n_train + hh.range - 1 - {m}
+)
+SELECT (SELECT CAST(n_train AS BIGINT) FROM nm) AS n_train,
+       CAST({h} AS BIGINT) AS n_test,
+       CAST(sum(e_model) AS BIGINT) AS mae_model,
+       CAST(sum(e_naive) AS BIGINT) AS mae_naive,
+       round(CAST(sum(e_model) AS DOUBLE) / sum(e_naive), 6) AS mase
+FROM errs
+"""
+
+
 _MARKOV_ITERS = 12
 _MARKOV_P0 = 10**6  # pi in 1e6 fixed point → output has exactly 6 decimals
 
@@ -19020,6 +19159,7 @@ QUERIES = {
     "sketch_hll_calibration": sketch_hll_calibration,
     "orders_abc_analysis": orders_abc_analysis,
     "item_item_recs": item_item_recs,
+    "events_forecast_mase": events_forecast_mase,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -19474,6 +19614,7 @@ ORACLES = {
     "sketch_hll_calibration": _hll_calibration_sql(),
     "orders_abc_analysis": _ABC_SQL,
     "item_item_recs": _CF_SQL,
+    "events_forecast_mase": _mase_sql(),
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

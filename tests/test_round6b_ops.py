@@ -696,3 +696,16 @@ def test_item_item_recs_ranking(spark):
         for r in recs:
             assert 0.0 < r["sim"] <= 1.0
             assert r["rec"] != item
+
+
+def test_forecast_mase_consistency(spark):
+    from graphem_rapids_spark.queries import _MASE_H, events_forecast_mase
+
+    row = events_forecast_mase(spark, SF).collect()[0]
+    assert row["n_test"] == _MASE_H
+    assert row["n_train"] + row["n_test"] >= 28  # 30-day calendar
+    assert row["mae_model"] > 0 and row["mae_naive"] > 0
+    assert abs(row["mase"] - row["mae_model"] / row["mae_naive"]) < 1e-5
+    # the synthetic stream has no weekly cycle (ACF ~ 0), so neither
+    # model should be an order of magnitude from the naive baseline
+    assert 0.2 < row["mase"] < 5.0
