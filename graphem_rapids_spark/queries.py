@@ -18819,6 +18819,83 @@ FROM errs
 """
 
 
+def graph_motif_census(spark, sf_dir):
+    """Wedge/triangle/4-cycle motif census of the co-purchase graph —
+    the small-subgraph spectrum community detection and graph-ML
+    feature pipelines read (squares signal bipartite-like structure
+    that triangles miss). All from ONE common-neighbor pair table:
+    wedges = Σ c_uw over unordered pairs, closed wedges = Σ c_uw over
+    pairs that are edges (= 3·triangles — cross-checked against the
+    independent :func:`graph_triangles` join by test), and 4-cycles =
+    Σ C(c_uw, 2)/2 (each cycle counted once per diagonal, exact
+    integer division by construction). The wedge stream is the same
+    Σdeg² join triangle counting pays; nothing quadratic in the
+    vertex count materializes. Output: n_wedges, n_closed,
+    n_triangles, n_squares."""
+    e = copurchase_edges(spark, sf_dir)
+    sym = e.select(F.col("src").alias("v"), F.col("dst").alias("u")).unionAll(
+        e.select(F.col("dst").alias("v"), F.col("src").alias("u"))
+    )
+    a = sym.select("v", F.col("u").alias("x"))
+    b = sym.select("v", F.col("u").alias("y"))
+    cn = (
+        a.join(b, "v")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c"))
+    )
+    closed = (
+        cn.join(
+            e.select(F.col("src").alias("x"), F.col("dst").alias("y")),
+            ["x", "y"],
+        )
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_closed"))
+    )
+    stats = cn.agg(
+        F.sum("c").alias("n_wedges"),
+        F.floor(
+            F.sum(F.col("c") * (F.col("c") - 1)) / 4
+        ).cast("long").alias("n_squares"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(closed))
+        .select(
+            "n_wedges",
+            F.col("n_closed").cast("long").alias("n_closed"),
+            F.expr("n_closed div 3").alias("n_triangles"),
+            "n_squares",
+        )
+    )
+
+
+_MOTIF_SQL = (
+    _COPURCHASE_SQL_CTE
+    + """
+, sym AS MATERIALIZED (
+  SELECT src AS v, dst AS u FROM ge UNION ALL SELECT dst AS v, src AS u FROM ge
+),
+cn AS MATERIALIZED (
+  SELECT a.u AS x, b.u AS y, CAST(count(*) AS BIGINT) AS c
+  FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+  GROUP BY 1, 2
+),
+closed AS (
+  SELECT CAST(coalesce(sum(cn.c), 0) AS BIGINT) AS n_closed
+  FROM cn JOIN ge ON ge.src = cn.x AND ge.dst = cn.y
+),
+stats AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_wedges,
+         CAST(floor(sum(c * (c - 1)) / 4.0) AS BIGINT) AS n_squares
+  FROM cn
+)
+SELECT stats.n_wedges, closed.n_closed,
+       CAST(closed.n_closed // 3 AS BIGINT) AS n_triangles,
+       stats.n_squares
+FROM stats CROSS JOIN closed
+"""
+)
+
+
 _MARKOV_ITERS = 12
 _MARKOV_P0 = 10**6  # pi in 1e6 fixed point → output has exactly 6 decimals
 
@@ -19160,6 +19237,7 @@ QUERIES = {
     "orders_abc_analysis": orders_abc_analysis,
     "item_item_recs": item_item_recs,
     "events_forecast_mase": events_forecast_mase,
+    "graph_motif_census": graph_motif_census,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -19615,6 +19693,7 @@ ORACLES = {
     "orders_abc_analysis": _ABC_SQL,
     "item_item_recs": _CF_SQL,
     "events_forecast_mase": _mase_sql(),
+    "graph_motif_census": _MOTIF_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

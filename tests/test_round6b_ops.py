@@ -709,3 +709,16 @@ def test_forecast_mase_consistency(spark):
     # the synthetic stream has no weekly cycle (ACF ~ 0), so neither
     # model should be an order of magnitude from the naive baseline
     assert 0.2 < row["mase"] < 5.0
+
+
+def test_motif_census_cross_checks(spark):
+    from graphem_rapids_spark.queries import graph_motif_census, graph_triangles
+
+    row = graph_motif_census(spark, SF).collect()[0]
+    # the census triangle count must equal the independent 3-way-join
+    # counter
+    t = graph_triangles(spark, SF).collect()[0]["n_triangles"]
+    assert row["n_triangles"] == t
+    assert row["n_closed"] == 3 * t
+    assert row["n_wedges"] >= row["n_closed"]
+    assert row["n_squares"] >= 0
