@@ -15554,6 +15554,12 @@ def events_psi_drift(spark, sf_dir):
             F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
         )
     )
+    return _psi_from_counts(spark, binned)
+
+
+def _psi_from_counts(spark, binned):
+    """Finalize PSI from per-bin (n_ref, n_cur) partial counts — the
+    shared tail of the batch query and its streaming twin."""
     spine = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
     cnt = spine.join(F.broadcast(binned), "bin", "left").select(
         "bin",
@@ -15592,6 +15598,52 @@ def events_psi_drift(spark, sf_dir):
         F.round(F.sum("t9") / 1e9, 6).alias("psi_term"),
     )
     return bins_out.unionByName(total).orderBy("bin")
+
+
+def events_stream_psi(spark, sf_dir):
+    """Streaming twin of :func:`events_psi_drift` — the drift monitor
+    as CONTINUOUSLY-MAINTAINED state: a streaming groupBy(bin,
+    is_ref) count (≤ 2·bins monotonically-merging rows regardless of
+    traffic — the production shape for a dashboard that re-renders
+    PSI per micro-batch), drained via availableNow and finalized by
+    the exact batch PSI math, so the whole pipeline hash-matches the
+    batch oracle. The reference window boundary is a driver-side
+    literal (in production, a config), aligned to the batch
+    date_trunc via UTC nanos flooring. Output identical to
+    events_psi_drift."""
+    from graphem_rapids_spark.streaming.events import (
+        run_available_now,
+        stream_events,
+    )
+
+    t0 = int(
+        _events(spark, sf_dir).agg(F.min("ts").alias("t0")).collect()[0]["t0"]
+    )
+    day_ns = 86_400 * 10**9
+    boundary = (t0 // day_ns) * day_ns + _PSI_SPLIT_DAYS * day_ns
+    ev = stream_events(spark, sf_dir)
+    counts = run_available_now(
+        ev.select(
+            F.least(
+                F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)),
+                F.lit(_PSI_BINS - 1),
+            )
+            .cast("long")
+            .alias("bin"),
+            (F.col("ts") < boundary).alias("is_ref"),
+        )
+        .groupBy("bin", "is_ref")
+        .agg(F.count("*").alias("cnt"))
+    )
+    binned = counts.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), F.col("cnt")).otherwise(0)).alias(
+            "n_ref"
+        ),
+        F.sum(F.when(~F.col("is_ref"), F.col("cnt")).otherwise(0)).alias(
+            "n_cur"
+        ),
+    )
+    return _psi_from_counts(spark, binned)
 
 
 _PSI_SQL = f"""
@@ -19238,6 +19290,7 @@ QUERIES = {
     "item_item_recs": item_item_recs,
     "events_forecast_mase": events_forecast_mase,
     "graph_motif_census": graph_motif_census,
+    "events_stream_psi": events_stream_psi,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -19694,6 +19747,7 @@ ORACLES = {
     "item_item_recs": _CF_SQL,
     "events_forecast_mase": _mase_sql(),
     "graph_motif_census": _MOTIF_SQL,
+    "events_stream_psi": _PSI_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —
     # justifications in COVERAGE.md; their deterministic shape facts

@@ -722,3 +722,11 @@ def test_motif_census_cross_checks(spark):
     assert row["n_closed"] == 3 * t
     assert row["n_wedges"] >= row["n_closed"]
     assert row["n_squares"] >= 0
+
+
+def test_stream_psi_matches_batch(spark):
+    from graphem_rapids_spark.queries import events_psi_drift, events_stream_psi
+
+    batch = [tuple(r) for r in events_psi_drift(spark, SF).collect()]
+    stream = [tuple(r) for r in events_stream_psi(spark, SF).collect()]
+    assert stream == batch  # streaming state + batch finalizer parity
