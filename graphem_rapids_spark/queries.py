@@ -19173,67 +19173,14 @@ ORDER BY d
 # position is hash-verified each session by scripts/oracle_check.py
 # and tests/test_oracle_parity.py.
 QUERIES = {
-    # ------- r6 driver window (first 50) -------
-    # (a) the 38 round-5 additions that have never had a driver
-    # CORRECTNESS row (all hash-green in the local strict gate at
-    # 3 SFs; VERDICT r5 item 1)
-    "sketch_hll_merge": sketch_hll_merge,
-    "lineitem_ship_overlap": lineitem_ship_overlap,
-    "multimodal_frame_sample": multimodal_frame_sample,
-    "embedding_mmr_select": embedding_mmr_select,
-    "sketch_quantile_hist": sketch_quantile_hist,
-    "sample_priority_weighted": sample_priority_weighted,
-    "events_ewma_burst": events_ewma_burst,
-    "dedup_typo_fastss": dedup_typo_fastss,
-    "multimodal_audio_energy": multimodal_audio_energy,
-    "join_strategy_advisor": join_strategy_advisor,
-    "dedup_cluster_keep_best": dedup_cluster_keep_best,
-    "embedding_label_silhouette": embedding_label_silhouette,
-    "events_stream_ewma": events_stream_ewma,
-    "lang_mixture_weights": lang_mixture_weights,
-    "dedup_prefix_jaccard": dedup_prefix_jaccard,
-    "retrieval_rrf_fusion": retrieval_rrf_fusion,
-    "sketch_kmv_setops": sketch_kmv_setops,
-    "orders_merge_upsert": orders_merge_upsert,
-    "events_stream_value_hist": events_stream_value_hist,
-    "doc_heaps_law": doc_heaps_law,
-    "tokenizer_bpe_merge_topk": tokenizer_bpe_merge_topk,
-    "doc_dsir_weights": doc_dsir_weights,
-    "source_wilson_gate": source_wilson_gate,
-    "graph_hyperball": graph_hyperball,
-    "dedup_passjoin": dedup_passjoin,
-    "lang_budget_waterfill": lang_budget_waterfill,
-    "events_scd2_intervals": events_scd2_intervals,
-    "lineitem_zorder_layout": lineitem_zorder_layout,
-    "events_theil_sen": events_theil_sen,
-    "events_stream_late_drop": events_stream_late_drop,
-    "doc_source_kl": doc_source_kl,
-    "events_cusum_changepoint": events_cusum_changepoint,
-    "doc_train_val_test_split": doc_train_val_test_split,
-    "ann_ivf_probe_curve": ann_ivf_probe_curve,
-    "market_basket_triples": market_basket_triples,
-    "graph_degree_hill_tail": graph_degree_hill_tail,
-    "embedding_int8_rank_fidelity": embedding_int8_rank_fidelity,
-    "events_stickiness": events_stickiness,
-    # (b) the 12 stalest r2-checked entries
-    "q13_order_distribution": q13_order_distribution,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q15_top_supplier": q15_top_supplier,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "q18_large_volume_orders": q18_large_volume_orders,
-    "q19_bracketed_revenue": q19_bracketed_revenue,
-    "events_asof_join": events_asof_join,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q8_market_share": q8_market_share,
-    "q11_important_stock": q11_important_stock,
-    "q12_late_lines": q12_late_lines,
-    "q16_supplier_count": q16_supplier_count,
-    # ------- past the 50-entry cut: ordered stalest-first so the
-    # r7 window is simply the next 50; the strict local gate +
-    # pytest parity re-verify every entry each session regardless
-    # of position -------
-    # new in r6, never driver-checked — first in line for the r7
-    # window (spliced here as they land)
+    # ------- r7 driver window (first 50) -------
+    # The 57 round-6 additions have never had a driver CORRECTNESS
+    # row (VERDICT r6 item 1). The 50 oldest-registered of them fill
+    # this window; the remaining 7 (privacy_dp_release ..
+    # events_stream_psi, marked below) are staged FIRST for the r8
+    # window — see COVERAGE.md "driver-window rotation". Every entry
+    # regardless of position is hash-verified each session by
+    # scripts/oracle_check.py and tests/test_oracle_parity.py.
     "layout_invariants": layout_invariants,
     "tokenizer_bpe_train_rounds": tokenizer_bpe_train_rounds,
     "load_copurchase": load_copurchase,
@@ -19284,6 +19231,9 @@ QUERIES = {
     "multimodal_audio_vad": multimodal_audio_vad,
     "events_power_analysis": events_power_analysis,
     "privacy_k_anonymity": privacy_k_anonymity,
+    # ------- past the 50-entry cut -------
+    # (a) the 7 remaining r6 additions, staged first for the r8
+    # window (new r7 entries are spliced in after them)
     "privacy_dp_release": privacy_dp_release,
     "sketch_hll_calibration": sketch_hll_calibration,
     "orders_abc_analysis": orders_abc_analysis,
@@ -19467,6 +19417,57 @@ QUERIES = {
     "graph_rich_club": graph_rich_club,
     "part_pareto_skyline": part_pareto_skyline,
     "layout_seed_selection": layout_seed_selection,
+    # last driver row: r6 (the all-green r6 window)
+    "sketch_hll_merge": sketch_hll_merge,
+    "lineitem_ship_overlap": lineitem_ship_overlap,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "embedding_mmr_select": embedding_mmr_select,
+    "sketch_quantile_hist": sketch_quantile_hist,
+    "sample_priority_weighted": sample_priority_weighted,
+    "events_ewma_burst": events_ewma_burst,
+    "dedup_typo_fastss": dedup_typo_fastss,
+    "multimodal_audio_energy": multimodal_audio_energy,
+    "join_strategy_advisor": join_strategy_advisor,
+    "dedup_cluster_keep_best": dedup_cluster_keep_best,
+    "embedding_label_silhouette": embedding_label_silhouette,
+    "events_stream_ewma": events_stream_ewma,
+    "lang_mixture_weights": lang_mixture_weights,
+    "dedup_prefix_jaccard": dedup_prefix_jaccard,
+    "retrieval_rrf_fusion": retrieval_rrf_fusion,
+    "sketch_kmv_setops": sketch_kmv_setops,
+    "orders_merge_upsert": orders_merge_upsert,
+    "events_stream_value_hist": events_stream_value_hist,
+    "doc_heaps_law": doc_heaps_law,
+    "tokenizer_bpe_merge_topk": tokenizer_bpe_merge_topk,
+    "doc_dsir_weights": doc_dsir_weights,
+    "source_wilson_gate": source_wilson_gate,
+    "graph_hyperball": graph_hyperball,
+    "dedup_passjoin": dedup_passjoin,
+    "lang_budget_waterfill": lang_budget_waterfill,
+    "events_scd2_intervals": events_scd2_intervals,
+    "lineitem_zorder_layout": lineitem_zorder_layout,
+    "events_theil_sen": events_theil_sen,
+    "events_stream_late_drop": events_stream_late_drop,
+    "doc_source_kl": doc_source_kl,
+    "events_cusum_changepoint": events_cusum_changepoint,
+    "doc_train_val_test_split": doc_train_val_test_split,
+    "ann_ivf_probe_curve": ann_ivf_probe_curve,
+    "market_basket_triples": market_basket_triples,
+    "graph_degree_hill_tail": graph_degree_hill_tail,
+    "embedding_int8_rank_fidelity": embedding_int8_rank_fidelity,
+    "events_stickiness": events_stickiness,
+    "q13_order_distribution": q13_order_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_orders": q18_large_volume_orders,
+    "q19_bracketed_revenue": q19_bracketed_revenue,
+    "events_asof_join": events_asof_join,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q8_market_share": q8_market_share,
+    "q11_important_stock": q11_important_stock,
+    "q12_late_lines": q12_late_lines,
+    "q16_supplier_count": q16_supplier_count,
 }
 
 ORACLES = {
