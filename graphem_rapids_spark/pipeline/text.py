@@ -516,3 +516,104 @@ def dup2_col(text_col: str = "text"):
     return F.when(
         n2 > 0, F.round(1.0 - F.size(F.array_distinct(g2)) / n2, 6)
     ).otherwise(F.lit(0.0))
+
+
+def perplexity_tiers(
+    xent: DataFrame,
+    lang_col: str = "lang",
+    xent_col: str = "xent",
+    id_col: str = "doc_id",
+    mode: str = "exact",
+    bins: int = 4096,
+) -> DataFrame:
+    """Per-doc CCNet head/middle/tail tier (Wenzek et al. 2020) of LM
+    cross-entropy per language — (id_col, lang_col, tier) with tier
+    0 = head (most fluent third), 1 = middle, 2 = tail.
+
+    ``mode="exact"``: per-lang rank window, tier = 3·(rn−1) div
+    n_lang — the exact tercile the sf-small oracle replays
+    (queries.doc_perplexity_buckets), at the cost of a per-lang SORT
+    of every document.
+
+    ``mode="histogram"``: the 100 TB path — xent quantizes to a 1e6
+    fixed-point integer, bins into ``bins`` equal-width integer bins
+    between the per-lang min/max, and the tercile CUTS are read off
+    the cumulative histogram (bounded: #langs × bins rows — the
+    sketch_quantile_hist discipline; the only window runs over that
+    bounded table, partitioned per lang). Docs then map to tiers via
+    one broadcast join of the 2 cut bins per lang — the plan contains
+    NO per-lang sort of raw documents (pinned by
+    test_perplexity_tiers_no_doc_sort). A cut bin's whole population
+    lands in the lower tier together, so tier sizes deviate from
+    exact terciles by at most the largest bin's population; all
+    arithmetic is exact integers, so the assignment is deterministic
+    and engine-replayable."""
+    lc, xc, ic = lang_col, xent_col, id_col
+    base = xent.select(
+        F.col(ic), F.col(lc),
+        F.round(F.col(xc) * F.lit(1e6)).cast("long").alias("xq"),
+    )
+    if mode == "exact":
+        w = Window.partitionBy(lc).orderBy("xq", ic)
+        wl = Window.partitionBy(lc)
+        return base.select(
+            ic,
+            lc,
+            F.expr(
+                f"(3 * (row_number() OVER (PARTITION BY {lc} ORDER BY xq, {ic}) - 1))"
+            ).alias("_r3"),
+            F.count("*").over(wl).alias("_n"),
+        ).select(
+            ic, lc, F.expr("_r3 div _n").cast("int").alias("tier")
+        )
+    if mode != "histogram":
+        raise ValueError(f"mode must be 'exact' or 'histogram', got {mode!r}")
+    # base fans out to THREE consumers (bounds, the bin projection,
+    # and through it the histogram + final assignment) — materialize
+    # the narrow (id, lang, xq) projection ONCE or every consumer
+    # re-derives the caller's upstream xent chain (the
+    # ReuseExchange column-pruning trap; 46→~8 exchanges on the
+    # registry instantiation)
+    base = base.localCheckpoint(eager=True)
+    bounds = base.groupBy(lc).agg(
+        F.min("xq").alias("_lo"),
+        F.max("xq").alias("_hi"),
+        F.count("*").alias("_n"),
+    )
+    binned = base.join(F.broadcast(bounds), lc).select(
+        ic,
+        lc,
+        # exact integer division — a double quotient can round up
+        # across a bin boundary and disagree with the SQL replay
+        F.least(
+            F.lit(bins - 1).cast("long"),
+            F.expr(f"((xq - _lo) * {bins}) div (_hi - _lo + 1)"),
+        ).alias("_bin"),
+    )
+    hist = binned.groupBy(lc, "_bin").agg(F.count("*").alias("_c"))
+    wc = (
+        Window.partitionBy(lc)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        lc, "_bin", F.sum("_c").over(wc).alias("_cum")
+    ).join(F.broadcast(bounds.select(lc, "_n")), lc)
+    # exact-tercile targets: tier 0 holds ceil(n/3) docs, tiers 0+1
+    # hold ceil(2n/3) (the 3·(rn−1) div n boundary counts) — pure
+    # integer ceil so the SQL replay agrees at any n
+    t1 = F.expr("(_n + 2) div 3")
+    t2 = F.expr("(2 * _n + 2) div 3")
+    cuts = cum.groupBy(lc).agg(
+        F.min(F.when(F.col("_cum") >= t1, F.col("_bin"))).alias("_c1"),
+        F.min(F.when(F.col("_cum") >= t2, F.col("_bin"))).alias("_c2"),
+    )
+    return binned.join(F.broadcast(cuts), lc).select(
+        ic,
+        lc,
+        F.when(F.col("_bin") <= F.col("_c1"), F.lit(0))
+        .when(F.col("_bin") <= F.col("_c2"), F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("int")
+        .alias("tier"),
+    )

@@ -6882,19 +6882,12 @@ FROM pd CROSS JOIN tot
 """
 
 
-def doc_perplexity_buckets(spark, sf_dir):
-    """The CCNet head/middle/tail tiering (Wenzek et al. 2020) that
-    :func:`doc_unigram_logprob` exists to feed: per language, rank
-    documents by LM cross-entropy and cut into terciles — 'head' is
-    the fluent third that trains first, 'tail' the gibberish third
-    that gets dropped or down-weighted. Parity discipline: the
-    per-doc xent double is ONE division of exact integers (identical
-    across engines), so the per-lang ORDERING (xent, doc_id) is
-    identical; the tercile is then pure integer math on the rank
-    (3·(rn−1) div n_lang), and per-bucket mean xent sums 1e6
-    fixed-point quantizations (exact integers) rather than raw
-    doubles. The rank window is PARTITIONED per language — never
-    global. Output per (lang, bucket): docs, tokens, mean xent."""
+def _doc_xent(spark, sf_dir):
+    """(doc_id, lang, n_tokens, xent) — per-doc unigram-LM
+    cross-entropy, the shared input of the exact-rank tiering
+    (:func:`doc_perplexity_buckets`) and its histogram scale mode
+    (:func:`doc_perplexity_tiers_hist`). One tf/vocab chain; xent is
+    ONE division of exact integers (identical across engines)."""
     d = _t(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(T.tokens_col("text")).alias("term"))
@@ -6912,7 +6905,7 @@ def doc_perplexity_buckets(spark, sf_dir):
         F.sum("tf").alias("n_tokens"),
         F.sum(F.col("tf") * F.col("lncnt")).alias("_s"),
     )
-    xent = (
+    return (
         pd_.crossJoin(F.broadcast(tot))
         .join(d.select("doc_id", "lang"), "doc_id")
         .select(
@@ -6926,6 +6919,25 @@ def doc_perplexity_buckets(spark, sf_dir):
             ).alias("xent"),
         )
     )
+
+
+def doc_perplexity_buckets(spark, sf_dir):
+    """The CCNet head/middle/tail tiering (Wenzek et al. 2020) that
+    :func:`doc_unigram_logprob` exists to feed: per language, rank
+    documents by LM cross-entropy and cut into terciles — 'head' is
+    the fluent third that trains first, 'tail' the gibberish third
+    that gets dropped or down-weighted. Parity discipline: the
+    per-doc xent double is ONE division of exact integers (identical
+    across engines), so the per-lang ORDERING (xent, doc_id) is
+    identical; the tercile is then pure integer math on the rank
+    (3·(rn−1) div n_lang), and per-bucket mean xent sums 1e6
+    fixed-point quantizations (exact integers) rather than raw
+    doubles. The rank window is PARTITIONED per language — never
+    global; this exact-rank form is the sf-small oracle shape, and
+    :func:`doc_perplexity_tiers_hist` is the sort-free histogram
+    SCALE MODE (pipeline.text.perplexity_tiers). Output per (lang,
+    bucket): docs, tokens, mean xent."""
+    xent = _doc_xent(spark, sf_dir)
     w = Window.partitionBy("lang").orderBy("xent", "doc_id")
     # per-lang size via a partition window on the SAME pass — a
     # separate groupBy branch would re-derive the whole tf/vocab
@@ -6956,7 +6968,7 @@ def doc_perplexity_buckets(spark, sf_dir):
     )
 
 
-_PPLX_BUCKETS_SQL = f"""
+_XENT_SQL_CTE = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
 ),
@@ -6975,7 +6987,11 @@ x AS (
   SELECT p.doc_id, d.lang, p.n_tokens,
          CAST(p.n_tokens * tot.lnn - p.s AS DOUBLE) / p.n_tokens / 1e9 AS xent
   FROM pd p CROSS JOIN tot JOIN documents d ON p.doc_id = d.doc_id
-),
+)"""
+
+_PPLX_BUCKETS_SQL = (
+    _XENT_SQL_CTE
+    + """,
 r AS (
   SELECT lang, n_tokens, xent,
          row_number() OVER (PARTITION BY lang ORDER BY xent, doc_id) AS rn,
@@ -6991,6 +7007,100 @@ FROM r
 GROUP BY 1, 2
 ORDER BY lang, bucket
 """
+)
+
+
+_PPLX_HIST_BINS = 512
+
+
+def doc_perplexity_tiers_hist(spark, sf_dir):
+    """Histogram-tercile CCNet tiering — the 100 TB SCALE MODE of
+    :func:`doc_perplexity_buckets` (VERDICT r6 item 2, now code):
+    instead of a per-lang rank over every document, per-lang xent
+    quantizes to 1e6 fixed point and bins into 512 equal-width
+    integer bins; the tercile cuts are read off the cumulative
+    histogram (bounded — #langs × 512 rows, the sketch_quantile_hist
+    discipline) and docs map to tiers via one broadcast of the two
+    cut bins per lang. The plan contains NO per-lang sort of raw
+    documents (pinned by test_perplexity_tiers_no_doc_sort); a cut
+    bin's whole population lands in the lower tier together, so tier
+    sizes deviate from exact terciles by at most the largest bin —
+    agreement with the exact rank is pinned by
+    test_perplexity_hist_vs_exact_agreement. All integer arithmetic,
+    so the assignment is deterministic and the oracle replays it
+    exactly. Thin wrapper over
+    :func:`pipeline.text.perplexity_tiers(mode="histogram")`.
+    Output per (lang, tier): n_docs, n_tokens, mean_xent."""
+    # the xent chain (tf/vocab joins) feeds both the tier assignment
+    # and the final stats join — materialize it once
+    x = _doc_xent(spark, sf_dir).localCheckpoint(eager=True)
+    tiers = T.perplexity_tiers(
+        x, mode="histogram", bins=_PPLX_HIST_BINS
+    )
+    j = tiers.join(
+        x.select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("xent") * F.lit(1e6)).cast("long").alias("xq"),
+        ),
+        "doc_id",
+    )
+    return (
+        j.groupBy("lang", "tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum("xq").cast("double") / F.count("*") / F.lit(1e6), 6
+            ).alias("mean_xent"),
+        )
+        .orderBy("lang", "tier")
+    )
+
+
+_PPLX_HIST_SQL = (
+    _XENT_SQL_CTE
+    + f""",
+xq AS (
+  SELECT doc_id, lang, n_tokens, CAST(round(xent * 1e6) AS BIGINT) AS xq
+  FROM x
+),
+bounds AS (
+  SELECT lang, min(xq) AS lo, max(xq) AS hi, count(*) AS n
+  FROM xq GROUP BY 1
+),
+binned AS (
+  SELECT q.doc_id, q.lang, q.n_tokens, q.xq,
+         least({_PPLX_HIST_BINS - 1},
+               ((q.xq - b.lo) * {_PPLX_HIST_BINS}) // (b.hi - b.lo + 1))
+           AS bin
+  FROM xq q JOIN bounds b USING (lang)
+),
+hist AS (SELECT lang, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT lang, bin,
+         sum(c) OVER (PARTITION BY lang ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+cuts AS (
+  SELECT c.lang,
+         min(CASE WHEN c.cum >= (b.n + 2) // 3 THEN c.bin END) AS c1,
+         min(CASE WHEN c.cum >= (2 * b.n + 2) // 3 THEN c.bin END) AS c2
+  FROM cum c JOIN bounds b USING (lang) GROUP BY 1
+)
+SELECT d.lang,
+       CAST(CASE WHEN d.bin <= k.c1 THEN 0
+                 WHEN d.bin <= k.c2 THEN 1
+                 ELSE 2 END AS INTEGER) AS tier,
+       count(*) AS n_docs,
+       CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens,
+       round(CAST(sum(d.xq) AS DOUBLE) / count(*) / 1e6, 6) AS mean_xent
+FROM binned d JOIN cuts k USING (lang)
+GROUP BY 1, 2
+ORDER BY lang, tier
+"""
+)
 
 
 _TEMP_ALPHA = 0.3  # the multilingual sampling-temperature standard
@@ -19133,6 +19243,8 @@ QUERIES = {
     "events_forecast_mase": events_forecast_mase,
     "graph_motif_census": graph_motif_census,
     "events_stream_psi": events_stream_psi,
+    # (a2) new in r7 — never driver-checked, next in line after the 7
+    "doc_perplexity_tiers_hist": doc_perplexity_tiers_hist,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -19593,6 +19705,7 @@ ORACLES = {
     "graph_effective_diameter": _eff_diam_sql(),
     "supplier_transit_overlap": _TRANSIT_OVERLAP_SQL,
     "doc_perplexity_buckets": _PPLX_BUCKETS_SQL,
+    "doc_perplexity_tiers_hist": _PPLX_HIST_SQL,
     "lang_temperature_mixture": _TEMP_MIX_SQL,
     "events_sliding_hll_users": _sliding_hll_sql(),
     "retrieval_ndcg": _ndcg_sql(),

@@ -281,3 +281,55 @@ def test_seasonal_decompose_strength_ordering(spark):
     assert out["weekly"]["seasonal_strength"] > 0.8
     assert out["flat"]["seasonal_strength"] == 0.0
     assert out["weekly"]["n_days"] == 28
+
+
+# ---------------------------------------------------------------------------
+# r7: histogram perplexity tiering (the doc_perplexity_buckets scale mode)
+# ---------------------------------------------------------------------------
+
+
+def test_perplexity_hist_vs_exact_agreement(spark):
+    """Histogram tiers must agree with the exact per-lang rank tiers
+    on almost every document (disagreement bounded by cut-bin
+    populations) and reproduce the tercile sizes within the largest
+    bin's population."""
+    from graphem_rapids_spark.pipeline.text import perplexity_tiers
+    from graphem_rapids_spark.queries import _doc_xent
+
+    x = _doc_xent(spark, SF).localCheckpoint(eager=True)
+    ex = {
+        r["doc_id"]: r["tier"]
+        for r in perplexity_tiers(x, mode="exact").collect()
+    }
+    hi = {
+        r["doc_id"]: r["tier"]
+        for r in perplexity_tiers(x, mode="histogram").collect()
+    }
+    assert set(ex) == set(hi)
+    agree = sum(ex[d] == hi[d] for d in ex) / len(ex)
+    assert agree >= 0.9, f"tier agreement {agree:.3f}"
+    # both modes produce all three tiers and full coverage
+    assert {0, 1, 2} == set(ex.values()) == set(hi.values())
+
+
+def test_perplexity_tiers_no_doc_sort(spark):
+    """The histogram mode's plan must not SORT raw documents: every
+    Sort in the physical plan keys on the bounded histogram's bin
+    column, never the per-doc xq/xent."""
+    from graphem_rapids_spark.pipeline.text import perplexity_tiers
+    from graphem_rapids_spark.queries import _doc_xent
+
+    x = _doc_xent(spark, SF)
+    df = perplexity_tiers(x, mode="histogram")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    for line in plan.splitlines():
+        if "Sort [" in line or ") Sort " in line:
+            assert "_bin" in line and "xq" not in line, line
+    # the exact mode (the oracle shape) DOES rank per lang — sanity
+    # that the two modes genuinely differ in plan shape
+    plan_exact = df._sc._jvm.PythonSQLUtils.explainString(
+        perplexity_tiers(x, mode="exact")._jdf.queryExecution(), "formatted"
+    )
+    assert "row_number" in plan_exact
