@@ -333,3 +333,53 @@ def test_perplexity_tiers_no_doc_sort(spark):
         perplexity_tiers(x, mode="exact")._jdf.queryExecution(), "formatted"
     )
     assert "row_number" in plan_exact
+
+
+# ---------------------------------------------------------------------------
+# r7: multi-level Louvain (move phase + graph aggregation)
+# ---------------------------------------------------------------------------
+
+
+def test_louvain_two_triangles(spark):
+    """Textbook fixture: two triangles joined by a bridge — Louvain
+    must find exactly the two triangles (Q = 70/196 = 0.357143)."""
+    from graphem_rapids_spark.analytics import louvain
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)],
+        "src long, dst long",
+    )
+    labels, traj = louvain(edges, levels=2, move_rounds=4)
+    got = {r["id"]: r["community"] for r in labels.collect()}
+    assert len({got[0], got[1], got[2]}) == 1
+    assert len({got[3], got[4], got[5]}) == 1
+    assert got[0] != got[3]
+    assert traj[-1][1] == 2  # 2 communities
+    assert abs(traj[-1][2] - 0.357143) < 1e-6
+    # Q is monotone across levels on this fixture
+    qs = [q for (_, _, q) in traj]
+    assert qs == sorted(qs)
+
+
+def test_louvain_coarsening_improves_q(spark):
+    """On the co-purchase graph the level-2 aggregation must improve
+    (or hold) modularity over level 1 — the coarsening payoff the
+    rounds-only variant cannot reach — and labels must cover every
+    vertex exactly once."""
+    from graphem_rapids_spark.analytics import louvain
+    from graphem_rapids_spark.queries import copurchase_edges
+
+    e = copurchase_edges(spark, SF)
+    labels, traj = louvain(e, levels=2, move_rounds=4)
+    assert len(traj) == 3
+    assert traj[2][2] >= traj[1][2] > traj[0][2]
+    n_vertices = (
+        e.selectExpr("src AS id")
+        .union(e.selectExpr("dst AS id"))
+        .distinct()
+        .count()
+    )
+    assert labels.count() == n_vertices
+    assert labels.select("id").distinct().count() == n_vertices
+    # community count matches the trajectory's final level
+    assert labels.select("community").distinct().count() == traj[2][1]
