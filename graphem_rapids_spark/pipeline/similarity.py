@@ -1043,3 +1043,88 @@ def kcenter_select(
         out.append((t, row["_id"], float(row["_dmin"])))
         cvecs.append(list(row["_v"]))
     return out
+
+
+def covering_radii(
+    vectors: DataFrame,
+    centers: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[float]:
+    """[radius_1 … radius_k] — covering radius of the first t centers
+    for every prefix t, in ONE corpus scan: the per-row running-min
+    squared distances to center prefixes are k columns of the same
+    select (broadcast plan literals, no join), then a single max
+    aggregate. Distances are the repo's 6-decimal-rounded identical
+    IEEE folds."""
+    emb = vectors.select(_as_double(F.col(vec_col)).alias("_v"))
+    dcols = []
+    running = None
+    for i, cv in enumerate(centers):
+        d = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_v"),
+                    F.array(*[F.lit(float(x)) for x in cv]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        )
+        running = d if running is None else F.least(running, d)
+        dcols.append(running.alias(f"_m{i}"))
+    row = (
+        emb.select(*dcols)
+        .agg(*[F.max(f"_m{i}").alias(f"_r{i}") for i in range(len(centers))])
+        .collect()[0]
+    )
+    return [float(row[f"_r{i}"]) for i in range(len(centers))]
+
+
+def kcenter_two_level(
+    vectors: DataFrame,
+    k: int = 8,
+    n_cells: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, float, float]]:
+    """Two-level k-center — the 100 TB path :func:`kcenter_select`'s
+    docstring promises: level 1 is the IVF mix-init cell
+    pre-cluster (the same deterministic mixer selection
+    ``ivf_build(init="mix", iters=0)`` uses — n_cells verbatim corpus
+    vectors become cell representatives, so selected centers are real
+    points with real ids); level 2 runs greedy Gonzalez over that
+    n_cells-row representative table (k scans of a TINY table instead
+    of k corpus scans). The corpus is touched exactly TWICE regardless
+    of k: once by the mixer selection (a TakeOrdered top-n_cells) and
+    once by the single-scan prefix covering-radius evaluation
+    (:func:`covering_radii`) — vs k+1 full scans for exact Gonzalez.
+    Returns [(sel_round, id, sel_dist, radius)]: sel_dist is the
+    Gonzalez covering radius WITHIN the representative table,
+    radius the true corpus covering radius of the first t selected
+    centers (the honest quality readout — compare against exact
+    Gonzalez's radii to price the approximation). Deterministic end
+    to end: mixer, 6-decimal IEEE distance folds, id ties —
+    oracle-replayable (queries.embedding_kcenter_two_level)."""
+    from graphem_rapids_spark.functions import mix_uniform
+
+    emb = vectors.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    reps = (
+        emb.withColumn("_u", mix_uniform(F.col("_id"), seed))
+        .orderBy(F.col("_u").asc(), F.col("_id").asc())
+        .limit(n_cells)
+        .select("_id", "_v")
+        .localCheckpoint(eager=True)
+    )
+    sel = kcenter_select(reps, k=k, id_col="_id", vec_col="_v")
+    rep_vecs = {int(r["_id"]): list(r["_v"]) for r in reps.collect()}
+    centers = [rep_vecs[int(i)] for _, i, _ in sel]
+    radii = covering_radii(vectors, centers, id_col=id_col, vec_col=vec_col)
+    return [
+        (t, int(i), float(d), radii[t]) for (t, i, d) in sel
+    ]

@@ -19287,6 +19287,145 @@ def _kcenter_sql(k: int = _KC_K) -> str:
     return "\n".join(parts)
 
 
+_KC2_CELLS = 16
+_KC2_SEED = 7
+
+
+def embedding_kcenter_two_level(spark, sf_dir):
+    """Two-level k-center vs exact Gonzalez — makes the
+    kcenter_select docstring's 100 TB path REAL (VERDICT r6 item 8):
+    level 1 pre-selects n_cells = 16 IVF mix-init representatives
+    (one TakeOrdered corpus pass), level 2 runs greedy Gonzalez over
+    that 16-row table (k scans of 16 rows, not k corpus scans), and
+    ONE more corpus scan prices every selection prefix with its true
+    covering radius next to exact Gonzalez's radius on the same
+    prefix — the accuracy-vs-scans tradeoff table a coreset pipeline
+    reads before switching levels. Corpus passes: 2 (two-level) vs
+    k+1 (exact). All arithmetic deterministic (mixer, 6-decimal IEEE
+    folds, id ties) and the oracle replays both selections and every
+    radius scan. Thin wrapper over
+    :func:`pipeline.similarity.kcenter_two_level`. Output per round:
+    sel_round, vec_id, sel_dist, radius_two_level, radius_exact,
+    ratio."""
+    emb = _t(spark, sf_dir, "embeddings")
+    two = S.kcenter_two_level(
+        emb, k=_KC_K, n_cells=_KC2_CELLS, seed=_KC2_SEED
+    )
+    exact = S.kcenter_select(emb, k=_KC_K)
+    exact_ids = [int(i) for _, i, _ in exact]
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(exact_ids)).collect()
+    }
+    radii_exact = S.covering_radii(emb, [vecs[i] for i in exact_ids])
+    rows = [
+        (
+            t,
+            vid,
+            sd,
+            r2,
+            radii_exact[t],
+            round(r2 / radii_exact[t], 6) if radii_exact[t] > 0 else 1.0,
+        )
+        for (t, vid, sd, r2) in two
+    ]
+    return spark.createDataFrame(
+        rows,
+        "sel_round long, vec_id long, sel_dist double,"
+        " radius_two_level double, radius_exact double, ratio double",
+    )
+
+
+def _kcenter2_sql(
+    k: int = _KC_K, n_cells: int = _KC2_CELLS, seed: int = _KC2_SEED
+) -> str:
+    from graphem_rapids_spark.functions import mix_sql
+
+    dist = (
+        "round(list_reduce(list_transform(range(1, 65), "
+        "i -> ({a}[CAST(i AS INT)] - {b}[CAST(i AS INT)]) "
+        "* ({a}[CAST(i AS INT)] - {b}[CAST(i AS INT)])), "
+        "(x, y) -> x + y), 6)"
+    )
+    u = mix_sql("vec_id", seed)
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),",
+        f"reps AS MATERIALIZED (SELECT vec_id, emb FROM (SELECT vec_id, emb, {u} AS u FROM v) ORDER BY u ASC, vec_id ASC LIMIT {n_cells}),",
+        # two-level greedy over reps
+        "q0 AS (SELECT vec_id, emb FROM reps ORDER BY vec_id LIMIT 1),",
+        "td0 AS (SELECT r.vec_id, r.emb, "
+        + dist.format(a="r.emb", b="q0.emb")
+        + " AS dmin FROM reps r CROSS JOIN q0),",
+        # exact greedy over the corpus
+        "c0 AS (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT 1),",
+        "ed0 AS (SELECT x.vec_id, x.emb, "
+        + dist.format(a="x.emb", b="c0.emb")
+        + " AS dmin FROM v x CROSS JOIN c0),",
+    ]
+    for t in range(1, k):
+        parts.append(
+            f"q{t} AS (SELECT vec_id, emb, dmin FROM td{t - 1} "
+            f"ORDER BY dmin DESC, vec_id LIMIT 1),"
+        )
+        parts.append(
+            f"e{t} AS (SELECT vec_id, emb, dmin FROM ed{t - 1} "
+            f"ORDER BY dmin DESC, vec_id LIMIT 1),"
+        )
+        if t < k - 1:
+            parts.append(
+                f"td{t} AS (SELECT d.vec_id, d.emb, least(d.dmin, "
+                + dist.format(a="d.emb", b=f"q{t}.emb")
+                + f") AS dmin FROM td{t - 1} d CROSS JOIN q{t}),"
+            )
+            parts.append(
+                f"ed{t} AS (SELECT d.vec_id, d.emb, least(d.dmin, "
+                + dist.format(a="d.emb", b=f"e{t}.emb")
+                + f") AS dmin FROM ed{t - 1} d CROSS JOIN e{t}),"
+            )
+    # prefix covering radii: one block per prefix per method
+    for t in range(1, k + 1):
+        two_terms = [
+            dist.format(a="x.emb", b=f"q{i}.emb" if i else "q0.emb")
+            for i in range(t)
+        ]
+        ex_terms = [
+            dist.format(a="x.emb", b=f"e{i}.emb" if i else "c0.emb")
+            for i in range(t)
+        ]
+        two_join = " CROSS JOIN ".join(
+            ["v x"] + [f"q{i}" if i else "q0" for i in range(t)]
+        )
+        ex_join = " CROSS JOIN ".join(
+            ["v x"] + [f"e{i}" if i else "c0" for i in range(t)]
+        )
+        lt = (
+            two_terms[0]
+            if t == 1
+            else "least(" + ", ".join(two_terms) + ")"
+        )
+        le = (
+            ex_terms[0] if t == 1 else "least(" + ", ".join(ex_terms) + ")"
+        )
+        parts.append(f"r2_{t} AS (SELECT max({lt}) AS r FROM {two_join}),")
+        parts.append(f"re_{t} AS (SELECT max({le}) AS r FROM {ex_join}),")
+    parts[-1] = parts[-1].rstrip(",")
+    rows = []
+    for t in range(k):
+        src = f"q{t}" if t else "q0"
+        sd = "CAST(0.0 AS DOUBLE)" if t == 0 else f"{src}.dmin"
+        rows.append(
+            f"SELECT CAST({t} AS BIGINT) AS sel_round, "
+            f"CAST({src}.vec_id AS BIGINT) AS vec_id, {sd} AS sel_dist, "
+            f"r2_{t + 1}.r AS radius_two_level, re_{t + 1}.r AS radius_exact, "
+            f"CASE WHEN re_{t + 1}.r > 0 THEN round(r2_{t + 1}.r / re_{t + 1}.r, 6) "
+            f"ELSE 1.0 END AS ratio "
+            f"FROM {src} CROSS JOIN r2_{t + 1} CROSS JOIN re_{t + 1}"
+        )
+    parts.append("\nUNION ALL\n".join(rows))
+    parts.append("ORDER BY sel_round")
+    return "\n".join(parts)
+
+
 def events_stickiness(spark, sf_dir):
     """DAU/WAU stickiness per day — the product-health ratio of daily
     to trailing-7-day active users. The exact computation avoids the
@@ -19422,6 +19561,7 @@ QUERIES = {
     # (a2) new in r7 — never driver-checked, next in line after the 7
     "doc_perplexity_tiers_hist": doc_perplexity_tiers_hist,
     "community_louvain_levels": community_louvain_levels,
+    "embedding_kcenter_two_level": embedding_kcenter_two_level,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -19919,6 +20059,7 @@ ORACLES = {
     "community_louvain_move": _louvain_sql(),
     "community_louvain_rounds": _louvain_rounds_sql(),
     "community_louvain_levels": _louvain_levels_sql(),
+    "embedding_kcenter_two_level": _kcenter2_sql(),
     "events_cuped_adjustment": _CUPED_SQL,
     "events_did_estimate": _DID_SQL,
     "lineitem_skipping_probe": _SKIP_SQL,

@@ -383,3 +383,54 @@ def test_louvain_coarsening_improves_q(spark):
     assert labels.select("id").distinct().count() == n_vertices
     # community count matches the trajectory's final level
     assert labels.select("community").distinct().count() == traj[2][1]
+
+
+def test_kcenter_two_level_vs_exact(spark):
+    """Two-level k-center: covering radii are non-increasing in t,
+    positive, and the per-prefix corpus radius is honest (>= the
+    within-reps Gonzalez sel_dist can't exceed it only up to the
+    rep-subset approximation — we pin non-increase + ratio sanity)."""
+    from graphem_rapids_spark.pipeline.similarity import (
+        covering_radii,
+        kcenter_select,
+        kcenter_two_level,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    two = kcenter_two_level(emb, k=4, n_cells=8)
+    assert [t for t, *_ in two] == [0, 1, 2, 3]
+    radii = [r for *_, r in two]
+    assert all(radii[i] >= radii[i + 1] for i in range(3))
+    assert radii[-1] > 0
+    # exact side: radii likewise non-increasing; two-level within 3x
+    exact = kcenter_select(emb, k=4)
+    ids = [int(i) for _, i, _ in exact]
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(emb.vec_id.isin(ids)).collect()
+    }
+    re_ = covering_radii(emb, [vecs[i] for i in ids])
+    assert all(re_[i] >= re_[i + 1] for i in range(3))
+    assert radii[-1] <= 3.0 * re_[-1]
+
+
+def test_covering_radii_matches_bruteforce(spark):
+    """One-scan prefix radii equal the brute-force per-prefix max-min
+    on a 4-point literal fixture."""
+    from graphem_rapids_spark.pipeline.similarity import covering_radii
+
+    dim = 64
+    def vec(x):
+        v = [0.0] * dim
+        v[0] = float(x)
+        return v
+
+    pts = [(i, vec(x)) for i, x in enumerate([0.0, 1.0, 4.0, 9.0])]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts], "vec_id long, embedding array<double>"
+    )
+    centers = [vec(0.0), vec(9.0)]
+    radii = covering_radii(df, centers)
+    # prefix 1: max over pts of d to 0 -> 81; prefix 2: max of
+    # min(d0, d9) -> point 4.0: min(16, 25) = 16
+    assert radii == [81.0, 16.0]
