@@ -16734,6 +16734,226 @@ ORDER BY score DESC, piece ASC LIMIT {_USEED_TOPK}
 """
 
 
+_UEM_NEG = -(1 << 60)  # "-inf" for invalid Viterbi transitions
+
+
+def _uem_pieces(spark, sf_dir):
+    """(piece, score, lq) rows for the unigram-LM piece set: the
+    top-30 seed pieces (k=2..6, tokenizer_unigram_seed's cut) plus
+    EVERY single character of the vocabulary (so Viterbi never
+    dead-ends). lq = floor(ln(score/Σscore)·1e9 + 0.5) — computed
+    IN-ENGINE (Spark here, ln() in the oracle) so both engines round
+    the identical IEEE double."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(T.tokens_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    seeds = tokenizer_unigram_seed(spark, sf_dir).select(
+        "piece", F.col("score").cast("long").alias("score")
+    )
+    chars = (
+        vocab.select(
+            "freq",
+            F.explode(
+                F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("score"))
+    )
+    pset = seeds.unionByName(chars).localCheckpoint(eager=True)
+    ts = int(pset.agg(F.sum("score")).collect()[0][0])
+    return (
+        pset.select(
+            "piece",
+            "score",
+            F.floor(
+                F.log(F.col("score").cast("double") / F.lit(float(ts)))
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lq"),
+        ),
+        ts,
+    )
+
+
+def tokenizer_unigram_em(spark, sf_dir):
+    """One unigram-LM EM round (SentencePiece stage 1, Kudo 2018) on
+    top of :func:`tokenizer_unigram_seed` — completes the second
+    tokenizer family (VERDICT r6 item 9): E-step = Viterbi-segment
+    every VOCABULARY word under the seed piece log-probs (piece set =
+    top-30 seeds + all single chars, probs ∝ the seed scores); M-step
+    = re-estimate piece probabilities from the frequency-weighted
+    segmentation counts. Seed pieces that never win a Viterbi path
+    vanish — exactly the pruning signal the EM loop exists for.
+
+    Scale shape: the corpus collapses ONCE to the word-frequency
+    table (the BPE-train staging; the only 100 TB stage); the Viterbi
+    DP is a JVM-side aggregate() fold PER WORD (forward best-score
+    array, then a backward walk that re-derives each argmax — no
+    backpointer state), with the ≤60-row piece table inlined as a
+    plan-literal map. Everything is integer (1e9 fixed-point
+    log-probs, ties → smallest piece), so the DuckDB oracle replays
+    the exact DP as a RECURSIVE CTE carrying the best-score LIST per
+    word. Output per surviving piece: piece, n_uses
+    (frequency-weighted), p_old, p_new."""
+    pieces, ts = _uem_pieces(spark, sf_dir)
+    prows = pieces.collect()  # bounded: 30 + alphabet
+    def esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    m_txt = "map(" + ", ".join(
+        f"'{esc(r['piece'])}', {int(r['lq'])}L" for r in prows
+    ) + ")"
+    neg = f"{_UEM_NEG}L"
+    cands_fwd = ", ".join(
+        f"coalesce(CASE WHEN i >= {k} THEN element_at(acc, i - {k} + 1)"
+        f" + element_at({m_txt}, substring(w, i - {k} + 1, {k})) END, {neg})"
+        for k in range(1, _USEED_KMAX + 1)
+    )
+    best_txt = (
+        "aggregate(sequence(1, length(w)), array(cast(0 as bigint)),"
+        f" (acc, i) -> array_append(acc, greatest({cands_fwd})))"
+    )
+    k_case = " ".join(
+        f"WHEN acc.pos >= {k}"
+        f" AND element_at(b, acc.pos - {k} + 1)"
+        f" + element_at({m_txt}, substring(w, acc.pos - {k} + 1, {k}))"
+        f" = element_at(b, acc.pos + 1) THEN {k}"
+        for k in range(1, _USEED_KMAX + 1)
+    )
+    kk = f"(CASE {k_case} END)"
+    seg_txt = (
+        "aggregate(sequence(1, length(w)),"
+        " named_struct('pos', cast(length(w) as int),"
+        " 'ps', cast(array() as array<string>)),"
+        " (acc, x) -> IF(acc.pos <= 0, acc,"
+        f" named_struct('pos', cast(acc.pos - {kk} as int),"
+        f" 'ps', array_append(acc.ps,"
+        f" substring(w, acc.pos - {kk} + 1, {kk})))),"
+        " acc -> acc.ps)"
+    )
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(T.tokens_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    seg = (
+        vocab.withColumn("b", F.expr(best_txt))
+        .select("freq", F.explode(F.expr(seg_txt)).alias("piece"))
+    )
+    counts = seg.groupBy("piece").agg(F.sum("freq").alias("n_uses"))
+    tu = counts.agg(F.sum("n_uses").alias("t"))
+    return (
+        counts.join(F.broadcast(pieces.select("piece", "score")), "piece")
+        .crossJoin(F.broadcast(tu))
+        .select(
+            "piece",
+            F.col("n_uses").cast("long").alias("n_uses"),
+            F.round(
+                F.col("score").cast("double") / F.lit(float(ts)), 6
+            ).alias("p_old"),
+            F.round(
+                F.col("n_uses").cast("double") / F.col("t"), 6
+            ).alias("p_new"),
+        )
+        .orderBy(F.col("n_uses").desc(), F.col("piece").asc())
+    )
+
+
+def _uem_sql() -> str:
+    kmax = _USEED_KMAX
+    subs = ", ".join(
+        f"list_filter(list_transform(range(1, greatest(len(w) - {k - 1}, 1)"
+        f" + 1), i -> w[i:i+{k - 1}]), s -> len(s) = {k})"
+        for k in range(1, kmax + 1)
+    )
+    fwd_joins = "\n".join(
+        f"  LEFT JOIN pieces p{k} ON dp.i + 1 >= {k}"
+        f" AND p{k}.piece = substr(dp.w, dp.i + 1 - {k} + 1, {k})"
+        for k in range(1, kmax + 1)
+    )
+    fwd_cands = ", ".join(
+        f"coalesce(CASE WHEN dp.i + 1 >= {k}"
+        f" THEN dp.best[dp.i + 1 - {k} + 1] + p{k}.lq END, {_UEM_NEG})"
+        for k in range(1, kmax + 1)
+    )
+    bwd_joins = "\n".join(
+        f"  LEFT JOIN pieces q{k} ON walk.pos >= {k}"
+        f" AND q{k}.piece = substr(walk.w, walk.pos - {k} + 1, {k})"
+        for k in range(1, kmax + 1)
+    )
+    k_case = " ".join(
+        f"WHEN walk.pos >= {k} AND q{k}.lq IS NOT NULL"
+        f" AND walk.best[walk.pos - {k} + 1] + q{k}.lq"
+        f" = walk.best[walk.pos + 1] THEN {k}"
+        for k in range(1, kmax + 1)
+    )
+    kk = f"(CASE {k_case} END)"
+    return f"""
+WITH RECURSIVE vocab AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest({_TOKENS_SQL}) AS w FROM documents
+  ) WHERE w <> '' GROUP BY 1
+),
+allp AS (
+  SELECT w, freq, unnest(flatten([{subs}])) AS piece FROM vocab
+),
+scored AS (
+  SELECT piece, CAST(sum(freq) * len(piece) AS BIGINT) AS score
+  FROM allp GROUP BY 1
+),
+seedp AS (SELECT piece, score FROM scored WHERE len(piece) >= 2
+          ORDER BY score DESC, piece ASC LIMIT {_USEED_TOPK}),
+charp AS (SELECT piece, score FROM scored WHERE len(piece) = 1),
+pset AS (SELECT * FROM seedp UNION ALL SELECT * FROM charp),
+tots AS (SELECT CAST(sum(score) AS BIGINT) AS ts FROM pset),
+pieces AS MATERIALIZED (
+  SELECT piece, score,
+         CAST(floor(ln(CAST(score AS DOUBLE) / ts) * 1e9 + 0.5) AS BIGINT)
+           AS lq
+  FROM pset CROSS JOIN tots
+),
+dp(w, freq, i, best) AS (
+  SELECT w, freq, 0, [CAST(0 AS BIGINT)] FROM vocab
+  UNION ALL
+  SELECT dp.w, dp.freq, dp.i + 1,
+         list_append(dp.best, greatest({fwd_cands}))
+  FROM dp
+{fwd_joins}
+  WHERE dp.i < len(dp.w)
+),
+fin AS (SELECT w, freq, best FROM dp WHERE i = len(w)),
+walk(w, freq, best, pos, seg) AS (
+  SELECT w, freq, best, len(w), CAST([] AS VARCHAR[]) FROM fin
+  UNION ALL
+  SELECT walk.w, walk.freq, walk.best,
+         walk.pos - {kk},
+         list_append(walk.seg, substr(walk.w, walk.pos - {kk} + 1, {kk}))
+  FROM walk
+{bwd_joins}
+  WHERE walk.pos > 0
+),
+counts AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS n_uses
+  FROM (SELECT freq, unnest(seg) AS piece FROM walk WHERE pos = 0)
+  GROUP BY 1
+),
+tu AS (SELECT CAST(sum(n_uses) AS BIGINT) AS t FROM counts)
+SELECT c.piece, c.n_uses,
+       round(CAST(p.score AS DOUBLE) / tots.ts, 6) AS p_old,
+       round(CAST(c.n_uses AS DOUBLE) / tu.t, 6) AS p_new
+FROM counts c JOIN pieces p USING (piece)
+CROSS JOIN tots CROSS JOIN tu
+ORDER BY c.n_uses DESC, c.piece ASC
+"""
+
+
 def langid_confusion(spark, sf_dir):
     """Language-ID eval — confusion matrix + precision/recall/F1 of
     the stopword-heuristic classifier (:func:`doc_lang_id`) against
@@ -19562,6 +19782,7 @@ QUERIES = {
     "doc_perplexity_tiers_hist": doc_perplexity_tiers_hist,
     "community_louvain_levels": community_louvain_levels,
     "embedding_kcenter_two_level": embedding_kcenter_two_level,
+    "tokenizer_unigram_em": tokenizer_unigram_em,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -20060,6 +20281,7 @@ ORACLES = {
     "community_louvain_rounds": _louvain_rounds_sql(),
     "community_louvain_levels": _louvain_levels_sql(),
     "embedding_kcenter_two_level": _kcenter2_sql(),
+    "tokenizer_unigram_em": _uem_sql(),
     "events_cuped_adjustment": _CUPED_SQL,
     "events_did_estimate": _DID_SQL,
     "lineitem_skipping_probe": _SKIP_SQL,

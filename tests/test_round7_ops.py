@@ -434,3 +434,30 @@ def test_covering_radii_matches_bruteforce(spark):
     # prefix 1: max over pts of d to 0 -> 81; prefix 2: max of
     # min(d0, d9) -> point 4.0: min(16, 25) = 16
     assert radii == [81.0, 16.0]
+
+
+def test_unigram_em_conserves_characters(spark):
+    """Viterbi segmentation is a PARTITION of each word: the
+    frequency-weighted character mass of the segmentation output
+    must equal the corpus's weighted word-character mass exactly,
+    and the re-estimated probabilities must sum to 1."""
+    import pyspark.sql.functions as F
+
+    from graphem_rapids_spark.pipeline import text as T
+    from graphem_rapids_spark.queries import tokenizer_unigram_em
+
+    out = tokenizer_unigram_em(spark, SF).collect()
+    assert len(out) > 0
+    seg_chars = sum(r["n_uses"] * len(r["piece"]) for r in out)
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus_chars = (
+        d.select(F.explode(T.tokens_col("text")).alias("w"))
+        .agg(F.sum(F.length("w")))
+        .collect()[0][0]
+    )
+    assert seg_chars == corpus_chars
+    assert abs(sum(r["p_new"] for r in out) - 1.0) < 1e-3
+    # EM keeps at least one multi-char seed piece on this corpus and
+    # re-weights: some piece must gain probability mass
+    assert any(len(r["piece"]) > 1 for r in out)
+    assert any(r["p_new"] > r["p_old"] for r in out)
