@@ -16954,6 +16954,144 @@ ORDER BY c.n_uses DESC, c.piece ASC
 """
 
 
+_RAKE_TOPK = 20
+_RAKE_MAX_WORDS = 4
+
+
+def doc_keyword_rake(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus —
+    the classic unsupervised keyphrase scorer: candidate phrases are
+    maximal stopword-free token runs of at most _RAKE_MAX_WORDS
+    tokens (the standard max-words cap — longer runs are not
+    keyphrases); each word scores
+    degree/frequency over the phrase table (degree = Σ lengths of
+    phrases containing it, counting multiplicity); a phrase scores
+    the sum of its member word scores. The corpus collapses to the
+    phrase table in one doc-PARTITIONED window pass (run id =
+    running stopword count — never a global window); word stats and
+    phrase scores are two vocabulary-sized aggregates. Exactness:
+    word scores quantize to integer 1e6 fixed point via integer
+    division BEFORE the per-phrase sum, so every phrase score is an
+    exact integer and the top-20 cut (score desc, phrase asc) is a
+    deterministic TakeOrdered. Output: phrase, n_occurrences,
+    n_words, score."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(T.tokens_col("text")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    flagged = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.col("tok").isin(list(T.EN_STOPWORDS)).alias("is_stop"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = flagged.select(
+        "doc_id",
+        "pos",
+        "tok",
+        "is_stop",
+        F.sum(F.col("is_stop").cast("long")).over(w).alias("run"),
+    )
+    ph = (
+        runs.filter(~F.col("is_stop"))
+        .groupBy("doc_id", "run")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+    )
+    ph = ph.filter(F.col("plen") <= _RAKE_MAX_WORDS)
+    ws = (
+        ph.select("plen", F.explode(F.split("phrase", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+        .select("w", F.expr("deg * 1000000 div freq").alias("s6"))
+    )
+    dph = ph.groupBy("phrase").agg(
+        F.count("*").alias("n_occurrences"),
+        F.min("plen").alias("n_words"),
+    )
+    scored = (
+        dph.select(
+            "phrase",
+            "n_occurrences",
+            "n_words",
+            F.explode(F.split("phrase", " ")).alias("w"),
+        )
+        .join(F.broadcast(ws), "w")
+        .groupBy("phrase", "n_occurrences", "n_words")
+        .agg(F.sum("s6").alias("score6"))
+    )
+    return (
+        scored.orderBy(F.col("score6").desc(), F.col("phrase").asc())
+        .limit(_RAKE_TOPK)
+        .select(
+            "phrase",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(F.col("score6").cast("double") / 1e6, 6).alias("score"),
+        )
+    )
+
+
+_RAKE_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+p AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) + 1),
+                  i -> {{'pos': i, 'tok': toks[CAST(i AS INT)]}})) AS u
+    FROM t)
+  WHERE u.tok <> ''
+),
+f AS (SELECT doc_id, pos, tok, list_contains({_SW_LIST}, tok) AS is_stop
+      FROM p),
+r AS (
+  SELECT doc_id, pos, tok, is_stop,
+         sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS run
+  FROM f
+),
+ph AS (
+  SELECT doc_id, run, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM r WHERE NOT is_stop GROUP BY 1, 2
+),
+phc AS (SELECT * FROM ph WHERE plen <= {_RAKE_MAX_WORDS}),
+ws AS (
+  SELECT w, CAST(sum(plen) AS BIGINT) * 1000000 // count(*) AS s6
+  FROM (SELECT plen, unnest(string_split(phrase, ' ')) AS w FROM phc)
+  GROUP BY 1
+),
+dph AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(min(plen) AS BIGINT) AS n_words
+        FROM phc GROUP BY 1),
+sc AS (
+  SELECT d.phrase, d.n_occurrences, d.n_words,
+         CAST(sum(ws.s6) AS BIGINT) AS score6
+  FROM (SELECT phrase, n_occurrences, n_words,
+               unnest(string_split(phrase, ' ')) AS w FROM dph) d
+  JOIN ws USING (w)
+  GROUP BY 1, 2, 3
+)
+SELECT phrase, n_occurrences, n_words,
+       round(CAST(score6 AS DOUBLE) / 1e6, 6) AS score
+FROM sc ORDER BY score6 DESC, phrase ASC LIMIT {_RAKE_TOPK}
+"""
+
+
 def langid_confusion(spark, sf_dir):
     """Language-ID eval — confusion matrix + precision/recall/F1 of
     the stopword-heuristic classifier (:func:`doc_lang_id`) against
@@ -19783,6 +19921,7 @@ QUERIES = {
     "community_louvain_levels": community_louvain_levels,
     "embedding_kcenter_two_level": embedding_kcenter_two_level,
     "tokenizer_unigram_em": tokenizer_unigram_em,
+    "doc_keyword_rake": doc_keyword_rake,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -20282,6 +20421,7 @@ ORACLES = {
     "community_louvain_levels": _louvain_levels_sql(),
     "embedding_kcenter_two_level": _kcenter2_sql(),
     "tokenizer_unigram_em": _uem_sql(),
+    "doc_keyword_rake": _RAKE_SQL,
     "events_cuped_adjustment": _CUPED_SQL,
     "events_did_estimate": _DID_SQL,
     "lineitem_skipping_probe": _SKIP_SQL,

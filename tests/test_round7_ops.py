@@ -461,3 +461,24 @@ def test_unigram_em_conserves_characters(spark):
     # re-weights: some piece must gain probability mass
     assert any(len(r["piece"]) > 1 for r in out)
     assert any(r["p_new"] > r["p_old"] for r in out)
+
+
+def test_rake_properties(spark):
+    """RAKE invariants: phrases are stopword-free, at most 4 tokens,
+    scores positive and sorted, and a single-word phrase's score is
+    its word's degree/frequency ratio (>= its length >= 1)."""
+    from graphem_rapids_spark.pipeline.text import EN_STOPWORDS
+    from graphem_rapids_spark.queries import doc_keyword_rake
+
+    out = doc_keyword_rake(spark, SF).collect()
+    assert 0 < len(out) <= 20
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    for r in out:
+        words = r["phrase"].split(" ")
+        assert 1 <= r["n_words"] <= 4 and len(words) == r["n_words"]
+        assert not set(words) & set(EN_STOPWORDS)
+        assert r["score"] > 0 and r["n_occurrences"] >= 1
+        # RAKE: each member word's deg/freq >= word's own phrase
+        # length contribution -> phrase score >= n_words
+        assert r["score"] >= r["n_words"] - 1e-6
