@@ -16954,6 +16954,301 @@ ORDER BY c.n_uses DESC, c.piece ASC
 """
 
 
+def events_uplift_qini(spark, sf_dir):
+    """Uplift evaluation (Qini curve) of a targeting score — the
+    experimentation readout that closes the causal family: rank users
+    by a model score (here: pre-period spend, the standard
+    value-targeting proxy), walk the deciles, and report per decile
+    the incremental response per treated user and the cumulative Qini
+    value q(k) = R_t(k) − R_c(k)·N_t(k)/N_c(k) (Radcliffe 2007) —
+    positive and front-loaded means the score finds the persuadables.
+    Treatment/periods reuse the CUPED split (user parity; half-month
+    halves). Exactness: spends are integer cents; the decile is
+    assigned from EXACT strictly-above counts over the per-SCORE-value
+    table (least(9, 10·above div n) — the link_pred_auc
+    value-domain-bounded window, no global ntile over users); decile
+    cumulatives come from a 10×10 triangle join, and each Qini/uplift
+    value is one float expression over integer sums. Output per
+    decile: decile, n_treated, n_control, uplift, qini."""
+    e = _t(spark, sf_dir, "events")
+    b0 = e.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    pu = (
+        e.crossJoin(F.broadcast(b0))
+        .select(
+            "user_id",
+            (
+                F.datediff(F.col("ts").cast("date"), F.col("d0").cast("date"))
+                < _PSI_SPLIT_DAYS
+            ).alias("is_pre"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("is_pre"), F.col("c")).otherwise(0)).alias(
+                "pre"
+            ),
+            F.sum(F.when(~F.col("is_pre"), F.col("c")).otherwise(0)).alias(
+                "post"
+            ),
+        )
+        .select(
+            "pre", "post", (F.col("user_id") % 2 == 1).alias("treated")
+        )
+    )
+    n_users = pu.count()
+    per_v = pu.groupBy("pre").agg(F.count("*").alias("cnt"))
+    wv = Window.orderBy(F.col("pre").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # bounded (#distinct pre-cents values); materialize so the window
+    # runs exactly once rather than once per plan branch
+    above = per_v.select(
+        "pre", F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("above")
+    ).localCheckpoint(eager=True)
+    dec = pu.join(F.broadcast(above), "pre").select(
+        "treated",
+        "post",
+        F.least(
+            F.lit(9), F.expr(f"10 * above div {n_users}")
+        ).alias("decile"),
+    )
+    # 10 rows; both sides of the triangle join read it — materialize
+    # once or the whole user-aggregate + score-window lineage
+    # re-evaluates per side
+    per_d = dec.groupBy("decile").agg(
+        F.sum(F.col("treated").cast("long")).alias("nt"),
+        F.sum((~F.col("treated")).cast("long")).alias("nc"),
+        F.sum(F.when(F.col("treated"), F.col("post")).otherwise(0)).alias(
+            "st"
+        ),
+        F.sum(F.when(~F.col("treated"), F.col("post")).otherwise(0)).alias(
+            "sc"
+        ),
+    ).localCheckpoint(eager=True)
+    a = per_d.alias("a")
+    b = per_d.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(
+            F.col("a.decile").alias("decile"),
+            F.col("a.nt").alias("nt"),
+            F.col("a.nc").alias("nc"),
+            F.col("a.st").alias("st"),
+            F.col("a.sc").alias("sc"),
+        )
+        .agg(
+            F.sum("b.nt").alias("cnt"),
+            F.sum("b.nc").alias("cnc"),
+            F.sum("b.st").alias("cst"),
+            F.sum("b.sc").alias("csc"),
+        )
+    )
+    uplift = F.when(
+        (F.col("nt") > 0) & (F.col("nc") > 0),
+        F.round(
+            (
+                F.col("st").cast("double") / F.col("nt")
+                - F.col("sc").cast("double") / F.col("nc")
+            )
+            / 100.0,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    qini = F.when(
+        F.col("cnc") > 0,
+        F.round(
+            (
+                F.col("cst").cast("double")
+                - F.col("csc").cast("double")
+                * F.col("cnt").cast("double")
+                / F.col("cnc")
+            )
+            / 100.0,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return cum.select(
+        "decile",
+        F.col("nt").alias("n_treated"),
+        F.col("nc").alias("n_control"),
+        uplift.alias("uplift"),
+        qini.alias("qini"),
+    ).orderBy("decile")
+
+
+_QINI_SQL = f"""
+WITH b0 AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+pu AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN date_diff('day', CAST(b0.d0 AS DATE),
+                                      CAST(ts AS DATE)) < {_PSI_SPLIT_DAYS}
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS pre,
+         CAST(sum(CASE WHEN date_diff('day', CAST(b0.d0 AS DATE),
+                                      CAST(ts AS DATE)) >= {_PSI_SPLIT_DAYS}
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS post
+  FROM events CROSS JOIN b0 GROUP BY user_id
+),
+u AS (SELECT pre, post, user_id % 2 = 1 AS treated FROM pu),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+per_v AS (SELECT pre, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY 1),
+above AS (
+  SELECT pre,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY pre DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS above
+  FROM per_v
+),
+dec AS (
+  SELECT u.treated, u.post,
+         least(9, 10 * a.above // nn.n) AS decile
+  FROM u JOIN above a USING (pre) CROSS JOIN nn
+),
+per_d AS (
+  SELECT decile,
+         CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         CAST(sum(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT) AS nc,
+         CAST(sum(CASE WHEN treated THEN post ELSE 0 END) AS BIGINT) AS st,
+         CAST(sum(CASE WHEN treated THEN 0 ELSE post END) AS BIGINT) AS sc
+  FROM dec GROUP BY 1
+),
+cum AS (
+  SELECT a.decile, a.nt, a.nc, a.st, a.sc,
+         CAST(sum(b.nt) AS BIGINT) AS cnt, CAST(sum(b.nc) AS BIGINT) AS cnc,
+         CAST(sum(b.st) AS BIGINT) AS cst, CAST(sum(b.sc) AS BIGINT) AS csc
+  FROM per_d a JOIN per_d b ON b.decile <= a.decile
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT decile, nt AS n_treated, nc AS n_control,
+       CASE WHEN nt > 0 AND nc > 0
+            THEN round((CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc)
+                       / 100.0, 6)
+            ELSE 0.0 END AS uplift,
+       CASE WHEN cnc > 0
+            THEN round((CAST(cst AS DOUBLE)
+                        - CAST(csc AS DOUBLE) * CAST(cnt AS DOUBLE) / cnc)
+                       / 100.0, 6)
+            ELSE 0.0 END AS qini
+FROM cum ORDER BY decile
+"""
+
+
+_COND_TOPK = 15
+
+
+def graph_conductance_profile(spark, sf_dir):
+    """Per-community CONDUCTANCE profile of the LPA partition —
+    phi(c) = cut(c) / min(vol(c), 2m − vol(c)), the community-quality
+    metric modularity complements (modularity rewards density;
+    conductance exposes leaky boundaries — a community can score well
+    on one and badly on the other). Exact integer arithmetic: volume
+    = Σ degree, internal/cut edge counts from ONE edges⋈labels join,
+    and phi is one final division quantized by rounding (6 dp). The
+    profile reports the _COND_TOPK largest communities (size desc,
+    label asc — a TakeOrdered) with n_members, volume, cut,
+    internal edges and conductance. Shapes: the same two
+    vocab/edge-sized aggregates every community metric here pays —
+    no per-pair work. Output per community: label, n_members,
+    volume, n_internal, n_cut, conductance."""
+    from graphem_rapids_spark.analytics import label_propagation
+    from graphem_rapids_spark.graph.canon import symmetrize_edges
+
+    e = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    lab = label_propagation(e, max_rounds=_LPA_ROUNDS).localCheckpoint(
+        eager=True
+    )
+    m = e.count()
+    sym = symmetrize_edges(e)
+    deg = sym.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
+        "src", "id"
+    )
+    vol = (
+        deg.join(lab, "id")
+        .groupBy("label")
+        .agg(F.sum("d").alias("volume"), F.count("*").alias("n_members"))
+    )
+    la = lab.select(F.col("id").alias("src"), F.col("label").alias("_a"))
+    lb = lab.select(F.col("id").alias("dst"), F.col("label").alias("_b"))
+    tagged = e.join(la, "src").join(lb, "dst")
+    internal = (
+        tagged.filter(F.col("_a") == F.col("_b"))
+        .groupBy(F.col("_a").alias("label"))
+        .agg(F.count("*").alias("n_internal"))
+    )
+    cut = (
+        tagged.filter(F.col("_a") != F.col("_b"))
+        .select(F.explode(F.array("_a", "_b")).alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_cut"))
+    )
+    prof = (
+        vol.join(internal, "label", "left")
+        .join(cut, "label", "left")
+        .select(
+            "label",
+            "n_members",
+            F.col("volume").cast("long").alias("volume"),
+            F.coalesce("n_internal", F.lit(0)).cast("long").alias("n_internal"),
+            F.coalesce("n_cut", F.lit(0)).cast("long").alias("n_cut"),
+            F.when(
+                F.least(F.col("volume"), F.lit(2 * m) - F.col("volume")) > 0,
+                F.round(
+                    F.coalesce("n_cut", F.lit(0)).cast("double")
+                    / F.least(
+                        F.col("volume"), F.lit(2 * m) - F.col("volume")
+                    ).cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("conductance"),
+        )
+    )
+    return prof.orderBy(
+        F.col("n_members").desc(), F.col("label").asc()
+    ).limit(_COND_TOPK)
+
+
+def _conductance_sql(lpa_rounds: int = _LPA_ROUNDS) -> str:
+    return (
+        _lpa_cte(lpa_rounds)
+        + f"""
+, lab AS (SELECT id, label FROM lab{lpa_rounds})
+, mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ge)
+, deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1)
+, vol AS (
+  SELECT l.label, CAST(sum(deg.d) AS BIGINT) AS volume,
+         CAST(count(*) AS BIGINT) AS n_members
+  FROM deg JOIN lab l USING (id) GROUP BY 1
+)
+, tagged AS (
+  SELECT la.label AS _a, lb.label AS _b
+  FROM ge JOIN lab la ON ge.src = la.id JOIN lab lb ON ge.dst = lb.id
+)
+, internal AS (
+  SELECT _a AS label, CAST(count(*) AS BIGINT) AS n_internal
+  FROM tagged WHERE _a = _b GROUP BY 1
+)
+, cut AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_cut
+  FROM (SELECT unnest([_a, _b]) AS label FROM tagged WHERE _a <> _b)
+  GROUP BY 1
+)
+SELECT v.label, v.n_members, v.volume,
+       coalesce(i.n_internal, 0) AS n_internal,
+       coalesce(c.n_cut, 0) AS n_cut,
+       CASE WHEN least(v.volume, 2 * mm.m - v.volume) > 0
+            THEN round(CAST(coalesce(c.n_cut, 0) AS DOUBLE)
+                       / least(v.volume, 2 * mm.m - v.volume), 6)
+            ELSE 0.0 END AS conductance
+FROM vol v LEFT JOIN internal i USING (label) LEFT JOIN cut c USING (label)
+CROSS JOIN mm
+ORDER BY v.n_members DESC, v.label ASC LIMIT {_COND_TOPK}
+"""
+    )
+
+
 _RAKE_TOPK = 20
 _RAKE_MAX_WORDS = 4
 
@@ -19922,6 +20217,8 @@ QUERIES = {
     "embedding_kcenter_two_level": embedding_kcenter_two_level,
     "tokenizer_unigram_em": tokenizer_unigram_em,
     "doc_keyword_rake": doc_keyword_rake,
+    "graph_conductance_profile": graph_conductance_profile,
+    "events_uplift_qini": events_uplift_qini,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -20422,6 +20719,8 @@ ORACLES = {
     "embedding_kcenter_two_level": _kcenter2_sql(),
     "tokenizer_unigram_em": _uem_sql(),
     "doc_keyword_rake": _RAKE_SQL,
+    "graph_conductance_profile": _conductance_sql(),
+    "events_uplift_qini": _QINI_SQL,
     "events_cuped_adjustment": _CUPED_SQL,
     "events_did_estimate": _DID_SQL,
     "lineitem_skipping_probe": _SKIP_SQL,

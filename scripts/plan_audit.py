@@ -62,10 +62,29 @@ def _bracket_groups(args: str) -> list[str]:
 
 
 def parse_plan(plan: str) -> dict:
+    # AQE status-store descriptions print the FINAL plan tree, then an
+    # "== Initial Plan ==" copy of the pre-AQE tree, then ONE detail
+    # block per node id of EITHER tree — counting every detail block
+    # double-counts the traced executions. Restrict counting to node
+    # ids that appear in the final tree section.
+    final_ids: set[str] | None = None
+    if "== Initial Plan ==" in plan:
+        tree = plan.split("== Initial Plan ==", 1)[0]
+        final_ids = set(re.findall(r"\((\d+)\)", tree))
+
+    def n_ops(op_pattern: str) -> int:
+        return sum(
+            1
+            for m in re.finditer(r"\((\d+)\) " + op_pattern, plan)
+            if final_ids is None or m.group(1) in final_ids
+        )
+
     scans = []
     # formatted mode = numbered tree + per-operator detail blocks; count
     # the numbered detail headers so tree lines don't double-count
-    for m in re.finditer(r"\(\d+\) Scan parquet[^\n]*\n((?:[^\n]+\n)*)", plan):
+    for m in re.finditer(r"\((\d+)\) Scan parquet[^\n]*\n((?:[^\n]+\n)*)", plan):
+        if final_ids is not None and m.group(1) not in final_ids:
+            continue
         block = m.group(0)
         pushed = re.search(r"PushedFilters: \[([^\]]*)\]", block)
         schema = re.search(r"ReadSchema: struct<([^>]*)>", block)
@@ -89,9 +108,12 @@ def parse_plan(plan: str) -> dict:
     global_windows = 0
     bounded_windows = 0
     for m in re.finditer(
-        r"\(\d+\) (Window[A-Za-z]*)[^\n]*\n(?:[^\n]+\n)*?Arguments: ([^\n]*)", plan
+        r"\((\d+)\) (Window[A-Za-z]*)[^\n]*\n(?:[^\n]+\n)*?Arguments: ([^\n]*)",
+        plan,
     ):
-        op, args = m.group(1), m.group(2)
+        if final_ids is not None and m.group(1) not in final_ids:
+            continue
+        op, args = m.group(2), m.group(3)
         groups = _bracket_groups(args)
         if op == "WindowGroupLimit":
             is_global = bool(groups) and groups[0].strip() == ""
@@ -111,9 +133,9 @@ def parse_plan(plan: str) -> dict:
             else:
                 global_windows += 1
     return {
-        "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
-        "broadcast_joins": len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)),
-        "sortmerge_joins": len(re.findall(r"\(\d+\) SortMergeJoin", plan)),
+        "exchanges": n_ops("Exchange"),
+        "broadcast_joins": n_ops("BroadcastHashJoin"),
+        "sortmerge_joins": n_ops("SortMergeJoin"),
         "codegen_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
         "global_windows": global_windows,
         "bounded_windows": bounded_windows,
@@ -170,6 +192,10 @@ ALLOWED_BOUNDED_WINDOWS: dict[str, tuple[int, str]] = {
     "link_pred_auc": (
         1,
         "cum negatives over per-score aggregates (#distinct scores rows)",
+    ),
+    "events_uplift_qini": (
+        1,
+        "strictly-above counts over per-SCORE-value aggregates (#distinct pre-period cents rows — value-domain-bounded)",
     ),
     # Kaplan–Meier at-risk prefix + ln-factor cumsum, both over the
     # per-distinct-duration aggregate (≤ calendar-span days rows)

