@@ -14185,6 +14185,188 @@ ORDER BY source
 """
 
 
+_OP_BETA_MULT = 2  # penalty = _OP_BETA_MULT * ln(T) * sigma^2-hat
+
+
+def events_changepoint_opt(spark, sf_dir):
+    """Multiple-changepoint detection by exact Optimal Partitioning
+    (Jackson et al. 2005 — the DP that PELT prunes; at a
+    calendar-bounded grid the prune is a constant factor, so the
+    exact O(T²) recursion is the honest choice and the PELT
+    inequality is documented, not hand-waved): segment the daily
+    event-count series minimizing Σ per-segment L2 cost + β per
+    changepoint, β = 2·ln(T)·σ̂² (the SIC-style default). The
+    MULTI-change complement of :func:`events_cusum_changepoint`
+    (CUSUM locates one level shift; OP finds the whole segmentation).
+
+    Exactness ladder: the stream collapses to the zero-filled daily
+    grid (the only 100 TB stage); prefix sums S1/S2 are exact
+    integers, each segment cost quantizes by pure integer division
+    cost6(s,t) = (S2Δ·l − S1Δ²)·1e6 div l (driver side uses Python
+    bignums; the oracle uses HUGEINT), β quantizes from one identical
+    double, and the DP (ties → smallest split) is replayed bit-equal
+    by a DuckDB RECURSIVE CTE carrying the F/backpointer LISTs.
+    Output per segment: seg_id, start_day, end_day, n_days,
+    seg_mean."""
+    from graphem_rapids_spark.pipeline import timeseries as TS
+
+    e = _t(spark, sf_dir, "events")
+    ys = [
+        int(r["y"])
+        for r in TS.dense_counts(e, grain="day").orderBy("i").collect()
+    ]  # calendar-bounded
+    n = len(ys)
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "seg_id long, start_day long, end_day long, n_days long,"
+            " seg_mean double",
+        )
+    s1 = [0] * (n + 1)
+    s2 = [0] * (n + 1)
+    for i, y in enumerate(ys):
+        s1[i + 1] = s1[i] + y
+        s2[i + 1] = s2[i] + y * y
+    var_hat = (s2[n] * n - s1[n] * s1[n]) / (n * n)  # population sigma^2
+    beta6 = math.floor(_OP_BETA_MULT * math.log(n) * var_hat * 1e6 + 0.5)
+
+    def cost6(s: int, t: int) -> int:
+        l = t - s
+        a = s1[t] - s1[s]
+        q = s2[t] - s2[s]
+        return (q * l - a * a) * 1_000_000 // l
+
+    f = [0] * (n + 1)
+    bp = [0] * (n + 1)
+    for tt in range(1, n + 1):
+        best, arg = None, 0
+        for ss in range(tt):
+            v = f[ss] + cost6(ss, tt) + beta6
+            if best is None or v < best:
+                best, arg = v, ss
+        f[tt] = best
+        bp[tt] = arg
+    segs = []
+    pos = n
+    while pos > 0:
+        st = bp[pos]
+        segs.append((st, pos))
+        pos = st
+    segs.reverse()
+    rows = [
+        (
+            i + 1,
+            st,
+            en - 1,
+            en - st,
+            round((s1[en] - s1[st]) / (en - st), 6),
+        )
+        for i, (st, en) in enumerate(segs)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "seg_id long, start_day long, end_day long, n_days long,"
+        " seg_mean double",
+    )
+
+
+_OP_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT date_trunc('day', ts) AS d, count(*) AS y FROM events GROUP BY 1
+),
+b AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+grid AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM b
+),
+ys AS (
+  SELECT CAST((epoch(g.d) - epoch(b.d0)) / 86400 AS BIGINT) AS i,
+         CAST(coalesce(daily.y, 0) AS BIGINT) AS y
+  FROM grid g CROSS JOIN b LEFT JOIN daily ON daily.d = g.d
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ys),
+cumq AS (
+  -- cumulative sums over the calendar-bounded grid (bounded window)
+  SELECT i,
+         CAST(sum(y) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+              AS HUGEINT) AS c1,
+         CAST(sum(y * y) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+              AS HUGEINT) AS c2
+  FROM ys
+),
+pf AS (
+  -- prefix-sum LISTs s1[0..n], s2[0..n] (1-indexed: s1[k+1] = sum of
+  -- the first k days)
+  SELECT list_prepend(CAST(0 AS HUGEINT), list(c1 ORDER BY i)) AS s1,
+         list_prepend(CAST(0 AS HUGEINT), list(c2 ORDER BY i)) AS s2,
+         any_value(nn.n) AS n
+  FROM cumq CROSS JOIN nn
+),
+bt AS (
+  SELECT CAST(floor({_OP_BETA_MULT} * ln(CAST(n AS DOUBLE))
+              * (CAST(s2[CAST(n AS INT) + 1] * n
+                      - s1[CAST(n AS INT) + 1] * s1[CAST(n AS INT) + 1]
+                      AS DOUBLE) / n / n)
+              * 1e6 + 0.5) AS HUGEINT) AS beta6,
+         s1, s2, n
+  FROM pf
+),
+dp(t, f, bp) AS (
+  SELECT 0, [CAST(0 AS HUGEINT)], [CAST(0 AS BIGINT)] FROM bt
+  UNION ALL
+  SELECT dp.t + 1,
+         list_append(dp.f, list_min(list_transform(range(0, dp.t + 1),
+           s -> dp.f[CAST(s AS INT) + 1]
+                + ((bt.s2[dp.t + 2] - bt.s2[CAST(s AS INT) + 1])
+                     * (dp.t + 1 - s)
+                   - (bt.s1[dp.t + 2] - bt.s1[CAST(s AS INT) + 1])
+                     * (bt.s1[dp.t + 2] - bt.s1[CAST(s AS INT) + 1]))
+                  * 1000000 // (dp.t + 1 - s)
+                + bt.beta6))),
+         list_append(dp.bp, CAST(list_position(
+           list_transform(range(0, dp.t + 1),
+             s -> dp.f[CAST(s AS INT) + 1]
+                  + ((bt.s2[dp.t + 2] - bt.s2[CAST(s AS INT) + 1])
+                       * (dp.t + 1 - s)
+                     - (bt.s1[dp.t + 2] - bt.s1[CAST(s AS INT) + 1])
+                       * (bt.s1[dp.t + 2] - bt.s1[CAST(s AS INT) + 1]))
+                    * 1000000 // (dp.t + 1 - s)
+                  + bt.beta6),
+           list_min(list_transform(range(0, dp.t + 1),
+             s -> dp.f[CAST(s AS INT) + 1]
+                  + ((bt.s2[dp.t + 2] - bt.s2[CAST(s AS INT) + 1])
+                       * (dp.t + 1 - s)
+                     - (bt.s1[dp.t + 2] - bt.s1[CAST(s AS INT) + 1])
+                       * (bt.s1[dp.t + 2] - bt.s1[CAST(s AS INT) + 1]))
+                    * 1000000 // (dp.t + 1 - s)
+                  + bt.beta6))) - 1 AS BIGINT))
+  FROM dp CROSS JOIN bt WHERE dp.t < bt.n
+),
+fin AS (SELECT bp FROM dp CROSS JOIN bt WHERE dp.t = bt.n),
+walk(pos, segs) AS (
+  SELECT CAST(n AS BIGINT), CAST([] AS BIGINT[][]) FROM bt
+  UNION ALL
+  SELECT fin.bp[CAST(walk.pos AS INT) + 1],
+         list_prepend([fin.bp[CAST(walk.pos AS INT) + 1], walk.pos],
+                      walk.segs)
+  FROM walk CROSS JOIN fin WHERE walk.pos > 0
+),
+segs AS (
+  SELECT unnest(segs) AS se,
+         generate_subscripts(segs, 1) AS seg_id
+  FROM walk WHERE pos = 0
+)
+SELECT CAST(seg_id AS BIGINT) AS seg_id,
+       se[1] AS start_day,
+       se[2] - 1 AS end_day,
+       se[2] - se[1] AS n_days,
+       round(CAST(bt.s1[CAST(se[2] AS INT) + 1]
+                  - bt.s1[CAST(se[1] AS INT) + 1] AS DOUBLE)
+             / (se[2] - se[1]), 6) AS seg_mean
+FROM segs CROSS JOIN bt
+ORDER BY seg_id
+"""
+
+
 def events_cusum_changepoint(spark, sf_dir):
     """CUSUM changepoint detection per event type — the day where the
     cumulative deviation of daily value totals from the series mean
@@ -20219,6 +20401,7 @@ QUERIES = {
     "doc_keyword_rake": doc_keyword_rake,
     "graph_conductance_profile": graph_conductance_profile,
     "events_uplift_qini": events_uplift_qini,
+    "events_changepoint_opt": events_changepoint_opt,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -20721,6 +20904,7 @@ ORACLES = {
     "doc_keyword_rake": _RAKE_SQL,
     "graph_conductance_profile": _conductance_sql(),
     "events_uplift_qini": _QINI_SQL,
+    "events_changepoint_opt": _OP_SQL,
     "events_cuped_adjustment": _CUPED_SQL,
     "events_did_estimate": _DID_SQL,
     "lineitem_skipping_probe": _SKIP_SQL,

@@ -521,3 +521,36 @@ def test_uplift_qini_invariants(spark):
     # from the per-decile sums the query itself reports via uplift
     last = rows[-1]
     assert isinstance(last["qini"], float)
+
+
+def test_changepoint_opt_finds_level_shifts(spark):
+    """OP segmentation on a constructed 3-level series: rates
+    5 -> 40 -> 10 over 10-day blocks must come back as exactly 3
+    segments with the right boundaries and means."""
+    import datetime as dt
+
+    import graphem_rapids_spark.queries as Q
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    rates = [5] * 10 + [40] * 10 + [10] * 10
+    for d, rate in enumerate(rates):
+        for _ in range(rate):
+            rows.append((eid, base + dt.timedelta(days=d)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    orig = Q._t
+    try:
+        Q._t = lambda spark_, sf, name: df  # the query reads only events
+        segs = Q.events_changepoint_opt(spark, "unused").collect()
+    finally:
+        Q._t = orig
+    assert [(r["start_day"], r["end_day"]) for r in segs] == [
+        (0, 9),
+        (10, 19),
+        (20, 29),
+    ]
+    means = [r["seg_mean"] for r in segs]
+    assert means == [5.0, 40.0, 10.0]
+    assert [r["seg_id"] for r in segs] == [1, 2, 3]
