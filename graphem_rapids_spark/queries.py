@@ -19980,6 +19980,19 @@ def events_markov_stationary(spark, sf_dir):
     replays every iteration bit-equal, and pi/1e6 has exactly 6
     decimals (rounding is the identity on both engines). Output per
     type: event_type, n_out (outgoing transitions), pi."""
+    types, r_out, cells, pi = _markov_pi(spark, sf_dir)
+    out = [
+        (types[j], r_out[j], round(pi[j] / 1e6, 6))
+        for j in range(len(types))
+    ]
+    return spark.createDataFrame(out, "event_type string, n_out long, pi double")
+
+
+def _markov_pi(spark, sf_dir):
+    """(types, r_out, cells, pi) — the shared bounded-collect Markov
+    machinery: transition counts, per-row totals, and the 1e6
+    fixed-point stationary vector after _MARKOV_ITERS exact integer
+    power steps (see events_markov_stationary)."""
     rows = events_transition_topk(spark, sf_dir).collect()  # <= #types^2
     types = sorted({r["from_type"] for r in rows} | {r["to_type"] for r in rows})
     idx = {t: i for i, t in enumerate(types)}
@@ -19997,10 +20010,35 @@ def events_markov_stationary(spark, sf_dir):
         for (i, j), q in q6.items():
             acc[j] += pi[i] * q
         pi = [v // 10**6 for v in acc]
-    out = [
-        (types[j], r_out[j], round(pi[j] / 1e6, 6)) for j in range(n)
-    ]
-    return spark.createDataFrame(out, "event_type string, n_out long, pi double")
+    return types, r_out, cells, pi
+
+
+def events_markov_entropy(spark, sf_dir):
+    """Entropy RATE of the user-behavior Markov chain — H =
+    −Σ_i π_i Σ_j P_ij ln P_ij (nats/step), the predictability summary
+    on top of :func:`events_markov_stationary` (π near-uniform with
+    high H = wandering users; low H = deterministic funnels), plus
+    the ln(n) ceiling and the efficiency ratio. Exactness: π is the
+    exact fixed-point vector the stationary query computes; each
+    cell's term (π_i/1e6)·(c_ij/r_i)·ln(r_i/c_ij) is ONE identical
+    float expression over exact integers, quantized to a 1e9
+    fixed-point integer BEFORE the cross-cell sum (no float summation
+    order — the Σ_v discipline). Bounded: #types² cells. Output:
+    n_types, entropy_rate, max_entropy, efficiency."""
+    types, r_out, cells, pi = _markov_pi(spark, sf_dir)
+    n = len(types)
+    tot9 = 0
+    for (i, j), c in sorted(cells.items()):
+        if c > 0 and r_out[i] > 0:
+            x = (pi[i] / 1e6) * (c / r_out[i]) * math.log(r_out[i] / c)
+            tot9 += math.floor(x * 1e9 + 0.5)
+    h = tot9 / 1e9
+    hmax = math.log(n) if n > 1 else 1.0
+    return spark.createDataFrame(
+        [(n, round(h, 6), round(hmax, 6), round(h / hmax, 6))],
+        "n_types long, entropy_rate double, max_entropy double,"
+        " efficiency double",
+    )
 
 
 _MARKOV_SQL = f"""
@@ -20050,6 +20088,73 @@ SELECT ty.tname AS event_type,
        round(CAST(rec.pi[CAST(ty.ix AS INT) + 1] AS DOUBLE) / 1e6, 6) AS pi
 FROM ty LEFT JOIN ro ON ro.i = ty.ix CROSS JOIN rec
 ORDER BY event_type
+"""
+
+
+_ENTROPY_SQL = f"""
+WITH t AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events
+),
+tr AS (
+  SELECT event_type AS ft, next_type AS tt, count(*) AS c
+  FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+ty AS (
+  SELECT tname, row_number() OVER (ORDER BY tname) - 1 AS ix
+  FROM (SELECT ft AS tname FROM tr UNION SELECT tt FROM tr)
+),
+nt AS (SELECT count(*) AS n FROM ty),
+ro AS (
+  SELECT ty.ix AS i, CAST(sum(tr.c) AS BIGINT) AS r
+  FROM tr JOIN ty ON tr.ft = ty.tname GROUP BY 1
+),
+q AS (
+  SELECT a.ix AS i, b.ix AS j, CAST(tr.c AS BIGINT) * 1000000 // ro.r AS q6
+  FROM tr JOIN ty a ON tr.ft = a.tname
+          JOIN ty b ON tr.tt = b.tname
+          JOIN ro ON ro.i = a.ix
+),
+rec AS (
+  WITH RECURSIVE p(it, pi) AS (
+    SELECT 0,
+           (SELECT list(CAST({_MARKOV_P0} // (SELECT n FROM nt) AS BIGINT))
+            FROM ty)
+    UNION ALL
+    SELECT p.it + 1,
+           (SELECT list(v ORDER BY j) FROM (
+              SELECT ty.ix AS j,
+                     CAST(coalesce(sum(p.pi[CAST(q.i AS INT) + 1] * q.q6), 0)
+                          // 1000000 AS BIGINT) AS v
+              FROM ty LEFT JOIN q ON q.j = ty.ix GROUP BY 1))
+    FROM p WHERE p.it < {_MARKOV_ITERS}
+  )
+  SELECT pi FROM p WHERE it = {_MARKOV_ITERS}
+)
+, terms AS (
+  SELECT q.i, q.j,
+         CAST(floor((CAST(rec.pi[CAST(q.i AS INT) + 1] AS DOUBLE) / 1e6)
+                    * (CAST(tr2.c AS DOUBLE) / ro.r)
+                    * ln(CAST(ro.r AS DOUBLE) / tr2.c) * 1e9 + 0.5)
+              AS BIGINT) AS t9
+  FROM q
+  JOIN ty a ON a.ix = q.i JOIN ty b ON b.ix = q.j
+  JOIN tr tr2 ON tr2.ft = a.tname AND tr2.tt = b.tname
+  JOIN ro ON ro.i = q.i
+  CROSS JOIN rec
+  WHERE tr2.c > 0
+)
+SELECT CAST(nt.n AS BIGINT) AS n_types,
+       round(CAST((SELECT sum(t9) FROM terms) AS DOUBLE) / 1e9, 6)
+         AS entropy_rate,
+       round(CASE WHEN nt.n > 1 THEN ln(CAST(nt.n AS DOUBLE))
+                  ELSE 1.0 END, 6) AS max_entropy,
+       round((CAST((SELECT sum(t9) FROM terms) AS DOUBLE) / 1e9)
+             / (CASE WHEN nt.n > 1 THEN ln(CAST(nt.n AS DOUBLE))
+                     ELSE 1.0 END), 6) AS efficiency
+FROM nt
 """
 
 
@@ -20402,6 +20507,7 @@ QUERIES = {
     "graph_conductance_profile": graph_conductance_profile,
     "events_uplift_qini": events_uplift_qini,
     "events_changepoint_opt": events_changepoint_opt,
+    "events_markov_entropy": events_markov_entropy,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -20905,6 +21011,7 @@ ORACLES = {
     "graph_conductance_profile": _conductance_sql(),
     "events_uplift_qini": _QINI_SQL,
     "events_changepoint_opt": _OP_SQL,
+    "events_markov_entropy": _ENTROPY_SQL,
     "events_cuped_adjustment": _CUPED_SQL,
     "events_did_estimate": _DID_SQL,
     "lineitem_skipping_probe": _SKIP_SQL,
