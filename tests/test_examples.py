@@ -74,3 +74,16 @@ def test_eval_and_drift_example():
     assert "A/B readout: naive=" in stdout
     assert "k-anonymity: min class" in stdout
     assert "skipping[date_clustered]:" in stdout
+
+
+def test_forecasting_and_structure_example():
+    stdout = _run(
+        "examples/forecasting_and_structure.py", "/root/testdata/sf0.001"
+    )
+    assert "hourly ACF:" in stdout
+    assert "Holt-Winters next-7-day forecasts:" in stdout
+    assert "Kaplan-Meier: survival at the median gap" in stdout
+    assert "optimal-partitioning segments:" in stdout
+    assert "Louvain Q trajectory" in stdout
+    assert "two-level k-center" in stdout
+    assert "CCNet tiers per lang (histogram mode):" in stdout
