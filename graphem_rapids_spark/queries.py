@@ -17316,6 +17316,144 @@ FROM cum ORDER BY decile
 """
 
 
+_TR_ITERS = 12
+_TR_TOPK = 20
+_TR_D = 0.85
+
+
+def doc_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — the
+    graph-ranking complement of :func:`doc_keyword_rake`: build the
+    word co-occurrence graph (adjacent non-stopword tokens after
+    stopword filtering, window 2, undirected, weight = co-occurrence
+    count) and rank words by weighted PageRank (d = 0.85, 12
+    iterations). Demonstrates the engine's graph and text families
+    composing: the co-occurrence build is the RAKE doc-partitioned
+    pass, the iteration is the PageRank one-small-shuffle-per-round
+    loop over the VOCABULARY-sized word graph (never the corpus).
+    Floats: each iteration is sums of identical doubles rounded at
+    1e-9 far above accumulated ulp error (the _pagerank_sql
+    discipline). Output: word, n_neighbors, score (top-20 by score
+    desc, word asc)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(T.tokens_col("text")).alias("pos", "tok")
+    ).filter(
+        (F.col("tok") != "") & ~F.col("tok").isin(list(T.EN_STOPWORDS))
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select(
+            F.col("tok").alias("a"), F.lead("tok").over(wd).alias("b")
+        )
+        .filter(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .select(
+            F.least("a", "b").alias("w1"), F.greatest("a", "b").alias("w2")
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("wgt"))
+    )
+    sym = pairs.select(
+        F.col("w1").alias("w"), F.col("w2").alias("nb"), "wgt"
+    ).unionAll(
+        pairs.select(
+            F.col("w2").alias("w"), F.col("w1").alias("nb"), "wgt"
+        )
+    ).localCheckpoint(eager=True)
+    wsum = sym.groupBy("w").agg(
+        F.sum("wgt").alias("ws"), F.count("*").alias("n_neighbors")
+    ).localCheckpoint(eager=True)
+    n = wsum.count()
+    v = wsum.select("w", (F.lit(1.0) / F.lit(float(n))).alias("v"))
+    teleport = (1.0 - _TR_D) / n
+    for _ in range(_TR_ITERS):
+        msg = (
+            sym.join(wsum.select("w", "ws"), "w")
+            .join(v, "w")
+            .select(
+                F.col("nb").alias("w"),
+                (F.col("wgt") / F.col("ws") * F.col("v")).alias("m"),
+            )
+            .groupBy("w")
+            .agg(F.sum("m").alias("s"))
+        )
+        v = (
+            wsum.select("w")
+            .join(msg, "w", "left")
+            .select(
+                "w",
+                (
+                    F.lit(teleport)
+                    + F.lit(_TR_D) * F.coalesce("s", F.lit(0.0))
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        v.join(wsum.select("w", "n_neighbors"), "w")
+        .select(
+            F.col("w").alias("word"),
+            F.col("n_neighbors").cast("long").alias("n_neighbors"),
+            F.round("v", 9).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("word").asc())
+        .limit(_TR_TOPK)
+    )
+
+
+def _textrank_sql(iters: int = _TR_ITERS) -> str:
+    parts = [
+        f"""
+WITH toks AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk) + 1),
+                  i -> {{'pos': i, 'tok': tk[CAST(i AS INT)]}})) AS u
+    FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents))
+  WHERE u.tok <> '' AND NOT list_contains({_SW_LIST}, u.tok)
+),
+adj AS (
+  SELECT tok AS a,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM toks
+),
+pairs AS (
+  SELECT least(a, b) AS w1, greatest(a, b) AS w2,
+         CAST(count(*) AS BIGINT) AS wgt
+  FROM adj WHERE b IS NOT NULL AND a <> b GROUP BY 1, 2
+),
+sym AS MATERIALIZED (
+  SELECT w1 AS w, w2 AS nb, wgt FROM pairs
+  UNION ALL SELECT w2 AS w, w1 AS nb, wgt FROM pairs
+),
+ws AS (SELECT w, CAST(sum(wgt) AS BIGINT) AS ws,
+              CAST(count(*) AS BIGINT) AS n_neighbors
+       FROM sym GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM ws),
+v0 AS (SELECT w, 1.0 / (SELECT n FROM nn) AS v FROM ws)"""
+    ]
+    tp = f"({repr(1.0 - _TR_D)} / CAST((SELECT n FROM nn) AS DOUBLE))"
+    for i in range(iters):
+        parts.append(
+            f""", v{i + 1} AS (
+  SELECT ws.w,
+         {tp} + {_TR_D} * coalesce(t.s, 0) AS v
+  FROM ws LEFT JOIN (
+    SELECT sym.nb AS w, sum(CAST(sym.wgt AS DOUBLE) / w2.ws * p.v) AS s
+    FROM sym JOIN ws w2 ON w2.w = sym.w JOIN v{i} p ON p.w = sym.w
+    GROUP BY sym.nb
+  ) t ON t.w = ws.w
+)"""
+        )
+    parts.append(
+        f"""SELECT v{iters}.w AS word, ws.n_neighbors,
+       round(v{iters}.v, 9) AS score
+FROM v{iters} JOIN ws ON ws.w = v{iters}.w
+ORDER BY score DESC, word ASC LIMIT {_TR_TOPK}"""
+    )
+    return "\n".join(parts)
+
+
 _COND_TOPK = 15
 
 
@@ -20508,6 +20646,7 @@ QUERIES = {
     "events_uplift_qini": events_uplift_qini,
     "events_changepoint_opt": events_changepoint_opt,
     "events_markov_entropy": events_markov_entropy,
+    "doc_textrank_keywords": doc_textrank_keywords,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -21012,6 +21151,7 @@ ORACLES = {
     "events_uplift_qini": _QINI_SQL,
     "events_changepoint_opt": _OP_SQL,
     "events_markov_entropy": _ENTROPY_SQL,
+    "doc_textrank_keywords": _textrank_sql(),
     "events_cuped_adjustment": _CUPED_SQL,
     "events_did_estimate": _DID_SQL,
     "lineitem_skipping_probe": _SKIP_SQL,

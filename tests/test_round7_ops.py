@@ -554,3 +554,20 @@ def test_changepoint_opt_finds_level_shifts(spark):
     means = [r["seg_mean"] for r in segs]
     assert means == [5.0, 40.0, 10.0]
     assert [r["seg_id"] for r in segs] == [1, 2, 3]
+
+
+def test_textrank_properties(spark):
+    """TextRank: probability-like mass (scores positive, full-graph
+    sum near 1 — top-20 is a subset so <= 1), stopwords excluded,
+    scores sorted."""
+    from graphem_rapids_spark.pipeline.text import EN_STOPWORDS
+    from graphem_rapids_spark.queries import doc_textrank_keywords
+
+    out = doc_textrank_keywords(spark, SF).collect()
+    assert 0 < len(out) <= 20
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    assert sum(scores) <= 1.0 + 1e-6
+    assert not {r["word"] for r in out} & set(EN_STOPWORDS)
+    assert all(r["n_neighbors"] >= 1 for r in out)
