@@ -17316,7 +17316,118 @@ FROM cum ORDER BY decile
 """
 
 
+_SKM_GAP_MS = 1_800_000  # 30-min session gap (the sessionize contract)
+
+
+def events_session_km(spark, sf_dir):
+    """Kaplan-Meier survival of SESSION DURATION (minutes) — how long
+    do sessions live before ending, with honest right-censoring of
+    sessions still open at the stream's edge (any session whose last
+    event is within one gap of the dataset max would have kept
+    going): the engagement curve a product team reads next to
+    :func:`events_sessionize`'s counts. Demonstrates the
+    :func:`pipeline.timeseries.kaplan_meier` library on a second
+    observation shape (customer_survival_km is the first). Durations
+    quantize to whole minutes so the distinct-duration table stays
+    value-domain-bounded. Output per duration: dur (minutes), n_risk,
+    n_events, survival."""
+    from graphem_rapids_spark.pipeline import timeseries as TS
+
+    e = _events(spark, sf_dir)  # ts normalized to long nanoseconds
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("ts div 1000000"), "event_id"
+    )
+    ms = F.expr("ts div 1000000")
+    marks = e.select(
+        "user_id",
+        "event_id",
+        ms.alias("ms"),
+        (
+            F.coalesce(
+                (ms - F.lag(ms).over(w)) > _SKM_GAP_MS, F.lit(True)
+            ).cast("long")
+        ).alias("new_s"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = marks.select(
+        "user_id", "ms", F.sum("new_s").over(w2).alias("sid")
+    )
+    mx = e.agg(F.expr("max(ts div 1000000)").alias("mxms"))
+    obs = (
+        sess.groupBy("user_id", "sid")
+        .agg(F.min("ms").alias("t0"), F.max("ms").alias("t1"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("(t1 - t0) div 60000").alias("dur"),
+            (
+                (F.col("mxms") - F.col("t1")) > _SKM_GAP_MS
+            ).cast("long").alias("ev"),
+        )
+    )
+    return TS.kaplan_meier(obs, dur_col="dur", event_col="ev")
+
+
+_SKM_SQL = f"""
+WITH l AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_ms(ts), event_id) AS prev
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, ms,
+         CASE WHEN prev IS NULL OR ms - prev > {_SKM_GAP_MS}
+              THEN 1 ELSE 0 END AS new_s
+  FROM l
+),
+sess AS (
+  SELECT user_id, ms,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+mx AS (SELECT max(epoch_ms(ts)) AS mxms FROM events),
+obs AS (
+  SELECT (max(ms) - min(ms)) // 60000 AS dur,
+         CASE WHEN (SELECT mxms FROM mx) - max(ms) > {_SKM_GAP_MS}
+              THEN 1 ELSE 0 END AS ev
+  FROM sess GROUP BY user_id, sid
+),
+per_t AS (SELECT dur, count(*) AS n_obs, CAST(sum(ev) AS BIGINT) AS d
+          FROM obs GROUP BY 1),
+ar AS (
+  SELECT dur, d,
+         (SELECT count(*) FROM obs)
+           - coalesce(sum(n_obs) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM per_t
+),
+st AS (
+  SELECT dur, d, n_risk,
+         CASE WHEN d < n_risk
+              THEN CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT)
+              ELSE 0 END AS lq
+  FROM ar WHERE d > 0
+)
+SELECT dur, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+       CASE WHEN d = n_risk THEN 0.0
+            ELSE round(exp(CAST(sum(lq) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 1e9), 6) END AS survival
+FROM st
+ORDER BY dur
+"""
+
+
 _TR_ITERS = 12
+
+
+
 _TR_TOPK = 20
 _TR_D = 0.85
 
@@ -20647,6 +20758,7 @@ QUERIES = {
     "events_changepoint_opt": events_changepoint_opt,
     "events_markov_entropy": events_markov_entropy,
     "doc_textrank_keywords": doc_textrank_keywords,
+    "events_session_km": events_session_km,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -21152,6 +21264,7 @@ ORACLES = {
     "events_changepoint_opt": _OP_SQL,
     "events_markov_entropy": _ENTROPY_SQL,
     "doc_textrank_keywords": _textrank_sql(),
+    "events_session_km": _SKM_SQL,
     "events_cuped_adjustment": _CUPED_SQL,
     "events_did_estimate": _DID_SQL,
     "lineitem_skipping_probe": _SKIP_SQL,

@@ -203,6 +203,10 @@ ALLOWED_BOUNDED_WINDOWS: dict[str, tuple[int, str]] = {
         2,
         "KM prefixes over per-duration aggregates (#distinct gap-days rows)",
     ),
+    "events_session_km": (
+        2,
+        "KM prefixes over per-duration aggregates (#distinct session-minutes rows)",
+    ),
     # IVF centroid init ranks the hash-sampled top-n_cells rows after
     # .limit(n_cells) — window input <= 16 rows (similarity.ivf_build)
     "ann_ivf_topk": (4, "IVF init rank-after-limit: <= n_cells rows"),

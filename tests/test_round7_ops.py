@@ -571,3 +571,21 @@ def test_textrank_properties(spark):
     assert sum(scores) <= 1.0 + 1e-6
     assert not {r["word"] for r in out} & set(EN_STOPWORDS)
     assert all(r["n_neighbors"] >= 1 for r in out)
+
+
+def test_session_km_censoring(spark):
+    """Session KM: survival non-increasing, and censoring is honest —
+    total events across steps <= total sessions (censored sessions
+    never count as events)."""
+    from graphem_rapids_spark.queries import events_session_km, events_sessionize
+
+    rows = events_session_km(spark, SF).collect()
+    assert rows
+    surv = [r["survival"] for r in rows]
+    assert surv == sorted(surv, reverse=True)
+    n_events = sum(r["n_events"] for r in rows)
+    n_sessions = sum(
+        r["n_sessions"] for r in events_sessionize(spark, SF).collect()
+    )
+    assert 0 < n_events <= n_sessions
+    assert rows[0]["n_risk"] <= n_sessions
