@@ -9099,6 +9099,118 @@ FROM e GROUP BY event_type
 """
 
 
+def lineitem_price_elasticity(spark, sf_dir):
+    """Per-brand demand elasticity — the OLS regression of quantity
+    on discount (slope, intercept, R², and the elasticity-at-the-mean
+    b·x̄/ȳ): the DECISION number behind
+    :func:`brand_discount_quantity_corr`'s diagnostic (corr says
+    "related"; the slope says "one more discount point moves
+    quantity by b"). Exactness: both variables scale to integers
+    (qty, disc×100); the five sufficient sums ride DECIMAL(38,0)
+    (the r7 moment discipline — a BIGINT Σ(xy) wraps at ~1e14 rows
+    per brand where DuckDB promotes), every moment numerator is
+    exact, and slope/intercept/R²/elasticity are a handful of
+    identical IEEE ops. One broadcast dim join + one grouped
+    aggregate. Degenerate brands (no discount variance) report slope
+    0 / r2 0. Output per brand: n, slope, intercept, r2,
+    elasticity."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.round(F.col("l_quantity")).cast("long").alias("y"),
+    )
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
+    s = j.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dx * dy).alias("sxy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+    )
+    dn = F.col("n").cast("decimal(38,0)")
+    dsx = F.col("sx").cast("decimal(38,0)")
+    dsy = F.col("sy").cast("decimal(38,0)")
+    num = (dn * F.col("sxy") - dsx * dsy).cast("double")
+    vx = (dn * F.col("sxx") - dsx * dsx).cast("double")
+    vy = (dn * F.col("syy") - dsy * dsy).cast("double")
+    withm = s.select(
+        "p_brand",
+        "n",
+        "sx",
+        "sy",
+        num.alias("_num"),
+        vx.alias("_vx"),
+        vy.alias("_vy"),
+    )
+    b = F.when(F.col("_vx") > 0, F.col("_num") / F.col("_vx")).otherwise(
+        F.lit(0.0)
+    )
+    a = (
+        F.col("sy").cast("double") - b * F.col("sx").cast("double")
+    ) / F.col("n")
+    r2 = F.when(
+        (F.col("_vx") > 0) & (F.col("_vy") > 0),
+        (F.col("_num") / F.col("_vx")) * (F.col("_num") / F.col("_vy")),
+    ).otherwise(F.lit(0.0))
+    elast = F.when(
+        (F.col("_vx") > 0) & (F.col("sy") > 0),
+        (F.col("_num") / F.col("_vx"))
+        * F.col("sx").cast("double")
+        / F.col("sy").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return withm.select(
+        "p_brand",
+        "n",
+        F.round(b, 6).alias("slope"),
+        F.round(a, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+        F.round(elast, 6).alias("elasticity"),
+    ).orderBy("p_brand")
+
+
+_ELAST_SQL = """
+WITH j AS (
+  SELECT p.p_brand,
+         CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+         CAST(round(l.l_quantity) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+s AS (
+  SELECT p_brand, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM j GROUP BY 1
+),
+m AS (
+  SELECT p_brand, n, sx, sy,
+         CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+              AS DOUBLE) AS num,
+         CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+              AS DOUBLE) AS vx,
+         CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+              AS DOUBLE) AS vy
+  FROM s
+)
+SELECT p_brand, n,
+       round(CASE WHEN vx > 0 THEN num / vx ELSE 0.0 END, 6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - (CASE WHEN vx > 0 THEN num / vx ELSE 0.0 END)
+                * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+       round(CASE WHEN vx > 0 AND vy > 0 THEN (num / vx) * (num / vy)
+                  ELSE 0.0 END, 6) AS r2,
+       round(CASE WHEN vx > 0 AND sy > 0
+                  THEN (num / vx) * CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)
+                  ELSE 0.0 END, 6) AS elasticity
+FROM m ORDER BY p_brand
+"""
+
+
 def brand_discount_quantity_corr(spark, sf_dir):
     """Per-brand Pearson correlation of discount vs quantity — grouped
     correlation computed from EXACT integer sufficient statistics:
@@ -20759,6 +20871,7 @@ QUERIES = {
     "events_markov_entropy": events_markov_entropy,
     "doc_textrank_keywords": doc_textrank_keywords,
     "events_session_km": events_session_km,
+    "lineitem_price_elasticity": lineitem_price_elasticity,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -21265,6 +21378,7 @@ ORACLES = {
     "events_markov_entropy": _ENTROPY_SQL,
     "doc_textrank_keywords": _textrank_sql(),
     "events_session_km": _SKM_SQL,
+    "lineitem_price_elasticity": _ELAST_SQL,
     "events_cuped_adjustment": _CUPED_SQL,
     "events_did_estimate": _DID_SQL,
     "lineitem_skipping_probe": _SKIP_SQL,

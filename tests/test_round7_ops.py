@@ -589,3 +589,32 @@ def test_session_km_censoring(spark):
     )
     assert 0 < n_events <= n_sessions
     assert rows[0]["n_risk"] <= n_sessions
+
+
+def test_price_elasticity_matches_numpy(spark):
+    """OLS slope/intercept/r2 must match numpy's polyfit on one
+    brand's raw (discount, quantity) pairs."""
+    import numpy as np
+
+    from graphem_rapids_spark.queries import lineitem_price_elasticity
+
+    rows = lineitem_price_elasticity(spark, SF).collect()
+    assert rows
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    pt = spark.read.parquet(f"{SF}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    brand = rows[0]["p_brand"]
+    pairs = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .filter(pt.p_brand == brand)
+        .select("l_discount", "l_quantity")
+        .collect()
+    )
+    x = np.array([round(float(r["l_discount"]) * 100) for r in pairs])
+    y = np.array([round(float(r["l_quantity"])) for r in pairs])
+    b, a = np.polyfit(x, y, 1)
+    assert abs(rows[0]["slope"] - b) < 1e-4
+    assert abs(rows[0]["intercept"] - a) < 1e-3
+    r = np.corrcoef(x, y)[0, 1]
+    assert abs(rows[0]["r2"] - r * r) < 1e-4
