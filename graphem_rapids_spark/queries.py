@@ -5325,6 +5325,133 @@ ORDER BY value DESC, a.id ASC LIMIT 20"""
     return "".join(parts)
 
 
+def edge_betweenness_copurchase(spark, sf_dir):
+    """Sampled-source distributed EDGE betweenness on the co-purchase
+    graph — the Girvan-Newman splitting statistic (which edges carry
+    the most shortest-path traffic — cut them and communities fall
+    apart), riding the same Brandes forward/backward dataflow as
+    :func:`betweenness_copurchase` (16 deterministic sources, n/k
+    rescale, depth ``_BETW_DEPTH``): the per-edge score is the
+    pre-aggregation term σ_v/σ_w·(1+δ_w) the vertex pass sums,
+    accumulated per canonical pair in the same 2⁻⁴⁰ fixed point —
+    exact HUGEINT/DECIMAL sums, so the full pass unrolls to
+    depth-bounded SQL. nx-parity pinned by
+    test_edge_betweenness_nx_parity. Top 15 edges."""
+    from graphem_rapids_spark.analytics import edge_betweenness_sampled
+
+    edges = copurchase_edges(spark, sf_dir)
+    verts = vertices_from_edges(edges)
+    n = verts.count()
+    k = 16
+    sources = (
+        spark.range(k)
+        .select(((F.col("id") * 2654435761) % n).cast("long").alias("id"))
+        .distinct()
+        .join(verts, "id", "left_semi")
+    )
+    eb = edge_betweenness_sampled(
+        edges, n, sources=sources, normalized=True, max_depth=_BETW_DEPTH
+    )
+    return (
+        eb.select("src", "dst", F.round("value", 6).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("src").asc(), F.col("dst").asc())
+        .limit(15)
+    )
+
+
+def _edge_betw_sql(depth: int = _BETW_DEPTH) -> str:
+    """The _betw_copurchase_sql unroll extended with per-level EDGE
+    terms: every (v, w) join row contributes its quantized
+    σ_v/σ_w·(1+δ_w) to the canonical pair — same fixed point, same
+    engines-exact sums."""
+    from graphem_rapids_spark.analytics import DELTA_FP_SCALE
+
+    fp = DELTA_FP_SCALE
+    parts = [
+        _COPURCHASE_SQL_CTE,
+        """
+, sym AS MATERIALIZED (SELECT src, dst FROM ge UNION ALL SELECT dst AS src, src AS dst FROM ge)
+, verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)
+, nv AS (SELECT count(*) AS n FROM verts)
+, s0 AS MATERIALIZED (
+  SELECT DISTINCT CAST((t.range * 2654435761) % nv.n AS BIGINT) AS id
+  FROM range(16) t CROSS JOIN nv
+  WHERE CAST((t.range * 2654435761) % nv.n AS BIGINT) IN (SELECT id FROM verts)
+)
+, kk AS (SELECT count(*) AS k FROM s0)
+, f0 AS MATERIALIZED (SELECT id AS s, id, CAST(1 AS HUGEINT) AS sigma FROM s0)
+, vis0 AS MATERIALIZED (SELECT s, id FROM f0)""",
+    ]
+    for d in range(1, depth + 1):
+        parts.append(
+            f"""
+, f{d} AS MATERIALIZED (
+  SELECT m.s, m.id, m.sigma FROM (
+    SELECT p.s, e.dst AS id, sum(p.sigma) AS sigma
+    FROM sym e JOIN f{d - 1} p ON e.src = p.id
+    GROUP BY p.s, e.dst
+  ) m LEFT JOIN vis{d - 1} v ON m.s = v.s AND m.id = v.id
+  WHERE v.s IS NULL
+)
+, vis{d} AS MATERIALIZED (
+  SELECT s, id FROM vis{d - 1} UNION ALL SELECT s, id FROM f{d}
+)"""
+        )
+    parts.append(
+        f"""
+, del{depth} AS MATERIALIZED (
+  SELECT s, id, sigma, CAST(0 AS HUGEINT) AS delta_fp FROM f{depth}
+)"""
+    )
+    for d in range(depth - 1, -1, -1):
+        parts.append(
+            f"""
+, up{d} AS (
+  SELECT dn.s, e.dst AS id, e.src AS w, dn.sigma AS sigma_w,
+         dn.delta_fp AS dfp_w
+  FROM sym e JOIN del{d + 1} dn ON e.src = dn.id
+)
+, tag{d} AS MATERIALIZED (
+  SELECT c.s, c.id, u.w,
+         CAST(round(CAST(c.sigma AS DOUBLE) / CAST(u.sigma_w AS DOUBLE)
+                    * CAST({fp} + u.dfp_w AS DOUBLE)) AS HUGEINT) AS term
+  FROM f{d} c JOIN up{d} u ON c.s = u.s AND c.id = u.id
+)
+, econ{d} AS (
+  SELECT least(id, w) AS ea, greatest(id, w) AS eb,
+         CAST(sum(term) AS HUGEINT) AS e_fp
+  FROM tag{d} GROUP BY 1, 2
+)
+, con{d} AS (
+  SELECT s, id, CAST(sum(term) AS HUGEINT) AS dfp
+  FROM tag{d} GROUP BY s, id
+)
+, del{d} AS MATERIALIZED (
+  SELECT c.s, c.id, c.sigma, coalesce(n.dfp, CAST(0 AS HUGEINT)) AS delta_fp
+  FROM f{d} c LEFT JOIN con{d} n ON c.s = n.s AND c.id = n.id
+)"""
+        )
+    acc_union = "\n  UNION ALL ".join(
+        f"SELECT ea, eb, e_fp FROM econ{d}" for d in range(0, depth)
+    )
+    parts.append(
+        f"""
+, eacc AS (
+  {acc_union}
+)
+, eagg AS (SELECT ea, eb, CAST(sum(e_fp) AS DOUBLE) AS efp_sum
+           FROM eacc GROUP BY 1, 2)
+SELECT g.ea AS src, g.eb AS dst,
+       round(((g.efp_sum / {float(fp)!r})
+              * (CAST(nv.n AS DOUBLE) / CAST(kk.k AS DOUBLE)) / 2.0)
+             / greatest(CAST(nv.n AS DOUBLE) * (nv.n - 1) / 2.0, 1.0),
+             6) AS value
+FROM eagg g CROSS JOIN nv CROSS JOIN kk
+ORDER BY value DESC, src ASC, dst ASC LIMIT 15"""
+    )
+    return "".join(parts)
+
+
 def load_copurchase(spark, sf_dir):
     """Sampled-source distributed LOAD centrality (Newman
     betweenness) on the co-purchase graph — same 16 deterministic
@@ -20872,6 +20999,7 @@ QUERIES = {
     "doc_textrank_keywords": doc_textrank_keywords,
     "events_session_km": events_session_km,
     "lineitem_price_elasticity": lineitem_price_elasticity,
+    "edge_betweenness_copurchase": edge_betweenness_copurchase,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -21379,6 +21507,7 @@ ORACLES = {
     "doc_textrank_keywords": _textrank_sql(),
     "events_session_km": _SKM_SQL,
     "lineitem_price_elasticity": _ELAST_SQL,
+    "edge_betweenness_copurchase": _edge_betw_sql(),
     "events_cuped_adjustment": _CUPED_SQL,
     "events_did_estimate": _DID_SQL,
     "lineitem_skipping_probe": _SKIP_SQL,

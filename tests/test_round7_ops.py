@@ -618,3 +618,22 @@ def test_price_elasticity_matches_numpy(spark):
     assert abs(rows[0]["intercept"] - a) < 1e-3
     r = np.corrcoef(x, y)[0, 1]
     assert abs(rows[0]["r2"] - r * r) < 1e-4
+
+
+def test_edge_betweenness_nx_parity(spark):
+    """Full-source edge betweenness equals networkx on the
+    two-triangles-linked fixture, normalized convention included."""
+    import networkx as nx
+
+    from graphem_rapids_spark.analytics import edge_betweenness_sampled
+
+    E = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 4), (3, 4), (3, 5), (4, 5), (0, 5)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    got = {
+        (r["src"], r["dst"]): r["value"]
+        for r in edge_betweenness_sampled(df, 6, normalized=True).collect()
+    }
+    ref = nx.edge_betweenness_centrality(nx.Graph(E), normalized=True)
+    assert set(got) == {tuple(sorted(e)) for e in ref}
+    for e, v in ref.items():
+        assert abs(got[tuple(sorted(e))] - v) < 1e-9, e
