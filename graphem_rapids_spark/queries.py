@@ -1314,6 +1314,143 @@ GROUP BY 1, 2
 """
 
 
+def events_retention_halflife(spark, sf_dir):
+    """Retention half-life — fit ln r(k) = a + b·k over the pooled
+    retention curve (r(k) = users active k days after their first day
+    / users whose cohort is old enough to be observed at k) and
+    report the exponential-decay half-life −ln2/b: the single number
+    a growth team quotes from :func:`events_cohort_retention`'s
+    triangle. Exactness ladder: activity and eligibility counts are
+    exact integers (eligibility = cumulative per-cohort-day user
+    counts via a days²-bounded triangle join — no global window);
+    each offset's ln(r) quantizes to a 1e9 fixed-point integer; the
+    OLS moment sums ride DECIMAL(38,0) integer arithmetic; slope and
+    half-life are a handful of identical IEEE ops. Output: n_offsets,
+    r1, slope, halflife_days."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.expr("ts div 86400000000000").alias("_day")
+    )
+    first = e.groupBy("user_id").agg(F.min("_day").alias("cohort_day"))
+    act = e.distinct()
+    mat = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("_day") - F.col("cohort_day")).alias("k"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .localCheckpoint(eager=True)
+    )
+    per_cohort = first.groupBy("cohort_day").agg(
+        F.count("*").alias("c")
+    ).localCheckpoint(eager=True)
+    mx = int(per_cohort.agg(F.max("cohort_day")).collect()[0][0])
+    act_k = mat.filter(F.col("k") >= 1).groupBy("k").agg(
+        F.sum("n_users").alias("act")
+    )
+    # eligibility(k) = users with cohort_day <= mx - k: triangle join
+    # of the tiny per-offset table against the tiny per-cohort table
+    elig = (
+        act_k.join(
+            per_cohort,
+            per_cohort["cohort_day"] <= F.lit(mx) - act_k["k"],
+        )
+        .groupBy("k", "act")
+        .agg(F.sum("c").alias("elig"))
+    )
+    lr9 = F.round(
+        F.log(F.col("act").cast("double") / F.col("elig").cast("double"))
+        * F.lit(1e9)
+    ).cast("long")
+    pts = elig.filter(F.col("act") > 0).select(
+        F.col("k").cast("long").alias("k"), lr9.alias("lr9")
+    )
+    dk = F.col("k").cast("decimal(38,0)")
+    dl = F.col("lr9").cast("decimal(38,0)")
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sk"),
+        F.sum("lr9").alias("sl"),
+        F.sum(dk * dl).alias("skl"),
+        F.sum(dk * dk).alias("skk"),
+        F.max(F.when(F.col("k") == 1, F.col("lr9"))).alias("lr1"),
+    )
+    dn = F.col("n").cast("decimal(38,0)")
+    dsk = F.col("sk").cast("decimal(38,0)")
+    dsl = F.col("sl").cast("decimal(38,0)")
+    num = (dn * F.col("skl") - dsk * dsl).cast("double")
+    den = (dn * F.col("skk") - dsk * dsk).cast("double")
+    b = F.when(den > 0, num / den / F.lit(1e9)).otherwise(F.lit(0.0))
+    hl = F.when(b < 0, -F.log(F.lit(2.0)) / b).otherwise(F.lit(0.0))
+    return s.select(
+        F.col("n").alias("n_offsets"),
+        F.coalesce(
+            F.round(F.exp(F.col("lr1").cast("double") / F.lit(1e9)), 6),
+            F.lit(0.0),
+        ).alias("r1"),
+        F.round(b, 6).alias("slope"),
+        F.round(hl, 6).alias("halflife_days"),
+    )
+
+
+_RET_HL_SQL = """
+WITH d AS (
+  SELECT user_id,
+         datediff('day', TIMESTAMP '1970-01-01', date_trunc('day', ts)) AS day
+  FROM events
+),
+first AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+act AS (SELECT DISTINCT user_id, day FROM d),
+mat AS (
+  SELECT cohort_day, day - cohort_day AS k, CAST(count(*) AS BIGINT)
+           AS n_users
+  FROM act JOIN first USING (user_id) GROUP BY 1, 2
+),
+per_cohort AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS c
+               FROM first GROUP BY 1),
+mx AS (SELECT max(cohort_day) AS m FROM per_cohort),
+act_k AS (SELECT k, CAST(sum(n_users) AS BIGINT) AS act
+          FROM mat WHERE k >= 1 GROUP BY 1),
+elig AS (
+  SELECT a.k, a.act, CAST(sum(p.c) AS BIGINT) AS elig
+  FROM act_k a CROSS JOIN mx
+  JOIN per_cohort p ON p.cohort_day <= mx.m - a.k
+  GROUP BY 1, 2
+),
+pts AS (
+  SELECT CAST(k AS BIGINT) AS k,
+         CAST(round(ln(CAST(act AS DOUBLE) / elig) * 1e9) AS BIGINT) AS lr9
+  FROM elig WHERE act > 0
+),
+s AS (
+  SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS sk,
+         CAST(sum(lr9) AS BIGINT) AS sl,
+         sum(CAST(k AS HUGEINT) * lr9) AS skl,
+         sum(CAST(k AS HUGEINT) * k) AS skk,
+         max(CASE WHEN k = 1 THEN lr9 END) AS lr1
+  FROM pts
+)
+SELECT n AS n_offsets,
+       coalesce(round(exp(CAST(lr1 AS DOUBLE) / 1e9), 6), 0.0) AS r1,
+       round(CASE WHEN CAST(n AS HUGEINT) * skk - CAST(sk AS HUGEINT) * sk > 0
+                  THEN CAST(CAST(n AS HUGEINT) * skl
+                            - CAST(sk AS HUGEINT) * sl AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * skk
+                              - CAST(sk AS HUGEINT) * sk AS DOUBLE) / 1e9
+                  ELSE 0.0 END, 6) AS slope,
+       round(CASE WHEN CAST(n AS HUGEINT) * skk - CAST(sk AS HUGEINT) * sk > 0
+                  AND CAST(CAST(n AS HUGEINT) * skl
+                           - CAST(sk AS HUGEINT) * sl AS DOUBLE) < 0
+                  THEN -ln(2.0)
+                       / (CAST(CAST(n AS HUGEINT) * skl
+                               - CAST(sk AS HUGEINT) * sl AS DOUBLE)
+                          / CAST(CAST(n AS HUGEINT) * skk
+                                 - CAST(sk AS HUGEINT) * sk AS DOUBLE) / 1e9)
+                  ELSE 0.0 END, 6) AS halflife_days
+FROM s
+"""
+
+
 _CURATION_QUALITY_MIN = 0.45
 _CURATION_DUP2_MAX = 0.05
 
@@ -21000,6 +21137,7 @@ QUERIES = {
     "events_session_km": events_session_km,
     "lineitem_price_elasticity": lineitem_price_elasticity,
     "edge_betweenness_copurchase": edge_betweenness_copurchase,
+    "events_retention_halflife": events_retention_halflife,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -21508,6 +21646,7 @@ ORACLES = {
     "events_session_km": _SKM_SQL,
     "lineitem_price_elasticity": _ELAST_SQL,
     "edge_betweenness_copurchase": _edge_betw_sql(),
+    "events_retention_halflife": _RET_HL_SQL,
     "events_cuped_adjustment": _CUPED_SQL,
     "events_did_estimate": _DID_SQL,
     "lineitem_skipping_probe": _SKIP_SQL,
