@@ -5589,6 +5589,233 @@ ORDER BY value DESC, src ASC, dst ASC LIMIT 15"""
     return "".join(parts)
 
 
+_GN_CUT = 10
+_GN_CC_ROUNDS = 22  # _CC_ROUNDS + 8 (defined later in file): post-cut diameters grow
+
+
+def community_girvan_newman_step(spark, sf_dir):
+    """One Girvan-Newman step — remove the _GN_CUT highest
+    edge-betweenness edges and report what falls apart: the
+    composition the edge-betweenness statistic exists for
+    (:func:`edge_betweenness_copurchase` scores; this CUTS). Pipeline:
+    sampled-source edge betweenness (16 deterministic sources, depth
+    _BETW_DEPTH) → deterministic top-cut (value desc, src, dst) →
+    anti-join → min-label components over the ORIGINAL vertex
+    universe (isolated survivors become singletons; Spark iterates to
+    the fixpoint, the oracle unrolls past it — idempotent) →
+    modularity of the post-cut partition measured ON THE ORIGINAL
+    graph (the GN objective; exact integer numerator). Output: n_cut,
+    n_components_before, n_components_after, largest_after,
+    modularity_after."""
+    from graphem_rapids_spark.analytics import edge_betweenness_sampled
+
+    e = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    verts = vertices_from_edges(e).localCheckpoint(eager=True)
+    n = verts.count()
+    m = e.count()
+    k = 16
+    sources = (
+        spark.range(k)
+        .select(((F.col("id") * 2654435761) % n).cast("long").alias("id"))
+        .distinct()
+        .join(verts, "id", "left_semi")
+    )
+    eb = edge_betweenness_sampled(
+        e, n, sources=sources, normalized=True, max_depth=_BETW_DEPTH
+    )
+    cut = (
+        eb.orderBy(
+            F.col("value").desc(), F.col("src").asc(), F.col("dst").asc()
+        )
+        .limit(_GN_CUT)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    remaining = e.join(cut, ["src", "dst"], "left_anti").localCheckpoint(
+        eager=True
+    )
+
+    def min_label_components(edge_df):
+        sym = edge_df.select("src", "dst").unionAll(
+            edge_df.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        ).localCheckpoint(eager=True)
+        labels = verts.select(
+            "id", F.col("id").alias("component")
+        ).localCheckpoint(eager=True)
+        for _ in range(_GN_CC_ROUNDS * 4):
+            nbr = (
+                labels.join(sym.withColumnRenamed("src", "id"), "id")
+                .select(
+                    F.col("dst").alias("id"), F.col("component").alias("c")
+                )
+                .groupBy("id")
+                .agg(F.min("c").alias("nbr"))
+            )
+            new_labels = labels.join(nbr, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr", F.col("component")),
+                ).alias("component"),
+            ).localCheckpoint(eager=True)
+            changed = (
+                new_labels.join(
+                    labels.select("id", F.col("component").alias("o")), "id"
+                )
+                .filter(F.col("component") != F.col("o"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+
+    before = min_label_components(e)
+    after = min_label_components(remaining)
+    n_before = before.select("component").distinct().count()
+    stats = after.groupBy("component").agg(F.count("*").alias("sz"))
+    n_after = stats.count()
+    largest = int(stats.agg(F.max("sz")).collect()[0][0])
+    # modularity of the post-cut partition on the ORIGINAL graph
+    sym = e.select("src", "dst").unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
+        "src", "id"
+    )
+    la = after.select(F.col("id").alias("src"), F.col("component").alias("_a"))
+    lb = after.select(F.col("id").alias("dst"), F.col("component").alias("_b"))
+    intra = (
+        e.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("_a") == F.col("_b"))
+        .groupBy(F.col("_a").alias("component"))
+        .agg(F.count("*").alias("mc"))
+    )
+    dc = (
+        deg.join(after, "id")
+        .groupBy("component")
+        .agg(F.sum("d").alias("dsum"))
+    )
+    qn = int(
+        dc.join(intra, "component", "left")
+        .select(
+            (
+                F.lit(4) * F.lit(m) * F.coalesce("mc", F.lit(0))
+                - F.col("dsum") * F.col("dsum")
+            ).alias("qn")
+        )
+        .agg(F.sum("qn"))
+        .collect()[0][0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                _GN_CUT,
+                n_before,
+                n_after,
+                largest,
+                round(qn / (4.0 * m * m), 6),
+            )
+        ],
+        "n_cut long, n_components_before long, n_components_after long,"
+        " largest_after long, modularity_after double",
+    )
+
+
+def _gn_step_sql(
+    depth: int = _BETW_DEPTH, cc_rounds: int = _GN_CC_ROUNDS
+) -> str:
+    from graphem_rapids_spark.analytics import DELTA_FP_SCALE
+
+    fp = DELTA_FP_SCALE
+    # reuse the edge-betweenness unroll up to eagg, then cut + CC + Q
+    base = _edge_betw_sql(depth)
+    head, _tail = base.rsplit("SELECT g.ea AS src", 1)
+    parts = [head]
+    parts.append(
+        f"""
+, escore AS (
+  SELECT g.ea AS src, g.eb AS dst,
+         round(((g.efp_sum / {float(fp)!r})
+                * (CAST(nv.n AS DOUBLE) / CAST(kk.k AS DOUBLE)) / 2.0)
+               / greatest(CAST(nv.n AS DOUBLE) * (nv.n - 1) / 2.0, 1.0),
+               6) AS value
+  FROM eagg g CROSS JOIN nv CROSS JOIN kk
+)
+, allsc AS (
+  SELECT e.src, e.dst, coalesce(s.value, 0.0) AS value
+  FROM ge e LEFT JOIN escore s ON s.src = e.src AND s.dst = e.dst
+)
+, cut AS MATERIALIZED (
+  SELECT src, dst FROM allsc
+  ORDER BY value DESC, src ASC, dst ASC LIMIT {_GN_CUT}
+)
+, rem AS MATERIALIZED (
+  SELECT e.src, e.dst FROM ge e
+  LEFT JOIN cut c ON c.src = e.src AND c.dst = e.dst
+  WHERE c.src IS NULL
+)
+, rsym AS MATERIALIZED (
+  SELECT src, dst FROM rem UNION ALL SELECT dst AS src, src AS dst FROM rem
+)
+, bl0 AS MATERIALIZED (SELECT id, id AS component FROM verts)
+, rl0 AS MATERIALIZED (SELECT id, id AS component FROM verts)"""
+    )
+    for i in range(1, cc_rounds + 1):
+        parts.append(
+            f"""
+, bl{i} AS MATERIALIZED (
+  SELECT v.id, least(v.component, coalesce(m.c, v.component)) AS component
+  FROM bl{i - 1} v LEFT JOIN (
+    SELECT s.dst AS id, min(x.component) AS c
+    FROM sym s JOIN bl{i - 1} x ON s.src = x.id GROUP BY s.dst
+  ) m ON v.id = m.id
+)
+, rl{i} AS MATERIALIZED (
+  SELECT v.id, least(v.component, coalesce(m.c, v.component)) AS component
+  FROM rl{i - 1} v LEFT JOIN (
+    SELECT s.dst AS id, min(x.component) AS c
+    FROM rsym s JOIN rl{i - 1} x ON s.src = x.id GROUP BY s.dst
+  ) m ON v.id = m.id
+)"""
+        )
+    parts.append(
+        f"""
+, mm2 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ge)
+, deg2 AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1)
+, dc2 AS (
+  SELECT l.component, CAST(sum(deg2.d) AS BIGINT) AS dsum
+  FROM deg2 JOIN rl{cc_rounds} l USING (id) GROUP BY 1
+)
+, intra2 AS (
+  SELECT la.component, CAST(count(*) AS BIGINT) AS mc
+  FROM ge JOIN rl{cc_rounds} la ON ge.src = la.id
+          JOIN rl{cc_rounds} lb ON ge.dst = lb.id
+  WHERE la.component = lb.component GROUP BY 1
+)
+, qn AS (
+  SELECT CAST(sum(4 * mm2.m * coalesce(intra2.mc, 0)
+               - dc2.dsum * dc2.dsum) AS HUGEINT) AS q_num
+  FROM dc2 LEFT JOIN intra2 USING (component) CROSS JOIN mm2
+)
+SELECT CAST({_GN_CUT} AS BIGINT) AS n_cut,
+       (SELECT CAST(count(DISTINCT component) AS BIGINT)
+        FROM bl{cc_rounds}) AS n_components_before,
+       (SELECT CAST(count(DISTINCT component) AS BIGINT)
+        FROM rl{cc_rounds}) AS n_components_after,
+       (SELECT CAST(max(sz) AS BIGINT) FROM (
+          SELECT count(*) AS sz FROM rl{cc_rounds} GROUP BY component))
+         AS largest_after,
+       round(CAST(qn.q_num AS DOUBLE) / (4.0 * mm2.m * mm2.m), 6)
+         AS modularity_after
+FROM qn CROSS JOIN mm2"""
+    )
+    return "".join(parts)
+
+
 def load_copurchase(spark, sf_dir):
     """Sampled-source distributed LOAD centrality (Newman
     betweenness) on the co-purchase graph — same 16 deterministic
@@ -21138,6 +21365,7 @@ QUERIES = {
     "lineitem_price_elasticity": lineitem_price_elasticity,
     "edge_betweenness_copurchase": edge_betweenness_copurchase,
     "events_retention_halflife": events_retention_halflife,
+    "community_girvan_newman_step": community_girvan_newman_step,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -21647,6 +21875,7 @@ ORACLES = {
     "lineitem_price_elasticity": _ELAST_SQL,
     "edge_betweenness_copurchase": _edge_betw_sql(),
     "events_retention_halflife": _RET_HL_SQL,
+    "community_girvan_newman_step": _gn_step_sql(),
     "events_cuped_adjustment": _CUPED_SQL,
     "events_did_estimate": _DID_SQL,
     "lineitem_skipping_probe": _SKIP_SQL,

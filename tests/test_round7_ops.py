@@ -637,3 +637,28 @@ def test_edge_betweenness_nx_parity(spark):
     assert set(got) == {tuple(sorted(e)) for e in ref}
     for e, v in ref.items():
         assert abs(got[tuple(sorted(e))] - v) < 1e-9, e
+
+
+def test_girvan_newman_splits_bridge(spark):
+    """GN step on two triangles joined by one bridge (cut budget 1):
+    the bridge has the highest edge betweenness, so the cut must
+    split the graph into the two triangles with the textbook Q."""
+    import graphem_rapids_spark.queries as Q
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)],
+        "src long, dst long",
+    )
+    orig_edges, orig_cut = Q.copurchase_edges, Q._GN_CUT
+    try:
+        Q.copurchase_edges = lambda spark_, sf: edges
+        Q._GN_CUT = 1
+        row = Q.community_girvan_newman_step(spark, "unused").collect()[0]
+    finally:
+        Q.copurchase_edges, Q._GN_CUT = orig_edges, orig_cut
+    assert row["n_cut"] == 1
+    assert row["n_components_before"] == 1
+    assert row["n_components_after"] == 2
+    assert row["largest_after"] == 3
+    # partition {0,1,2},{3,4,5} on the ORIGINAL graph: Q = 70/196
+    assert abs(row["modularity_after"] - 0.357143) < 1e-6
