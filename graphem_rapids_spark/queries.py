@@ -1314,6 +1314,89 @@ GROUP BY 1, 2
 """
 
 
+def events_value_gini(spark, sf_dir):
+    """Gini coefficient of per-user total event value — the
+    concentration number behind "whales vs long tail" (0 = everyone
+    equal, →1 = one user carries everything); the inequality summary
+    a monetization or training-data-contribution review reads next to
+    :func:`events_user_entropy_topk`. EXACT: per-user cents are
+    integers; users collapse to per-distinct-VALUE counts
+    (value-domain-bounded — the link_pred_auc discipline, no global
+    sort of users); with values ascending, Σ_i i·x_(i) expands to
+    Σ_v x_v·(c_v·(below_v) + (c_v·(c_v+1)) div 2 + ... ) — all
+    integer arithmetic via the per-value cumulative table, and Gini
+    = (2S − (n+1)T) / (nT) is ONE float expression over exact
+    integers (DECIMAL/HUGEINT against overflow). Output: n_users,
+    total_value, gini."""
+    e = _t(spark, sf_dir, "events")
+    pu = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
+        )
+        .select("c")
+    )
+    per_v = pu.groupBy("c").agg(F.count("*").alias("cnt"))
+    wv = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_v.select(
+        "c",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("below"),
+    )
+    # users with value v occupy ranks below+1 .. below+cnt; their
+    # rank-sum is cnt*below + cnt*(cnt+1)/2 — exact integers
+    dc = F.col("c").cast("decimal(38,0)")
+    dcnt = F.col("cnt").cast("decimal(38,0)")
+    dbelow = F.col("below").cast("decimal(38,0)")
+    s = cum.agg(
+        F.sum(
+            dc * (dcnt * dbelow + F.expr("cnt * (cnt + 1) div 2"))
+        ).alias("ranksum"),
+        F.sum(dc * dcnt).alias("tot"),
+        F.sum("cnt").alias("n"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("ranksum").cast("double")
+        - (F.col("n") + 1).cast("double") * F.col("tot").cast("double")
+    ) / (F.col("n").cast("double") * F.col("tot").cast("double"))
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(F.col("tot").cast("double") / 100.0, 2).alias("total_value"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+_GINI_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+per_v AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM pu GROUP BY 1),
+cum AS (
+  SELECT c, cnt,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below
+  FROM per_v
+),
+s AS (
+  SELECT sum(CAST(c AS HUGEINT)
+             * (CAST(cnt AS HUGEINT) * below + cnt * (cnt + 1) // 2))
+           AS ranksum,
+         sum(CAST(c AS HUGEINT) * cnt) AS tot,
+         CAST(sum(cnt) AS BIGINT) AS n
+  FROM cum
+)
+SELECT n AS n_users,
+       round(CAST(tot AS DOUBLE) / 100.0, 2) AS total_value,
+       round((2.0 * CAST(ranksum AS DOUBLE)
+              - CAST(n + 1 AS DOUBLE) * CAST(tot AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini
+FROM s
+"""
+
+
 def events_retention_halflife(spark, sf_dir):
     """Retention half-life — fit ln r(k) = a + b·k over the pooled
     retention curve (r(k) = users active k days after their first day
@@ -21366,6 +21449,7 @@ QUERIES = {
     "edge_betweenness_copurchase": edge_betweenness_copurchase,
     "events_retention_halflife": events_retention_halflife,
     "community_girvan_newman_step": community_girvan_newman_step,
+    "events_value_gini": events_value_gini,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -21876,6 +21960,7 @@ ORACLES = {
     "edge_betweenness_copurchase": _edge_betw_sql(),
     "events_retention_halflife": _RET_HL_SQL,
     "community_girvan_newman_step": _gn_step_sql(),
+    "events_value_gini": _GINI_SQL,
     "events_cuped_adjustment": _CUPED_SQL,
     "events_did_estimate": _DID_SQL,
     "lineitem_skipping_probe": _SKIP_SQL,

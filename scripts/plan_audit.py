@@ -193,6 +193,10 @@ ALLOWED_BOUNDED_WINDOWS: dict[str, tuple[int, str]] = {
         1,
         "cum negatives over per-score aggregates (#distinct scores rows)",
     ),
+    "events_value_gini": (
+        1,
+        "rank-sum prefix over per-VALUE aggregates (#distinct user-total cents rows — value-domain-bounded)",
+    ),
     "events_uplift_qini": (
         1,
         "strictly-above counts over per-SCORE-value aggregates (#distinct pre-period cents rows — value-domain-bounded)",

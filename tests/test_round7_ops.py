@@ -662,3 +662,34 @@ def test_girvan_newman_splits_bridge(spark):
     assert row["largest_after"] == 3
     # partition {0,1,2},{3,4,5} on the ORIGINAL graph: Q = 70/196
     assert abs(row["modularity_after"] - 0.357143) < 1e-6
+
+
+def test_gini_matches_numpy(spark):
+    """The grouped-value rank-sum Gini equals the textbook sorted
+    formula computed driver-side on the same per-user totals."""
+    import numpy as np
+
+    from graphem_rapids_spark.queries import events_value_gini
+
+    row = events_value_gini(spark, SF).collect()[0]
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    import pyspark.sql.functions as F
+
+    vals = np.sort(
+        np.array(
+            [
+                r["c"]
+                for r in e.groupBy("user_id")
+                .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+                .collect()
+            ]
+        )
+    )
+    n = len(vals)
+    gini = (2 * np.sum((np.arange(1, n + 1)) * vals) - (n + 1) * vals.sum()) / (
+        n * vals.sum()
+    )
+    assert row["n_users"] == n
+    # query output is rounded to 6 decimals
+    assert abs(row["gini"] - gini) < 5.1e-7
+    assert 0.0 <= row["gini"] < 1.0
