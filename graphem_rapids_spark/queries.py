@@ -1314,6 +1314,100 @@ GROUP BY 1, 2
 """
 
 
+def lineitem_fulfillment_latency(spark, sf_dir):
+    """Order-to-ship latency SLO table — per order month: line count,
+    exact mean latency days, and exact p50/p90/p99 ORDER STATISTICS
+    (type-1 quantile: smallest latency whose cumulative count reaches
+    ceil(q·n) — no interpolation, so no cross-engine ulp lottery; the
+    conformal-gate discipline). The raw join collapses to
+    per-(month, latency-day) counts first — bounded by months × the
+    latency day domain — and every percentile reads off the
+    month-PARTITIONED cumulative of that tiny table. Mean is one
+    division of exact integers. Output per month: n_lines, mean_days,
+    p50, p90, p99."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lat"),
+    )
+    per = j.groupBy("m", "lat").agg(F.count("*").alias("cnt"))
+    wm = (
+        Window.partitionBy("m")
+        .orderBy("lat")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per.groupBy("m").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("lat").cast("decimal(38,0)") * F.col("cnt")).alias(
+            "slat"
+        ),
+    )
+    cum = per.select("m", "lat", F.sum("cnt").over(wm).alias("cum")).join(
+        F.broadcast(tot), "m"
+    )
+
+    def pct(q):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("lat")
+            )
+        )
+
+    return (
+        cum.groupBy("m")
+        .agg(
+            F.first("n").alias("_n"),
+            F.first("slat").alias("_s"),
+            pct(0.5).alias("p50"),
+            pct(0.9).alias("p90"),
+            pct(0.99).alias("p99"),
+        )
+        .select(
+            "m",
+            F.col("_n").cast("long").alias("n_lines"),
+            F.round(
+                F.col("_s").cast("double") / F.col("_n").cast("double"), 6
+            ).alias("mean_days"),
+            "p50",
+            "p90",
+            "p99",
+        )
+        .orderBy("m")
+    )
+
+
+_FULFILL_SQL = """
+WITH j AS (
+  SELECT strftime(o.o_orderdate, '%Y-%m') AS m,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS lat
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per AS (SELECT m, lat, CAST(count(*) AS BIGINT) AS cnt FROM j GROUP BY 1, 2),
+tot AS (
+  SELECT m, CAST(sum(cnt) AS BIGINT) AS n,
+         sum(CAST(lat AS HUGEINT) * cnt) AS slat
+  FROM per GROUP BY 1
+),
+cum AS (
+  SELECT per.m, per.lat,
+         CAST(sum(per.cnt) OVER (PARTITION BY per.m ORDER BY per.lat
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         tot.n, tot.slat
+  FROM per JOIN tot USING (m)
+)
+SELECT m, CAST(max(n) AS BIGINT) AS n_lines,
+       round(CAST(max(slat) AS DOUBLE) / max(n), 6) AS mean_days,
+       min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN lat END)
+         AS p50,
+       min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT) THEN lat END)
+         AS p90,
+       min(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT) THEN lat END)
+         AS p99
+FROM cum GROUP BY m ORDER BY m
+"""
+
+
 def events_value_gini(spark, sf_dir):
     """Gini coefficient of per-user total event value — the
     concentration number behind "whales vs long tail" (0 = everyone
@@ -21450,6 +21544,7 @@ QUERIES = {
     "events_retention_halflife": events_retention_halflife,
     "community_girvan_newman_step": community_girvan_newman_step,
     "events_value_gini": events_value_gini,
+    "lineitem_fulfillment_latency": lineitem_fulfillment_latency,
     # last driver row: r2
     "q20_part_promotion": q20_part_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -21961,6 +22056,7 @@ ORACLES = {
     "events_retention_halflife": _RET_HL_SQL,
     "community_girvan_newman_step": _gn_step_sql(),
     "events_value_gini": _GINI_SQL,
+    "lineitem_fulfillment_latency": _FULFILL_SQL,
     "events_cuped_adjustment": _CUPED_SQL,
     "events_did_estimate": _DID_SQL,
     "lineitem_skipping_probe": _SKIP_SQL,

@@ -693,3 +693,40 @@ def test_gini_matches_numpy(spark):
     # query output is rounded to 6 decimals
     assert abs(row["gini"] - gini) < 5.1e-7
     assert 0.0 <= row["gini"] < 1.0
+
+
+def test_fulfillment_latency_percentiles(spark):
+    """Exact order statistics: p50 <= p90 <= p99, each is an actually
+    occurring latency value, and the p50 matches numpy's type-1
+    quantile for one month."""
+    import numpy as np
+
+    from graphem_rapids_spark.queries import lineitem_fulfillment_latency
+
+    rows = lineitem_fulfillment_latency(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["p50"] <= r["p90"] <= r["p99"]
+        assert r["mean_days"] > 0
+    m0 = rows[0]["m"]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    import pyspark.sql.functions as F
+
+    lat = np.sort(
+        np.array(
+            [
+                r["lat"]
+                for r in li.join(o, li.l_orderkey == o.o_orderkey)
+                .filter(F.date_format("o_orderdate", "yyyy-MM") == m0)
+                .select(
+                    F.datediff("l_shipdate", "o_orderdate").alias("lat")
+                )
+                .collect()
+            ]
+        )
+    )
+    n = len(lat)
+    assert rows[0]["n_lines"] == n
+    assert rows[0]["p50"] == int(lat[int(np.ceil(0.5 * n)) - 1])
+    assert rows[0]["p99"] == int(lat[int(np.ceil(0.99 * n)) - 1])
