@@ -788,6 +788,131 @@ def _ktruss_peel(cur, n_cur, k, max_rounds, skewed):
     return cur
 
 
+#  wedge-pair volume (Σ C(deg,2)) above which the motif census's auto
+#  mode switches from the exact common-neighbor stream to the
+#  hub-capped enumeration. Calibrated against the r7 sf1 smoke: the
+#  co-purchase replica at sf1 streams ~7e8 wedge pairs in 462 s cold /
+#  189 s warm — the single most expensive operator in the repo — while
+#  sf0.1 (~7e6 pairs) finishes in seconds. 1e8 keeps every oracle
+#  scale exact and trips the cap exactly where the cost diverges.
+MOTIF_WEDGE_VOLUME_MAX = 100_000_000
+MOTIF_CAP_DEFAULT = 64
+
+
+def motif_census(edges: DataFrame, cap: int | None = None) -> DataFrame:
+    """1-row (n_wedges, n_closed, n_triangles, n_squares,
+    n_wedges_dropped) wedge/triangle/4-cycle census with a hub-capped
+    scale mode — the degeneracy-discipline fix for the Σ deg² wedge
+    stream (SCALE.md §motif; the same exact-vs-capped split hyperball
+    and the df-capped MinHash verify use).
+
+    ``cap``: ``0`` forces the EXACT census (every common-neighbor
+    pair materializes — the sf-small oracle form); a positive ``D``
+    forces the capped mode; ``None`` probes Σ C(deg,2) from the degree
+    table and engages ``MOTIF_CAP_DEFAULT`` above
+    ``MOTIF_WEDGE_VOLUME_MAX`` (one tiny aggregate job).
+
+    Capped mode semantics — honest, never silent:
+
+    - ``n_wedges`` stays EXACT: Σ C(deg v, 2) needs only the degree
+      table, never the pair stream.
+    - ``n_closed``/``n_triangles`` stay EXACT: counted by the
+      degree-ordered :func:`oriented_triangles` orientation, whose
+      candidate work is Σ out-deg² = O(m^1.5) regardless of hubs.
+    - ``n_squares`` becomes a LOWER BOUND: each center keeps only its
+      ``D`` first neighbors (deterministic rank: neighbor id asc, a
+      per-center window — never global), so only wedges whose center
+      kept both endpoints enter the C(c,2) diagonal count.
+    - ``n_wedges_dropped`` reports EXACTLY the wedge pairs the cap
+      skipped, Σ (C(d,2) − C(min(d,D),2)) — the df-cap discipline: a
+      reader can see precisely how much of the stream was priced out.
+
+    Exact mode emits ``n_wedges_dropped = 0``, so the schema is
+    mode-independent and a driver sees one stable contract."""
+    sym = symmetrize_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+    if cap is None:
+        probe = deg.agg(
+            F.sum(F.expr("d * (d - 1) div 2")).alias("wp")
+        ).first()
+        wedge_pairs = int(probe["wp"] or 0)
+        cap = MOTIF_CAP_DEFAULT if wedge_pairs > MOTIF_WEDGE_VOLUME_MAX else 0
+    nbr = sym.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    if cap <= 0:
+        a = nbr.select("v", F.col("u").alias("x"))
+        b = nbr.select("v", F.col("u").alias("y"))
+        cn = (
+            a.join(b, "v")
+            .filter(F.col("x") < F.col("y"))
+            .groupBy("x", "y")
+            .agg(F.count("*").alias("c"))
+        )
+        closed = cn.join(
+            edges.select(F.col("src").alias("x"), F.col("dst").alias("y")),
+            ["x", "y"],
+        ).agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_closed"))
+        # Σ c(c−1) is divisible by 4 by construction; integer division
+        # keeps the count exact past 2^53 wedge-pairs
+        stats = cn.agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_wedges"),
+            F.coalesce(F.expr("sum(c * (c - 1)) div 4"), F.lit(0))
+            .cast("long")
+            .alias("n_squares"),
+        )
+        return stats.crossJoin(F.broadcast(closed)).select(
+            "n_wedges",
+            "n_closed",
+            F.expr("n_closed div 3").cast("long").alias("n_triangles"),
+            "n_squares",
+            F.lit(0).cast("long").alias("n_wedges_dropped"),
+        )
+    # ---- capped mode
+    wstats = deg.select(
+        F.expr("d * (d - 1) div 2").alias("w_all"),
+        F.expr(
+            f"(d * (d - 1) - least(d, {cap}) * (least(d, {cap}) - 1)) div 2"
+        ).alias("w_drop"),
+    ).agg(
+        F.coalesce(F.sum("w_all"), F.lit(0)).cast("long").alias("n_wedges"),
+        F.coalesce(F.sum("w_drop"), F.lit(0))
+        .cast("long")
+        .alias("n_wedges_dropped"),
+    )
+    kept = (
+        nbr.withColumn(
+            "r", F.row_number().over(Window.partitionBy("v").orderBy("u"))
+        )
+        .filter(F.col("r") <= cap)
+        .select("v", "u")
+    )
+    cn = (
+        kept.select("v", F.col("u").alias("x"))
+        .join(kept.select("v", F.col("u").alias("y")), "v")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c"))
+    )
+    squares = cn.agg(
+        F.coalesce(F.expr("sum(c * (c - 1)) div 4"), F.lit(0))
+        .cast("long")
+        .alias("n_squares")
+    )
+    tri = oriented_triangles(edges).agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    return (
+        wstats.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(squares))
+        .select(
+            "n_wedges",
+            (F.col("n_triangles") * 3).cast("long").alias("n_closed"),
+            "n_triangles",
+            "n_squares",
+            "n_wedges_dropped",
+        )
+    )
+
+
 def largest_connected_component(edges: DataFrame, n_vertices: int) -> DataFrame:
     """Edge list restricted to the LCC (reference LCC extraction)."""
     comp = connected_components(edges, n_vertices)

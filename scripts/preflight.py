@@ -116,8 +116,19 @@ def main() -> None:
             for q in order
             if q not in last_round or upcoming - last_round[q] > 5
         ]
-        ok_zone = max(50, len(flagged))
+        # Zone = the 50-entry driver window + a FIXED staging budget.
+        # (ADVICE r7: max(50, len(flagged)) let rotation debt grow
+        # without bound — any number of stale entries passed as long
+        # as they were front-sorted. Cap it so debt past one round's
+        # worth of staging fails loudly.)
+        ok_zone = 50 + 30
         late = [q for q in flagged if order.index(q) >= ok_zone]
+        if len(flagged) > 50:
+            print(
+                f"preflight warning: {len(flagged)} stale entries exceed "
+                f"the 50-entry driver window — {len(flagged) - 50} will "
+                f"still be stale after the next round"
+            )
         if late:
             fail(
                 f"{len(flagged)} entries are driver-stale (>5 rounds or "
