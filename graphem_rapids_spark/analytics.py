@@ -790,12 +790,13 @@ def _ktruss_peel(cur, n_cur, k, max_rounds, skewed):
 
 #  wedge-pair volume (Σ C(deg,2)) above which the motif census's auto
 #  mode switches from the exact common-neighbor stream to the
-#  hub-capped enumeration. Calibrated against the r7 sf1 smoke: the
-#  co-purchase replica at sf1 streams ~7e8 wedge pairs in 462 s cold /
-#  189 s warm — the single most expensive operator in the repo — while
-#  sf0.1 (~7e6 pairs) finishes in seconds. 1e8 keeps every oracle
-#  scale exact and trips the cap exactly where the cost diverges.
-MOTIF_WEDGE_VOLUME_MAX = 100_000_000
+#  hub-capped enumeration. Measured: the co-purchase graph streams
+#  1.38e7 wedge pairs at sf0.01, 1.48e8 at sf0.1 (tens of seconds,
+#  exact stays the right call), 1.48e9 at the sf1 replica — the r7
+#  smoke's 462 s cold / 189 s warm, the most expensive operator in
+#  the repo and the r7 verdict's one weak-at-scale mark. 2e8 keeps
+#  every oracle/bench scale exact and trips the cap at sf1.
+MOTIF_WEDGE_VOLUME_MAX = 200_000_000
 MOTIF_CAP_DEFAULT = 64
 
 

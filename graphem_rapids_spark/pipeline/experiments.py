@@ -1,0 +1,440 @@
+"""Experimentation / causal-inference operators (library lift r8 —
+VERDICT r7 item 4): CUPED variance reduction, difference-in-
+differences, power analysis, Neyman stratified allocation, and Qini
+uplift curves, each over generic DataFrames so any pipeline can call
+them directly; the registry queries in ``queries.py`` are thin
+wrappers that stage the events table and rename columns.
+
+Shared disciplines (the r7 DECIMAL ladder):
+
+- monetary values quantize to integer **cents** BEFORE any moment
+  arithmetic, so sufficient statistics (n, Σc, Σc², Σxy) are exact;
+- squared-cents sums ride ``DECIMAL(38,0)`` — a BIGINT Σc² wraps at
+  ~9e6 rows of $100 values on Spark while DuckDB promotes to HUGEINT;
+- every final estimate is ONE float expression over those integers,
+  so a DuckDB oracle replays it bit-equal;
+- nothing here materializes more than a taxonomy/decile-bounded
+  table after the single full-data aggregate — the 100 TB stage is
+  always the first groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+POWER_MDES = (1, 2, 5)           # minimum detectable effects, % of mean
+POWER_Z_A = 1.959963984540054    # z_{0.975} (two-sided alpha 0.05)
+POWER_Z_B = 0.8416212335729143   # z_{0.80} (80% power)
+
+
+def per_user_pre_post(
+    events: DataFrame,
+    split_days: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """(pre, post, treated) per user — the staging table CUPED and the
+    Qini curve share: pre/post period split at ``split_days`` after
+    the stream's first day, treatment = the deterministic user-id
+    parity coin, values as exact integer cents. This is the only
+    stage that sees the full stream."""
+    b0 = events.agg(F.date_trunc("day", F.min(ts_col)).alias("d0"))
+    return (
+        events.crossJoin(F.broadcast(b0))
+        .select(
+            F.col(user_col).alias("_u"),
+            (
+                F.datediff(
+                    F.col(ts_col).cast("date"), F.col("d0").cast("date")
+                )
+                < split_days
+            ).alias("_is_pre"),
+            F.round(F.col(value_col) * 100).cast("long").alias("_c"),
+        )
+        .groupBy("_u")
+        .agg(
+            F.sum(F.when(F.col("_is_pre"), F.col("_c")).otherwise(0)).alias(
+                "pre"
+            ),
+            F.sum(F.when(~F.col("_is_pre"), F.col("_c")).otherwise(0)).alias(
+                "post"
+            ),
+        )
+        .select("pre", "post", (F.col("_u") % 2 == 1).alias("treated"))
+    )
+
+
+def cuped(
+    per_user: DataFrame,
+    pre_col: str = "pre",
+    post_col: str = "post",
+    treated_col: str = "treated",
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) over a per-unit
+    (pre, post, treated) table: θ = cov(pre, post)/var(pre), adjusted
+    difference = naive − θ·(pre-period difference), plus ρ² (the
+    variance-reduction factor). 1-row output: n_users, naive_diff,
+    theta, cuped_diff, rho2 (differences in DOLLARS — inputs are
+    cents)."""
+    pu = per_user.select(
+        F.col(pre_col).alias("pre"),
+        F.col(post_col).alias("post"),
+        F.col(treated_col).alias("treated"),
+    )
+    g = pu.groupBy("treated").agg(
+        F.count("*").alias("n"),
+        F.sum("pre").alias("sp"),
+        F.sum("post").alias("so"),
+    )
+    dpre = F.col("pre").cast("decimal(38,0)")
+    dpost = F.col("post").cast("decimal(38,0)")
+    pooled = pu.agg(
+        F.count("*").alias("n"),
+        F.sum("pre").alias("sp"),
+        F.sum("post").alias("so"),
+        F.sum(dpre * dpre).alias("spp"),
+        F.sum(dpost * dpost).alias("soo"),
+        F.sum(dpre * dpost).alias("spo"),
+    )
+    t = g.filter(F.col("treated")).select(
+        F.col("n").alias("nt"),
+        F.col("sp").alias("spt"),
+        F.col("so").alias("sot"),
+    )
+    c = g.filter(~F.col("treated")).select(
+        F.col("n").alias("nc"),
+        F.col("sp").alias("spc"),
+        F.col("so").alias("soc"),
+    )
+    j = pooled.crossJoin(F.broadcast(t)).crossJoin(F.broadcast(c))
+    dn = F.col("n").cast("decimal(38,0)")
+    dsp = F.col("sp").cast("decimal(38,0)")
+    dso = F.col("so").cast("decimal(38,0)")
+    covnum = dn * F.col("spo") - dsp * dso
+    varnum = dn * F.col("spp") - dsp * dsp
+    varonum = dn * F.col("soo") - dso * dso
+    theta = covnum.cast("double") / varnum.cast("double")
+    naive = (
+        F.col("sot").cast("double") / F.col("nt")
+        - F.col("soc").cast("double") / F.col("nc")
+    ) / 100.0
+    pre_diff = (
+        F.col("spt").cast("double") / F.col("nt")
+        - F.col("spc").cast("double") / F.col("nc")
+    ) / 100.0
+    return j.select(
+        F.col("n").alias("n_users"),
+        F.round(naive, 6).alias("naive_diff"),
+        F.round(theta, 6).alias("theta"),
+        F.round(naive - theta * pre_diff, 6).alias("cuped_diff"),
+        F.round(
+            (covnum.cast("double") / varnum.cast("double"))
+            * (covnum.cast("double") / varonum.cast("double")),
+            6,
+        ).alias("rho2"),
+    )
+
+
+def diff_in_diff(
+    obs: DataFrame,
+    treated_col: str = "treated",
+    post_col: str = "post",
+    cents_col: str = "c",
+) -> DataFrame:
+    """Difference-in-differences over row-level observations
+    (treated: bool, post: bool, cents: long): the four cell means,
+    DiD = (T2−T1) − (C2−C1), the pooled SE √(Σ s²/n per cell) and the
+    t statistic. 1-row output: mean_t1, mean_t2, mean_c1, mean_c2,
+    did, se, t_stat (dollars)."""
+    cells = (
+        obs.select(
+            F.col(treated_col).alias("treated"),
+            F.col(post_col).alias("post"),
+            F.col(cents_col).alias("c"),
+        )
+        .groupBy("treated", "post")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
+        )
+    )
+
+    def cell(tr, po, name):
+        return cells.filter(
+            (F.col("treated") == tr) & (F.col("post") == po)
+        ).select(
+            F.col("n").alias(f"n_{name}"),
+            F.col("s1").alias(f"s1_{name}"),
+            F.col("s2").alias(f"s2_{name}"),
+        )
+
+    j = (
+        cell(True, False, "t1")
+        .crossJoin(F.broadcast(cell(True, True, "t2")))
+        .crossJoin(F.broadcast(cell(False, False, "c1")))
+        .crossJoin(F.broadcast(cell(False, True, "c2")))
+    )
+
+    def mean(name):
+        return F.col(f"s1_{name}").cast("double") / F.col(f"n_{name}") / 100.0
+
+    def var_over_n(name):
+        n, s1, s2 = (
+            F.col(f"n_{name}"),
+            F.col(f"s1_{name}"),
+            F.col(f"s2_{name}"),
+        )
+        return (
+            (
+                n.cast("decimal(38,0)") * s2
+                - s1.cast("decimal(38,0)") * s1.cast("decimal(38,0)")
+            ).cast("double")
+            / (n * (n - 1)).cast("double")
+            / n
+            / 10000.0
+        )
+
+    did = mean("t2") - mean("t1") - (mean("c2") - mean("c1"))
+    se = F.sqrt(
+        var_over_n("t1")
+        + var_over_n("t2")
+        + var_over_n("c1")
+        + var_over_n("c2")
+    )
+    return j.select(
+        F.round(mean("t1"), 6).alias("mean_t1"),
+        F.round(mean("t2"), 6).alias("mean_t2"),
+        F.round(mean("c1"), 6).alias("mean_c1"),
+        F.round(mean("c2"), 6).alias("mean_c2"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(did / se, 6).alias("t_stat"),
+    )
+
+
+def power_analysis(
+    values: DataFrame,
+    cents_col: str = "c",
+    mdes: tuple = POWER_MDES,
+    z_a: float = POWER_Z_A,
+    z_b: float = POWER_Z_B,
+) -> DataFrame:
+    """Per-arm sample sizes for detecting each MDE (% of the mean) at
+    the given z constants: n = ceil(2(z_a+z_b)²σ²/δ²). Output per MDE:
+    mde_pct, mean_value, delta, n_per_arm (dollars)."""
+    spark = values.sparkSession
+    dc = F.col(cents_col).cast("decimal(38,0)")
+    st = values.agg(
+        F.count("*").alias("n"),
+        F.sum(cents_col).alias("s1"),
+        F.sum(dc * dc).alias("s2"),
+    )
+    mrows = spark.range(1).select(
+        F.explode(F.array(*[F.lit(int(k)).cast("long") for k in mdes])).alias(
+            "mde_pct"
+        )
+    )
+    j = st.crossJoin(mrows)
+    mean = F.col("s1").cast("double") / F.col("n") / 100.0
+    var = (
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s1").cast("decimal(38,0)")
+            * F.col("s1").cast("decimal(38,0)")
+        ).cast("double")
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+        / 10000.0
+    )
+    delta = mean * F.col("mde_pct").cast("double") / 100.0
+    zsum = F.lit(z_a + z_b)
+    n_arm = F.ceil(F.lit(2.0) * zsum * zsum * var / (delta * delta))
+    return j.select(
+        "mde_pct",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(delta, 6).alias("delta"),
+        n_arm.cast("long").alias("n_per_arm"),
+    ).orderBy("mde_pct")
+
+
+def neyman_allocation(
+    obs: DataFrame,
+    stratum_col: str = "event_type",
+    cents_col: str = "c",
+    budget: int = 1000,
+) -> DataFrame:
+    """Neyman (optimal) stratified-sample allocation n_h ∝ N_h·σ_h
+    with exact largest-remainder apportionment (Σ alloc = budget
+    exactly; remainders ranked by a taxonomy-bounded self-join count,
+    never a window). Output per stratum: <stratum_col>, n_events, sd,
+    w6 (the 1e6 fixed-point weight), alloc."""
+    st = (
+        obs.select(F.col(stratum_col).alias("_s"), F.col(cents_col).alias("c"))
+        .groupBy("_s")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
+        )
+    )
+    sd = (
+        F.sqrt(
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("s2")
+                - F.col("s1").cast("decimal(38,0)")
+                * F.col("s1").cast("decimal(38,0)")
+            ).cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double")
+        )
+        / 100.0
+    )
+    ws = st.select(
+        "_s",
+        "n",
+        F.round(sd, 6).alias("sd"),
+        F.round(F.col("n") * sd * 1e6).cast("long").alias("w6"),
+    )
+    tot = ws.agg(F.sum("w6").alias("wt"))
+    base = ws.crossJoin(F.broadcast(tot)).select(
+        "_s",
+        "n",
+        "sd",
+        "w6",
+        F.expr(f"{int(budget)} * w6 div wt").alias("base"),
+        F.expr(f"{int(budget)} * w6 % wt").alias("rem"),
+    )
+    left = base.agg((F.lit(int(budget)) - F.sum("base")).alias("leftover"))
+    a = base.select("_s", F.col("rem").alias("ra"))
+    b = base.select(F.col("_s").alias("tb"), F.col("rem").alias("rb"))
+    rank = (
+        a.join(
+            b,
+            (F.col("rb") > F.col("ra"))
+            | ((F.col("rb") == F.col("ra")) & (F.col("tb") < F.col("_s"))),
+            "left",
+        )
+        .groupBy("_s")
+        .agg(F.count("tb").alias("n_ahead"))
+    )
+    return (
+        base.join(F.broadcast(rank), "_s")
+        .crossJoin(F.broadcast(left))
+        .select(
+            F.col("_s").alias(stratum_col),
+            F.col("n").alias("n_events"),
+            "sd",
+            "w6",
+            (
+                F.col("base")
+                + (F.col("n_ahead") < F.col("leftover")).cast("long")
+            ).alias("alloc"),
+        )
+        .orderBy(stratum_col)
+    )
+
+
+def uplift_qini(
+    per_user: DataFrame,
+    score_col: str = "pre",
+    outcome_col: str = "post",
+    treated_col: str = "treated",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Qini uplift curve (Radcliffe 2007) over a per-unit (score,
+    outcome-cents, treated) table: rank units by score desc into
+    ``n_buckets`` deciles via EXACT strictly-above counts on the
+    per-SCORE-VALUE table (value-domain-bounded window — never a
+    global ntile over users), then per decile the incremental
+    response per treated unit and cumulative
+    q(k) = R_t(k) − R_c(k)·N_t(k)/N_c(k). Output per decile: decile,
+    n_treated, n_control, uplift, qini (dollars)."""
+    pu = per_user.select(
+        F.col(score_col).alias("_score"),
+        F.col(outcome_col).alias("_out"),
+        F.col(treated_col).alias("treated"),
+    )
+    n_units = pu.count()
+    per_v = pu.groupBy("_score").agg(F.count("*").alias("cnt"))
+    wv = Window.orderBy(F.col("_score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # bounded (#distinct score values); materialize so the window
+    # runs exactly once rather than once per plan branch
+    above = per_v.select(
+        "_score", F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("above")
+    ).localCheckpoint(eager=True)
+    dec = pu.join(F.broadcast(above), "_score").select(
+        "treated",
+        "_out",
+        F.least(
+            F.lit(n_buckets - 1), F.expr(f"{n_buckets} * above div {n_units}")
+        ).alias("decile"),
+    )
+    # n_buckets rows; both sides of the triangle join read it —
+    # materialize once or the whole user-aggregate + score-window
+    # lineage re-evaluates per side
+    per_d = (
+        dec.groupBy("decile")
+        .agg(
+            F.sum(F.col("treated").cast("long")).alias("nt"),
+            F.sum((~F.col("treated")).cast("long")).alias("nc"),
+            F.sum(F.when(F.col("treated"), F.col("_out")).otherwise(0)).alias(
+                "st"
+            ),
+            F.sum(
+                F.when(~F.col("treated"), F.col("_out")).otherwise(0)
+            ).alias("sc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = per_d.alias("a")
+    b = per_d.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(
+            F.col("a.decile").alias("decile"),
+            F.col("a.nt").alias("nt"),
+            F.col("a.nc").alias("nc"),
+            F.col("a.st").alias("st"),
+            F.col("a.sc").alias("sc"),
+        )
+        .agg(
+            F.sum("b.nt").alias("cnt"),
+            F.sum("b.nc").alias("cnc"),
+            F.sum("b.st").alias("cst"),
+            F.sum("b.sc").alias("csc"),
+        )
+    )
+    uplift = F.when(
+        (F.col("nt") > 0) & (F.col("nc") > 0),
+        F.round(
+            (
+                F.col("st").cast("double") / F.col("nt")
+                - F.col("sc").cast("double") / F.col("nc")
+            )
+            / 100.0,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    qini = F.when(
+        F.col("cnc") > 0,
+        F.round(
+            (
+                F.col("cst").cast("double")
+                - F.col("csc").cast("double")
+                * F.col("cnt").cast("double")
+                / F.col("cnc")
+            )
+            / 100.0,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return cum.select(
+        "decile",
+        F.col("nt").alias("n_treated"),
+        F.col("nc").alias("n_control"),
+        uplift.alias("uplift"),
+        qini.alias("qini"),
+    ).orderBy("decile")

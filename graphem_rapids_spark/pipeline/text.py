@@ -617,3 +617,177 @@ def perplexity_tiers(
         .cast("int")
         .alias("tier"),
     )
+
+
+# ------------------------------------------------------------ keyphrases
+def keyphrases(
+    docs: DataFrame,
+    method: str = "rake",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topk: int = 20,
+    max_words: int = 4,
+    damping: float = 0.85,
+    iters: int = 12,
+    stopwords=None,
+) -> DataFrame:
+    """Corpus keyphrase extraction (library lift r8): ``method="rake"``
+    (Rose et al. 2010 — degree/frequency word scores summed over
+    stopword-free phrase runs) or ``method="textrank"`` (Mihalcea &
+    Tarau 2004 — weighted PageRank over the window-2 word
+    co-occurrence graph). Both collapse the corpus in ONE
+    doc-partitioned pass (running-stopword-count run ids / a lead
+    window — never a global window); everything after is
+    vocabulary-sized. RAKE output: (phrase, n_occurrences, n_words,
+    score); TextRank output: (word, n_neighbors, score) — both top-k
+    by (score desc, key asc), deterministic TakeOrdered."""
+    if stopwords is None:
+        stopwords = EN_STOPWORDS
+    if method == "rake":
+        return _rake(docs, id_col, text_col, topk, max_words, stopwords)
+    if method == "textrank":
+        return _textrank(docs, id_col, text_col, topk, damping, iters, stopwords)
+    raise ValueError(f"unknown keyphrase method {method!r}")
+
+
+def _rake(docs, id_col, text_col, topk, max_words, stopwords):
+    """Word scores quantize to integer 1e6 fixed point via integer
+    division BEFORE the per-phrase sum, so every phrase score is an
+    exact integer and the cut is deterministic on any engine."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    flagged = toks.select(
+        "_id",
+        "pos",
+        "tok",
+        F.col("tok").isin(list(stopwords)).alias("is_stop"),
+    )
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = flagged.select(
+        "_id",
+        "pos",
+        "tok",
+        "is_stop",
+        F.sum(F.col("is_stop").cast("long")).over(w).alias("run"),
+    )
+    ph = (
+        runs.filter(~F.col("is_stop"))
+        .groupBy("_id", "run")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+    )
+    ph = ph.filter(F.col("plen") <= max_words)
+    ws = (
+        ph.select("plen", F.explode(F.split("phrase", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+        .select("w", F.expr("deg * 1000000 div freq").alias("s6"))
+    )
+    dph = ph.groupBy("phrase").agg(
+        F.count("*").alias("n_occurrences"),
+        F.min("plen").alias("n_words"),
+    )
+    scored = (
+        dph.select(
+            "phrase",
+            "n_occurrences",
+            "n_words",
+            F.explode(F.split("phrase", " ")).alias("w"),
+        )
+        .join(F.broadcast(ws), "w")
+        .groupBy("phrase", "n_occurrences", "n_words")
+        .agg(F.sum("s6").alias("score6"))
+    )
+    return (
+        scored.orderBy(F.col("score6").desc(), F.col("phrase").asc())
+        .limit(topk)
+        .select(
+            "phrase",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(F.col("score6").cast("double") / 1e6, 6).alias("score"),
+        )
+    )
+
+
+def _textrank(docs, id_col, text_col, topk, damping, iters, stopwords):
+    """The PageRank one-small-shuffle-per-round loop over the
+    VOCABULARY-sized word graph (never the corpus); per-iteration sums
+    of identical doubles rounded at 1e-9 — far above accumulated ulp
+    error (the _pagerank_sql discipline)."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "tok"),
+    ).filter((F.col("tok") != "") & ~F.col("tok").isin(list(stopwords)))
+    wd = Window.partitionBy("_id").orderBy("pos")
+    pairs = (
+        toks.select(F.col("tok").alias("a"), F.lead("tok").over(wd).alias("b"))
+        .filter(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .select(
+            F.least("a", "b").alias("w1"), F.greatest("a", "b").alias("w2")
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("wgt"))
+    )
+    sym = (
+        pairs.select(F.col("w1").alias("w"), F.col("w2").alias("nb"), "wgt")
+        .unionAll(
+            pairs.select(
+                F.col("w2").alias("w"), F.col("w1").alias("nb"), "wgt"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    wsum = sym.groupBy("w").agg(
+        F.sum("wgt").alias("ws"), F.count("*").alias("n_neighbors")
+    ).localCheckpoint(eager=True)
+    n = wsum.count()
+    v = wsum.select("w", (F.lit(1.0) / F.lit(float(n))).alias("v"))
+    teleport = (1.0 - damping) / n
+    for _ in range(iters):
+        msg = (
+            sym.join(wsum.select("w", "ws"), "w")
+            .join(v, "w")
+            .select(
+                F.col("nb").alias("w"),
+                (F.col("wgt") / F.col("ws") * F.col("v")).alias("m"),
+            )
+            .groupBy("w")
+            .agg(F.sum("m").alias("s"))
+        )
+        v = (
+            wsum.select("w")
+            .join(msg, "w", "left")
+            .select(
+                "w",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        v.join(wsum.select("w", "n_neighbors"), "w")
+        .select(
+            F.col("w").alias("word"),
+            F.col("n_neighbors").cast("long").alias("n_neighbors"),
+            F.round("v", 9).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("word").asc())
+        .limit(topk)
+    )

@@ -530,3 +530,149 @@ def kleinberg_bursts(
     return spark.createDataFrame(
         [(n, state, win[1], win[2], win[3], win[0])], schema
     )
+
+
+# ---------------------------------------------------------- changepoints
+def changepoints(
+    series: DataFrame,
+    method: str = "opt",
+    i_col: str = "i",
+    y_col: str = "y",
+    beta_mult: int = 2,
+) -> DataFrame:
+    """Changepoint detection over a dense integer-indexed series
+    (library lift r8). ``method="opt"`` runs exact Optimal
+    Partitioning (Jackson et al. 2005 — the DP that PELT prunes; on a
+    calendar-bounded grid the prune is a constant factor, so the
+    exact O(T²) recursion is the honest choice): minimize Σ
+    per-segment L2 cost + β per changepoint, β = beta_mult·ln(T)·σ̂².
+    The series is collected under the bounded-collect discipline
+    (calendar-sized) and the DP runs in exact Python-bignum integers:
+    cost6(s,t) = (S2Δ·l − S1Δ²)·1e6 div l, β quantized from ONE
+    double whose rounding path (double-round the exact numerator,
+    then /n/n) matches the DuckDB HUGEINT oracle. Output per segment:
+    seg_id, start_day, end_day, n_days, seg_mean."""
+    if method != "opt":
+        raise ValueError(f"unknown changepoint method {method!r}")
+    import math
+
+    spark = series.sparkSession
+    schema = (
+        "seg_id long, start_day long, end_day long, n_days long,"
+        " seg_mean double"
+    )
+    ys = [
+        int(r["_y"])
+        for r in series.select(
+            F.col(i_col).alias("_i"), F.col(y_col).cast("long").alias("_y")
+        )
+        .orderBy("_i")
+        .collect()
+    ]
+    n = len(ys)
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    s1 = [0] * (n + 1)
+    s2 = [0] * (n + 1)
+    for i, y in enumerate(ys):
+        s1[i + 1] = s1[i] + y
+        s2[i + 1] = s2[i] + y * y
+    # population sigma^2 — rounding path MUST match the oracle's
+    # CAST(num AS DOUBLE)/n/n: double-round the exact bignum numerator
+    # FIRST (a single exact-rational division can differ by 1 ulp past
+    # 2^53, flipping beta6 and the whole segmentation)
+    var_hat = float(s2[n] * n - s1[n] * s1[n]) / n / n
+    beta6 = math.floor(beta_mult * math.log(n) * var_hat * 1e6 + 0.5)
+
+    def cost6(s: int, t: int) -> int:
+        l = t - s  # noqa: E741
+        a = s1[t] - s1[s]
+        q = s2[t] - s2[s]
+        return (q * l - a * a) * 1_000_000 // l
+
+    f = [0] * (n + 1)
+    bp = [0] * (n + 1)
+    for tt in range(1, n + 1):
+        best, arg = None, 0
+        for ss in range(tt):
+            v = f[ss] + cost6(ss, tt) + beta6
+            if best is None or v < best:
+                best, arg = v, ss
+        f[tt] = best
+        bp[tt] = arg
+    segs = []
+    pos = n
+    while pos > 0:
+        st = bp[pos]
+        segs.append((st, pos))
+        pos = st
+    segs.reverse()
+    rows = [
+        (
+            i + 1,
+            st,
+            en - 1,
+            en - st,
+            round((s1[en] - s1[st]) / (en - st), 6),
+        )
+        for i, (st, en) in enumerate(segs)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def cusum_changepoint(
+    daily: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+    d_col: str = "d",
+    y_col: str = "y",
+    value_scale: float = 100.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """CUSUM single-changepoint detection per group (Page 1954) over
+    an already-aggregated (group…, d, y) daily table: the day where
+    the cumulative deviation from the group mean peaks. Exact
+    integers: with totals y_i and total T over n days,
+    n·S_k = n·prefix_k − k·T needs no division, so the argmax day is
+    an integer comparison on any engine; the reported value divides
+    once at the end (by n·value_scale). Windows are group-partitioned
+    over the calendar-bounded table — nothing global. Output:
+    (group…, n_days, cp_day, cusum_value)."""
+    gs = list(group_cols)
+    w = Window.partitionBy(*gs).orderBy(d_col)
+    wall = Window.partitionBy(*gs)
+    cum = daily.select(
+        *gs,
+        F.col(d_col).alias("_d"),
+        F.sum(y_col).over(w).alias("_pfx"),
+        F.row_number().over(w).alias("_k"),
+        F.sum(y_col).over(wall).alias("_tot"),
+        F.count("*").over(wall).alias("_n"),
+    ).select(
+        *gs,
+        "_d",
+        F.col("_n").alias("n"),
+        (F.col("_n") * F.col("_pfx") - F.col("_k") * F.col("_tot")).alias(
+            "ns"
+        ),
+    )
+    peak = cum.groupBy(*gs).agg(
+        F.max(F.abs(F.col("ns"))).alias("peak_ns"),
+        F.max("n").alias("n_days"),
+    )
+    return (
+        cum.join(F.broadcast(peak), gs)
+        .filter(F.abs(F.col("ns")) == F.col("peak_ns"))
+        .groupBy(*gs, "n_days", "peak_ns")
+        .agg(F.min("_d").alias("cp_day"))
+        .select(
+            *gs,
+            "n_days",
+            "cp_day",
+            F.round(
+                F.col("peak_ns").cast("double")
+                / (F.col("n_days").cast("double") * F.lit(value_scale)),
+                round_to,
+            ).alias("cusum_value"),
+        )
+        .orderBy(*gs)
+    )

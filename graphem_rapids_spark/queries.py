@@ -15009,72 +15009,16 @@ def events_changepoint_opt(spark, sf_dir):
     bignums; the oracle uses HUGEINT), β quantizes from one identical
     double, and the DP (ties → smallest split) is replayed bit-equal
     by a DuckDB RECURSIVE CTE carrying the F/backpointer LISTs.
-    Output per segment: seg_id, start_day, end_day, n_days,
-    seg_mean."""
+    Thin wrapper (library lift r8) over
+    :func:`pipeline.timeseries.changepoints` (method="opt"), which
+    carries the rounding-path and bignum disciplines. Output per
+    segment: seg_id, start_day, end_day, n_days, seg_mean."""
     from graphem_rapids_spark.pipeline import timeseries as TS
 
     e = _t(spark, sf_dir, "events")
-    ys = [
-        int(r["y"])
-        for r in TS.dense_counts(e, grain="day").orderBy("i").collect()
-    ]  # calendar-bounded
-    n = len(ys)
-    if n == 0:
-        return spark.createDataFrame(
-            [],
-            "seg_id long, start_day long, end_day long, n_days long,"
-            " seg_mean double",
-        )
-    s1 = [0] * (n + 1)
-    s2 = [0] * (n + 1)
-    for i, y in enumerate(ys):
-        s1[i + 1] = s1[i] + y
-        s2[i + 1] = s2[i] + y * y
-    # population sigma^2 — rounding path MUST match the oracle's
-    # CAST(num AS DOUBLE)/n/n (ADVICE r7): double-round the exact
-    # bignum numerator FIRST, then two double divisions; a single
-    # exact-rational division can differ by 1 ulp once the numerator
-    # exceeds 2^53, flipping beta6 and the whole segmentation.
-    var_hat = float(s2[n] * n - s1[n] * s1[n]) / n / n
-    beta6 = math.floor(_OP_BETA_MULT * math.log(n) * var_hat * 1e6 + 0.5)
-
-    def cost6(s: int, t: int) -> int:
-        l = t - s
-        a = s1[t] - s1[s]
-        q = s2[t] - s2[s]
-        return (q * l - a * a) * 1_000_000 // l
-
-    f = [0] * (n + 1)
-    bp = [0] * (n + 1)
-    for tt in range(1, n + 1):
-        best, arg = None, 0
-        for ss in range(tt):
-            v = f[ss] + cost6(ss, tt) + beta6
-            if best is None or v < best:
-                best, arg = v, ss
-        f[tt] = best
-        bp[tt] = arg
-    segs = []
-    pos = n
-    while pos > 0:
-        st = bp[pos]
-        segs.append((st, pos))
-        pos = st
-    segs.reverse()
-    rows = [
-        (
-            i + 1,
-            st,
-            en - 1,
-            en - st,
-            round((s1[en] - s1[st]) / (en - st), 6),
-        )
-        for i, (st, en) in enumerate(segs)
-    ]
-    return spark.createDataFrame(
-        rows,
-        "seg_id long, start_day long, end_day long, n_days long,"
-        " seg_mean double",
+    return TS.changepoints(
+        TS.dense_counts(e, grain="day"), method="opt",
+        beta_mult=_OP_BETA_MULT,
     )
 
 
@@ -15187,7 +15131,10 @@ def events_cusum_changepoint(spark, sf_dir):
     cusum_dollars divides once at the end. One shuffle to daily
     totals, one type-partitioned prefix window over the
     calendar-bounded daily table, one groupBy-join for the argmax —
-    nothing global."""
+    nothing global. Thin wrapper (library lift r8) over
+    :func:`pipeline.timeseries.cusum_changepoint`."""
+    from graphem_rapids_spark.pipeline import timeseries as TS
+
     e = _events(spark, sf_dir).select(
         "event_type",
         F.expr("ts div 86400000000000").alias("d"),
@@ -15203,42 +15150,9 @@ def events_cusum_changepoint(spark, sf_dir):
         [(r["event_type"], r["d"], r["y"]) for r in drows],
         "event_type string, d long, y long",
     )
-    w = Window.partitionBy("event_type").orderBy("d")
-    wall = Window.partitionBy("event_type")
-    cum = daily.select(
-        "event_type",
-        "d",
-        F.sum("y").over(w).alias("pfx"),
-        F.row_number().over(w).alias("k"),
-        F.sum("y").over(wall).alias("tot"),
-        F.count("*").over(wall).alias("n"),
-    ).select(
-        "event_type",
-        "d",
-        "n",
-        (F.col("n") * F.col("pfx") - F.col("k") * F.col("tot")).alias("ns"),
-    )
-    peak = cum.groupBy("event_type").agg(
-        F.max(F.abs(F.col("ns"))).alias("peak_ns"),
-        F.max("n").alias("n_days"),
-    )
-    return (
-        cum.join(F.broadcast(peak), "event_type")
-        .filter(F.abs(F.col("ns")) == F.col("peak_ns"))
-        .groupBy("event_type", "n_days", "peak_ns")
-        .agg(F.min("d").alias("cp_day"))
-        .select(
-            "event_type",
-            "n_days",
-            "cp_day",
-            F.round(
-                F.col("peak_ns").cast("double")
-                / (F.col("n_days").cast("double") * 100.0),
-                4,
-            ).alias("cusum_dollars"),
-        )
-        .orderBy("event_type")
-    )
+    return TS.cusum_changepoint(
+        daily, group_cols=("event_type",), value_scale=100.0, round_to=4
+    ).withColumnRenamed("cusum_value", "cusum_dollars")
 
 
 _CUSUM_SQL = """
@@ -17542,73 +17456,18 @@ def events_neyman_allocation(spark, sf_dir):
     quantized to a 1e6 fixed-point integer before any cross-stratum
     arithmetic, and the final allocation is largest-remainder
     apportionment in pure integers (ranked by a taxonomy-bounded
-    self-join count, not a window). Σ alloc = budget exactly. Output
-    per type: n_events, sd, weight6, alloc."""
+    self-join count, not a window). Σ alloc = budget exactly. Thin
+    wrapper (library lift r8) over
+    :func:`pipeline.experiments.neyman_allocation`. Output per type:
+    n_events, sd, weight6, alloc."""
+    from graphem_rapids_spark.pipeline import experiments as X
+
     e = _t(spark, sf_dir, "events").select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("c"),
     )
-    st = e.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("c").alias("s1"),
-        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
-    )
-    sd = F.sqrt(
-        (
-            F.col("n").cast("decimal(38,0)") * F.col("s2")
-            - F.col("s1").cast("decimal(38,0)")
-            * F.col("s1").cast("decimal(38,0)")
-        ).cast("double")
-        / (F.col("n") * (F.col("n") - 1)).cast("double")
-    ) / 100.0
-    ws = st.select(
-        "event_type",
-        "n",
-        F.round(sd, 6).alias("sd"),
-        F.round(F.col("n") * sd * 1e6).cast("long").alias("w6"),
-    )
-    tot = ws.agg(F.sum("w6").alias("wt"))
-    base = ws.crossJoin(F.broadcast(tot)).select(
-        "event_type",
-        "n",
-        "sd",
-        "w6",
-        F.expr(f"{_NEYMAN_BUDGET} * w6 div wt").alias("base"),
-        F.expr(f"{_NEYMAN_BUDGET} * w6 % wt").alias("rem"),
-    )
-    left = base.agg(
-        (F.lit(_NEYMAN_BUDGET) - F.sum("base")).alias("leftover")
-    )
-    a = base.select(
-        "event_type", F.col("rem").alias("ra")
-    )
-    b = base.select(
-        F.col("event_type").alias("tb"), F.col("rem").alias("rb")
-    )
-    rank = (
-        a.join(
-            b,
-            (F.col("rb") > F.col("ra"))
-            | ((F.col("rb") == F.col("ra")) & (F.col("tb") < F.col("event_type"))),
-            "left",
-        )
-        .groupBy("event_type")
-        .agg(F.count("tb").alias("n_ahead"))
-    )
-    return (
-        base.join(F.broadcast(rank), "event_type")
-        .crossJoin(F.broadcast(left))
-        .select(
-            "event_type",
-            F.col("n").alias("n_events"),
-            "sd",
-            "w6",
-            (
-                F.col("base")
-                + (F.col("n_ahead") < F.col("leftover")).cast("long")
-            ).alias("alloc"),
-        )
-        .orderBy("event_type")
+    return X.neyman_allocation(
+        e, stratum_col="event_type", budget=_NEYMAN_BUDGET
     )
 
 
@@ -17970,112 +17829,17 @@ def events_uplift_qini(spark, sf_dir):
     table (least(9, 10·above div n) — the link_pred_auc
     value-domain-bounded window, no global ntile over users); decile
     cumulatives come from a 10×10 triangle join, and each Qini/uplift
-    value is one float expression over integer sums. Output per
-    decile: decile, n_treated, n_control, uplift, qini."""
-    e = _t(spark, sf_dir, "events")
-    b0 = e.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
-    pu = (
-        e.crossJoin(F.broadcast(b0))
-        .select(
-            "user_id",
-            (
-                F.datediff(F.col("ts").cast("date"), F.col("d0").cast("date"))
-                < _PSI_SPLIT_DAYS
-            ).alias("is_pre"),
-            F.round(F.col("value") * 100).cast("long").alias("c"),
-        )
-        .groupBy("user_id")
-        .agg(
-            F.sum(F.when(F.col("is_pre"), F.col("c")).otherwise(0)).alias(
-                "pre"
-            ),
-            F.sum(F.when(~F.col("is_pre"), F.col("c")).otherwise(0)).alias(
-                "post"
-            ),
-        )
-        .select(
-            "pre", "post", (F.col("user_id") % 2 == 1).alias("treated")
-        )
+    value is one float expression over integer sums. Thin wrapper
+    (library lift r8) over
+    :func:`pipeline.experiments.per_user_pre_post` +
+    :func:`pipeline.experiments.uplift_qini`. Output per decile:
+    decile, n_treated, n_control, uplift, qini."""
+    from graphem_rapids_spark.pipeline import experiments as X
+
+    pu = X.per_user_pre_post(
+        _t(spark, sf_dir, "events"), split_days=_PSI_SPLIT_DAYS
     )
-    n_users = pu.count()
-    per_v = pu.groupBy("pre").agg(F.count("*").alias("cnt"))
-    wv = Window.orderBy(F.col("pre").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    # bounded (#distinct pre-cents values); materialize so the window
-    # runs exactly once rather than once per plan branch
-    above = per_v.select(
-        "pre", F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("above")
-    ).localCheckpoint(eager=True)
-    dec = pu.join(F.broadcast(above), "pre").select(
-        "treated",
-        "post",
-        F.least(
-            F.lit(9), F.expr(f"10 * above div {n_users}")
-        ).alias("decile"),
-    )
-    # 10 rows; both sides of the triangle join read it — materialize
-    # once or the whole user-aggregate + score-window lineage
-    # re-evaluates per side
-    per_d = dec.groupBy("decile").agg(
-        F.sum(F.col("treated").cast("long")).alias("nt"),
-        F.sum((~F.col("treated")).cast("long")).alias("nc"),
-        F.sum(F.when(F.col("treated"), F.col("post")).otherwise(0)).alias(
-            "st"
-        ),
-        F.sum(F.when(~F.col("treated"), F.col("post")).otherwise(0)).alias(
-            "sc"
-        ),
-    ).localCheckpoint(eager=True)
-    a = per_d.alias("a")
-    b = per_d.alias("b")
-    cum = (
-        a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
-        .groupBy(
-            F.col("a.decile").alias("decile"),
-            F.col("a.nt").alias("nt"),
-            F.col("a.nc").alias("nc"),
-            F.col("a.st").alias("st"),
-            F.col("a.sc").alias("sc"),
-        )
-        .agg(
-            F.sum("b.nt").alias("cnt"),
-            F.sum("b.nc").alias("cnc"),
-            F.sum("b.st").alias("cst"),
-            F.sum("b.sc").alias("csc"),
-        )
-    )
-    uplift = F.when(
-        (F.col("nt") > 0) & (F.col("nc") > 0),
-        F.round(
-            (
-                F.col("st").cast("double") / F.col("nt")
-                - F.col("sc").cast("double") / F.col("nc")
-            )
-            / 100.0,
-            6,
-        ),
-    ).otherwise(F.lit(0.0))
-    qini = F.when(
-        F.col("cnc") > 0,
-        F.round(
-            (
-                F.col("cst").cast("double")
-                - F.col("csc").cast("double")
-                * F.col("cnt").cast("double")
-                / F.col("cnc")
-            )
-            / 100.0,
-            6,
-        ),
-    ).otherwise(F.lit(0.0))
-    return cum.select(
-        "decile",
-        F.col("nt").alias("n_treated"),
-        F.col("nc").alias("n_control"),
-        uplift.alias("uplift"),
-        qini.alias("qini"),
-    ).orderBy("decile")
+    return X.uplift_qini(pu)
 
 
 _QINI_SQL = f"""
@@ -18264,71 +18028,15 @@ def doc_textrank_keywords(spark, sf_dir):
     loop over the VOCABULARY-sized word graph (never the corpus).
     Floats: each iteration is sums of identical doubles rounded at
     1e-9 far above accumulated ulp error (the _pagerank_sql
-    discipline). Output: word, n_neighbors, score (top-20 by score
-    desc, word asc)."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(T.tokens_col("text")).alias("pos", "tok")
-    ).filter(
-        (F.col("tok") != "") & ~F.col("tok").isin(list(T.EN_STOPWORDS))
-    )
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    pairs = (
-        toks.select(
-            F.col("tok").alias("a"), F.lead("tok").over(wd).alias("b")
-        )
-        .filter(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
-        .select(
-            F.least("a", "b").alias("w1"), F.greatest("a", "b").alias("w2")
-        )
-        .groupBy("w1", "w2")
-        .agg(F.count("*").alias("wgt"))
-    )
-    sym = pairs.select(
-        F.col("w1").alias("w"), F.col("w2").alias("nb"), "wgt"
-    ).unionAll(
-        pairs.select(
-            F.col("w2").alias("w"), F.col("w1").alias("nb"), "wgt"
-        )
-    ).localCheckpoint(eager=True)
-    wsum = sym.groupBy("w").agg(
-        F.sum("wgt").alias("ws"), F.count("*").alias("n_neighbors")
-    ).localCheckpoint(eager=True)
-    n = wsum.count()
-    v = wsum.select("w", (F.lit(1.0) / F.lit(float(n))).alias("v"))
-    teleport = (1.0 - _TR_D) / n
-    for _ in range(_TR_ITERS):
-        msg = (
-            sym.join(wsum.select("w", "ws"), "w")
-            .join(v, "w")
-            .select(
-                F.col("nb").alias("w"),
-                (F.col("wgt") / F.col("ws") * F.col("v")).alias("m"),
-            )
-            .groupBy("w")
-            .agg(F.sum("m").alias("s"))
-        )
-        v = (
-            wsum.select("w")
-            .join(msg, "w", "left")
-            .select(
-                "w",
-                (
-                    F.lit(teleport)
-                    + F.lit(_TR_D) * F.coalesce("s", F.lit(0.0))
-                ).alias("v"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return (
-        v.join(wsum.select("w", "n_neighbors"), "w")
-        .select(
-            F.col("w").alias("word"),
-            F.col("n_neighbors").cast("long").alias("n_neighbors"),
-            F.round("v", 9).alias("score"),
-        )
-        .orderBy(F.col("score").desc(), F.col("word").asc())
-        .limit(_TR_TOPK)
+    discipline). Thin wrapper (library lift r8) over
+    :func:`pipeline.text.keyphrases` (method="textrank"). Output:
+    word, n_neighbors, score (top-20 by score desc, word asc)."""
+    return T.keyphrases(
+        _t(spark, sf_dir, "documents"),
+        method="textrank",
+        topk=_TR_TOPK,
+        damping=_TR_D,
+        iters=_TR_ITERS,
     )
 
 
@@ -18519,75 +18227,14 @@ def doc_keyword_rake(spark, sf_dir):
     word scores quantize to integer 1e6 fixed point via integer
     division BEFORE the per-phrase sum, so every phrase score is an
     exact integer and the top-20 cut (score desc, phrase asc) is a
-    deterministic TakeOrdered. Output: phrase, n_occurrences,
-    n_words, score."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(T.tokens_col("text")).alias("pos", "tok")
-    ).filter(F.col("tok") != "")
-    flagged = toks.select(
-        "doc_id",
-        "pos",
-        "tok",
-        F.col("tok").isin(list(T.EN_STOPWORDS)).alias("is_stop"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    runs = flagged.select(
-        "doc_id",
-        "pos",
-        "tok",
-        "is_stop",
-        F.sum(F.col("is_stop").cast("long")).over(w).alias("run"),
-    )
-    ph = (
-        runs.filter(~F.col("is_stop"))
-        .groupBy("doc_id", "run")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("phrase"),
-            F.count("*").alias("plen"),
-        )
-    )
-    ph = ph.filter(F.col("plen") <= _RAKE_MAX_WORDS)
-    ws = (
-        ph.select("plen", F.explode(F.split("phrase", " ")).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
-        .select("w", F.expr("deg * 1000000 div freq").alias("s6"))
-    )
-    dph = ph.groupBy("phrase").agg(
-        F.count("*").alias("n_occurrences"),
-        F.min("plen").alias("n_words"),
-    )
-    scored = (
-        dph.select(
-            "phrase",
-            "n_occurrences",
-            "n_words",
-            F.explode(F.split("phrase", " ")).alias("w"),
-        )
-        .join(F.broadcast(ws), "w")
-        .groupBy("phrase", "n_occurrences", "n_words")
-        .agg(F.sum("s6").alias("score6"))
-    )
-    return (
-        scored.orderBy(F.col("score6").desc(), F.col("phrase").asc())
-        .limit(_RAKE_TOPK)
-        .select(
-            "phrase",
-            F.col("n_occurrences").cast("long").alias("n_occurrences"),
-            F.col("n_words").cast("long").alias("n_words"),
-            F.round(F.col("score6").cast("double") / 1e6, 6).alias("score"),
-        )
+    deterministic TakeOrdered. Thin wrapper (library lift r8) over
+    :func:`pipeline.text.keyphrases` (method="rake"). Output: phrase,
+    n_occurrences, n_words, score."""
+    return T.keyphrases(
+        _t(spark, sf_dir, "documents"),
+        method="rake",
+        topk=_RAKE_TOPK,
+        max_words=_RAKE_MAX_WORDS,
     )
 
 
@@ -19803,85 +19450,17 @@ def events_cuped_adjustment(spark, sf_dir):
     n·Σx² − (Σx)²) is an exact integer NUMERATOR — θ, the adjusted
     difference and ρ² are a handful of identical float expressions
     over those integers. One scan → per-user aggregate → one global
-    + one per-group aggregate. Output: n_users, naive_diff, theta,
+    + one per-group aggregate. Thin wrapper (library lift r8) over
+    :func:`pipeline.experiments.per_user_pre_post` +
+    :func:`pipeline.experiments.cuped`, which carry the DECIMAL(38,0)
+    moment discipline. Output: n_users, naive_diff, theta,
     cuped_diff, rho2."""
-    e = _t(spark, sf_dir, "events")
-    b0 = e.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
-    per_user = (
-        e.crossJoin(F.broadcast(b0))
-        .select(
-            "user_id",
-            (
-                F.datediff(F.col("ts").cast("date"), F.col("d0").cast("date"))
-                < _PSI_SPLIT_DAYS
-            ).alias("is_pre"),
-            F.round(F.col("value") * 100).cast("long").alias("c"),
-        )
-        .groupBy("user_id")
-        .agg(
-            F.sum(F.when(F.col("is_pre"), F.col("c")).otherwise(0)).alias(
-                "pre"
-            ),
-            F.sum(F.when(~F.col("is_pre"), F.col("c")).otherwise(0)).alias(
-                "post"
-            ),
-        )
-        .select(
-            "pre", "post", (F.col("user_id") % 2 == 1).alias("treated")
-        )
+    from graphem_rapids_spark.pipeline import experiments as X
+
+    pu = X.per_user_pre_post(
+        _t(spark, sf_dir, "events"), split_days=_PSI_SPLIT_DAYS
     )
-    g = per_user.groupBy("treated").agg(
-        F.count("*").alias("n"),
-        F.sum("pre").alias("sp"),
-        F.sum("post").alias("so"),
-    )
-    # Squared-cents products and their sums ride DECIMAL(38,0): a
-    # BIGINT sum of pre² (≤1e12/user) wraps at ~9e6 users on Spark
-    # while DuckDB promotes to HUGEINT — decimal keeps both engines
-    # exact together (same discipline as events_acf / brier).
-    dpre = F.col("pre").cast("decimal(38,0)")
-    dpost = F.col("post").cast("decimal(38,0)")
-    pooled = per_user.agg(
-        F.count("*").alias("n"),
-        F.sum("pre").alias("sp"),
-        F.sum("post").alias("so"),
-        F.sum(dpre * dpre).alias("spp"),
-        F.sum(dpost * dpost).alias("soo"),
-        F.sum(dpre * dpost).alias("spo"),
-    )
-    t = g.filter(F.col("treated")).select(
-        F.col("n").alias("nt"), F.col("sp").alias("spt"), F.col("so").alias("sot")
-    )
-    c = g.filter(~F.col("treated")).select(
-        F.col("n").alias("nc"), F.col("sp").alias("spc"), F.col("so").alias("soc")
-    )
-    j = pooled.crossJoin(F.broadcast(t)).crossJoin(F.broadcast(c))
-    dn = F.col("n").cast("decimal(38,0)")
-    dsp = F.col("sp").cast("decimal(38,0)")
-    dso = F.col("so").cast("decimal(38,0)")
-    covnum = dn * F.col("spo") - dsp * dso
-    varnum = dn * F.col("spp") - dsp * dsp
-    varonum = dn * F.col("soo") - dso * dso
-    theta = covnum.cast("double") / varnum.cast("double")
-    naive = (
-        F.col("sot").cast("double") / F.col("nt")
-        - F.col("soc").cast("double") / F.col("nc")
-    ) / 100.0
-    pre_diff = (
-        F.col("spt").cast("double") / F.col("nt")
-        - F.col("spc").cast("double") / F.col("nc")
-    ) / 100.0
-    return j.select(
-        F.col("n").alias("n_users"),
-        F.round(naive, 6).alias("naive_diff"),
-        F.round(theta, 6).alias("theta"),
-        F.round(naive - theta * pre_diff, 6).alias("cuped_diff"),
-        F.round(
-            (covnum.cast("double") / varnum.cast("double"))
-            * (covnum.cast("double") / varonum.cast("double")),
-            6,
-        ).alias("rho2"),
-    )
+    return X.cuped(pu)
 
 
 _CUPED_SQL = f"""
@@ -19940,78 +19519,22 @@ def events_did_estimate(spark, sf_dir):
     cell's (n, Σc, Σc²) sufficient statistics are exact integer
     CENTS; the four cell means, DiD, the pooled SE √(Σ s²_cell /
     n_cell) and the t statistic are identical float expressions over
-    those integers. ONE scan, one 4-cell aggregate. Output:
-    mean_t1, mean_t2, mean_c1, mean_c2, did, se, t_stat."""
+    those integers. ONE scan, one 4-cell aggregate. Thin wrapper
+    (library lift r8) over :func:`pipeline.experiments.diff_in_diff`.
+    Output: mean_t1, mean_t2, mean_c1, mean_c2, did, se, t_stat."""
+    from graphem_rapids_spark.pipeline import experiments as X
+
     e = _t(spark, sf_dir, "events")
     b0 = e.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
-    cells = (
-        e.crossJoin(F.broadcast(b0))
-        .select(
-            (F.col("event_type") == "error").alias("treated"),
-            (
-                F.datediff(F.col("ts").cast("date"), F.col("d0").cast("date"))
-                >= _PSI_SPLIT_DAYS
-            ).alias("post"),
-            F.round(F.col("value") * 100).cast("long").alias("c"),
-        )
-        .groupBy("treated", "post")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("c").alias("s1"),
-            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
-        )
+    obs = e.crossJoin(F.broadcast(b0)).select(
+        (F.col("event_type") == "error").alias("treated"),
+        (
+            F.datediff(F.col("ts").cast("date"), F.col("d0").cast("date"))
+            >= _PSI_SPLIT_DAYS
+        ).alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
     )
-
-    def cell(tr, po, name):
-        d = cells.filter(
-            (F.col("treated") == tr) & (F.col("post") == po)
-        ).select(
-            F.col("n").alias(f"n_{name}"),
-            F.col("s1").alias(f"s1_{name}"),
-            F.col("s2").alias(f"s2_{name}"),
-        )
-        return d
-
-    j = (
-        cell(True, False, "t1")
-        .crossJoin(F.broadcast(cell(True, True, "t2")))
-        .crossJoin(F.broadcast(cell(False, False, "c1")))
-        .crossJoin(F.broadcast(cell(False, True, "c2")))
-    )
-
-    def mean(name):
-        return F.col(f"s1_{name}").cast("double") / F.col(f"n_{name}") / 100.0
-
-    def var_over_n(name):
-        n, s1, s2 = (
-            F.col(f"n_{name}"),
-            F.col(f"s1_{name}"),
-            F.col(f"s2_{name}"),
-        )
-        return (
-            (
-                n.cast("decimal(38,0)") * s2
-                - s1.cast("decimal(38,0)") * s1.cast("decimal(38,0)")
-            ).cast("double")
-            / (n * (n - 1)).cast("double")
-            / n
-            / 10000.0
-        )
-
-    did = mean("t2") - mean("t1") - (mean("c2") - mean("c1"))
-    se = F.sqrt(
-        var_over_n("t1") + var_over_n("t2") + var_over_n("c1")
-        + var_over_n("c2")
-    )
-    return j.select(
-        F.round(mean("t1"), 6).alias("mean_t1"),
-        F.round(mean("t2"), 6).alias("mean_t2"),
-        F.round(mean("c1"), 6).alias("mean_c1"),
-        F.round(mean("c2"), 6).alias("mean_c2"),
-        F.round(did, 6).alias("did"),
-        F.round(se, 6).alias("se"),
-        F.round(did / se, 6).alias("t_stat"),
-    )
+    return X.diff_in_diff(obs)
 
 
 _DID_SQL = f"""
@@ -20280,9 +19803,13 @@ FROM b ORDER BY doc_id
 """
 
 
-_POWER_Z_A = 1.959963984540054   # z_{0.975} (two-sided alpha 0.05)
-_POWER_Z_B = 0.8416212335729143  # z_{0.80} (80% power)
-_POWER_MDES = (1, 2, 5)          # minimum detectable effects, % of mean
+# single source of truth lives in pipeline/experiments.py (lift r8);
+# the oracle SQL below interpolates these same values
+from graphem_rapids_spark.pipeline.experiments import (  # noqa: E402
+    POWER_MDES as _POWER_MDES,
+    POWER_Z_A as _POWER_Z_A,
+    POWER_Z_B as _POWER_Z_B,
+)
 
 
 def events_power_analysis(spark, sf_dir):
@@ -20297,42 +19824,16 @@ def events_power_analysis(spark, sf_dir):
     identical float expression. Σc² and the moment cross products
     ride DECIMAL(38,0) — a BIGINT Σc² wraps at ~9e6 rows of $100
     values on Spark where DuckDB promotes to HUGEINT (the
-    acf/brier/CUPED discipline). ONE scan, one aggregate. Output per
-    MDE: mde_pct, mean_value, delta, n_per_arm."""
+    acf/brier/CUPED discipline). ONE scan, one aggregate. Thin
+    wrapper (library lift r8) over
+    :func:`pipeline.experiments.power_analysis`. Output per MDE:
+    mde_pct, mean_value, delta, n_per_arm."""
+    from graphem_rapids_spark.pipeline import experiments as X
+
     e = _t(spark, sf_dir, "events").select(
         F.round(F.col("value") * 100).cast("long").alias("c")
     )
-    dc = F.col("c").cast("decimal(38,0)")
-    st = e.agg(
-        F.count("*").alias("n"),
-        F.sum("c").alias("s1"),
-        F.sum(dc * dc).alias("s2"),
-    )
-    mdes = spark.range(1).select(
-        F.explode(
-            F.array(*[F.lit(k).cast("long") for k in _POWER_MDES])
-        ).alias("mde_pct")
-    )
-    j = st.crossJoin(mdes)
-    mean = F.col("s1").cast("double") / F.col("n") / 100.0
-    var = (
-        (
-            F.col("n").cast("decimal(38,0)") * F.col("s2")
-            - F.col("s1").cast("decimal(38,0)")
-            * F.col("s1").cast("decimal(38,0)")
-        ).cast("double")
-        / (F.col("n") * (F.col("n") - 1)).cast("double")
-        / 10000.0
-    )
-    delta = mean * F.col("mde_pct").cast("double") / 100.0
-    zsum = F.lit(_POWER_Z_A + _POWER_Z_B)
-    n_arm = F.ceil(F.lit(2.0) * zsum * zsum * var / (delta * delta))
-    return j.select(
-        "mde_pct",
-        F.round(mean, 6).alias("mean_value"),
-        F.round(delta, 6).alias("delta"),
-        n_arm.cast("long").alias("n_per_arm"),
-    ).orderBy("mde_pct")
+    return X.power_analysis(e, mdes=_POWER_MDES, z_a=_POWER_Z_A, z_b=_POWER_Z_B)
 
 
 _POWER_SQL = f"""

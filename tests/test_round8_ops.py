@@ -141,3 +141,128 @@ def test_gn_rounds_derived():
     from graphem_rapids_spark import queries as Q
 
     assert Q._GN_CC_ROUNDS == Q._CC_ROUNDS + 8
+
+
+# --------------------------------------------------- r8 library lifts
+def test_experiments_cuped_closed_form(spark):
+    """Hand-computable CUPED: pre perfectly predicts post (post =
+    2*pre) => theta = 2, rho2 = 1, cuped_diff = 0."""
+    from graphem_rapids_spark.pipeline.experiments import cuped
+
+    rows = [(p, 2 * p, t) for p, t in
+            [(100, True), (200, True), (300, False), (400, False)]]
+    df = spark.createDataFrame(rows, "pre long, post long, treated boolean")
+    r = cuped(df).collect()[0]
+    assert r["n_users"] == 4
+    assert r["theta"] == 2.0
+    assert r["rho2"] == 1.0
+    assert r["cuped_diff"] == 0.0
+    # naive diff = (2*150 - 2*350)/100 dollars = -4.0
+    assert r["naive_diff"] == -4.0
+
+
+def test_experiments_neyman_budget_conservation(spark):
+    """Largest-remainder apportionment: Σ alloc == budget exactly,
+    and a zero-variance stratum gets weight 0."""
+    from graphem_rapids_spark.pipeline.experiments import neyman_allocation
+
+    rows = (
+        [("flat", 500)] * 10
+        + [("wild", 0), ("wild", 1000), ("wild", 0), ("wild", 1000)]
+        + [("mid", 400), ("mid", 600)] * 3
+    )
+    df = spark.createDataFrame(rows, "g string, c long")
+    out = neyman_allocation(df, stratum_col="g", budget=97).collect()
+    assert sum(r["alloc"] for r in out) == 97
+    flat = next(r for r in out if r["g"] == "flat")
+    assert flat["sd"] == 0.0 and flat["w6"] == 0 and flat["alloc"] == 0
+
+
+def test_experiments_qini_partition_accounting(spark):
+    """Decile counts partition the population; qini at the last
+    decile equals total R_t - R_c * N_t/N_c."""
+    from graphem_rapids_spark.pipeline.experiments import uplift_qini
+
+    rows = [(i * 7 % 50, (i * 13) % 400, i % 2 == 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "pre long, post long, treated boolean")
+    out = uplift_qini(df).collect()
+    assert sum(r["n_treated"] + r["n_control"] for r in out) == 200
+    st = sum(r[1] for r in rows if r[2])
+    sc = sum(r[1] for r in rows if not r[2])
+    nt = sum(1 for r in rows if r[2])
+    nc = 200 - nt
+    expected = round((st - sc * nt / nc) / 100.0, 6)
+    assert abs(out[-1]["qini"] - expected) < 1e-9
+
+
+def test_timeseries_changepoints_three_levels(spark):
+    """A clean 3-level series segments into exactly 3 segments with
+    the right means."""
+    from graphem_rapids_spark.pipeline.timeseries import changepoints
+
+    ys = [10] * 20 + [100] * 20 + [40] * 20
+    df = spark.createDataFrame(
+        [(i, y) for i, y in enumerate(ys)], "i long, y long"
+    )
+    segs = changepoints(df, method="opt").collect()
+    assert [(s["start_day"], s["end_day"]) for s in segs] == [
+        (0, 19), (20, 39), (40, 59)
+    ]
+    assert [s["seg_mean"] for s in segs] == [10.0, 100.0, 40.0]
+
+
+def test_timeseries_cusum_level_shift(spark):
+    """CUSUM peaks at the step day of a clean level shift."""
+    from graphem_rapids_spark.pipeline.timeseries import cusum_changepoint
+
+    rows = [("a", d, 1000 if d < 10 else 5000) for d in range(20)]
+    daily = spark.createDataFrame(rows, "g string, d long, y long")
+    out = cusum_changepoint(daily, group_cols=("g",)).collect()
+    assert len(out) == 1
+    assert out[0]["cp_day"] == 9  # deviation sum peaks at the last low day
+    assert out[0]["n_days"] == 20
+
+
+def test_keyphrases_rake_closed_form(spark):
+    """Hand-computed RAKE: runs are 'machine learning' ×3 and 'new
+    machine learning' ×1, so machine/learning score (2+2+2+3)/4 =
+    2.25 and new scores 3/1 — the longer phrase wins (7.5 vs 4.5),
+    the textbook RAKE behavior."""
+    from graphem_rapids_spark.pipeline.text import keyphrases
+
+    docs = spark.createDataFrame(
+        [
+            (1, "machine learning is the new machine learning"),
+            (2, "machine learning is machine learning"),
+        ],
+        "doc_id long, text string",
+    )
+    out = keyphrases(docs, method="rake").collect()
+    assert out[0]["phrase"] == "new machine learning"
+    assert out[0]["score"] == 7.5
+    ml = next(r for r in out if r["phrase"] == "machine learning")
+    assert ml["n_occurrences"] == 3
+    assert ml["n_words"] == 2
+    assert ml["score"] == 4.5
+
+
+def test_keyphrases_textrank_scores_sum_to_one(spark):
+    """PageRank invariant: Σ scores == 1 (teleport-conserving) and
+    the hub word of a star co-occurrence graph ranks first."""
+    from graphem_rapids_spark.pipeline.text import keyphrases
+
+    docs = spark.createDataFrame(
+        [(i, f"hub spoke{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = keyphrases(docs, method="textrank", topk=100).collect()
+    assert out[0]["word"] == "hub"
+    assert abs(sum(r["score"] for r in out) - 1.0) < 1e-6
+
+
+def test_keyphrases_unknown_method(spark):
+    from graphem_rapids_spark.pipeline.text import keyphrases
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        keyphrases(docs, method="yake")
