@@ -73,6 +73,18 @@ def build_data() -> None:
             SELECT vec_id + k * {VEC_OFF} AS vec_id,
                    * EXCLUDE (vec_id, k)
             FROM read_parquet('{SF_SRC}/embeddings.parquet') CROSS JOIN {copies}""",
+        # events replicated since r8 (earlier rounds straight-copied
+        # them, so events-family smokes ran at sf0.1 volume): disjoint
+        # user populations per copy, identical timestamps — the daily
+        # grid stays calendar-bounded while per-day volume goes 10×,
+        # exactly the scale axis the events operators must absorb.
+        # (ts nanos truncate to micros through DuckDB — irrelevant for
+        # perf smokes, which have no oracle.)
+        "events": f"""
+            SELECT event_id + k * {OK_OFF} AS event_id,
+                   user_id + k * {CK_OFF} AS user_id,
+                   * EXCLUDE (event_id, user_id, k)
+            FROM read_parquet('{SF_SRC}/events.parquet') CROSS JOIN {copies}""",
     }
     for t, sql in specs.items():
         dst = f"{SF_DST}/{t}.parquet"
@@ -81,7 +93,7 @@ def build_data() -> None:
             n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
             print(f"built {t}: {n} rows", flush=True)
     # small dims: straight copies (not on the hot paths)
-    for t in ["region", "nation", "customer", "supplier", "part", "events"]:
+    for t in ["region", "nation", "customer", "supplier", "part"]:
         dst = f"{SF_DST}/{t}.parquet"
         if not os.path.exists(dst):
             shutil.copyfile(f"{SF_SRC}/{t}.parquet", dst)
