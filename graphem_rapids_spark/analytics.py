@@ -449,15 +449,22 @@ def star_contract_edges(edges: DataFrame, max_iter: int = 50) -> DataFrame:
 
 
 def _connected_components_star(
-    edges: DataFrame, n_vertices: int, max_iter: int = 50
+    edges: DataFrame,
+    n_vertices: int,
+    max_iter: int = 50,
+    vertices: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, component) over ids 0..n-1 from the star forest of
-    :func:`star_contract_edges` (isolated ids label themselves)."""
+    """(id, component) over ids 0..n-1 (or the given ``vertices``
+    universe) from the star forest of :func:`star_contract_edges`
+    (isolated ids label themselves)."""
     spark = edges.sparkSession
     e = star_contract_edges(edges, max_iter)
     stars = e.groupBy(F.col("x").alias("id")).agg(F.min("y").alias("component"))
     e.unpersist()
-    ids = spark.range(n_vertices).select(F.col("id").cast("long"))
+    if vertices is None:
+        ids = spark.range(n_vertices).select(F.col("id").cast("long"))
+    else:
+        ids = vertices.select(F.col("id").cast("long"))
     return ids.join(stars, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
     )
@@ -468,6 +475,8 @@ def connected_components(
     n_vertices: int,
     max_iter: int = 50,
     algorithm: str = "auto",
+    vertices: DataFrame | None = None,
+    require_convergence: bool = False,
 ) -> DataFrame:
     """(id, component) — component label = the component's min vertex
     id (GraphFrames-free; reference uses it for LCC extraction,
@@ -478,7 +487,15 @@ def connected_components(
     large-star/small-star, O(log d) rounds of ~3 shuffles — the
     100 TB path), or ``"auto"`` (star above
     ``session.CC_STAR_MIN_VERTICES``). Both produce identical
-    labels (pinned by test_star_cc_matches_minlabel)."""
+    labels (pinned by test_star_cc_matches_minlabel).
+
+    ``vertices``: optional (id) DataFrame naming the vertex universe
+    when ids are not contiguous 0..n-1 (e.g. the DBSCAN core set) —
+    ``n_vertices`` then only drives the auto switch.
+    ``require_convergence``: raise instead of returning possibly-split
+    labels when the round budget runs out (min-label) or the star
+    edge set is still moving — for callers whose oracle replays a
+    fixed unroll and must fail LOUDLY on under-convergence."""
     if algorithm == "auto":
         from graphem_rapids_spark import session
 
@@ -486,14 +503,26 @@ def connected_components(
             "star" if n_vertices > session.CC_STAR_MIN_VERTICES else "minlabel"
         )
     if algorithm == "star":
-        return _connected_components_star(edges, n_vertices, max_iter)
+        if require_convergence:
+            with warnings.catch_warnings():
+                warnings.simplefilter("error", RuntimeWarning)
+                return _connected_components_star(
+                    edges, n_vertices, max_iter, vertices
+                )
+        return _connected_components_star(edges, n_vertices, max_iter, vertices)
     if algorithm != "minlabel":
         raise ValueError(f"unknown algorithm {algorithm!r}")
     spark = edges.sparkSession
     sym = symmetrize_edges(edges).persist()
-    labels = spark.range(n_vertices).select(
-        F.col("id").cast("long"), F.col("id").cast("long").alias("component")
-    ).persist()
+    if vertices is None:
+        labels = spark.range(n_vertices).select(
+            F.col("id").cast("long"), F.col("id").cast("long").alias("component")
+        ).persist()
+    else:
+        labels = vertices.select(
+            F.col("id").cast("long"), F.col("id").cast("long").alias("component")
+        ).persist()
+    changed = -1
     for it in range(max_iter):
         nbr_min = (
             labels.join(sym.withColumnRenamed("src", "id"), "id")
@@ -516,6 +545,13 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if require_convergence and changed != 0:
+        raise RuntimeError(
+            f"connected_components(minlabel) did not converge in "
+            f"{max_iter} rounds (component diameter exceeds the budget); "
+            "use algorithm='star' (O(log d) rounds) instead of raising "
+            "the cap"
+        )
     return labels
 
 

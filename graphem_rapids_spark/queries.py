@@ -18708,49 +18708,24 @@ def embedding_dbscan(spark, sf_dir):
         .select("id", "nb")
         .localCheckpoint(eager=True)
     )
-    labels = core.select("id", F.col("id").alias("cluster")).localCheckpoint(
-        eager=True
-    )
-    # Min-label propagation needs O(core-graph diameter) rounds; a
-    # silent fixed cap would return SPLIT clusters on a chain-like
-    # component deeper than the cap (plausible for near-dup chains at
-    # scale). Loop to the fixpoint (changed == 0) and fail loudly at
-    # a generous guard instead — the remedy at that depth is the
-    # O(log d) star-contraction labeling (connected_components
-    # algorithm="star"), not more rounds.
-    converged = False
-    for _ in range(_DBSCAN_MAX_LABEL_ROUNDS):
-        nbr = (
-            labels.join(core_edges, "id")
-            .select(F.col("nb").alias("id"), F.col("cluster").alias("c"))
-            .groupBy("id")
-            .agg(F.min("c").alias("nbr"))
-        )
-        new_labels = labels.join(nbr, "id", "left").select(
-            "id",
-            F.least(
-                F.col("cluster"), F.coalesce("nbr", F.col("cluster"))
-            ).alias("cluster"),
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("cluster").alias("o")), "id"
-            )
-            .filter(F.col("cluster") != F.col("o"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            "embedding_dbscan: core-graph label propagation did not "
-            f"converge in {_DBSCAN_MAX_LABEL_ROUNDS} rounds (diameter "
-            "exceeds the guard); relabel cores contiguously and use "
-            "analytics.connected_components(algorithm='star') for the "
-            "cluster labels instead of raising the cap"
-        )
+    # Cluster labels = min core id per component, via the CC entry
+    # point (VERDICT r7 item 5 — no more bespoke loop): below
+    # GRAPHEM_CC_STAR_MIN cores the O(diameter)-round min-label path
+    # runs (identical labels to the old loop, converge-or-raise so an
+    # under-unrolled oracle can never be silently matched by split
+    # labels); above it, the O(log d) star contraction takes over —
+    # a deep chain-like core graph no longer pays diameter rounds.
+    n_core = core.count()
+    labels = A.connected_components(
+        core_edges.filter(F.col("id") < F.col("nb")).select(
+            F.col("id").alias("src"), F.col("nb").alias("dst")
+        ),
+        n_core,
+        max_iter=_DBSCAN_MAX_LABEL_ROUNDS,
+        algorithm="auto",
+        vertices=core,
+        require_convergence=True,
+    ).select("id", F.col("component").alias("cluster"))
     border = (
         sym.join(core.select(F.col("id").alias("nb")), "nb")
         .join(core, "id", "left_anti")

@@ -266,3 +266,29 @@ def test_keyphrases_unknown_method(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         keyphrases(docs, method="yake")
+
+
+def test_cc_vertices_universe_and_strictness(spark):
+    """connected_components with a non-contiguous vertex universe
+    (VERDICT r7 item 5): a 40-deep path of sparse ids labels as one
+    component on BOTH algorithms; require_convergence raises when the
+    minlabel budget is smaller than the diameter."""
+    from graphem_rapids_spark.analytics import connected_components
+
+    ids = [i * 977 + 13 for i in range(41)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(40)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in ids], "id long")
+    for algo in ("minlabel", "star"):
+        out = connected_components(
+            edges, len(ids), algorithm=algo, vertices=verts,
+            require_convergence=True,
+        ).collect()
+        assert len(out) == 41
+        assert {r["component"] for r in out} == {min(ids)}
+    with pytest.raises(RuntimeError):
+        connected_components(
+            edges, len(ids), max_iter=5, algorithm="minlabel",
+            vertices=verts, require_convergence=True,
+        )
