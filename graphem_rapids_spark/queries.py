@@ -17638,33 +17638,17 @@ def _uem_pieces(spark, sf_dir):
     )
 
 
-def tokenizer_unigram_em(spark, sf_dir):
-    """One unigram-LM EM round (SentencePiece stage 1, Kudo 2018) on
-    top of :func:`tokenizer_unigram_seed` — completes the second
-    tokenizer family (VERDICT r6 item 9): E-step = Viterbi-segment
-    every VOCABULARY word under the seed piece log-probs (piece set =
-    top-30 seeds + all single chars, probs ∝ the seed scores); M-step
-    = re-estimate piece probabilities from the frequency-weighted
-    segmentation counts. Seed pieces that never win a Viterbi path
-    vanish — exactly the pruning signal the EM loop exists for.
-
-    Scale shape: the corpus collapses ONCE to the word-frequency
-    table (the BPE-train staging; the only 100 TB stage); the Viterbi
-    DP is a JVM-side aggregate() fold PER WORD (forward best-score
-    array, then a backward walk that re-derives each argmax — no
-    backpointer state), with the ≤60-row piece table inlined as a
-    plan-literal map. Everything is integer (1e9 fixed-point
-    log-probs, ties → smallest piece), so the DuckDB oracle replays
-    the exact DP as a RECURSIVE CTE carrying the best-score LIST per
-    word. Output per surviving piece: piece, n_uses
-    (frequency-weighted), p_old, p_new."""
-    pieces, ts = _uem_pieces(spark, sf_dir)
-    prows = pieces.collect()  # bounded: 30 + alphabet
+def _uem_dp_exprs(pairs):
+    """(best_txt, seg_txt) Spark-SQL expression strings for the
+    unigram Viterbi DP over a plan-literal piece map: forward
+    best-score array via aggregate(), then the backward walk that
+    re-derives each argmax (smallest matching k — the tie-break both
+    engines share). ``pairs`` = bounded [(piece, lq)] list."""
     def esc(s: str) -> str:
         return s.replace("\\", "\\\\").replace("'", "\\'")
 
     m_txt = "map(" + ", ".join(
-        f"'{esc(r['piece'])}', {int(r['lq'])}L" for r in prows
+        f"'{esc(p)}', {int(lq)}L" for p, lq in pairs
     ) + ")"
     neg = f"{_UEM_NEG}L"
     cands_fwd = ", ".join(
@@ -17693,6 +17677,34 @@ def tokenizer_unigram_em(spark, sf_dir):
         f" 'ps', array_append(acc.ps,"
         f" substring(w, acc.pos - {kk} + 1, {kk})))),"
         " acc -> acc.ps)"
+    )
+    return best_txt, seg_txt
+
+
+def tokenizer_unigram_em(spark, sf_dir):
+    """One unigram-LM EM round (SentencePiece stage 1, Kudo 2018) on
+    top of :func:`tokenizer_unigram_seed` — completes the second
+    tokenizer family (VERDICT r6 item 9): E-step = Viterbi-segment
+    every VOCABULARY word under the seed piece log-probs (piece set =
+    top-30 seeds + all single chars, probs ∝ the seed scores); M-step
+    = re-estimate piece probabilities from the frequency-weighted
+    segmentation counts. Seed pieces that never win a Viterbi path
+    vanish — exactly the pruning signal the EM loop exists for.
+
+    Scale shape: the corpus collapses ONCE to the word-frequency
+    table (the BPE-train staging; the only 100 TB stage); the Viterbi
+    DP is a JVM-side aggregate() fold PER WORD (forward best-score
+    array, then a backward walk that re-derives each argmax — no
+    backpointer state), with the ≤60-row piece table inlined as a
+    plan-literal map. Everything is integer (1e9 fixed-point
+    log-probs, ties → smallest piece), so the DuckDB oracle replays
+    the exact DP as a RECURSIVE CTE carrying the best-score LIST per
+    word. Output per surviving piece: piece, n_uses
+    (frequency-weighted), p_old, p_new."""
+    pieces, ts = _uem_pieces(spark, sf_dir)
+    prows = pieces.collect()  # bounded: 30 + alphabet
+    best_txt, seg_txt = _uem_dp_exprs(
+        [(r["piece"], int(r["lq"])) for r in prows]
     )
     d = _t(spark, sf_dir, "documents")
     vocab = (
@@ -17813,6 +17825,222 @@ FROM counts c JOIN pieces p USING (piece)
 CROSS JOIN tots CROSS JOIN tu
 ORDER BY c.n_uses DESC, c.piece ASC
 """
+
+
+_UPRUNE_ROUNDS = 3
+
+
+def tokenizer_unigram_prune(spark, sf_dir):
+    """Unigram-LM training stage 2 — EM + PIECE PRUNING to a shrinking
+    vocabulary (SentencePiece's actual training loop, Kudo 2018;
+    VERDICT r7 item 6 closing the second tokenizer family end-to-end):
+    each round Viterbi-segments the word-frequency table under the
+    current piece log-probs, records the corpus loss, drops the
+    bottom 40% of MULTI-char pieces by frequency-weighted use count
+    (single chars are never pruned — Viterbi must never dead-end),
+    and re-estimates log-probs from the kept counts with add-one
+    smoothing (so a zero-use kept char keeps a finite log-prob).
+
+    Exactness ladder: the corpus collapses ONCE to the word-frequency
+    table; each round is one vocabulary-sized distributed Viterbi job
+    (the :func:`tokenizer_unigram_em` plan-literal fold) whose
+    per-piece counts collect bounded (≤ 30 + alphabet rows); the
+    corpus loss is −Σ n_uses·lq — EXACT integers, because each word's
+    best path score is the sum of its pieces' fixed-point log-probs —
+    half-up-quantized by pure integer arithmetic before the one final
+    division; the prune cut is ceil(0.6·M) by (n_uses desc, piece
+    asc) in driver Python (bounded list, no window anywhere); the new
+    lq = floor(ln((n+1)/(T+V))·1e9 + 0.5) is ONE identical double
+    per piece. The DuckDB oracle replays every round: the same
+    RECURSIVE Viterbi chains against per-round piece CTEs, the same
+    row_number prune, the same smoothing expression. Output per
+    round: round, vocab_size (entering the round), n_pruned,
+    total_loss (nats, 6 dp)."""
+    import math
+
+    pieces, _ts = _uem_pieces(spark, sf_dir)
+    cur = sorted(
+        (r["piece"], int(r["lq"])) for r in pieces.collect()
+    )  # bounded: 30 + alphabet
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(T.tokens_col("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint(eager=True)  # ONE corpus collapse, R reuses
+    )
+    out = []
+    for rnd in range(1, _UPRUNE_ROUNDS + 1):
+        best_txt, seg_txt = _uem_dp_exprs(cur)
+        counts = {
+            r["piece"]: int(r["n_uses"])
+            for r in (
+                vocab.withColumn("b", F.expr(best_txt))
+                .select("freq", F.explode(F.expr(seg_txt)).alias("piece"))
+                .groupBy("piece")
+                .agg(F.sum("freq").alias("n_uses"))
+                .collect()
+            )
+        }
+        lq_map = dict(cur)
+        s_loss = sum(n * lq_map[p] for p, n in counts.items())  # exact int
+        loss6 = (-s_loss + 500) // 1000  # half-up to 1e6 units
+        multi = [p for p, _ in cur if len(p) > 1]
+        m = len(multi)
+        lim = (3 * m + 4) // 5  # ceil(0.6·M)
+        ranked = sorted(multi, key=lambda p: (-counts.get(p, 0), p))
+        kept = ranked[:lim] + [p for p, _ in cur if len(p) == 1]
+        out.append((rnd, len(cur), m - lim, loss6 / 1e6))
+        t = sum(counts.get(p, 0) for p in kept)
+        v = len(kept)
+        cur = sorted(
+            (
+                p,
+                math.floor(
+                    math.log((counts.get(p, 0) + 1) / (t + v)) * 1e9 + 0.5
+                ),
+            )
+            for p in kept
+        )
+    return spark.createDataFrame(
+        out, "round long, vocab_size long, n_pruned long, total_loss double"
+    )
+
+
+def _uprune_sql(rounds: int = _UPRUNE_ROUNDS) -> str:
+    """Oracle: replay every prune round — per-round RECURSIVE Viterbi
+    chains against piece CTEs derived by the identical row_number
+    prune + add-one-smoothed log-prob update."""
+    kmax = _USEED_KMAX
+    subs = ", ".join(
+        f"list_filter(list_transform(range(1, greatest(len(w) - {k - 1}, 1)"
+        f" + 1), i -> w[i:i+{k - 1}]), s -> len(s) = {k})"
+        for k in range(1, kmax + 1)
+    )
+    parts = [
+        f"""
+WITH RECURSIVE vocab AS MATERIALIZED (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest({_TOKENS_SQL}) AS w FROM documents
+  ) WHERE w <> '' GROUP BY 1
+),
+allp AS (
+  SELECT w, freq, unnest(flatten([{subs}])) AS piece FROM vocab
+),
+scored AS (
+  SELECT piece, CAST(sum(freq) * len(piece) AS BIGINT) AS score
+  FROM allp GROUP BY 1
+),
+seedp AS (SELECT piece, score FROM scored WHERE len(piece) >= 2
+          ORDER BY score DESC, piece ASC LIMIT {_USEED_TOPK}),
+charp AS (SELECT piece, score FROM scored WHERE len(piece) = 1),
+pset AS (SELECT * FROM seedp UNION ALL SELECT * FROM charp),
+tots AS (SELECT CAST(sum(score) AS BIGINT) AS ts FROM pset),
+pieces1 AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor(ln(CAST(score AS DOUBLE) / ts) * 1e9 + 0.5) AS BIGINT)
+           AS lq
+  FROM pset CROSS JOIN tots
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        fwd_joins = "\n".join(
+            f"  LEFT JOIN pieces{r} p{k} ON dp{r}.i + 1 >= {k}"
+            f" AND p{k}.piece = substr(dp{r}.w, dp{r}.i + 1 - {k} + 1, {k})"
+            for k in range(1, kmax + 1)
+        )
+        fwd_cands = ", ".join(
+            f"coalesce(CASE WHEN dp{r}.i + 1 >= {k}"
+            f" THEN dp{r}.best[dp{r}.i + 1 - {k} + 1] + p{k}.lq END,"
+            f" {_UEM_NEG})"
+            for k in range(1, kmax + 1)
+        )
+        bwd_joins = "\n".join(
+            f"  LEFT JOIN pieces{r} q{k} ON walk{r}.pos >= {k}"
+            f" AND q{k}.piece = substr(walk{r}.w, walk{r}.pos - {k} + 1, {k})"
+            for k in range(1, kmax + 1)
+        )
+        k_case = " ".join(
+            f"WHEN walk{r}.pos >= {k} AND q{k}.lq IS NOT NULL"
+            f" AND walk{r}.best[walk{r}.pos - {k} + 1] + q{k}.lq"
+            f" = walk{r}.best[walk{r}.pos + 1] THEN {k}"
+            for k in range(1, kmax + 1)
+        )
+        kk = f"(CASE {k_case} END)"
+        parts.append(
+            f""", dp{r}(w, freq, i, best) AS (
+  SELECT w, freq, 0, [CAST(0 AS BIGINT)] FROM vocab
+  UNION ALL
+  SELECT dp{r}.w, dp{r}.freq, dp{r}.i + 1,
+         list_append(dp{r}.best, greatest({fwd_cands}))
+  FROM dp{r}
+{fwd_joins}
+  WHERE dp{r}.i < len(dp{r}.w)
+),
+fin{r} AS (SELECT w, freq, best FROM dp{r} WHERE i = len(w)),
+walk{r}(w, freq, best, pos, seg) AS (
+  SELECT w, freq, best, len(w), CAST([] AS VARCHAR[]) FROM fin{r}
+  UNION ALL
+  SELECT walk{r}.w, walk{r}.freq, walk{r}.best,
+         walk{r}.pos - {kk},
+         list_append(walk{r}.seg,
+                     substr(walk{r}.w, walk{r}.pos - {kk} + 1, {kk}))
+  FROM walk{r}
+{bwd_joins}
+  WHERE walk{r}.pos > 0
+),
+counts{r} AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS n_uses
+  FROM (SELECT freq, unnest(seg) AS piece FROM walk{r} WHERE pos = 0)
+  GROUP BY 1
+),
+loss{r} AS (
+  SELECT CAST((-sum(CAST(c.n_uses AS HUGEINT) * p.lq) + 500) // 1000
+              AS BIGINT) AS loss6
+  FROM counts{r} c JOIN pieces{r} p USING (piece)
+),
+multi{r} AS (
+  SELECT p.piece, coalesce(c.n_uses, 0) AS n
+  FROM pieces{r} p LEFT JOIN counts{r} c USING (piece)
+  WHERE len(p.piece) > 1
+),
+mm{r} AS (SELECT count(*) AS m FROM multi{r}),
+stat{r} AS (
+  SELECT {r} AS round,
+         (SELECT CAST(count(*) AS BIGINT) FROM pieces{r}) AS vocab_size,
+         (SELECT CAST(m - (3 * m + 4) // 5 AS BIGINT) FROM mm{r})
+           AS n_pruned,
+         (SELECT CAST(loss6 AS DOUBLE) / 1e6 FROM loss{r}) AS total_loss
+)"""
+        )
+        if r < rounds:
+            parts.append(
+                f""", keep{r} AS (
+  SELECT piece, n FROM (
+    SELECT piece, n,
+           row_number() OVER (ORDER BY n DESC, piece ASC) AS rk,
+           (SELECT (3 * m + 4) // 5 FROM mm{r}) AS lim
+    FROM multi{r}) WHERE rk <= lim
+  UNION ALL
+  SELECT p.piece, coalesce(c.n_uses, 0) AS n
+  FROM pieces{r} p LEFT JOIN counts{r} c USING (piece)
+  WHERE len(p.piece) = 1
+),
+tv{r} AS (SELECT CAST(sum(n) AS BIGINT) AS t, count(*) AS v FROM keep{r}),
+pieces{r + 1} AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor(ln(CAST(n + 1 AS DOUBLE) / (t + v)) * 1e9 + 0.5)
+              AS BIGINT) AS lq
+  FROM keep{r} CROSS JOIN tv{r}
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT round, vocab_size, n_pruned, total_loss FROM stat{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"\n{union}\nORDER BY round")
+    return "".join(parts)
 
 
 def events_uplift_qini(spark, sf_dir):
@@ -21125,6 +21353,7 @@ QUERIES = {
     "semdedup_embeddings": semdedup_embeddings,
     # (b) new in r8 — never driver-checked, staged behind the r9 block
     "graph_motif_census_capped": graph_motif_census_capped,
+    "tokenizer_unigram_prune": tokenizer_unigram_prune,
     # ------- previously driver-verified (r3+) -------
     "layout_invariants": layout_invariants,
     "tokenizer_bpe_train_rounds": tokenizer_bpe_train_rounds,
@@ -21661,6 +21890,7 @@ ORACLES = {
     "events_forecast_mase": _mase_sql(),
     "graph_motif_census": _MOTIF_SQL,
     "graph_motif_census_capped": _MOTIF_CAPPED_SQL,
+    "tokenizer_unigram_prune": _uprune_sql(),
     "events_stream_psi": _PSI_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —

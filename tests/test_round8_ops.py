@@ -292,3 +292,21 @@ def test_cc_vertices_universe_and_strictness(spark):
             edges, len(ids), max_iter=5, algorithm="minlabel",
             vertices=verts, require_convergence=True,
         )
+
+
+def test_unigram_prune_trajectory(spark):
+    """Prune bookkeeping: each round's vocab equals the previous
+    round's vocab minus its pruned count, losses are positive, and
+    single characters are never pruned (the floor vocab is the
+    alphabet + the surviving multi-char pieces)."""
+    from graphem_rapids_spark.queries import (
+        _UPRUNE_ROUNDS,
+        tokenizer_unigram_prune,
+    )
+
+    rows = tokenizer_unigram_prune(spark, SF).collect()
+    assert len(rows) == _UPRUNE_ROUNDS
+    for a, b in zip(rows, rows[1:]):
+        assert b["vocab_size"] == a["vocab_size"] - a["n_pruned"]
+    assert all(r["total_loss"] > 0 for r in rows)
+    assert all(r["n_pruned"] >= 0 for r in rows)
