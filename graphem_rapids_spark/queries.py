@@ -5677,17 +5677,86 @@ def edge_betweenness_copurchase(spark, sf_dir):
     )
 
 
-def _edge_betw_sql(depth: int = _BETW_DEPTH) -> str:
-    """The _betw_copurchase_sql unroll extended with per-level EDGE
-    terms: every (v, w) join row contributes its quantized
-    σ_v/σ_w·(1+δ_w) to the canonical pair — same fixed point, same
-    engines-exact sums."""
+def _edge_betw_block(pfx: str, sym: str, depth: int) -> str:
+    """CTE block computing eagg{pfx} — per-canonical-edge accumulated
+    fixed-point betweenness terms over the symmetric edge CTE ``sym``,
+    from the shared source set s0 (the iterated-GN generator stamps
+    one block per round; ``pfx=""`` reproduces the single-pass names
+    the r7 oracles use). Per-level EDGE terms: every (v, w) join row
+    contributes its quantized σ_v/σ_w·(1+δ_w) to the canonical pair —
+    2⁻⁴⁰ fixed point, engines-exact HUGEINT sums."""
     from graphem_rapids_spark.analytics import DELTA_FP_SCALE
 
     fp = DELTA_FP_SCALE
     parts = [
-        _COPURCHASE_SQL_CTE,
-        """
+        f"""
+, f{pfx}0 AS MATERIALIZED (SELECT id AS s, id, CAST(1 AS HUGEINT) AS sigma FROM s0)
+, vis{pfx}0 AS MATERIALIZED (SELECT s, id FROM f{pfx}0)"""
+    ]
+    for d in range(1, depth + 1):
+        parts.append(
+            f"""
+, f{pfx}{d} AS MATERIALIZED (
+  SELECT m.s, m.id, m.sigma FROM (
+    SELECT p.s, e.dst AS id, sum(p.sigma) AS sigma
+    FROM {sym} e JOIN f{pfx}{d - 1} p ON e.src = p.id
+    GROUP BY p.s, e.dst
+  ) m LEFT JOIN vis{pfx}{d - 1} v ON m.s = v.s AND m.id = v.id
+  WHERE v.s IS NULL
+)
+, vis{pfx}{d} AS MATERIALIZED (
+  SELECT s, id FROM vis{pfx}{d - 1} UNION ALL SELECT s, id FROM f{pfx}{d}
+)"""
+        )
+    parts.append(
+        f"""
+, del{pfx}{depth} AS MATERIALIZED (
+  SELECT s, id, sigma, CAST(0 AS HUGEINT) AS delta_fp FROM f{pfx}{depth}
+)"""
+    )
+    for d in range(depth - 1, -1, -1):
+        parts.append(
+            f"""
+, up{pfx}{d} AS (
+  SELECT dn.s, e.dst AS id, e.src AS w, dn.sigma AS sigma_w,
+         dn.delta_fp AS dfp_w
+  FROM {sym} e JOIN del{pfx}{d + 1} dn ON e.src = dn.id
+)
+, tag{pfx}{d} AS MATERIALIZED (
+  SELECT c.s, c.id, u.w,
+         CAST(round(CAST(c.sigma AS DOUBLE) / CAST(u.sigma_w AS DOUBLE)
+                    * CAST({fp} + u.dfp_w AS DOUBLE)) AS HUGEINT) AS term
+  FROM f{pfx}{d} c JOIN up{pfx}{d} u ON c.s = u.s AND c.id = u.id
+)
+, econ{pfx}{d} AS (
+  SELECT least(id, w) AS ea, greatest(id, w) AS eb,
+         CAST(sum(term) AS HUGEINT) AS e_fp
+  FROM tag{pfx}{d} GROUP BY 1, 2
+)
+, con{pfx}{d} AS (
+  SELECT s, id, CAST(sum(term) AS HUGEINT) AS dfp
+  FROM tag{pfx}{d} GROUP BY s, id
+)
+, del{pfx}{d} AS MATERIALIZED (
+  SELECT c.s, c.id, c.sigma, coalesce(n.dfp, CAST(0 AS HUGEINT)) AS delta_fp
+  FROM f{pfx}{d} c LEFT JOIN con{pfx}{d} n ON c.s = n.s AND c.id = n.id
+)"""
+        )
+    acc_union = "\n  UNION ALL ".join(
+        f"SELECT ea, eb, e_fp FROM econ{pfx}{d}" for d in range(0, depth)
+    )
+    parts.append(
+        f"""
+, eacc{pfx} AS (
+  {acc_union}
+)
+, eagg{pfx} AS (SELECT ea, eb, CAST(sum(e_fp) AS DOUBLE) AS efp_sum
+           FROM eacc{pfx} GROUP BY 1, 2)"""
+    )
+    return "".join(parts)
+
+
+_BETW_SHARED_HEAD = """
 , sym AS MATERIALIZED (SELECT src, dst FROM ge UNION ALL SELECT dst AS src, src AS dst FROM ge)
 , verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)
 , nv AS (SELECT count(*) AS n FROM verts)
@@ -5696,69 +5765,20 @@ def _edge_betw_sql(depth: int = _BETW_DEPTH) -> str:
   FROM range(16) t CROSS JOIN nv
   WHERE CAST((t.range * 2654435761) % nv.n AS BIGINT) IN (SELECT id FROM verts)
 )
-, kk AS (SELECT count(*) AS k FROM s0)
-, f0 AS MATERIALIZED (SELECT id AS s, id, CAST(1 AS HUGEINT) AS sigma FROM s0)
-, vis0 AS MATERIALIZED (SELECT s, id FROM f0)""",
-    ]
-    for d in range(1, depth + 1):
-        parts.append(
-            f"""
-, f{d} AS MATERIALIZED (
-  SELECT m.s, m.id, m.sigma FROM (
-    SELECT p.s, e.dst AS id, sum(p.sigma) AS sigma
-    FROM sym e JOIN f{d - 1} p ON e.src = p.id
-    GROUP BY p.s, e.dst
-  ) m LEFT JOIN vis{d - 1} v ON m.s = v.s AND m.id = v.id
-  WHERE v.s IS NULL
-)
-, vis{d} AS MATERIALIZED (
-  SELECT s, id FROM vis{d - 1} UNION ALL SELECT s, id FROM f{d}
-)"""
-        )
-    parts.append(
-        f"""
-, del{depth} AS MATERIALIZED (
-  SELECT s, id, sigma, CAST(0 AS HUGEINT) AS delta_fp FROM f{depth}
-)"""
-    )
-    for d in range(depth - 1, -1, -1):
-        parts.append(
-            f"""
-, up{d} AS (
-  SELECT dn.s, e.dst AS id, e.src AS w, dn.sigma AS sigma_w,
-         dn.delta_fp AS dfp_w
-  FROM sym e JOIN del{d + 1} dn ON e.src = dn.id
-)
-, tag{d} AS MATERIALIZED (
-  SELECT c.s, c.id, u.w,
-         CAST(round(CAST(c.sigma AS DOUBLE) / CAST(u.sigma_w AS DOUBLE)
-                    * CAST({fp} + u.dfp_w AS DOUBLE)) AS HUGEINT) AS term
-  FROM f{d} c JOIN up{d} u ON c.s = u.s AND c.id = u.id
-)
-, econ{d} AS (
-  SELECT least(id, w) AS ea, greatest(id, w) AS eb,
-         CAST(sum(term) AS HUGEINT) AS e_fp
-  FROM tag{d} GROUP BY 1, 2
-)
-, con{d} AS (
-  SELECT s, id, CAST(sum(term) AS HUGEINT) AS dfp
-  FROM tag{d} GROUP BY s, id
-)
-, del{d} AS MATERIALIZED (
-  SELECT c.s, c.id, c.sigma, coalesce(n.dfp, CAST(0 AS HUGEINT)) AS delta_fp
-  FROM f{d} c LEFT JOIN con{d} n ON c.s = n.s AND c.id = n.id
-)"""
-        )
-    acc_union = "\n  UNION ALL ".join(
-        f"SELECT ea, eb, e_fp FROM econ{d}" for d in range(0, depth)
-    )
-    parts.append(
-        f"""
-, eacc AS (
-  {acc_union}
-)
-, eagg AS (SELECT ea, eb, CAST(sum(e_fp) AS DOUBLE) AS efp_sum
-           FROM eacc GROUP BY 1, 2)
+, kk AS (SELECT count(*) AS k FROM s0)"""
+
+
+def _edge_betw_sql(depth: int = _BETW_DEPTH) -> str:
+    """The _betw_copurchase_sql unroll extended with per-level EDGE
+    terms (one :func:`_edge_betw_block` over the original graph)."""
+    from graphem_rapids_spark.analytics import DELTA_FP_SCALE
+
+    fp = DELTA_FP_SCALE
+    return (
+        _COPURCHASE_SQL_CTE
+        + _BETW_SHARED_HEAD
+        + _edge_betw_block("", "sym", depth)
+        + f"""
 SELECT g.ea AS src, g.eb AS dst,
        round(((g.efp_sum / {float(fp)!r})
               * (CAST(nv.n AS DOUBLE) / CAST(kk.k AS DOUBLE)) / 2.0)
@@ -5767,7 +5787,6 @@ SELECT g.ea AS src, g.eb AS dst,
 FROM eagg g CROSS JOIN nv CROSS JOIN kk
 ORDER BY value DESC, src ASC, dst ASC LIMIT 15"""
     )
-    return "".join(parts)
 
 
 _GN_CUT = 10
@@ -5775,6 +5794,90 @@ _GN_CUT = 10
 # hardcoded copy that can drift — ADVICE r7) from _CC_ROUNDS so the
 # oracle's RECURSIVE unroll and Spark's loop share one constant
 _GN_CC_ROUNDS = _CC_ROUNDS + 8
+
+
+def _gn_components(verts, edge_df):
+    """Min-label components over the FULL vertex universe (isolated
+    survivors become singletons), run EXACTLY the oracle's
+    _GN_CC_ROUNDS unroll then converge-or-raise (ADVICE r7): a
+    component needing more rounds must fail LOUDLY rather than
+    silently hash-mismatch an under-unrolled oracle. Shared by the
+    one-step and iterated Girvan-Newman queries."""
+    sym = edge_df.select("src", "dst").unionAll(
+        edge_df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = verts.select(
+        "id", F.col("id").alias("component")
+    ).localCheckpoint(eager=True)
+    changed = -1
+    for _ in range(_GN_CC_ROUNDS):
+        nbr = (
+            labels.join(sym.withColumnRenamed("src", "id"), "id")
+            .select(F.col("dst").alias("id"), F.col("component").alias("c"))
+            .groupBy("id")
+            .agg(F.min("c").alias("nbr"))
+        )
+        new_labels = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("nbr", F.col("component"))
+            ).alias("component"),
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("component").alias("o")), "id"
+            )
+            .filter(F.col("component") != F.col("o"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"GN min-label components did not converge within the "
+            f"oracle's {_GN_CC_ROUNDS}-round unroll — raise "
+            f"_GN_CC_ROUNDS (and the oracle derives from it)"
+        )
+    return labels
+
+
+def _gn_modularity_num(e, m, labels):
+    """Exact integer modularity numerator Σ_c (4m·m_c − d_c²) of the
+    ``labels`` partition measured on the ORIGINAL graph ``e`` (m
+    edges) — Q = num / 4m²; every term integer so both engines agree
+    bit-exactly before the one final division."""
+    sym = e.select("src", "dst").unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
+        "src", "id"
+    )
+    la = labels.select(F.col("id").alias("src"), F.col("component").alias("_a"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("component").alias("_b"))
+    intra = (
+        e.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("_a") == F.col("_b"))
+        .groupBy(F.col("_a").alias("component"))
+        .agg(F.count("*").alias("mc"))
+    )
+    dc = (
+        deg.join(labels, "id")
+        .groupBy("component")
+        .agg(F.sum("d").alias("dsum"))
+    )
+    return int(
+        dc.join(intra, "component", "left")
+        .select(
+            (
+                F.lit(4) * F.lit(m) * F.coalesce("mc", F.lit(0))
+                - F.col("dsum") * F.col("dsum")
+            ).alias("qn")
+        )
+        .agg(F.sum("qn"))
+        .collect()[0][0]
+    )
 
 
 def community_girvan_newman_step(spark, sf_dir):
@@ -5818,94 +5921,13 @@ def community_girvan_newman_step(spark, sf_dir):
     remaining = e.join(cut, ["src", "dst"], "left_anti").localCheckpoint(
         eager=True
     )
-
-    def min_label_components(edge_df):
-        sym = edge_df.select("src", "dst").unionAll(
-            edge_df.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        ).localCheckpoint(eager=True)
-        labels = verts.select(
-            "id", F.col("id").alias("component")
-        ).localCheckpoint(eager=True)
-        # Run EXACTLY the oracle's unroll budget, then converge-or-raise
-        # (ADVICE r7): the DuckDB oracle unrolls _GN_CC_ROUNDS fixed
-        # rounds, so a component that needs more must fail LOUDLY here
-        # rather than silently hash-mismatch against an under-unrolled
-        # oracle. Mirrors embedding_dbscan's guard.
-        changed = -1
-        for _ in range(_GN_CC_ROUNDS):
-            nbr = (
-                labels.join(sym.withColumnRenamed("src", "id"), "id")
-                .select(
-                    F.col("dst").alias("id"), F.col("component").alias("c")
-                )
-                .groupBy("id")
-                .agg(F.min("c").alias("nbr"))
-            )
-            new_labels = labels.join(nbr, "id", "left").select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("nbr", F.col("component")),
-                ).alias("component"),
-            ).localCheckpoint(eager=True)
-            changed = (
-                new_labels.join(
-                    labels.select("id", F.col("component").alias("o")), "id"
-                )
-                .filter(F.col("component") != F.col("o"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                break
-        if changed != 0:
-            raise RuntimeError(
-                f"GN min-label components did not converge within the "
-                f"oracle's {_GN_CC_ROUNDS}-round unroll — raise "
-                f"_GN_CC_ROUNDS (and the oracle derives from it)"
-            )
-        return labels
-
-    before = min_label_components(e)
-    after = min_label_components(remaining)
+    before = _gn_components(verts, e)
+    after = _gn_components(verts, remaining)
     n_before = before.select("component").distinct().count()
     stats = after.groupBy("component").agg(F.count("*").alias("sz"))
     n_after = stats.count()
     largest = int(stats.agg(F.max("sz")).collect()[0][0])
-    # modularity of the post-cut partition on the ORIGINAL graph
-    sym = e.select("src", "dst").unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    deg = sym.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
-        "src", "id"
-    )
-    la = after.select(F.col("id").alias("src"), F.col("component").alias("_a"))
-    lb = after.select(F.col("id").alias("dst"), F.col("component").alias("_b"))
-    intra = (
-        e.join(la, "src")
-        .join(lb, "dst")
-        .filter(F.col("_a") == F.col("_b"))
-        .groupBy(F.col("_a").alias("component"))
-        .agg(F.count("*").alias("mc"))
-    )
-    dc = (
-        deg.join(after, "id")
-        .groupBy("component")
-        .agg(F.sum("d").alias("dsum"))
-    )
-    qn = int(
-        dc.join(intra, "component", "left")
-        .select(
-            (
-                F.lit(4) * F.lit(m) * F.coalesce("mc", F.lit(0))
-                - F.col("dsum") * F.col("dsum")
-            ).alias("qn")
-        )
-        .agg(F.sum("qn"))
-        .collect()[0][0]
-    )
+    qn = _gn_modularity_num(e, m, after)
     return spark.createDataFrame(
         [
             (
@@ -6009,6 +6031,176 @@ SELECT CAST({_GN_CUT} AS BIGINT) AS n_cut,
          AS modularity_after
 FROM qn CROSS JOIN mm2"""
     )
+    return "".join(parts)
+
+
+_GN_ITER_ROUNDS = 3
+
+
+def community_girvan_newman_iter(spark, sf_dir):
+    """ITERATED Girvan-Newman (VERDICT r7 item 7 — the move→converge
+    completion the GN family was missing, as Louvain got in r7):
+    _GN_ITER_ROUNDS rounds of [recompute sampled edge betweenness on
+    the CURRENT remaining graph → cut the top _GN_CUT edges →
+    components over the original vertex universe → modularity of the
+    partition ON THE ORIGINAL graph], reporting the full modularity
+    trajectory — the dendrogram-level view (Girvan & Newman 2002,
+    where betweenness is recomputed after every removal). Sources are
+    fixed across rounds (the vertex set never shrinks); each round is
+    exactly the :func:`community_girvan_newman_step` kernel, so every
+    exactness property carries: 2⁻⁴⁰ fixed-point betweenness sums,
+    the converge-or-raise min-label guard pinned to the oracle's
+    unroll, and the exact integer modularity numerator. The ROUND
+    ranking orders by the unrounded value (identical doubles from
+    identical integer e_fp sums on both engines) with (src, dst)
+    tie-break. Output per round: round, n_cut_total, n_components,
+    largest, modularity."""
+    from graphem_rapids_spark.analytics import edge_betweenness_sampled
+
+    e0 = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    verts = vertices_from_edges(e0).localCheckpoint(eager=True)
+    n = verts.count()
+    m = e0.count()
+    sources = (
+        spark.range(16)
+        .select(((F.col("id") * 2654435761) % n).cast("long").alias("id"))
+        .distinct()
+        .join(verts, "id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    cur = e0
+    rows = []
+    for rnd in range(1, _GN_ITER_ROUNDS + 1):
+        eb = edge_betweenness_sampled(
+            cur, n, sources=sources, normalized=True, max_depth=_BETW_DEPTH
+        )
+        cut = (
+            eb.orderBy(
+                F.col("value").desc(), F.col("src").asc(), F.col("dst").asc()
+            )
+            .limit(_GN_CUT)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        cur = cur.join(cut, ["src", "dst"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        labels = _gn_components(verts, cur)
+        stats = labels.groupBy("component").agg(F.count("*").alias("sz"))
+        n_comp = stats.count()
+        largest = int(stats.agg(F.max("sz")).collect()[0][0])
+        qn = _gn_modularity_num(e0, m, labels)
+        rows.append(
+            (
+                rnd,
+                rnd * _GN_CUT,
+                n_comp,
+                largest,
+                round(qn / (4.0 * m * m), 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "round long, n_cut_total long, n_components long, largest long,"
+        " modularity double",
+    )
+
+
+def _gn_iter_sql(
+    rounds: int = _GN_ITER_ROUNDS,
+    depth: int = _BETW_DEPTH,
+    cc_rounds: int = _GN_CC_ROUNDS,
+) -> str:
+    """Oracle: one :func:`_edge_betw_block` per round over the
+    shrinking edge set, the same unrounded-value top-cut, a
+    fixed-unroll min-label chain per round, and the exact modularity
+    numerator per round — the step oracle iterated."""
+    from graphem_rapids_spark.analytics import DELTA_FP_SCALE
+
+    fp = DELTA_FP_SCALE
+    parts = [
+        _COPURCHASE_SQL_CTE,
+        _BETW_SHARED_HEAD,
+        """
+, e1 AS MATERIALIZED (SELECT src, dst FROM ge)
+, gsym1 AS MATERIALIZED (SELECT src, dst FROM sym)
+, mm2 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ge)
+, deg2 AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1)""",
+    ]
+    for r in range(1, rounds + 1):
+        pfx = f"r{r}_"
+        parts.append(_edge_betw_block(pfx, f"gsym{r}", depth))
+        parts.append(
+            f"""
+, allsc{r} AS (
+  SELECT e.src, e.dst,
+         coalesce(((g.efp_sum / {float(fp)!r})
+                   * (CAST(nv.n AS DOUBLE) / CAST(kk.k AS DOUBLE)) / 2.0)
+                  / greatest(CAST(nv.n AS DOUBLE) * (nv.n - 1) / 2.0, 1.0),
+                  0.0) AS value
+  FROM e{r} e
+  LEFT JOIN eagg{pfx} g ON g.ea = e.src AND g.eb = e.dst
+  CROSS JOIN nv CROSS JOIN kk
+)
+, cut{r} AS MATERIALIZED (
+  SELECT src, dst FROM allsc{r}
+  ORDER BY value DESC, src ASC, dst ASC LIMIT {_GN_CUT}
+)
+, e{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r} e
+  LEFT JOIN cut{r} c ON c.src = e.src AND c.dst = e.dst
+  WHERE c.src IS NULL
+)
+, gsym{r + 1} AS MATERIALIZED (
+  SELECT src, dst FROM e{r + 1}
+  UNION ALL SELECT dst AS src, src AS dst FROM e{r + 1}
+)
+, cl{r}_0 AS MATERIALIZED (SELECT id, id AS component FROM verts)"""
+        )
+        for i in range(1, cc_rounds + 1):
+            parts.append(
+                f"""
+, cl{r}_{i} AS MATERIALIZED (
+  SELECT v.id, least(v.component, coalesce(m.c, v.component)) AS component
+  FROM cl{r}_{i - 1} v LEFT JOIN (
+    SELECT s.dst AS id, min(x.component) AS c
+    FROM gsym{r + 1} s JOIN cl{r}_{i - 1} x ON s.src = x.id GROUP BY s.dst
+  ) m ON v.id = m.id
+)"""
+            )
+        parts.append(
+            f"""
+, dcr{r} AS (
+  SELECT l.component, CAST(sum(deg2.d) AS BIGINT) AS dsum
+  FROM deg2 JOIN cl{r}_{cc_rounds} l USING (id) GROUP BY 1
+)
+, intrar{r} AS (
+  SELECT la.component, CAST(count(*) AS BIGINT) AS mc
+  FROM ge JOIN cl{r}_{cc_rounds} la ON ge.src = la.id
+          JOIN cl{r}_{cc_rounds} lb ON ge.dst = lb.id
+  WHERE la.component = lb.component GROUP BY 1
+)
+, qnr{r} AS (
+  SELECT CAST(sum(4 * mm2.m * coalesce(intrar{r}.mc, 0)
+               - dcr{r}.dsum * dcr{r}.dsum) AS HUGEINT) AS q_num
+  FROM dcr{r} LEFT JOIN intrar{r} USING (component) CROSS JOIN mm2
+)
+, stat{r} AS (
+  SELECT CAST({r} AS BIGINT) AS round,
+         CAST({r * _GN_CUT} AS BIGINT) AS n_cut_total,
+         (SELECT CAST(count(DISTINCT component) AS BIGINT)
+          FROM cl{r}_{cc_rounds}) AS n_components,
+         (SELECT CAST(max(sz) AS BIGINT) FROM (
+            SELECT count(*) AS sz FROM cl{r}_{cc_rounds}
+            GROUP BY component)) AS largest,
+         (SELECT round(CAST(q_num AS DOUBLE) / (4.0 * mm2.m * mm2.m), 6)
+          FROM qnr{r} CROSS JOIN mm2) AS modularity
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM stat{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(f"\n{union}\nORDER BY round")
     return "".join(parts)
 
 
@@ -21354,6 +21546,7 @@ QUERIES = {
     # (b) new in r8 — never driver-checked, staged behind the r9 block
     "graph_motif_census_capped": graph_motif_census_capped,
     "tokenizer_unigram_prune": tokenizer_unigram_prune,
+    "community_girvan_newman_iter": community_girvan_newman_iter,
     # ------- previously driver-verified (r3+) -------
     "layout_invariants": layout_invariants,
     "tokenizer_bpe_train_rounds": tokenizer_bpe_train_rounds,
@@ -21891,6 +22084,7 @@ ORACLES = {
     "graph_motif_census": _MOTIF_SQL,
     "graph_motif_census_capped": _MOTIF_CAPPED_SQL,
     "tokenizer_unigram_prune": _uprune_sql(),
+    "community_girvan_newman_iter": _gn_iter_sql(),
     "events_stream_psi": _PSI_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —

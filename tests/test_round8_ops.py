@@ -310,3 +310,27 @@ def test_unigram_prune_trajectory(spark):
         assert b["vocab_size"] == a["vocab_size"] - a["n_pruned"]
     assert all(r["total_loss"] > 0 for r in rows)
     assert all(r["n_pruned"] >= 0 for r in rows)
+
+
+def test_gn_iter_trajectory(spark):
+    """Iterated GN: cuts accumulate by _GN_CUT per round, components
+    never merge back (cutting only disconnects), the largest
+    component never grows, and round 1 must equal the single-step
+    query's post-cut state."""
+    from graphem_rapids_spark.queries import (
+        _GN_CUT,
+        community_girvan_newman_iter,
+        community_girvan_newman_step,
+    )
+
+    rows = community_girvan_newman_iter(spark, SF).collect()
+    assert [r["n_cut_total"] for r in rows] == [
+        _GN_CUT * (i + 1) for i in range(len(rows))
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_components"] >= a["n_components"]
+        assert b["largest"] <= a["largest"]
+    step = community_girvan_newman_step(spark, SF).collect()[0]
+    assert rows[0]["n_components"] == step["n_components_after"]
+    assert rows[0]["largest"] == step["largest_after"]
+    assert rows[0]["modularity"] == step["modularity_after"]
