@@ -54,6 +54,11 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "events_stream_sliding",
     "doc_pipeline_funnel",
+    # r8 additions (VERDICT r7 stretch 9): one post-r6 operator from
+    # each of the community and text-quality families, re-banded in
+    # BASELINE.md before landing
+    "community_louvain_move",
+    "doc_perplexity_tiers_hist",
 ]
 
 
