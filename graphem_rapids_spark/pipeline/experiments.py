@@ -438,3 +438,33 @@ def uplift_qini(
         uplift.alias("uplift"),
         qini.alias("qini"),
     ).orderBy("decile")
+
+
+SRM_CHI2_CRIT = 3.841458820694124  # chi-square df=1, alpha = 0.05
+
+
+def srm_check(
+    assignments: DataFrame,
+    treated_col: str = "treated",
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the FIRST check an
+    experimentation platform runs on a readout (Fabijan et al. 2019):
+    chi-square test of the realized assignment counts against the
+    designed 50/50 split. With two arms and equal expectation the
+    statistic collapses to (n_t − n_c)²/n — an exact integer
+    numerator over one division. 1-row output: n_units, n_control,
+    n_treated, chi2, srm_flag (1 = the split is broken at
+    alpha = 0.05; analyze nothing downstream until triaged)."""
+    g = assignments.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(treated_col).cast("long")).alias("nt"),
+    )
+    diff = F.col("nt") * 2 - F.col("n")  # n_t − n_c, exact
+    chi2 = (diff * diff).cast("double") / F.col("n").cast("double")
+    return g.select(
+        F.col("n").alias("n_units"),
+        (F.col("n") - F.col("nt")).cast("long").alias("n_control"),
+        F.col("nt").cast("long").alias("n_treated"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > SRM_CHI2_CRIT).cast("long").alias("srm_flag"),
+    )

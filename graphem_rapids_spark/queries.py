@@ -18048,6 +18048,17 @@ def tokenizer_unigram_prune(spark, sf_dir):
     row_number prune, the same smoothing expression. Output per
     round: round, vocab_size (entering the round), n_pruned,
     total_loss (nats, 6 dp)."""
+    _vocab, out, _cur = _uprune_state(spark, sf_dir)
+    return spark.createDataFrame(
+        out, "round long, vocab_size long, n_pruned long, total_loss double"
+    )
+
+
+def _uprune_state(spark, sf_dir):
+    """(vocab DF, per-round trajectory rows, final piece list) — the
+    shared EM+prune loop behind :func:`tokenizer_unigram_prune`
+    (trajectory consumer) and :func:`tokenizer_unigram_encode`
+    (final-vocabulary consumer)."""
     import math
 
     pieces, _ts = _uem_pieces(spark, sf_dir)
@@ -18095,15 +18106,67 @@ def tokenizer_unigram_prune(spark, sf_dir):
             )
             for p in kept
         )
-    return spark.createDataFrame(
-        out, "round long, vocab_size long, n_pruned long, total_loss double"
+    return vocab, out, cur
+
+
+def tokenizer_unigram_encode(spark, sf_dir):
+    """APPLY the pruned unigram tokenizer (the acceptance metric the
+    unigram family ships with, mirroring :func:`tokenizer_bpe_encode`
+    for the BPE family): run the :func:`tokenizer_unigram_prune` EM +
+    prune loop, Viterbi-segment every vocabulary word under the FINAL
+    piece set, and report per-language compression. The corpus
+    collapses once to the word table; per-word token counts are the
+    segmentation array size (one vocabulary-sized DP job); the corpus
+    pass is one explode-join-aggregate against that word table.
+    Output per lang: n_docs, n_words, n_chars, n_unigram_tokens,
+    chars_per_token."""
+    _vocab, _out, cur = _uprune_state(spark, sf_dir)
+    best_txt, seg_txt = _uem_dp_exprs(cur)
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "lang", F.explode(T.tokens_col("text")).alias("w")
+    ).filter(F.col("w") != "")
+    wt = (
+        words.select("w")
+        .distinct()
+        .withColumn("b", F.expr(best_txt))
+        .select("w", F.size(F.expr(seg_txt)).cast("long").alias("n_sym"))
+    )
+    per_lang = (
+        words.join(F.broadcast(wt), "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("n_sym").alias("n_unigram_tokens"),
+        )
+    )
+    docs = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return (
+        docs.join(per_lang, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "n_unigram_tokens",
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.col("n_unigram_tokens").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
     )
 
 
-def _uprune_sql(rounds: int = _UPRUNE_ROUNDS) -> str:
+def _uprune_sql(rounds: int = _UPRUNE_ROUNDS, mode: str = "trajectory") -> str:
     """Oracle: replay every prune round — per-round RECURSIVE Viterbi
     chains against piece CTEs derived by the identical row_number
-    prune + add-one-smoothed log-prob update."""
+    prune + add-one-smoothed log-prob update. ``mode="encode"``
+    additionally derives the FINAL piece set, segments every word
+    under it with one more Viterbi chain, and emits the per-language
+    compression aggregate instead of the trajectory."""
     kmax = _USEED_KMAX
     subs = ", ".join(
         f"list_filter(list_transform(range(1, greatest(len(w) - {k - 1}, 1)"
@@ -18136,7 +18199,8 @@ pieces1 AS MATERIALIZED (
   FROM pset CROSS JOIN tots
 )"""
     ]
-    for r in range(1, rounds + 1):
+    last = rounds + 1 if mode == "encode" else rounds
+    for r in range(1, last + 1):
         fwd_joins = "\n".join(
             f"  LEFT JOIN pieces{r} p{k} ON dp{r}.i + 1 >= {k}"
             f" AND p{k}.piece = substr(dp{r}.w, dp{r}.i + 1 - {k} + 1, {k})"
@@ -18206,7 +18270,7 @@ stat{r} AS (
          (SELECT CAST(loss6 AS DOUBLE) / 1e6 FROM loss{r}) AS total_loss
 )"""
         )
-        if r < rounds:
+        if r < last:
             parts.append(
                 f""", keep{r} AS (
   SELECT piece, n FROM (
@@ -18227,6 +18291,32 @@ pieces{r + 1} AS MATERIALIZED (
   FROM keep{r} CROSS JOIN tv{r}
 )"""
             )
+    if mode == "encode":
+        parts.append(
+            f""", wsym AS MATERIALIZED (
+  SELECT w, CAST(len(seg) AS BIGINT) AS n_sym
+  FROM walk{last} WHERE pos = 0
+),
+wl AS (
+  SELECT lang, w FROM (
+    SELECT lang, unnest({_TOKENS_SQL}) AS w FROM documents
+  ) WHERE w <> ''
+),
+pl AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(len(w)) AS BIGINT) AS n_chars,
+         CAST(sum(ws.n_sym) AS BIGINT) AS n_unigram_tokens
+  FROM wl JOIN wsym ws USING (w) GROUP BY 1
+),
+dd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY 1)
+SELECT dd.lang, dd.n_docs, pl.n_words, pl.n_chars, pl.n_unigram_tokens,
+       round(CAST(pl.n_chars AS DOUBLE) / pl.n_unigram_tokens, 6)
+         AS chars_per_token
+FROM dd JOIN pl USING (lang)
+ORDER BY lang"""
+        )
+        return "".join(parts)
     union = "\nUNION ALL\n".join(
         f"SELECT round, vocab_size, n_pruned, total_loss FROM stat{r}"
         for r in range(1, rounds + 1)
@@ -19954,6 +20044,44 @@ def events_cuped_adjustment(spark, sf_dir):
     return X.cuped(pu)
 
 
+def events_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail over the experiment's
+    assignment universe (distinct users under the parity coin the
+    CUPED/DiD/Qini readouts share) — the FIRST check a platform runs:
+    a broken split invalidates every downstream readout. Thin wrapper
+    over :func:`pipeline.experiments.srm_check`; chi-square with an
+    exact integer (n_t − n_c)² numerator over one division, flag at
+    the df=1 alpha=0.05 critical value. ONE scan → distinct →
+    1-row aggregate. Output: n_units, n_control, n_treated, chi2,
+    srm_flag."""
+    from graphem_rapids_spark.pipeline import experiments as X
+
+    arms = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select((F.col("user_id") % 2 == 1).alias("treated"))
+    )
+    return X.srm_check(arms)
+
+
+_SRM_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+g AS (SELECT count(*) AS n,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nt
+      FROM u)
+SELECT CAST(n AS BIGINT) AS n_units,
+       CAST(n - nt AS BIGINT) AS n_control,
+       nt AS n_treated,
+       round(CAST((2 * nt - n) * (2 * nt - n) AS DOUBLE) / n, 6) AS chi2,
+       CAST(CASE WHEN CAST((2 * nt - n) * (2 * nt - n) AS DOUBLE) / n
+                      > 3.841458820694124
+                 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM g
+"""
+
+
 _CUPED_SQL = f"""
 WITH b0 AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
 pu AS (
@@ -21644,6 +21772,8 @@ QUERIES = {
     "tokenizer_unigram_prune": tokenizer_unigram_prune,
     "community_girvan_newman_iter": community_girvan_newman_iter,
     "community_louvain_refined": community_louvain_refined,
+    "tokenizer_unigram_encode": tokenizer_unigram_encode,
+    "events_srm_check": events_srm_check,
     # ------- previously driver-verified (r3+) -------
     "layout_invariants": layout_invariants,
     "tokenizer_bpe_train_rounds": tokenizer_bpe_train_rounds,
@@ -22183,6 +22313,8 @@ ORACLES = {
     "tokenizer_unigram_prune": _uprune_sql(),
     "community_girvan_newman_iter": _gn_iter_sql(),
     "community_louvain_refined": _louvain_refined_sql(),
+    "tokenizer_unigram_encode": _uprune_sql(mode="encode"),
+    "events_srm_check": _SRM_SQL,
     "events_stream_psi": _PSI_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —

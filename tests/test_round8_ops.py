@@ -390,3 +390,40 @@ def test_louvain_refined_connectivity_and_q(spark):
     for members in comm.values():
         sub = g.subgraph(members)
         assert nx.is_connected(sub), "refined community is disconnected"
+
+
+def test_srm_check_closed_form(spark):
+    """60/40 of 100 gives chi2 = 20^2/100 = 4.0 > 3.841 (flag);
+    52/48 gives 0.16 (no flag)."""
+    from graphem_rapids_spark.pipeline.experiments import srm_check
+
+    bad = spark.createDataFrame(
+        [(i < 60,) for i in range(100)], "treated boolean"
+    )
+    r = srm_check(bad).collect()[0]
+    assert (r["n_units"], r["n_treated"], r["chi2"], r["srm_flag"]) == (
+        100, 60, 4.0, 1,
+    )
+    ok = spark.createDataFrame(
+        [(i < 52,) for i in range(100)], "treated boolean"
+    )
+    r = srm_check(ok).collect()[0]
+    assert (r["chi2"], r["srm_flag"]) == (0.16, 0)
+
+
+def test_unigram_encode_invariants(spark):
+    """Apply-pass sanity: tokens per word >= 1 piece and <= chars
+    (pieces are >= 1 char), so 1 <= chars_per_token <= max word
+    length; languages match the documents table."""
+    from graphem_rapids_spark.queries import _t, tokenizer_unigram_encode
+
+    rows = tokenizer_unigram_encode(spark, SF).collect()
+    langs = {
+        r["lang"]
+        for r in _t(spark, SF, "documents").select("lang").distinct().collect()
+    }
+    assert {r["lang"] for r in rows} == langs
+    for r in rows:
+        assert r["n_unigram_tokens"] >= r["n_words"]
+        assert r["n_unigram_tokens"] <= r["n_chars"]
+        assert 1.0 <= r["chars_per_token"]
