@@ -5830,9 +5830,14 @@ def _gn_components(verts, edge_df):
             .filter(F.col("component") != F.col("o"))
             .count()
         )
-        labels = new_labels
+        # release the prior round's checkpoint blocks (the
+        # connected_components pattern — leaked blocks measurably
+        # slow every subsequent job)
+        prev, labels = labels, new_labels
+        prev.unpersist()
         if changed == 0:
             break
+    sym.unpersist()
     if changed != 0:
         raise RuntimeError(
             f"GN min-label components did not converge within the "
@@ -6082,9 +6087,12 @@ def community_girvan_newman_iter(spark, sf_dir):
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
+        prev_cur = cur
         cur = cur.join(cut, ["src", "dst"], "left_anti").localCheckpoint(
             eager=True
         )
+        if prev_cur is not e0:  # keep the original graph for modularity
+            prev_cur.unpersist()
         labels = _gn_components(verts, cur)
         stats = labels.groupBy("component").agg(F.count("*").alias("sz"))
         n_comp = stats.count()
