@@ -87,3 +87,15 @@ def test_forecasting_and_structure_example():
     assert "Louvain Q trajectory" in stdout
     assert "two-level k-center" in stdout
     assert "CCNet tiers per lang (histogram mode):" in stdout
+
+
+def test_experiments_and_communities_example():
+    stdout = _run(
+        "examples/experiments_and_communities.py", "/root/testdata/sf0.001"
+    )
+    assert "SRM guardrail: chi2=" in stdout
+    assert "CUPED: naive=" in stdout
+    assert "RAKE top-5:" in stdout
+    assert "refined Louvain" in stdout
+    assert "Girvan-Newman trajectory:" in stdout
+    assert "never silent" in stdout
