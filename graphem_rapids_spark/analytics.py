@@ -26,6 +26,7 @@ import warnings
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from graphem_rapids_spark.checkpoint import eager_checkpoint, release
 from graphem_rapids_spark.graph.canon import symmetrize_edges, vertex_degrees
 
 # Brandes dependency accumulation quantum (power of two, so integer
@@ -118,9 +119,7 @@ def pagerank(
     base = verts.join(out_deg, "id", "left").select(
         "id", F.coalesce("od", F.lit(0)).alias("od")
     ).persist()
-    pr = base.select("id", "od", F.lit(1.0 / n).alias("value")).localCheckpoint(
-        eager=True
-    )
+    pr = base.select("id", "od", F.lit(1.0 / n).alias("value")).transform(eager_checkpoint)
     # dangling vertices exist only if some od == 0 — check ONCE, not
     # one driver action per iteration (copurchase-style graphs have
     # none, saving max_iter jobs)
@@ -146,7 +145,7 @@ def pagerank(
         )
         # checkpoint every iteration: truncates the logical plan (persist
         # alone lets analysis cost grow exponentially with iterations)
-        new_pr = new_pr.localCheckpoint(eager=True)
+        new_pr = new_pr.transform(eager_checkpoint)
         if tol > 0:
             delta = (
                 new_pr.join(pr.select("id", F.col("value").alias("old")), "id")
@@ -213,9 +212,7 @@ def pagerank_personalized(
         )
         .persist()
     )
-    pr = base.select("id", "od", "e", F.col("e").alias("value")).localCheckpoint(
-        eager=True
-    )
+    pr = base.select("id", "od", "e", F.col("e").alias("value")).transform(eager_checkpoint)
     has_dangling = base.filter(F.col("od") == 0).limit(1).count() > 0
     for _ in range(max_iter):
         if has_dangling:
@@ -239,7 +236,7 @@ def pagerank_personalized(
                 + F.lit(alpha)
                 * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dangling) * F.col("e"))
             ).alias("value"),
-        ).localCheckpoint(eager=True)
+        ).transform(eager_checkpoint)
         pr.unpersist()
         pr = pr_new
     base.unpersist()
@@ -278,9 +275,7 @@ def pagerank_weighted(
     base = verts.join(strength, "id", "left").select(
         "id", F.coalesce("st", F.lit(0.0)).alias("st")
     ).persist()
-    pr = base.select("id", "st", F.lit(1.0 / n).alias("value")).localCheckpoint(
-        eager=True
-    )
+    pr = base.select("id", "st", F.lit(1.0 / n).alias("value")).transform(eager_checkpoint)
     for _ in range(max_iter):
         ranks = pr.filter(F.col("st") > 0)
         contrib = (
@@ -304,7 +299,7 @@ def pagerank_weighted(
                     + F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("value"),
             )
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     base.unpersist()
     sym.unpersist()
@@ -349,7 +344,7 @@ def eigenvector_centrality(
         # checkpoint BEFORE the norm action: y is referenced twice (norm
         # + normalized output) and would otherwise run the matvec twice
         # per iteration — the checkpoint makes the second use a cache read
-        y = y.localCheckpoint(eager=True)
+        y = y.transform(eager_checkpoint)
         norm = y.agg(F.sqrt(F.sum(F.col("value") * F.col("value")))).first()[0] or 1.0
         if norm == 0:
             break
@@ -388,13 +383,14 @@ def star_contract_edges(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     ``GRAPHEM_CC_STAR_MIN`` switch). Convergence = stable edge set,
     detected by a (count, Σxxhash64) signature and confirmed with an
     exact exceptAll before exiting (runs once, at the fixpoint)."""
-    e = (
+    from graphem_rapids_spark.checkpoint import eager_checkpoint, release
+
+    e = eager_checkpoint(
         edges.select(
             F.greatest("src", "dst").alias("x"), F.least("src", "dst").alias("y")
         )
         .filter(F.col("x") != F.col("y"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     sig: tuple | None = None
     done = False
@@ -417,13 +413,14 @@ def star_contract_edges(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         # small-star over the canonical orientation: every neighbor of
         # x (all < x) and x itself link to x's min neighbor
         smins = e1.groupBy("x").agg(F.min("y").alias("m"))
-        e2 = (
+        from graphem_rapids_spark.checkpoint import eager_checkpoint
+
+        e2 = eager_checkpoint(
             e1.join(smins, "x")
             .filter(F.col("y") != F.col("m"))
             .select(F.col("y").alias("x"), F.col("m").alias("y"))
             .unionAll(smins.select("x", F.col("m").alias("y")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         row = e2.agg(
             F.count("*").alias("c"),
@@ -433,7 +430,7 @@ def star_contract_edges(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         new_sig = (row["c"], row["h"])
         prev, e = e, e2
         done = sig == new_sig and prev.exceptAll(e2).isEmpty()
-        prev.unpersist()
+        release(prev)
         sig = new_sig
         if done:
             break
@@ -460,7 +457,9 @@ def _connected_components_star(
     spark = edges.sparkSession
     e = star_contract_edges(edges, max_iter)
     stars = e.groupBy(F.col("x").alias("id")).agg(F.min("y").alias("component"))
-    e.unpersist()
+    from graphem_rapids_spark.checkpoint import release
+
+    release(e)
     if vertices is None:
         ids = spark.range(n_vertices).select(F.col("id").cast("long"))
     else:
@@ -533,8 +532,11 @@ def connected_components(
         new_labels = labels.join(nbr_min, "id", "left").select(
             "id", F.least(F.col("component"), F.coalesce("nbr", F.col("component"))).alias("component")
         )
-        # checkpoint every round — plan truncation, not just data caching
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # checkpoint every round — plan truncation AND stats severing
+        # (see checkpoint.py: origin stats compound across rounds)
+        from graphem_rapids_spark.checkpoint import eager_checkpoint
+
+        new_labels = eager_checkpoint(new_labels)
         changed = (
             new_labels.join(labels.select("id", F.col("component").alias("old")), "id")
             .filter(F.col("component") != F.col("old"))
@@ -573,12 +575,12 @@ def label_propagation(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
     discipline as PageRank; hot vertices skew the count aggregate the
     same way every neighborhood aggregation here does (AQE skew
     splitting applies)."""
-    sym = symmetrize_edges(edges).localCheckpoint(eager=True)
+    sym = symmetrize_edges(edges).transform(eager_checkpoint)
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     for _ in range(max_rounds):
         votes = (
@@ -593,7 +595,7 @@ def label_propagation(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
             votes.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
             .select("id", "label")
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         changed = (
             new.join(labels.select("id", F.col("label").alias("_o")), "id")
@@ -621,7 +623,7 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
     data work. At 100 TB each round shuffles only the shrinking edge
     set on its endpoint keys; real graphs converge in a few rounds at
     moderate k (deeper peeling chains shrink the data fast)."""
-    cur = symmetrize_edges(edges).localCheckpoint(eager=True)
+    cur = symmetrize_edges(edges).transform(eager_checkpoint)
     n_cur = cur.count()
     for _ in range(max_rounds):
         surv = (
@@ -633,7 +635,7 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
         new = (
             cur.join(surv.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(surv.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         n_new = new.count()
         # release the prior round's checkpoint blocks — without this,
@@ -708,7 +710,7 @@ def oriented_triangles(cur: DataFrame) -> DataFrame:
         F.when(F.col("_ks") < F.col("_kd"), F.col("dst")).otherwise(F.col("src")).alias("w"),
         F.least("_ks", "_kd").alias("ku"),
         F.greatest("_ks", "_kd").alias("kw"),
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     wedges = (
         fwd.select("u", F.col("w").alias("b"), F.col("kw").alias("kb"))
         .join(
@@ -745,7 +747,7 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
     from graphem_rapids_spark.graph.canon import canonicalize_edges
 
     spark = edges.sparkSession
-    cur = canonicalize_edges(edges).localCheckpoint(eager=True)
+    cur = canonicalize_edges(edges).transform(eager_checkpoint)
     n_cur = cur.count()
     # size shuffle partitions to the wedge volume: the triangle join
     # streams Σ out-deg² candidate rows — at 32 partitions (sized for
@@ -813,7 +815,7 @@ def _ktruss_peel(cur, n_cur, k, max_rounds, skewed):
             cur.join(sup, ["src", "dst"], "left")
             .filter(F.coalesce("sup", F.lit(0)) >= k - 2)
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         n_new = new.count()
         prev, cur = cur, new
@@ -982,7 +984,7 @@ def bfs_distances(
     # truncation the plan grows exponentially with BFS depth.
     visited = sources.select(
         F.col("id").alias("s"), F.col("id"), F.lit(0).alias("d")
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     frontier = visited
     frontier_n = frontier.count()
     for _ in range(max_depth):
@@ -997,9 +999,7 @@ def bfs_distances(
             .groupBy("s", "id")
             .agg(F.min("d").alias("d"))
         )
-        new_v = nxt.join(visited.select("s", "id"), ["s", "id"], "left_anti").localCheckpoint(
-            eager=True
-        )
+        new_v = nxt.join(visited.select("s", "id"), ["s", "id"], "left_anti").transform(eager_checkpoint)
         frontier_n = new_v.count()
         if frontier_n == 0:
             break
@@ -1130,10 +1130,10 @@ def betweenness_sampled(
     # graphs, reintroducing summation-order drift)
     frontier = sources.select(
         F.col("id").alias("s"), F.col("id"), F.lit(1).cast("decimal(38,0)").alias("sigma")
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     levels = [frontier]
     level_counts = [n_sources]  # frontier sizes, reused by the backward pass
-    seen = frontier.select("s", "id").localCheckpoint(eager=True)
+    seen = frontier.select("s", "id").transform(eager_checkpoint)
     frontier_n = n_sources
     for _ in range(max_depth):
         fr = F.broadcast(frontier) if frontier_n <= broadcast_max else frontier
@@ -1144,7 +1144,7 @@ def betweenness_sampled(
             .groupBy("s", "id")
             .agg(F.sum("sigma").alias("sigma"))
         )
-        frontier = msgs.join(seen, ["s", "id"], "left_anti").localCheckpoint(eager=True)
+        frontier = msgs.join(seen, ["s", "id"], "left_anti").transform(eager_checkpoint)
         frontier_n = frontier.count()
         if frontier_n == 0:
             break
@@ -1202,7 +1202,7 @@ def betweenness_sampled(
                     "delta_fp"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         if d > 0:  # level 0 is the sources themselves — excluded by Brandes
             part = delta_next.select("id", "delta_fp")
@@ -1404,15 +1404,15 @@ def coreness(edges: DataFrame, max_rounds: int = 60) -> DataFrame:
     changed-row count, and each round's join shuffles only the edge
     stream against the O(n) value table (the one-edge-shuffle
     discipline of the other iterative kernels)."""
-    sym = symmetrize_edges(edges).localCheckpoint(eager=True)
+    sym = symmetrize_edges(edges).transform(eager_checkpoint)
     c = (
         sym.groupBy(F.col("src").alias("id"))
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     changed = -1  # "never iterated" sentinel for the max_rounds=0 case
     for _ in range(max_rounds):
-        new = hindex_round(sym, c).localCheckpoint(eager=True)
+        new = hindex_round(sym, c).transform(eager_checkpoint)
         changed = (
             new.join(c.select("id", F.col("c").alias("_old")), "id")
             .filter(F.col("c") != F.col("_old"))
@@ -1467,7 +1467,7 @@ def katz_centrality(
     sym = symmetrize_edges(edges).repartition(
         F.col("dst") if use_broadcast else F.col("src")
     ).persist()
-    x = verts.select("id", F.lit(beta).alias("value")).localCheckpoint(eager=True)
+    x = verts.select("id", F.lit(beta).alias("value")).transform(eager_checkpoint)
     for _ in range(max_iter):
         msg = (
             sym.withColumnRenamed("src", "id")
@@ -1479,7 +1479,7 @@ def katz_centrality(
         x_new = verts.join(msg, "id", "left").select(
             "id",
             (F.lit(beta) + F.lit(alpha) * F.coalesce("s", F.lit(0.0))).alias("value"),
-        ).localCheckpoint(eager=True)
+        ).transform(eager_checkpoint)
         x.unpersist()
         x = x_new
     sym.unpersist()
@@ -1508,7 +1508,7 @@ def hits(
     h = (
         e.select(F.col("src").alias("id")).distinct()
         .select("id", F.lit(1.0).alias("score"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     a = None
     for _ in range(max_iter):
@@ -1516,13 +1516,13 @@ def hits(
             e.join(h.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("score").alias("score"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         h_new = (
             e.join(a.withColumnRenamed("id", "dst"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("score").alias("score"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         h.unpersist()
         h = h_new
@@ -1580,7 +1580,7 @@ def random_walks(
             F.lit(0).alias("step"),
             F.col("v0").alias("id"),
         )
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     out = state
     for t in range(1, steps + 1):
@@ -1596,7 +1596,7 @@ def random_walks(
             )
             .filter(F.col("rn") == idx)
             .select("walker", F.lit(t).alias("step"), F.col("dst").alias("id"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         out = out.unionAll(state)
     nbr.unpersist()
@@ -1645,7 +1645,7 @@ def node2vec_walks(
             F.col("v0").alias("prev"),
             F.col("v0").alias("cur"),
         )
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     out = state.select("walker", F.lit(0).alias("step"), F.col("cur").alias("id"))
     w_cum = (
@@ -1685,7 +1685,7 @@ def node2vec_walks(
                 & (F.col("_thr") < F.col("_cum"))
             )
             .select("walker", F.col("cur").alias("prev"), F.col("dst").alias("cur"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         out = out.unionAll(
             state.select("walker", F.lit(t).alias("step"), F.col("cur").alias("id"))
@@ -1701,7 +1701,7 @@ def _iter_materialize(df: DataFrame, old: DataFrame | None = None) -> DataFrame:
     generation and melts the driver in BigInteger multiplies from
     ~18 generations (SCALE.md §iteration-discipline). Pass ``old`` to
     release the previous generation's cache."""
-    out = df.localCheckpoint(eager=True).persist()
+    out = df.transform(eager_checkpoint).persist()
     out.count()
     if old is not None:
         old.unpersist()
@@ -2174,10 +2174,10 @@ def load_sampled(
     # backward pass) — 1 is a placeholder
     frontier = sources.select(
         F.col("id").alias("s"), F.col("id"), F.lit(1).cast("long").alias("npred")
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     levels = [frontier]
     level_counts = [n_sources]
-    seen = frontier.select("s", "id").localCheckpoint(eager=True)
+    seen = frontier.select("s", "id").transform(eager_checkpoint)
     frontier_n = n_sources
     for _ in range(max_depth):
         fr = F.broadcast(frontier) if frontier_n <= broadcast_max else frontier
@@ -2188,7 +2188,7 @@ def load_sampled(
             .groupBy("s", "id")
             .agg(F.count("*").alias("npred"))
         )
-        frontier = msgs.join(seen, ["s", "id"], "left_anti").localCheckpoint(eager=True)
+        frontier = msgs.join(seen, ["s", "id"], "left_anti").transform(eager_checkpoint)
         frontier_n = frontier.count()
         if frontier_n == 0:
             break
@@ -2233,7 +2233,7 @@ def load_sampled(
                     "delta_fp"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         if d > 0:
             part = delta_next.select("id", "delta_fp")
@@ -2347,10 +2347,16 @@ def _louvain_move_pass(
         .filter((F.col("rk") == 1) & (F.col("g") > 0))
         .select("id", F.col("c").alias("new_label"))
     )
-    return (
-        labels.join(moves, "id", "left")
-        .select("id", F.coalesce("new_label", F.col("label")).alias("label"))
-        .localCheckpoint(eager=True)
+    from graphem_rapids_spark.checkpoint import eager_checkpoint
+
+    # stats-safe: this plan references `labels` in 4+ joins, so a
+    # plain localCheckpoint compounds CBO sizeInBytes exponentially
+    # across passes (see checkpoint.py — measured 0.7 s → 88 s by
+    # pass 9 before severing)
+    return eager_checkpoint(
+        labels.join(moves, "id", "left").select(
+            "id", F.coalesce("new_label", F.col("label")).alias("label")
+        )
     )
 
 
@@ -2386,12 +2392,14 @@ def _louvain_refine(ew_, labels_, max_rounds: int = LOUVAIN_REFINE_ROUNDS):
         .filter(F.col("_a") == F.col("_b"))
         .select("src", "dst")
     )
-    isym = intra.unionAll(
-        intra.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
-    ref = labels_.select("id", F.col("id").alias("label")).localCheckpoint(
-        eager=True
+    from graphem_rapids_spark.checkpoint import eager_checkpoint, release
+
+    isym = eager_checkpoint(
+        intra.unionAll(
+            intra.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     )
+    ref = eager_checkpoint(labels_.select("id", F.col("id").alias("label")))
     changed = -1
     for _ in range(max_rounds):
         nbr = (
@@ -2400,12 +2408,14 @@ def _louvain_refine(ew_, labels_, max_rounds: int = LOUVAIN_REFINE_ROUNDS):
             .groupBy("id")
             .agg(F.min("c").alias("nbr"))
         )
-        new = ref.join(nbr, "id", "left").select(
-            "id",
-            F.least(
-                F.col("label"), F.coalesce("nbr", F.col("label"))
-            ).alias("label"),
-        ).localCheckpoint(eager=True)
+        new = eager_checkpoint(
+            ref.join(nbr, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr", F.col("label"))
+                ).alias("label"),
+            )
+        )
         changed = (
             new.join(ref.select("id", F.col("label").alias("o")), "id")
             .filter(F.col("label") != F.col("o"))
@@ -2415,10 +2425,10 @@ def _louvain_refine(ew_, labels_, max_rounds: int = LOUVAIN_REFINE_ROUNDS):
         # connected_components pattern) — leaked blocks measurably
         # slow every SUBSEQUENT job in the session
         prev, ref = ref, new
-        prev.unpersist()
+        release(prev)
         if changed == 0:
             break
-    isym.unpersist()
+    release(isym)
     if changed != 0:
         raise RuntimeError(
             f"louvain refine: intra-community min-label did not converge "
@@ -2469,12 +2479,13 @@ def louvain(
     Reference analog: community structure consumed by the benchmark
     analytics (run_benchmarks.py); the reference has no Louvain —
     this is engine-breadth beyond parity, VERDICT r6 item 7."""
+    from graphem_rapids_spark.checkpoint import eager_checkpoint, release
+
     spark = edges.sparkSession
-    ew = (
+    ew = eager_checkpoint(
         edges.select("src", "dst")
         .groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
-        .localCheckpoint(eager=True)
     )
     selfw = ew.select("src").limit(0).select(
         F.col("src").alias("id"), F.lit(0).cast("long").alias("sw")
@@ -2492,7 +2503,7 @@ def louvain(
         init_labels.select("id", "label")
         if init_labels is not None
         else verts.select("id", F.col("id").alias("label"))
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     # mapping from ORIGINAL ids to the current coarse vertex
     mapping = labels.select("id", F.col("label").alias("community"))
 
@@ -2558,10 +2569,9 @@ def louvain(
                 ).alias("sw"),
             )
         )
-        return (
-            inter.localCheckpoint(eager=True),
-            new_self.localCheckpoint(eager=True),
-        )
+        from graphem_rapids_spark.checkpoint import eager_checkpoint
+
+        return (eager_checkpoint(inter), eager_checkpoint(new_self))
 
     trajectory = []
     # Leiden refines EVERY partition before aggregation, including
@@ -2578,7 +2588,7 @@ def louvain(
     q0 = (0, nc, round(qn / (4.0 * m_w * m_w), 6))
     trajectory.append(q0 + (n_split0,) if refine else q0)
     cur_ew, cur_self = ew0, sw0
-    mapping = mapping.localCheckpoint(eager=True)
+    mapping = mapping.transform(eager_checkpoint)
     for level in range(1, levels + 1):
         coarse_verts = (
             cur_ew.select(F.col("src").alias("id"))
@@ -2588,18 +2598,18 @@ def louvain(
         )
         lab = coarse_verts.select(
             "id", F.col("id").alias("label")
-        ).localCheckpoint(eager=True)
+        ).transform(eager_checkpoint)
         for r in range(move_rounds):
             prev_lab = lab
             lab = _louvain_move_pass(
                 cur_ew, cur_self, lab, m_w, phase=r % 2
             )
-            prev_lab.unpersist()  # dead checkpoint blocks slow later jobs
+            release(prev_lab)  # dead checkpoint blocks slow later jobs
         n_split = 0
         if refine:
             prev_lab = lab
             lab, n_split = _louvain_refine(cur_ew, lab)
-            prev_lab.unpersist()
+            release(prev_lab)
         cur_ew, cur_self = coarsen(cur_ew, cur_self, lab)
         # sever small coarse graphs to local relations (see
         # LOUVAIN_SEVER_MAX) — values unchanged, plans broadcast-only
@@ -2620,7 +2630,7 @@ def louvain(
                 "community",
             )
             .select("id", F.col("_new").alias("community"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         qn, nc = q_of(cur_ew, cur_self, m_w)
         row = (level, nc, round(qn / (4.0 * m_w * m_w), 6))
@@ -2662,10 +2672,10 @@ def edge_betweenness_sampled(
         F.col("id").alias("s"),
         F.col("id"),
         F.lit(1).cast("decimal(38,0)").alias("sigma"),
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     levels = [frontier]
     level_counts = [n_sources]
-    seen = frontier.select("s", "id").localCheckpoint(eager=True)
+    seen = frontier.select("s", "id").transform(eager_checkpoint)
     frontier_n = n_sources
     for _ in range(max_depth):
         fr = F.broadcast(frontier) if frontier_n <= broadcast_max else frontier
@@ -2676,9 +2686,7 @@ def edge_betweenness_sampled(
             .groupBy("s", "id")
             .agg(F.sum("sigma").alias("sigma"))
         )
-        frontier = msgs.join(seen, ["s", "id"], "left_anti").localCheckpoint(
-            eager=True
-        )
+        frontier = msgs.join(seen, ["s", "id"], "left_anti").transform(eager_checkpoint)
         frontier_n = frontier.count()
         if frontier_n == 0:
             break
@@ -2710,7 +2718,7 @@ def edge_betweenness_sampled(
             (F.col("sigma").cast("double") / F.col("sigma_w").cast("double"))
             * (F.lit(DELTA_FP_SCALE) + F.col("dfp_w")).cast("double")
         ).cast("decimal(38,0)")
-        tagged = cur.join(up, ["s", "id"]).localCheckpoint(eager=True)
+        tagged = cur.join(up, ["s", "id"]).transform(eager_checkpoint)
         epart = tagged.select(
             F.least(F.col("id"), F.col("w")).alias("ea"),
             F.greatest(F.col("id"), F.col("w")).alias("eb"),
@@ -2730,7 +2738,7 @@ def edge_betweenness_sampled(
                     "delta_fp"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     sym.unpersist()
     canon = edges.select(

@@ -39,6 +39,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from graphem_rapids_spark.checkpoint import eager_checkpoint
+
 from graphem_rapids_spark.embedding.laplacian import laplacian_embedding
 from graphem_rapids_spark.graph.canon import canonicalize_edges
 from graphem_rapids_spark.graph.generators import SparkGraph
@@ -432,7 +434,7 @@ class GraphEmbedderSpark:
         # iteration. Checkpointing every iteration also truncates the
         # logical plan (persist() alone caches data but not the plan —
         # analysis cost grows exponentially without truncation).
-        moved = moved.localCheckpoint(eager=True)
+        moved = moved.transform(eager_checkpoint)
         # center + per-dim sample-std scale (:801-804; torch.std is ddof=1)
         stats = moved.agg(
             *[F.avg(F.col("pos").getItem(d)).alias(f"m{d}") for d in range(self.dim)],

@@ -22,6 +22,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
+from graphem_rapids_spark.checkpoint import eager_checkpoint
+
 from graphem_rapids_spark.graph.canon import symmetrize_edges
 
 
@@ -234,7 +236,7 @@ def _distributed_orthogonal_iteration(
         Y = _matvec_normalized_adjacency(sym, deg, X, k)
         # materialize each iteration: the two scalar aggregates below
         # would otherwise replay the whole lineage chain per action
-        Y = Y.localCheckpoint(eager=True)
+        Y = Y.transform(eager_checkpoint)
         # deflate v0: y_d -= (v0·y_d) v0, v0_i = sqrt(d_i / 2m)
         yd = Y.join(deg, "id")
         dots = yd.agg(

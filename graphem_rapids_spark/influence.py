@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphem_rapids_spark.checkpoint import eager_checkpoint
+
 from graphem_rapids_spark.functions import edge_coin_key, mix_uniform
 from graphem_rapids_spark.graph.canon import symmetrize_edges
 
@@ -88,7 +90,7 @@ def independent_cascade(
     # iterative-dataflow pitfall; persist() caches data but keeps the
     # plan). Checkpointing makes each round's plan O(1).
     activated = (
-        seeds.crossJoin(trials_df).select(*keys, "id").localCheckpoint(eager=True)
+        seeds.crossJoin(trials_df).select(*keys, "id").transform(eager_checkpoint)
     )
     frontier = activated
     frontier_n = frontier.count()
@@ -106,8 +108,8 @@ def independent_cascade(
             .select(*keys, F.col("v").alias("id"))
             .distinct()
         )
-        new_active = succ.join(activated, [*keys, "id"], "left_anti").localCheckpoint(
-            eager=True
+        new_active = succ.join(activated, [*keys, "id"], "left_anti").transform(
+            eager_checkpoint
         )
         frontier_n = new_active.count()
         if frontier_n == 0:

@@ -32,6 +32,8 @@ from __future__ import annotations
 import random
 
 from pyspark.sql import DataFrame
+
+from graphem_rapids_spark.checkpoint import eager_checkpoint as _eager_ckpt
 from pyspark.sql import functions as F
 
 _MERSENNE31 = (1 << 31) - 1
@@ -212,7 +214,7 @@ def minhash_lsh_pairs(
     # the verified pair set is small (near-dups) — materialize it so
     # the shingle cache (O(corpus) rows) can be released instead of
     # lingering for the session (it has no further consumers)
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(_eager_ckpt)
     sh.unpersist()
     return out
 
@@ -307,7 +309,7 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", "hamming")
         # small near-pair set — materialize so the O(corpus)
         # fingerprint cache can be released (no further consumers)
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     fp.unpersist()
     return out

@@ -20,6 +20,8 @@ Cosine here = dot(a,b)/(‖a‖‖b‖) computed in float64.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+
+from graphem_rapids_spark.checkpoint import eager_checkpoint as _eager_ckpt
 from pyspark.sql import functions as F
 
 
@@ -410,11 +412,11 @@ def ivf_build(
         .select(id_col, "cell")
         # the assignment table must be computed anyway; materializing
         # it releases the cached vector projection (no more consumers)
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     # cents is k×dim (tiny) but its lineage is the whole Lloyd chain
     # over v — pin it before dropping the cache it reads
-    cents = cents.localCheckpoint(eager=True)
+    cents = cents.transform(_eager_ckpt)
     v.unpersist()
     return assign, cents
 
@@ -714,7 +716,7 @@ def ivfpq_topk(
             "code", (F.array_position("_dd", F.array_min("_dd")) - 1).cast("long")
         )
         .select("rid", "cell", "m", "code")
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     subs.unpersist()
 
@@ -874,7 +876,7 @@ def pca_power_int8(
     # the Catalyst stats-squaring pathology (SCALE.md
     # §iteration-discipline) under a bare localCheckpoint
     def _mat(df: DataFrame, old: DataFrame | None = None) -> DataFrame:
-        out = df.localCheckpoint(eager=True).persist()
+        out = df.transform(_eager_ckpt).persist()
         out.count()
         if old is not None:
             old.unpersist()
@@ -1119,7 +1121,7 @@ def kcenter_two_level(
         .orderBy(F.col("_u").asc(), F.col("_id").asc())
         .limit(n_cells)
         .select("_id", "_v")
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     sel = kcenter_select(reps, k=k, id_col="_id", vec_col="_v")
     rep_vecs = {int(r["_id"]): list(r["_v"]) for r in reps.collect()}

@@ -14,6 +14,8 @@ at 100 TB these run at scan speed with full column pruning.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+
+from graphem_rapids_spark.checkpoint import eager_checkpoint as _eager_ckpt
 from pyspark.sql import functions as F
 
 # tiny English stopword list for the language-ID heuristic; keep in
@@ -574,7 +576,7 @@ def perplexity_tiers(
     # re-derives the caller's upstream xent chain (the
     # ReuseExchange column-pruning trap; 46→~8 exchanges on the
     # registry instantiation)
-    base = base.localCheckpoint(eager=True)
+    base = base.transform(_eager_ckpt)
     bounds = base.groupBy(lc).agg(
         F.min("xq").alias("_lo"),
         F.max("xq").alias("_hi"),
@@ -750,11 +752,11 @@ def _textrank(docs, id_col, text_col, topk, damping, iters, stopwords):
                 F.col("w2").alias("w"), F.col("w1").alias("nb"), "wgt"
             )
         )
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     wsum = sym.groupBy("w").agg(
         F.sum("wgt").alias("ws"), F.count("*").alias("n_neighbors")
-    ).localCheckpoint(eager=True)
+    ).transform(_eager_ckpt)
     n = wsum.count()
     v = wsum.select("w", (F.lit(1.0) / F.lit(float(n))).alias("v"))
     teleport = (1.0 - damping) / n
@@ -779,7 +781,7 @@ def _textrank(docs, id_col, text_col, topk, damping, iters, stopwords):
                     + F.lit(damping) * F.coalesce("s", F.lit(0.0))
                 ).alias("v"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_eager_ckpt)
         )
     return (
         v.join(wsum.select("w", "n_neighbors"), "w")

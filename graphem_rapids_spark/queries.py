@@ -22,6 +22,8 @@ import math
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from graphem_rapids_spark.checkpoint import eager_checkpoint as _eager_ckpt
 from pyspark.sql import functions as F
 
 from graphem_rapids_spark.graph.canon import canonicalize_edges, vertex_degrees, vertices_from_edges
@@ -685,7 +687,7 @@ def dedup_near_clusters(spark, sf_dir):
         sym.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("comp"))
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     # cap ≥ any plausible cluster diameter (templated near-dup corpora
     # can chain deeply); the fixpoint break keeps common cases at ~3-5
@@ -700,7 +702,7 @@ def dedup_near_clusters(spark, sf_dir):
         new_labels = (
             labels.join(nbr, "id", "left")
             .select("id", F.least("comp", F.coalesce("nbr", "comp")).alias("comp"))
-            .localCheckpoint(eager=True)
+            .transform(_eager_ckpt)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("comp", "old"), "id")
@@ -1516,11 +1518,11 @@ def events_retention_halflife(spark, sf_dir):
             (F.col("_day") - F.col("cohort_day")).alias("k"),
         )
         .agg(F.count("*").alias("n_users"))
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     per_cohort = first.groupBy("cohort_day").agg(
         F.count("*").alias("c")
-    ).localCheckpoint(eager=True)
+    ).transform(_eager_ckpt)
     # Empty-events guard (ADVICE r7): max() over no cohorts is NULL —
     # fall back to 0 so pts is empty and the final aggregate returns
     # the same (0, 0.0, 0.0, 0.0) row the oracle produces.
@@ -2164,9 +2166,7 @@ def connected_components_copurchase(spark, sf_dir):
     from graphem_rapids_spark.graph.canon import symmetrize_edges
 
     sym = symmetrize_edges(e)
-    labels = verts.select("id", F.col("id").alias("component")).localCheckpoint(
-        eager=True
-    )
+    labels = verts.select("id", F.col("id").alias("component")).transform(_eager_ckpt)
     for _ in range(30):
         nbr = (
             labels.join(sym.withColumnRenamed("src", "id"), "id")
@@ -2179,7 +2179,7 @@ def connected_components_copurchase(spark, sf_dir):
             F.least(F.col("component"), F.coalesce("nbr", F.col("component"))).alias(
                 "component"
             ),
-        ).localCheckpoint(eager=True)
+        ).transform(_eager_ckpt)
         changed = (
             new_labels.join(labels.select("id", F.col("component").alias("o")), "id")
             .filter(F.col("component") != F.col("o"))
@@ -2567,7 +2567,7 @@ def graph_weighted_layout(spark, sf_dir):
         # materialized once: the relabel stats, mapping counts and both
         # remap joins all read this checkpoint instead of re-running
         # the order-pair self-join
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     _, mapping = relabel_contiguous(we.select("src", "dst"), canonical=True)
     n = mapping.count()
@@ -2671,7 +2671,7 @@ def weighted_layout_invariants(spark, sf_dir):
         a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("src") < F.col("dst")))
         .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("w"))
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     _, mapping = relabel_contiguous(we.select("src", "dst"), canonical=True)
     n = mapping.count()
@@ -5803,12 +5803,16 @@ def _gn_components(verts, edge_df):
     component needing more rounds must fail LOUDLY rather than
     silently hash-mismatch an under-unrolled oracle. Shared by the
     one-step and iterated Girvan-Newman queries."""
-    sym = edge_df.select("src", "dst").unionAll(
-        edge_df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
-    labels = verts.select(
-        "id", F.col("id").alias("component")
-    ).localCheckpoint(eager=True)
+    from graphem_rapids_spark.checkpoint import eager_checkpoint, release
+
+    sym = eager_checkpoint(
+        edge_df.select("src", "dst").unionAll(
+            edge_df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    labels = eager_checkpoint(
+        verts.select("id", F.col("id").alias("component"))
+    )
     changed = -1
     for _ in range(_GN_CC_ROUNDS):
         nbr = (
@@ -5817,12 +5821,14 @@ def _gn_components(verts, edge_df):
             .groupBy("id")
             .agg(F.min("c").alias("nbr"))
         )
-        new_labels = labels.join(nbr, "id", "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce("nbr", F.col("component"))
-            ).alias("component"),
-        ).localCheckpoint(eager=True)
+        new_labels = eager_checkpoint(
+            labels.join(nbr, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr", F.col("component"))
+                ).alias("component"),
+            )
+        )
         changed = (
             new_labels.join(
                 labels.select("id", F.col("component").alias("o")), "id"
@@ -5834,10 +5840,10 @@ def _gn_components(verts, edge_df):
         # connected_components pattern — leaked blocks measurably
         # slow every subsequent job)
         prev, labels = labels, new_labels
-        prev.unpersist()
+        release(prev)
         if changed == 0:
             break
-    sym.unpersist()
+    release(sym)
     if changed != 0:
         raise RuntimeError(
             f"GN min-label components did not converge within the "
@@ -5901,8 +5907,8 @@ def community_girvan_newman_step(spark, sf_dir):
     modularity_after."""
     from graphem_rapids_spark.analytics import edge_betweenness_sampled
 
-    e = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
-    verts = vertices_from_edges(e).localCheckpoint(eager=True)
+    e = copurchase_edges(spark, sf_dir).transform(_eager_ckpt)
+    verts = vertices_from_edges(e).transform(_eager_ckpt)
     n = verts.count()
     m = e.count()
     k = 16
@@ -5921,11 +5927,9 @@ def community_girvan_newman_step(spark, sf_dir):
         )
         .limit(_GN_CUT)
         .select("src", "dst")
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
-    remaining = e.join(cut, ["src", "dst"], "left_anti").localCheckpoint(
-        eager=True
-    )
+    remaining = e.join(cut, ["src", "dst"], "left_anti").transform(_eager_ckpt)
     before = _gn_components(verts, e)
     after = _gn_components(verts, remaining)
     n_before = before.select("component").distinct().count()
@@ -6062,8 +6066,8 @@ def community_girvan_newman_iter(spark, sf_dir):
     largest, modularity."""
     from graphem_rapids_spark.analytics import edge_betweenness_sampled
 
-    e0 = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
-    verts = vertices_from_edges(e0).localCheckpoint(eager=True)
+    e0 = copurchase_edges(spark, sf_dir).transform(_eager_ckpt)
+    verts = vertices_from_edges(e0).transform(_eager_ckpt)
     n = verts.count()
     m = e0.count()
     sources = (
@@ -6071,7 +6075,7 @@ def community_girvan_newman_iter(spark, sf_dir):
         .select(((F.col("id") * 2654435761) % n).cast("long").alias("id"))
         .distinct()
         .join(verts, "id", "left_semi")
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     cur = e0
     rows = []
@@ -6079,20 +6083,19 @@ def community_girvan_newman_iter(spark, sf_dir):
         eb = edge_betweenness_sampled(
             cur, n, sources=sources, normalized=True, max_depth=_BETW_DEPTH
         )
-        cut = (
+        from graphem_rapids_spark.checkpoint import eager_checkpoint, release
+
+        cut = eager_checkpoint(
             eb.orderBy(
                 F.col("value").desc(), F.col("src").asc(), F.col("dst").asc()
             )
             .limit(_GN_CUT)
             .select("src", "dst")
-            .localCheckpoint(eager=True)
         )
         prev_cur = cur
-        cur = cur.join(cut, ["src", "dst"], "left_anti").localCheckpoint(
-            eager=True
-        )
+        cur = eager_checkpoint(cur.join(cut, ["src", "dst"], "left_anti"))
         if prev_cur is not e0:  # keep the original graph for modularity
-            prev_cur.unpersist()
+            release(prev_cur)
         labels = _gn_components(verts, cur)
         stats = labels.groupBy("component").agg(F.count("*").alias("sz"))
         n_comp = stats.count()
@@ -6679,7 +6682,7 @@ def doc_pipeline_funnel(spark, sf_dir):
     scored = (
         T.quality_score(docs)
         .select("doc_id", "n_tokens", "stopword_ratio", "quality")
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     q = scored.filter(F.col("quality") >= 0.5).select("doc_id", "n_tokens")
     keep = D.exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
@@ -7920,7 +7923,7 @@ def doc_perplexity_tiers_hist(spark, sf_dir):
     Output per (lang, tier): n_docs, n_tokens, mean_xent."""
     # the xent chain (tf/vocab joins) feeds both the tier assignment
     # and the final stats join — materialize it once
-    x = _doc_xent(spark, sf_dir).localCheckpoint(eager=True)
+    x = _doc_xent(spark, sf_dir).transform(_eager_ckpt)
     tiers = T.perplexity_tiers(
         x, mode="histogram", bins=_PPLX_HIST_BINS
     )
@@ -10493,13 +10496,13 @@ def weighted_closeness_sampled(spark, sf_dir):
     )
     sym = cost.unionAll(
         cost.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cost")
-    ).localCheckpoint(eager=True)
+    ).transform(_eager_ckpt)
     verts = sym.select(F.col("src").alias("id")).distinct()
     n = verts.count()
     srcs = verts.orderBy("id").limit(_WCLOSE_SOURCES)
     d = srcs.select(
         F.col("id").alias("s"), F.col("id"), F.lit(0).cast("long").alias("d")
-    ).localCheckpoint(eager=True)
+    ).transform(_eager_ckpt)
     last_ckpt = d
     for i in range(_WCLOSE_ROUNDS):
         relaxed = sym.join(d.withColumnRenamed("id", "src"), "src").select(
@@ -10507,7 +10510,7 @@ def weighted_closeness_sampled(spark, sf_dir):
         )
         d = d.unionAll(relaxed).groupBy("s", "id").agg(F.min("d").alias("d"))
         if (i + 1) % 4 == 0 or i == _WCLOSE_ROUNDS - 1:
-            d = d.localCheckpoint(eager=True)
+            d = d.transform(_eager_ckpt)
             last_ckpt.unpersist()
             last_ckpt = d
     per = d.groupBy("s").agg(F.sum("d").alias("tot"), (F.count("*") - 1).alias("r"))
@@ -10586,10 +10589,10 @@ def graph_weighted_sssp(spark, sf_dir):
     )
     sym = cost.unionAll(
         cost.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cost")
-    ).localCheckpoint(eager=True)
+    ).transform(_eager_ckpt)
     src0 = we.agg(F.least(F.min("src"), F.min("dst")).alias("s"))
     d = src0.select(F.col("s").alias("id"), F.lit(0).cast("long").alias("d"))
-    d = d.localCheckpoint(eager=True)
+    d = d.transform(_eager_ckpt)
     last_ckpt = d
     for i in range(_SSSP_ROUNDS):
         relaxed = sym.join(d.withColumnRenamed("id", "src"), "src").select(
@@ -10597,7 +10600,7 @@ def graph_weighted_sssp(spark, sf_dir):
         )
         d = d.unionAll(relaxed).groupBy("id").agg(F.min("d").alias("d"))
         if (i + 1) % 4 == 0:
-            d = d.localCheckpoint(eager=True)
+            d = d.transform(_eager_ckpt)
             last_ckpt.unpersist()
             last_ckpt = d
     sym.unpersist()
@@ -10826,11 +10829,11 @@ def graph_coreness_hindex(spark, sf_dir):
     from graphem_rapids_spark.graph.canon import symmetrize_edges
 
     e = copurchase_edges(spark, sf_dir)
-    sym = symmetrize_edges(e).localCheckpoint(eager=True)
+    sym = symmetrize_edges(e).transform(_eager_ckpt)
     c = (
         sym.groupBy(F.col("src").alias("id"))
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     # checkpoint every 4th round — the fixed-depth loop needs lineage
     # truncation (not caching) and 3-deep join+window+agg chains plan
@@ -10839,7 +10842,7 @@ def graph_coreness_hindex(spark, sf_dir):
     for i in range(_CORENESS_ROUNDS):
         c = A.hindex_round(sym, c)
         if (i + 1) % 4 == 0:
-            c = c.localCheckpoint(eager=True)
+            c = c.transform(_eager_ckpt)
             last_ckpt.unpersist()
             last_ckpt = c
     sym.unpersist()
@@ -11869,7 +11872,7 @@ def sample_priority_weighted(spark, sf_dir):
     top = (
         pr.orderBy(F.col("q").desc(), F.col("o_orderkey").asc())
         .limit(_PRIO_K + 1)
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     tau = top.agg(F.ceil(F.min("q")).cast("long").alias("tau_cents"), F.min("q").alias("tau"))
     tot = o.agg(F.sum("w").alias("true_total_cents"))
@@ -12330,7 +12333,7 @@ def dedup_cluster_keep_best(spark, sf_dir):
         sym.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("comp"))
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     for _ in range(60):
         nbr = (
@@ -12341,7 +12344,7 @@ def dedup_cluster_keep_best(spark, sf_dir):
         new_labels = (
             labels.join(nbr, "id", "left")
             .select("id", F.least("comp", F.coalesce("nbr", "comp")).alias("comp"))
-            .localCheckpoint(eager=True)
+            .transform(_eager_ckpt)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("comp", "old"), "id")
@@ -13281,7 +13284,7 @@ def tokenizer_bpe_train_rounds(spark, sf_dir):
         ),
         F.lit(" "),
     )
-    state = wc.select("c", enc.alias("e")).localCheckpoint(eager=True)
+    state = wc.select("c", enc.alias("e")).transform(_eager_ckpt)
     rows = []
     for r in range(1, _BPE_TRAIN_ROUNDS + 1):
         st = state.select("c", F.split(F.trim(F.col("e")), "  ").alias("s")).filter(
@@ -13310,7 +13313,7 @@ def tokenizer_bpe_train_rounds(spark, sf_dir):
             F.replace(
                 F.col("e"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
             ).alias("e"),
-        ).localCheckpoint(eager=True)
+        ).transform(_eager_ckpt)
     return spark.createDataFrame(
         rows, "round long, sym_a string, sym_b string, merged string, pair_count long"
     )
@@ -13341,7 +13344,7 @@ def tokenizer_bpe_encode(spark, sf_dir):
         ),
         F.lit(" "),
     )
-    state = wc.select("w", "c", enc.alias("e")).localCheckpoint(eager=True)
+    state = wc.select("w", "c", enc.alias("e")).transform(_eager_ckpt)
     for _ in range(_BPE_TRAIN_ROUNDS):
         st = state.select("c", F.split(F.trim(F.col("e")), "  ").alias("s")).filter(
             F.size("s") >= 2
@@ -13369,7 +13372,7 @@ def tokenizer_bpe_encode(spark, sf_dir):
             F.replace(
                 F.col("e"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
             ).alias("e"),
-        ).localCheckpoint(eager=True)
+        ).transform(_eager_ckpt)
     # n_syms = '  '-separator count + 1, an exact length difference
     t = F.trim(F.col("e"))
     wt = state.select(
@@ -15416,7 +15419,7 @@ def doc_train_val_test_split(spark, sf_dir):
         .otherwise("test")
         .alias("split"),
         F.size(F.split(F.lower(F.col("text")), "\\s+")).alias("nt"),
-    ).localCheckpoint(eager=True)
+    ).transform(_eager_ckpt)
     # checkpointed: the union in `leaky` consumes the pair table twice
     # (executor-side materialization — pair volume is the dedup output
     # itself, never collected to the driver)
@@ -15425,7 +15428,7 @@ def doc_train_val_test_split(spark, sf_dir):
             d, n=4, threshold=0.5, max_shingle_df=_MAX_SHINGLE_DF
         )
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     sp = splits.select("doc_id", "split")
     crossing = (
@@ -15530,7 +15533,7 @@ def ann_ivf_probe_curve(spark, sf_dir):
     exact = (
         ann_cosine_topk(spark, sf_dir)
         .select("qid", "rid")
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     nq = exact.select("qid").distinct().count()
     outs = []
@@ -15599,7 +15602,7 @@ def market_basket_triples(spark, sf_dir):
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= _APRIORI_MIN_SUPPORT)
         .select("pa", "pb")
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     cand = (
         fp.alias("x")
@@ -17820,7 +17823,7 @@ def _uem_pieces(spark, sf_dir):
         .groupBy("piece")
         .agg(F.sum("freq").cast("long").alias("score"))
     )
-    pset = seeds.unionByName(chars).localCheckpoint(eager=True)
+    pset = seeds.unionByName(chars).transform(_eager_ckpt)
     ts = int(pset.agg(F.sum("score")).collect()[0][0])
     return (
         pset.select(
@@ -18079,7 +18082,7 @@ def _uprune_state(spark, sf_dir):
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
-        .localCheckpoint(eager=True)  # ONE corpus collapse, R reuses
+        .transform(_eager_ckpt)  # ONE corpus collapse, R reuses
     )
     out = []
     for rnd in range(1, _UPRUNE_ROUNDS + 1):
@@ -18631,10 +18634,8 @@ def graph_conductance_profile(spark, sf_dir):
     from graphem_rapids_spark.analytics import label_propagation
     from graphem_rapids_spark.graph.canon import symmetrize_edges
 
-    e = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
-    lab = label_propagation(e, max_rounds=_LPA_ROUNDS).localCheckpoint(
-        eager=True
-    )
+    e = copurchase_edges(spark, sf_dir).transform(_eager_ckpt)
+    lab = label_propagation(e, max_rounds=_LPA_ROUNDS).transform(_eager_ckpt)
     m = e.count()
     sym = symmetrize_edges(e)
     deg = sym.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
@@ -19212,19 +19213,19 @@ def embedding_dbscan(spark, sf_dir):
         .unionAll(
             e.select(F.col("vec_b").alias("id"), F.col("vec_a").alias("nb"))
         )
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     deg = sym.groupBy("id").agg(F.count("*").alias("d"))
     core = (
         deg.filter(F.col("d") >= _DBSCAN_MINPTS)
         .select("id")
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     core_edges = (
         sym.join(core, "id")
         .join(core.select(F.col("id").alias("nb")), "nb")
         .select("id", "nb")
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     # Cluster labels = min core id per component, via the CC entry
     # point (VERDICT r7 item 5 — no more bespoke loop): below
@@ -19354,10 +19355,8 @@ def community_louvain_move(spark, sf_dir):
     from graphem_rapids_spark.analytics import label_propagation
     from graphem_rapids_spark.graph.canon import symmetrize_edges
 
-    e = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
-    lab = label_propagation(e, max_rounds=_LPA_ROUNDS).localCheckpoint(
-        eager=True
-    )
+    e = copurchase_edges(spark, sf_dir).transform(_eager_ckpt)
+    lab = label_propagation(e, max_rounds=_LPA_ROUNDS).transform(_eager_ckpt)
     sym = symmetrize_edges(e)
     deg = sym.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
         "src", "id"
@@ -19438,7 +19437,7 @@ def community_louvain_move(spark, sf_dir):
     new_lab = (
         lab.join(moves, "id", "left")
         .select("id", F.coalesce("new_label", F.col("label")).alias("label"))
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     qb, qa = q_num(lab), q_num(new_lab)
     den = 4.0 * m * m
@@ -19535,16 +19534,14 @@ def community_louvain_rounds(spark, sf_dir):
     from graphem_rapids_spark.analytics import label_propagation
     from graphem_rapids_spark.graph.canon import symmetrize_edges
 
-    e = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
-    lab = label_propagation(e, max_rounds=_LPA_ROUNDS).localCheckpoint(
-        eager=True
-    )
-    sym = symmetrize_edges(e).localCheckpoint(eager=True)
+    e = copurchase_edges(spark, sf_dir).transform(_eager_ckpt)
+    lab = label_propagation(e, max_rounds=_LPA_ROUNDS).transform(_eager_ckpt)
+    sym = symmetrize_edges(e).transform(_eager_ckpt)
     deg = (
         sym.groupBy("src")
         .agg(F.count("*").alias("d"))
         .withColumnRenamed("src", "id")
-        .localCheckpoint(eager=True)
+        .transform(_eager_ckpt)
     )
     m = e.count()
 
@@ -19639,7 +19636,7 @@ def community_louvain_rounds(spark, sf_dir):
                 "id",
                 F.coalesce("new_label", F.col("label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_eager_ckpt)
         )
         return new_labels, n_moved
 
@@ -20656,7 +20653,7 @@ def sketch_hll_calibration(spark, sf_dir):
     ).cast("long")
     hashed = (
         e.select("user_id").distinct().select(hv_int.alias("hv"))
-    ).localCheckpoint(eager=True)
+    ).transform(_eager_ckpt)
     exact = int(e.select("user_id").distinct().count())
     outs = []
     for p in _HLL_CAL_PS:
