@@ -468,3 +468,110 @@ def srm_check(
         F.round(chi2, 6).alias("chi2"),
         (chi2 > SRM_CHI2_CRIT).cast("long").alias("srm_flag"),
     )
+
+
+def msprt_trajectory(
+    daily: DataFrame,
+    day_col: str = "d",
+    treated_col: str = "treated",
+    n_col: str = "n",
+    s1_col: str = "s1",
+    s2_col: str = "s2",
+    tau_dollars: float = 5.0,
+) -> DataFrame:
+    """Always-valid sequential inference — the mixture SPRT (Johari et
+    al. 2017's always-valid p-values, the 'when could we have
+    stopped?' readout peeking-safe A/B platforms publish): per
+    calendar day, the two-sample mean test's mixture likelihood ratio
+    Λ_n under a N(0, τ²) prior on the effect, and the running
+    always-valid p-value p_d = min_{d' ≤ d} min(1, 1/Λ_{d'}).
+
+    Input: per-(day, arm) daily sufficient statistics (n, Σcents,
+    Σcents² — the s2 column must already ride DECIMAL(38,0)).
+    Everything cumulative comes from DAY-TRIANGLE joins over the
+    calendar-bounded daily table (≤ days² rows — never a window, the
+    retention-eligibility pattern), so the full-stream work is the
+    one daily aggregate the caller does. Per day, pooled s², the
+    standard error, δ̂ and log Λ are ONE identical float expression
+    over exact integers; the running min is over identical doubles.
+    Output per day: d, n_treated, n_control, diff_dollars,
+    log_lambda, p_always_valid."""
+    t2 = float(tau_dollars) * float(tau_dollars)
+    arms = daily.select(
+        F.col(day_col).alias("d"),
+        F.col(treated_col).alias("tr"),
+        F.col(n_col).alias("n"),
+        F.col(s1_col).alias("s1"),
+        F.col(s2_col).cast("decimal(38,0)").alias("s2"),
+    )
+    days = arms.select("d").distinct()
+    # cumulative per-arm sufficient statistics via the day triangle
+    cum = (
+        days.alias("dd")
+        .join(arms.alias("a"), F.col("a.d") <= F.col("dd.d"))
+        .groupBy(F.col("dd.d").alias("d"), F.col("a.tr").alias("tr"))
+        .agg(
+            F.sum("a.n").alias("n"),
+            F.sum("a.s1").alias("s1"),
+            F.sum("a.s2").alias("s2"),
+        )
+    )
+    t = cum.filter(F.col("tr")).select(
+        "d",
+        F.col("n").alias("nt"),
+        F.col("s1").alias("st"),
+        F.col("s2").alias("stt"),
+    )
+    c = cum.filter(~F.col("tr")).select(
+        "d",
+        F.col("n").alias("nc"),
+        F.col("s1").alias("sc"),
+        F.col("s2").alias("scc"),
+    )
+    j = t.join(c, "d")
+    dnt = F.col("nt").cast("decimal(38,0)")
+    dnc = F.col("nc").cast("decimal(38,0)")
+    dst = F.col("st").cast("decimal(38,0)")
+    dsc = F.col("sc").cast("decimal(38,0)")
+    # per-arm centered sums of squares: exact integer numerators, one
+    # double division each (cents² → dollars² via /1e4 at the end)
+    ssq_t = (dnt * F.col("stt") - dst * dst).cast("double") / F.col("nt")
+    ssq_c = (dnc * F.col("scc") - dsc * dsc).cast("double") / F.col("nc")
+    s2p = (ssq_t + ssq_c) / (F.col("nt") + F.col("nc") - 2) / 10000.0
+    se2 = s2p * (
+        1.0 / F.col("nt").cast("double") + 1.0 / F.col("nc").cast("double")
+    )
+    delta = (
+        F.col("st").cast("double") / F.col("nt")
+        - F.col("sc").cast("double") / F.col("nc")
+    ) / 100.0
+    loglam = F.lit(0.5) * F.log(se2 / (se2 + F.lit(t2))) + (
+        delta * delta * F.lit(t2)
+    ) / (F.lit(2.0) * se2 * (se2 + F.lit(t2)))
+    ok = (F.col("nt") > 1) & (F.col("nc") > 1) & (se2 > 0)
+    per_day = j.select(
+        "d",
+        "nt",
+        "nc",
+        F.round(delta, 6).alias("diff_dollars"),
+        F.when(ok, loglam).otherwise(F.lit(0.0)).alias("_ll"),
+    ).localCheckpoint(eager=True)  # bounded: one row per calendar day
+    pd_ = F.least(F.lit(1.0), F.exp(-F.col("_ll")))
+    scored = per_day.select("d", "nt", "nc", "diff_dollars", "_ll", pd_.alias("_p"))
+    runmin = (
+        scored.alias("x")
+        .join(
+            scored.select(F.col("d").alias("d2"), F.col("_p").alias("p2")),
+            F.col("d2") <= F.col("d"),
+        )
+        .groupBy("d", "nt", "nc", "diff_dollars", "_ll")
+        .agg(F.min("p2").alias("_pmin"))
+    )
+    return runmin.select(
+        "d",
+        F.col("nt").cast("long").alias("n_treated"),
+        F.col("nc").cast("long").alias("n_control"),
+        "diff_dollars",
+        F.round(F.col("_ll"), 6).alias("log_lambda"),
+        F.round(F.col("_pmin"), 6).alias("p_always_valid"),
+    ).orderBy("d")

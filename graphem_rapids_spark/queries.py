@@ -20049,6 +20049,108 @@ def events_cuped_adjustment(spark, sf_dir):
     return X.cuped(pu)
 
 
+_MSPRT_TAU = 5.0  # mixture prior scale, dollars
+
+
+def events_always_valid_p(spark, sf_dir):
+    """Always-valid sequential inference over the experiment calendar
+    — the mixture-SPRT trajectory (Johari et al. 2017): per day, the
+    cumulative two-sample readout's log Λ under a N(0, τ²) effect
+    prior and the running always-valid p-value (monotone
+    non-increasing; safe to peek at daily). The 'when could we have
+    stopped?' complement of the fixed-horizon
+    :func:`events_power_analysis`. Thin wrapper over
+    :func:`pipeline.experiments.msprt_trajectory`: the stream
+    collapses ONCE to per-(day, arm) exact-integer sufficient
+    statistics; cumulatives and the running min ride day-triangle
+    joins over the calendar-bounded table (never a window); every
+    per-day float is one identical IEEE expression over exact
+    integers. Output per day: d, n_treated, n_control, diff_dollars,
+    log_lambda, p_always_valid."""
+    from graphem_rapids_spark.pipeline import experiments as X
+
+    e = _events(spark, sf_dir)
+    daily = (
+        e.select(
+            F.expr("ts div 86400000000000").alias("d"),
+            (F.col("user_id") % 2 == 1).alias("treated"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("d", "treated")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
+        )
+    )
+    return X.msprt_trajectory(daily, tau_dollars=_MSPRT_TAU)
+
+
+def _msprt_sql(tau_dollars: float = _MSPRT_TAU) -> str:
+    t2 = repr(float(tau_dollars) * float(tau_dollars))
+    return f"""
+WITH arms AS (
+  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS d,
+         user_id % 2 = 1 AS tr,
+         count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+         sum(CAST(round(value * 100) AS HUGEINT)
+             * CAST(round(value * 100) AS BIGINT)) AS s2
+  FROM events GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT d FROM arms),
+cum AS (
+  SELECT dd.d, a.tr, CAST(sum(a.n) AS BIGINT) AS n,
+         CAST(sum(a.s1) AS BIGINT) AS s1, sum(a.s2) AS s2
+  FROM days dd JOIN arms a ON a.d <= dd.d
+  GROUP BY 1, 2
+),
+t AS (SELECT d, n AS nt, s1 AS st, s2 AS stt FROM cum WHERE tr),
+c AS (SELECT d, n AS nc, s1 AS sc, s2 AS scc FROM cum WHERE NOT tr),
+j AS (
+  SELECT t.d, nt, nc, st, sc,
+         CAST(CAST(nt AS HUGEINT) * stt - CAST(st AS HUGEINT) * st
+              AS DOUBLE) / nt AS ssq_t,
+         CAST(CAST(nc AS HUGEINT) * scc - CAST(sc AS HUGEINT) * sc
+              AS DOUBLE) / nc AS ssq_c
+  FROM t JOIN c USING (d)
+),
+per_day AS (
+  SELECT d, nt, nc,
+         round((CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc)
+               / 100.0, 6) AS diff_dollars,
+         CASE WHEN nt > 1 AND nc > 1
+                   AND (ssq_t + ssq_c) / (nt + nc - 2) / 10000.0
+                       * (1.0 / nt + 1.0 / nc) > 0
+              THEN 0.5 * ln(((ssq_t + ssq_c) / (nt + nc - 2) / 10000.0
+                             * (1.0 / nt + 1.0 / nc))
+                            / ((ssq_t + ssq_c) / (nt + nc - 2) / 10000.0
+                               * (1.0 / nt + 1.0 / nc) + {t2}))
+                   + (((CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc)
+                       / 100.0)
+                      * ((CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc)
+                         / 100.0) * {t2})
+                     / (2.0 * ((ssq_t + ssq_c) / (nt + nc - 2) / 10000.0
+                               * (1.0 / nt + 1.0 / nc))
+                        * ((ssq_t + ssq_c) / (nt + nc - 2) / 10000.0
+                           * (1.0 / nt + 1.0 / nc) + {t2}))
+              ELSE 0.0 END AS ll
+  FROM j
+),
+scored AS (
+  SELECT d, nt, nc, diff_dollars, ll, least(1.0, exp(-ll)) AS p
+  FROM per_day
+)
+SELECT x.d, CAST(x.nt AS BIGINT) AS n_treated,
+       CAST(x.nc AS BIGINT) AS n_control, x.diff_dollars,
+       round(x.ll, 6) AS log_lambda,
+       round(min(y.p), 6) AS p_always_valid
+FROM scored x JOIN scored y ON y.d <= x.d
+GROUP BY x.d, x.nt, x.nc, x.diff_dollars, x.ll
+ORDER BY x.d
+"""
+
+
 def events_srm_check(spark, sf_dir):
     """Sample-ratio-mismatch guardrail over the experiment's
     assignment universe (distinct users under the parity coin the
@@ -21779,6 +21881,7 @@ QUERIES = {
     "community_louvain_refined": community_louvain_refined,
     "tokenizer_unigram_encode": tokenizer_unigram_encode,
     "events_srm_check": events_srm_check,
+    "events_always_valid_p": events_always_valid_p,
     # ------- previously driver-verified (r3+) -------
     "layout_invariants": layout_invariants,
     "tokenizer_bpe_train_rounds": tokenizer_bpe_train_rounds,
@@ -22320,6 +22423,7 @@ ORACLES = {
     "community_louvain_refined": _louvain_refined_sql(),
     "tokenizer_unigram_encode": _uprune_sql(mode="encode"),
     "events_srm_check": _SRM_SQL,
+    "events_always_valid_p": _msprt_sql(),
     "events_stream_psi": _PSI_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —

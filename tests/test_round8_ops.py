@@ -427,3 +427,19 @@ def test_unigram_encode_invariants(spark):
         assert r["n_unigram_tokens"] >= r["n_words"]
         assert r["n_unigram_tokens"] <= r["n_chars"]
         assert 1.0 <= r["chars_per_token"]
+
+
+def test_msprt_always_valid_p_monotone(spark):
+    """The always-valid p-value must be monotone non-increasing in
+    time, in [0, 1], and the cumulative counts must partition the
+    assignment universe by the last day."""
+    from graphem_rapids_spark.queries import events_always_valid_p
+
+    rows = events_always_valid_p(spark, SF).collect()
+    assert len(rows) >= 2
+    ps = [r["p_always_valid"] for r in rows]
+    assert all(0.0 <= p <= 1.0 for p in ps)
+    assert all(a >= b for a, b in zip(ps, ps[1:]))
+    for a, b in zip(rows, rows[1:]):  # cumulative counts never shrink
+        assert b["n_treated"] >= a["n_treated"]
+        assert b["n_control"] >= a["n_control"]
