@@ -307,7 +307,13 @@ def main() -> None:
             "per-partition totals (≤ shuffle-partition count rows), plus the\n"
             "explicitly allowlisted rank-after-limit / per-period-aggregate\n"
             "cases footnoted below — each with its expected count, so a NEW\n"
-            "partition-less window in those queries still shows as global.\n\n"
+            "partition-less window in those queries still shows as global.\n"
+            "Since the r8 stats-severing fix (`checkpoint.py`), frames\n"
+            "rebuilt after an iterative checkpoint carry DEFAULT (pessimistic)\n"
+            "size stats, so some STATIC plans below show a sort-merge join\n"
+            "where earlier audits showed a broadcast — AQE re-plans those to\n"
+            "broadcast at runtime from actual shuffle sizes (the `traced`\n"
+            "columns reflect the executed post-AQE plans).\n\n"
             "| query | exchanges | broadcast joins | sort-merge joins "
             "| codegen spans | global windows | scan widths (cols) "
             "| scans w/ pushed filters | traced execs | traced exchanges "
