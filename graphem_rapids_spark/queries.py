@@ -9753,6 +9753,66 @@ LIMIT {_SEQ_TOPK}
 """
 
 
+def events_subsequence_support(spark, sf_dir):
+    """GAPPED sequential-pattern support — PrefixSpan's actual
+    subsequence semantics (Pei et al. 2001), the complement of
+    :func:`events_sequence_topk`'s contiguous trigrams: a user
+    supports (a, b, c) if events of those types occur in that order
+    ANYWHERE in their stream (gaps allowed). Uses the greedy
+    earliest-occurrence witness, which is exact for subsequence
+    existence: m1 = min ts(a); m2 = min ts(b) with ts > m1; support
+    iff any ts(c) > m2. Every stage is a join whose fanout is the
+    TYPE TAXONOMY (≤ |types| per event row, ≤ |types|² rows per user
+    in the prefix tables — never a per-user list collect, so a
+    million-event user costs the same per-row work as anyone else),
+    then one |types|³-bounded aggregate. Ties at equal timestamps are
+    broken by requiring STRICTLY increasing ts, identically on both
+    engines. Output (all supported patterns): t1, t2, t3, n_users."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("t"),
+        F.expr("ts div 1000").alias("s"),  # µs, the oracle's epoch_us
+    )
+    m1 = e.groupBy("user_id", F.col("t").alias("t1")).agg(
+        F.min("s").alias("s1")
+    )
+    m2 = (
+        m1.join(e, "user_id")
+        .filter(F.col("s") > F.col("s1"))
+        .groupBy("user_id", "t1", F.col("t").alias("t2"))
+        .agg(F.min("s").alias("s2"))
+    )
+    hit = (
+        m2.join(e, "user_id")
+        .filter(F.col("s") > F.col("s2"))
+        .select("user_id", "t1", "t2", F.col("t").alias("t3"))
+        .distinct()
+    )
+    return (
+        hit.groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("t1"), F.asc("t2"), F.asc("t3"))
+    )
+
+
+_SUBSEQ_SQL = """
+WITH e AS (SELECT user_id, event_type AS t, epoch_us(ts) AS s FROM events),
+m1 AS (SELECT user_id, t AS t1, min(s) AS s1 FROM e GROUP BY 1, 2),
+m2 AS (
+  SELECT m1.user_id, m1.t1, e.t AS t2, min(e.s) AS s2
+  FROM m1 JOIN e ON e.user_id = m1.user_id AND e.s > m1.s1
+  GROUP BY 1, 2, 3
+),
+hit AS (
+  SELECT DISTINCT m2.user_id, m2.t1, m2.t2, e.t AS t3
+  FROM m2 JOIN e ON e.user_id = m2.user_id AND e.s > m2.s2
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_users
+FROM hit GROUP BY 1, 2, 3
+ORDER BY n_users DESC, t1 ASC, t2 ASC, t3 ASC
+"""
+
+
 def doc_tfidf_topk(spark, sf_dir):
     """Per-document top-3 terms by TF-IDF (tf · ln(N/df)) — the
     vocabulary-weighting primitive behind keyword extraction and
@@ -21946,6 +22006,7 @@ QUERIES = {
     "events_srm_check": events_srm_check,
     "events_always_valid_p": events_always_valid_p,
     "events_sequence_topk": events_sequence_topk,
+    "events_subsequence_support": events_subsequence_support,
     # ------- previously driver-verified (r3+) -------
     "layout_invariants": layout_invariants,
     "tokenizer_bpe_train_rounds": tokenizer_bpe_train_rounds,
@@ -22489,6 +22550,7 @@ ORACLES = {
     "events_srm_check": _SRM_SQL,
     "events_always_valid_p": _msprt_sql(),
     "events_sequence_topk": _SEQUENCE_SQL,
+    "events_subsequence_support": _SUBSEQ_SQL,
     "events_stream_psi": _PSI_SQL,
     # rows-only (no SQL oracle): layout_seed_selection (force layout —
     # float-iteration dependent) and graph_weighted_layout (same) —

@@ -465,3 +465,32 @@ def test_sequence_topk_invariants(spark):
         key = (-r["n_users"], -r["n_occurrences"])
         assert prev is None or prev <= key
         prev = key
+
+
+def test_subsequence_support_dominates_contiguous(spark):
+    """Gapped subsequence support must dominate contiguous-trigram
+    user support for every pattern (a contiguous occurrence IS a
+    subsequence witness), and a pattern's support can never exceed
+    the user count of its first type."""
+    from graphem_rapids_spark import queries as Q
+
+    gapped = {
+        (r["t1"], r["t2"], r["t3"]): r["n_users"]
+        for r in Q.events_subsequence_support(spark, SF).collect()
+    }
+    contiguous = Q.events_sequence_topk(spark, SF).collect()
+    for r in contiguous:
+        key = (r["t1"], r["t2"], r["t3"])
+        assert gapped.get(key, 0) >= r["n_users"], key
+    per_type = {
+        r["t1"]: r["n"]
+        for r in Q._events(spark, SF)
+        .selectExpr("event_type as t1", "user_id")
+        .distinct()
+        .groupBy("t1")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for (t1, _t2, _t3), n in gapped.items():
+        assert n <= per_type[t1]
