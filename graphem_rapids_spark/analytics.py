@@ -288,7 +288,7 @@ def pagerank_weighted(
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
-        pr.unpersist()
+        prev = pr
         pr = (
             base.join(contrib, "id", "left")
             .select(
@@ -301,6 +301,9 @@ def pagerank_weighted(
             )
             .transform(eager_checkpoint)
         )
+        # ONLY after the new checkpoint materialized — contrib reads
+        # the old pr, and release is no longer a silent no-op
+        prev.unpersist()
     base.unpersist()
     sym.unpersist()
     return pr.select("id", "value")
@@ -456,9 +459,14 @@ def _connected_components_star(
     (isolated ids label themselves)."""
     spark = edges.sparkSession
     e = star_contract_edges(edges, max_iter)
-    stars = e.groupBy(F.col("x").alias("id")).agg(F.min("y").alias("component"))
-    from graphem_rapids_spark.checkpoint import release
+    from graphem_rapids_spark.checkpoint import eager_checkpoint, release
 
+    # materialize the component-sized star map BEFORE freeing the
+    # forest: release actually drops the blocks now (checkpoint.py),
+    # so a lazy groupBy over e would read freed state at action time
+    stars = eager_checkpoint(
+        e.groupBy(F.col("x").alias("id")).agg(F.min("y").alias("component"))
+    )
     release(e)
     if vertices is None:
         ids = spark.range(n_vertices).select(F.col("id").cast("long"))
@@ -603,10 +611,13 @@ def label_propagation(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
             .count()
         )
         prev, labels = labels, new
-        prev.unpersist()
+        # release(), not unpersist(): these are SEVERED checkpoints
+        # (checkpoint.py) — unpersist on the severed frame is a no-op
+        # and leaked round blocks slow every subsequent job
+        release(prev)
         if changed == 0:
             break
-    sym.unpersist()
+    release(sym)
     return labels
 
 

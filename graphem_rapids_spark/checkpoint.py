@@ -21,6 +21,17 @@ stats (digit count pinned at 19; the same 14-pass probe holds flat at
 0.5–0.9 s). The pessimistic default size only affects STATIC broadcast
 planning, and AQE re-plans joins from actual runtime shuffle sizes, so
 nothing is lost at any scale.
+
+Block release (second r8 finding, measured with getRDDStorageInfo):
+``DataFrame.unpersist`` only consults the CACHE MANAGER, which has no
+entry for a checkpoint, so it silently no-ops on ANY localCheckpoint'ed
+frame — severed or not — and the per-round blocks of every iterative
+kernel leak until the driver GC happens to drop the last RDD
+reference. The persisted blocks belong to the ``LogicalRDD`` plan's
+RDD, so :func:`eager_checkpoint` captures that RDD and rebinds the
+returned frame's ``unpersist`` (and :func:`release`) to free it
+directly — verified: storage-info entry count drops by exactly one
+per released checkpoint.
 """
 
 from __future__ import annotations
@@ -28,30 +39,73 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def eager_checkpoint(df: DataFrame, sever_stats: bool = True) -> DataFrame:
-    """``df.localCheckpoint(eager=True)`` + origin-stats severing (see
-    module docstring). Falls back to the plain checkpoint if the
-    internal constructor is unavailable (non-classic sessions)."""
-    out = df.localCheckpoint(eager=True)
-    if not sever_stats:
-        return out
+def _checkpoint_rdd(df: DataFrame):
+    """The persisted JVM RDD behind a ``localCheckpoint``'ed frame —
+    the ``LogicalRDD`` plan's ``rdd`` field. ``None`` when the plan
+    shape is unexpected (connect sessions, non-checkpoint frames)."""
     try:
-        jdf = out._jdf
-        spark = out.sparkSession
-        new_jdf = spark._jsparkSession.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False
-        )
-        severed = DataFrame(new_jdf, spark)
-        severed._graphem_ckpt_src = out  # for release() — see below
-        return severed
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return None
+        return plan.rdd()
     except Exception:  # pragma: no cover — connect/older builds
-        return out
+        return None
+
+
+def _bind_release(df: DataFrame, jrdd) -> DataFrame:
+    """Attach the owning checkpoint RDD and make ``df.unpersist()``
+    actually free its blocks (after release the checkpoint is
+    lineage-truncated and must not be read again — same contract as
+    a plain localCheckpoint unpersist)."""
+    df._graphem_ckpt_rdd = jrdd
+
+    def _unpersist(blocking: bool = False, _jrdd=jrdd, _df=df):
+        try:
+            _jrdd.unpersist(bool(blocking))
+        except Exception:  # pragma: no cover — session teardown races
+            pass
+        return _df
+
+    df.unpersist = _unpersist
+    return df
+
+
+def eager_checkpoint(df: DataFrame, sever_stats: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager=True)`` + origin-stats severing +
+    working block release (see module docstring). Falls back to the
+    plain checkpoint if the internal constructor is unavailable
+    (non-classic sessions)."""
+    out = df.localCheckpoint(eager=True)
+    jrdd = _checkpoint_rdd(out)
+    result = out
+    if sever_stats:
+        try:
+            jdf = out._jdf
+            spark = out.sparkSession
+            new_jdf = spark._jsparkSession.internalCreateDataFrame(
+                jdf.queryExecution().toRdd(), jdf.schema(), False
+            )
+            severed = DataFrame(new_jdf, spark)
+            severed._graphem_ckpt_src = out
+            result = severed
+        except Exception:  # pragma: no cover — connect/older builds
+            result = out
+    if jrdd is not None:
+        result = _bind_release(result, jrdd)
+    return result
 
 
 def release(df: DataFrame) -> None:
-    """Unpersist a checkpoint produced by :func:`eager_checkpoint`
-    (the severed frame does not own the cached RDD blocks — the
-    original checkpointed frame does, so plain ``df.unpersist()``
-    would be a no-op on a severed frame)."""
+    """Free the checkpoint blocks behind a frame produced by
+    :func:`eager_checkpoint` (``DataFrame.unpersist`` alone is a
+    cache-manager lookup and no-ops on checkpoints — see module
+    docstring)."""
+    jrdd = getattr(df, "_graphem_ckpt_rdd", None)
+    if jrdd is not None:
+        try:
+            jrdd.unpersist(False)
+            return
+        except Exception:  # pragma: no cover — session teardown races
+            pass
     src = getattr(df, "_graphem_ckpt_src", None)
     (src if src is not None else df).unpersist()

@@ -19478,8 +19478,13 @@ def community_louvain_move(spark, sf_dir):
     from graphem_rapids_spark.analytics import label_propagation
     from graphem_rapids_spark.graph.canon import symmetrize_edges
 
-    e = copurchase_edges(spark, sf_dir).transform(_eager_ckpt)
-    lab = label_propagation(e, max_rounds=_LPA_ROUNDS).transform(_eager_ckpt)
+    # copurchase_edges is already persisted+counted (memoized) and the
+    # LPA output is already an eager severed checkpoint — re-checking
+    # either just adds a materialization job to an overhead-dominated
+    # query (measured ~flat 21 s at sf0.001 AND sf0.1: the cost IS the
+    # job count, not the data)
+    e = copurchase_edges(spark, sf_dir)
+    lab = label_propagation(e, max_rounds=_LPA_ROUNDS)
     sym = symmetrize_edges(e)
     deg = sym.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
         "src", "id"
@@ -19489,32 +19494,53 @@ def community_louvain_move(spark, sf_dir):
     )
     m = e.count()
 
-    def q_num(labels):
-        la = labels.select(F.col("id").alias("src"), F.col("label").alias("_la"))
-        lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("_lb"))
+    def q_nums(old, new):
+        # BOTH modularity numerators in ONE job: tag the two label
+        # tables, count intra edges per (tag, label) with the tag
+        # equality folded into the join, aggregate grouped by tag —
+        # identical exact-integer sums, half the driver round-trips
+        tagged = old.select("id", "label", F.lit(0).alias("_t")).unionByName(
+            new.select("id", "label", F.lit(1).alias("_t"))
+        )
+        la = tagged.select(
+            F.col("id").alias("src"),
+            F.col("label").alias("_la"),
+            F.col("_t").alias("_ta"),
+        )
+        lb = tagged.select(
+            F.col("id").alias("dst"),
+            F.col("label").alias("_lb"),
+            F.col("_t").alias("_tb"),
+        )
         intra = (
             e.join(la, "src")
             .join(lb, "dst")
-            .filter(F.col("_la") == F.col("_lb"))
-            .groupBy(F.col("_la").alias("label"))
+            .filter(
+                (F.col("_la") == F.col("_lb")) & (F.col("_ta") == F.col("_tb"))
+            )
+            .groupBy(F.col("_ta").alias("_t"), F.col("_la").alias("label"))
             .agg(F.count("*").alias("mc"))
         )
         dcx = (
-            deg.join(labels, "id")
-            .groupBy("label")
+            deg.join(tagged, "id")
+            .groupBy("_t", "label")
             .agg(F.sum("d").alias("dsum"))
         )
-        return (
-            dcx.join(intra, "label", "left")
+        rows = (
+            dcx.join(intra, ["_t", "label"], "left")
             .select(
+                "_t",
                 (
                     F.lit(4) * F.lit(m) * F.coalesce("mc", F.lit(0))
                     - F.col("dsum") * F.col("dsum")
-                ).alias("qn")
+                ).alias("qn"),
             )
+            .groupBy("_t")
             .agg(F.sum("qn").alias("q_num"))
-            .collect()[0]["q_num"]
+            .collect()
         )
+        by_tag = {r["_t"]: r["q_num"] for r in rows}
+        return by_tag[0], by_tag[1]
 
     nbc = (
         sym.join(
@@ -19555,6 +19581,9 @@ def community_louvain_move(spark, sf_dir):
         cand.withColumn("rk", F.row_number().over(w))
         .filter((F.col("rk") == 1) & (F.col("g") > 0))
         .select("id", F.col("c").alias("new_label"))
+        # checkpoint so the 5-join gain chain executes ONCE — it used
+        # to run twice (n_moved count + the new-label build)
+        .transform(_eager_ckpt)
     )
     n_moved = moves.count()
     new_lab = (
@@ -19562,7 +19591,7 @@ def community_louvain_move(spark, sf_dir):
         .select("id", F.coalesce("new_label", F.col("label")).alias("label"))
         .transform(_eager_ckpt)
     )
-    qb, qa = q_num(lab), q_num(new_lab)
+    qb, qa = q_nums(lab, new_lab)
     den = 4.0 * m * m
     return spark.createDataFrame(
         [(m, n_moved, round(qb / den, 6), round(qa / den, 6))],

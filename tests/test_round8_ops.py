@@ -494,3 +494,28 @@ def test_subsequence_support_dominates_contiguous(spark):
     }
     for (t1, _t2, _t3), n in gapped.items():
         assert n <= per_type[t1]
+
+
+def test_checkpoint_release_frees_blocks(spark):
+    """DataFrame.unpersist is a cache-manager lookup and silently
+    no-ops on localCheckpoint blocks; eager_checkpoint must rebind
+    unpersist/release to the LogicalRDD's owning RDD so per-round
+    iterative state is actually freed (storage-info entry count drops
+    by one per release)."""
+    from graphem_rapids_spark.checkpoint import eager_checkpoint, release
+
+    sc = spark.sparkContext
+
+    def ids():
+        return {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+
+    base = ids()
+    a = eager_checkpoint(spark.range(1000).selectExpr("id", "id * 2 AS y"))
+    b = eager_checkpoint(spark.range(1000).selectExpr("id + 1 AS z"))
+    mine = ids() - base
+    assert len(mine) == 2
+    assert a.count() == 1000  # readable before release
+    a.unpersist()
+    assert len(mine & ids()) == 1
+    release(b)
+    assert not (mine & ids())
