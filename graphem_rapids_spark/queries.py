@@ -9706,32 +9706,19 @@ def events_sequence_topk(spark, sf_dir):
     top-k cut is a TakeOrdered, so the only full-stream work is the
     per-user window + one groupBy. Output (top _SEQ_TOPK): t1, t2,
     t3, n_users, n_occurrences."""
+    from graphem_rapids_spark.pipeline import sequences as S
+
     e = _events(spark, sf_dir).select(
         "user_id", F.expr("ts div 1000").alias("us"), "event_id", "event_type"
     )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    t = e.select(
-        "user_id",
-        F.col("event_type").alias("t1"),
-        F.lead("event_type", 1).over(w).alias("t2"),
-        F.lead("event_type", 2).over(w).alias("t3"),
-    )
-    return (
-        t.filter(F.col("t3").isNotNull())
-        .groupBy("t1", "t2", "t3")
-        .agg(
-            F.countDistinct("user_id").alias("n_users"),
-            F.count("*").alias("n_occurrences"),
-        )
-        .orderBy(
-            F.desc("n_users"),
-            F.desc("n_occurrences"),
-            F.asc("t1"),
-            F.asc("t2"),
-            F.asc("t3"),
-        )
-        .limit(_SEQ_TOPK)
-    )
+    return S.ngram_support(
+        e,
+        n=3,
+        entity_col="user_id",
+        token_col="event_type",
+        order_cols=("us", "event_id"),
+        top_k=_SEQ_TOPK,
+    ).withColumnRenamed("n_entities", "n_users")
 
 
 _SEQUENCE_SQL = f"""
@@ -9768,31 +9755,16 @@ def events_subsequence_support(spark, sf_dir):
     then one |types|³-bounded aggregate. Ties at equal timestamps are
     broken by requiring STRICTLY increasing ts, identically on both
     engines. Output (all supported patterns): t1, t2, t3, n_users."""
+    from graphem_rapids_spark.pipeline import sequences as S
+
     e = _events(spark, sf_dir).select(
         "user_id",
-        F.col("event_type").alias("t"),
-        F.expr("ts div 1000").alias("s"),  # µs, the oracle's epoch_us
+        "event_type",
+        F.expr("ts div 1000").alias("us"),  # µs, the oracle's epoch_us
     )
-    m1 = e.groupBy("user_id", F.col("t").alias("t1")).agg(
-        F.min("s").alias("s1")
-    )
-    m2 = (
-        m1.join(e, "user_id")
-        .filter(F.col("s") > F.col("s1"))
-        .groupBy("user_id", "t1", F.col("t").alias("t2"))
-        .agg(F.min("s").alias("s2"))
-    )
-    hit = (
-        m2.join(e, "user_id")
-        .filter(F.col("s") > F.col("s2"))
-        .select("user_id", "t1", "t2", F.col("t").alias("t3"))
-        .distinct()
-    )
-    return (
-        hit.groupBy("t1", "t2", "t3")
-        .agg(F.count("*").alias("n_users"))
-        .orderBy(F.desc("n_users"), F.asc("t1"), F.asc("t2"), F.asc("t3"))
-    )
+    return S.subsequence_support(
+        e, n=3, entity_col="user_id", token_col="event_type", ts_col="us"
+    ).withColumnRenamed("n_entities", "n_users")
 
 
 _SUBSEQ_SQL = """

@@ -519,3 +519,42 @@ def test_checkpoint_release_frees_blocks(spark):
     assert len(mine & ids()) == 1
     release(b)
     assert not (mine & ids())
+
+
+def test_sequences_library_generic_n(spark):
+    """pipeline.sequences must honor generic n: the n=2 contiguous
+    path reproduces the transition-matrix occurrence counts, and the
+    n=2 gapped path on a hand fixture enforces STRICT ts ordering
+    (same-timestamp pairs are not ordered)."""
+    import pyspark.sql.functions as F
+
+    from graphem_rapids_spark import queries as Q
+    from graphem_rapids_spark.pipeline import sequences as S
+
+    e = Q._events(spark, SF).select(
+        "user_id",
+        F.expr("ts div 1000").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    bigrams = {
+        (r["t1"], r["t2"]): r["n_occurrences"]
+        for r in S.ngram_support(
+            e, n=2, order_cols=("us", "event_id"), token_col="event_type"
+        ).collect()
+    }
+    trans = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in Q.events_transition_topk(spark, SF).collect()
+    }
+    assert bigrams == trans
+
+    fix = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 10), (2, "a", 10), (2, "b", 11)],
+        "user_id long, event_type string, ts long",
+    )
+    got = {
+        (r["t1"], r["t2"]): r["n_entities"]
+        for r in S.subsequence_support(fix, n=2, ts_col="ts").collect()
+    }
+    assert got.get(("a", "b")) == 1  # only entity 2: strict ts order
