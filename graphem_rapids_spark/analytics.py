@@ -26,7 +26,7 @@ import warnings
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from graphem_rapids_spark.checkpoint import eager_checkpoint, release
+from graphem_rapids_spark.checkpoint import eager_checkpoint, eager_materialize, release
 from graphem_rapids_spark.graph.canon import symmetrize_edges, vertex_degrees
 
 # Brandes dependency accumulation quantum (power of two, so integer
@@ -111,10 +111,14 @@ def pagerank(
         n = n_vertices
         verts = spark.range(n).select(F.col("id").cast("long"))
     use_broadcast = _vertex_table_fits_broadcast(n, broadcast_max)
-    # pre-partition messages ONCE on the key each strategy reuses every
-    # iteration (see docstring)
-    part_key = F.col("dst") if use_broadcast else F.col("src")
-    sym = symmetrize_edges(edges).repartition(part_key).persist()
+    # materialize the symmetrized edges ONCE (row checkpoint, not the
+    # columnar persist cache — see checkpoint.eager_materialize). The
+    # former repartition(strategy key) was dropped (r8 measurement):
+    # under AQE neither a checkpoint nor a cache preserves child
+    # partitioning for downstream exchange reuse, so it only added a
+    # full edge-sized shuffle up front; the per-iteration groupBy(dst)
+    # ships partial-aggregate output (n-sized), never the edge stream.
+    sym = eager_materialize(symmetrize_edges(edges))
     out_deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("od"))
     base = verts.join(out_deg, "id", "left").select(
         "id", F.coalesce("od", F.lit(0)).alias("od")
@@ -199,8 +203,10 @@ def pagerank_personalized(
             "pagerank_personalized: no seed is a vertex of the graph"
         )
     use_broadcast = _vertex_table_fits_broadcast(n, broadcast_max)
-    part_key = F.col("dst") if use_broadcast else F.col("src")
-    sym = symmetrize_edges(edges).repartition(part_key).persist()
+    # row checkpoint, no strategy-key repartition — same r8 measurement
+    # as plain pagerank (partitioning is not reusable under AQE; only
+    # partial-agg output shuffles per iteration)
+    sym = eager_materialize(symmetrize_edges(edges))
     out_deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("od"))
     base = (
         verts.join(out_deg, "id", "left")
@@ -268,7 +274,8 @@ def pagerank_weighted(
     verts = vertices.select(F.col("id").cast("long"))
     n = verts.count()
     use_broadcast = _vertex_table_fits_broadcast(n, broadcast_max)
-    sym = sym.repartition(F.col("dst") if use_broadcast else F.col("src")).persist()
+    # row checkpoint, no strategy-key repartition (see pagerank)
+    sym = eager_materialize(sym)
     strength = sym.groupBy(F.col("src").alias("id")).agg(
         F.sum("weight").cast("double").alias("st")
     )
@@ -324,13 +331,9 @@ def eigenvector_centrality(
     :func:`pagerank`."""
     spark = edges.sparkSession
     use_broadcast = _vertex_table_fits_broadcast(n_vertices, broadcast_max)
-    # partitioned once on the key each strategy reuses per iteration:
-    # broadcast → groupBy(dst) reuses dst partitioning (zero shuffle);
-    # shuffle → the score-vector join reuses src partitioning and only
-    # the message stream shuffles into the agg
-    sym = symmetrize_edges(edges).repartition(
-        F.col("dst") if use_broadcast else F.col("src")
-    ).persist()
+    # row checkpoint, no strategy-key repartition (see pagerank — the
+    # per-iteration groupBy ships partial-aggregate output only)
+    sym = eager_materialize(symmetrize_edges(edges))
     verts = spark.range(n_vertices).select(F.col("id").cast("long"))
     x = verts.select("id", F.lit(1.0 / math.sqrt(n_vertices)).alias("value")).persist()
     for it in range(max_iter):
@@ -598,11 +601,15 @@ def label_propagation(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
             .groupBy("id", "label")
             .agg(F.count("*").alias("cnt"))
         )
-        w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("label").asc())
+        # per-vertex argmax as max(struct(cnt, -label)) — identical to
+        # the row_number window over (cnt DESC, label ASC) the oracle
+        # replays, but it aggregates partially map-side and never
+        # sorts (the window paid a full hash(id) exchange + sort per
+        # round)
         new = (
-            votes.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select("id", "label")
+            votes.groupBy("id")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("_nl"))).alias("_m"))
+            .select("id", (-F.col("_m._nl")).alias("label"))
             .transform(eager_checkpoint)
         )
         changed = (
@@ -986,7 +993,7 @@ def bfs_distances(
     The shared kernel under closeness and harmonic centrality; same
     broadcast↔shuffle frontier switch and per-round localCheckpoint
     discipline as the IC cascade."""
-    sym = symmetrize_edges(edges).repartition(F.col("src")).persist()
+    sym = eager_materialize(symmetrize_edges(edges))
     from graphem_rapids_spark import session
 
     broadcast_max = session.BROADCAST_POSITIONS_MAX
@@ -1126,9 +1133,9 @@ def betweenness_sampled(
     otherwise high-id vertices silently fall outside ``range(n)``.
     """
     spark = edges.sparkSession
-    # src-partitioned once — shuffle-strategy rounds reuse it (see
-    # closeness_centrality / independent_cascade)
-    sym = symmetrize_edges(edges).repartition(F.col("src")).persist()
+    # row checkpoint (see pagerank): broadcast rounds are map-side
+    # joins and AQE does not reuse a checkpoint's partitioning anyway
+    sym = eager_materialize(symmetrize_edges(edges))
     if sources is None:
         sources = spark.range(n_vertices).select(F.col("id").cast("long"))
     n_sources = sources.count()
@@ -2173,7 +2180,7 @@ def load_sampled(
     undirected graphs, unlike betweenness (nx.load_centrality does
     not halve)."""
     spark = edges.sparkSession
-    sym = symmetrize_edges(edges).repartition(F.col("src")).persist()
+    sym = eager_materialize(symmetrize_edges(edges))
     if sources is None:
         sources = spark.range(n_vertices).select(F.col("id").cast("long"))
     n_sources = sources.count()
@@ -2352,11 +2359,14 @@ def _louvain_move_pass(
     )
     if phase is not None:
         cand = cand.filter(F.pmod(F.col("id"), F.lit(2)) == phase)
-    w = Window.partitionBy("id").orderBy(F.col("g").desc(), F.col("c").asc())
+    # per-vertex argmax as max(struct(g, -c)) — identical semantics to
+    # the row_number window over (g DESC, c ASC) but with map-side
+    # partial aggregation and no sort (see label_propagation)
     moves = (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter((F.col("rk") == 1) & (F.col("g") > 0))
-        .select("id", F.col("c").alias("new_label"))
+        cand.groupBy("id")
+        .agg(F.max(F.struct(F.col("g"), (-F.col("c")).alias("_nc"))).alias("_m"))
+        .filter(F.col("_m.g") > 0)
+        .select("id", (-F.col("_m._nc")).alias("new_label"))
     )
     from graphem_rapids_spark.checkpoint import eager_checkpoint
 
@@ -2672,7 +2682,7 @@ def edge_betweenness_sampled(
     Returns (src, dst, value) over the canonical edge table
     (zero-filled)."""
     spark = edges.sparkSession
-    sym = symmetrize_edges(edges).repartition(F.col("src")).persist()
+    sym = eager_materialize(symmetrize_edges(edges))
     if sources is None:
         sources = spark.range(n_vertices).select(F.col("id").cast("long"))
     n_sources = sources.count()

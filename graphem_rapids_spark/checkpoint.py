@@ -95,6 +95,29 @@ def eager_checkpoint(df: DataFrame, sever_stats: bool = True) -> DataFrame:
     return result
 
 
+def eager_materialize(df: DataFrame) -> DataFrame:
+    """Eager ROW materialization for working tables a kernel scans
+    repeatedly (the symmetrized edge list, shingle tables, midpoint
+    caches): ``localCheckpoint`` keeping child stats — one-shot tables
+    have no iterative stats compounding, and consumers' auto-broadcast
+    decisions still see the real size.
+
+    Why not ``.persist()``: building the columnar in-memory cache runs
+    the compression-encoder pass over every column (measured 10-25
+    µs/row on long/array columns — 30+ CPU-seconds for a 1.2 M-row
+    edge list at sf0.1, erratically worse under memory pressure),
+    while the checkpoint writes rows once at ~1 µs/row. The columnar
+    form only pays off when consumers prune columns out of a wide
+    cached table; every consumer here scans the whole (narrow) table.
+    Under AQE neither form preserves child partitioning for downstream
+    exchange reuse (AdaptiveSparkPlan reports UnknownPartitioning at
+    checkpoint/cache-build time), so the cache's only remaining edge —
+    stable reusable partitioning — does not materialize either.
+    ``df.unpersist()`` on the result actually frees the blocks (see
+    :func:`eager_checkpoint`)."""
+    return eager_checkpoint(df, sever_stats=False)
+
+
 def release(df: DataFrame) -> None:
     """Free the checkpoint blocks behind a frame produced by
     :func:`eager_checkpoint` (``DataFrame.unpersist`` alone is a

@@ -39,7 +39,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from graphem_rapids_spark.checkpoint import eager_checkpoint
+from graphem_rapids_spark.checkpoint import eager_checkpoint, eager_materialize
 
 from graphem_rapids_spark.embedding.laplacian import laplacian_embedding
 from graphem_rapids_spark.graph.canon import canonicalize_edges
@@ -117,10 +117,14 @@ class GraphEmbedderSpark:
         else:
             base_edges = edges if canonical else canonicalize_edges(edges)
             cols = ["src", "dst"]
-        self.edges = (
-            base_edges.select(*cols)
-            .withColumn("edge_id", F.xxhash64("src", "dst"))
-            .persist()
+        # row checkpoint, not .persist(): the columnar cache build pays
+        # a compression-encoder pass per column (~10-25 µs/row) that a
+        # full-table-scanning consumer never earns back (see
+        # checkpoint.eager_materialize)
+        self.edges = eager_materialize(
+            base_edges.select(*cols).withColumn(
+                "edge_id", F.xxhash64("src", "dst")
+            )
         )
         self.n_edges = self.edges.count()
         self._positions = laplacian_embedding(
@@ -235,11 +239,13 @@ class GraphEmbedderSpark:
                 for i in dims
             ],
         )
-        # materialize the gather join once (plain parallel scan); the
-        # kNN pass, the pair join and the spring pass then all read
-        # cache. Sampling via orderBy(hash).limit over this table would
+        # materialize the gather join once (row checkpoint — the
+        # columnar cache build on this wide array-bearing table cost
+        # multiple CPU-seconds per iteration); the kNN pass, the pair
+        # join and the spring pass then all read the materialized rows.
+        # Sampling via orderBy(hash).limit over this table would
         # instead pay a TakeOrdered pass over the full join.
-        mids.persist().count()
+        mids = eager_materialize(mids)
         s = min(self.sample_size, self.n_edges)
         # sample edge IDs from the RAW edge list (top-s by per-iteration
         # hash — TakeOrdered over ids only), then gather positions for

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphem_rapids_spark.checkpoint import eager_checkpoint
+from graphem_rapids_spark.checkpoint import eager_checkpoint, eager_materialize
 
 from graphem_rapids_spark.functions import edge_coin_key, mix_uniform
 from graphem_rapids_spark.graph.canon import symmetrize_edges
@@ -75,10 +75,10 @@ def independent_cascade(
     same iteration loop — one Spark job per cascade step.
     """
     spark = edges.sparkSession
-    # src-partitioned once: the broadcast rounds ignore it (map-side
-    # join), and any shuffle-strategy round joins the frontier against
-    # this partitioning without re-shuffling the edge table
-    sym = symmetrize_edges(edges).repartition(F.col("src")).persist()
+    # row checkpoint (see analytics.pagerank): broadcast rounds are
+    # map-side joins, and AQE does not reuse checkpoint/cache
+    # partitioning for shuffle-strategy rounds either
+    sym = eager_materialize(symmetrize_edges(edges))
     trials_df = spark.range(trials).select(F.col("id").cast("int").alias("trial"))
     keys = ["trial", *key_cols]
     from graphem_rapids_spark import session

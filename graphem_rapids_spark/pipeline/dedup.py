@@ -34,6 +34,7 @@ import random
 from pyspark.sql import DataFrame
 
 from graphem_rapids_spark.checkpoint import eager_checkpoint as _eager_ckpt
+from graphem_rapids_spark.checkpoint import eager_materialize
 from pyspark.sql import functions as F
 
 _MERSENNE31 = (1 << 31) - 1
@@ -178,8 +179,11 @@ def minhash_lsh_pairs(
     are built from the full signatures)."""
     assert num_perm % bands == 0
     rows = num_perm // bands
-    sh = token_shingles(docs, n, id_col, text_col)
-    sh.persist()
+    # row checkpoint, not .persist(): both consumers (the 128-agg
+    # signature pass and the verify join) scan every row, so the
+    # columnar cache's encoder pass is pure build cost (see
+    # checkpoint.eager_materialize)
+    sh = eager_materialize(token_shingles(docs, n, id_col, text_col))
     sig = minhash_signatures(sh, num_perm, seed, id_col)
     band_structs = F.array(
         *[

@@ -301,23 +301,28 @@ def copurchase_edges(spark, sf_dir) -> DataFrame:
     if cached is not None:
         return cached
     # co-occurrence via ONE groupBy: collect the (deduped) part set per
-    # order, generate the i<j pairs map-side with array functions, then
-    # one distinct — 2 shuffles total vs 4 for the self-join form (the
-    # join re-hashed both sides on orderkey). Per-row fanout is k² on
-    # an order's k parts; line counts are bounded (≤7 in TPC-H-shape
-    # data), so no single-row skew bomb.
+    # order, generate the i<j pairs map-side, then one distinct —
+    # 2 shuffles total vs 4 for the self-join form (the join re-hashed
+    # both sides on orderkey). Per-row fanout is k² on an order's k
+    # parts; line counts are bounded (≤7 in TPC-H-shape data), so no
+    # single-row skew bomb. Pair generation is two chained explodes
+    # (generator codegen) rather than one nested-lambda struct build:
+    # the higher-order transform/filter/struct chain evaluates
+    # interpreted per element and measured ~2× slower on this stage.
     li = _t(spark, sf_dir, "lineitem")
     parts = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
-    raw = parts.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, x -> "
-                "transform(filter(ps, y -> y > x), y -> struct(x AS src, y AS dst))))"
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
-    edges = raw.distinct().persist()
-    edges.count()
+    raw = parts.select(F.explode("ps").alias("src"), "ps").select(
+        "src", F.explode(F.expr("filter(ps, y -> y > src)")).alias("dst")
+    )
+    # eager row materialization, NOT .persist(): building the columnar
+    # in-memory cache costs 10-25 µs/row (compression encoder pass)
+    # where the checkpoint writes rows once at ~1 µs/row — measured
+    # 6.7-8.8 s vs 4.1-4.5 s for this build at sf0.1, and the table is
+    # scanned whole by every consumer (no pruning benefit from the
+    # columnar form at this width). Stats are kept (sever_stats=False:
+    # one-shot table, no iterative stats compounding) so consumers'
+    # auto-broadcast decisions still see the real ~19 MB size.
+    edges = _eager_ckpt(raw.distinct(), sever_stats=False)
     _COPURCHASE_CACHE[key] = edges
     return edges
 
@@ -19548,11 +19553,15 @@ def community_louvain_move(spark, sf_dir):
             ).alias("g"),
         )
     )
-    w = Window.partitionBy("id").orderBy(F.col("g").desc(), F.col("c").asc())
+    # per-vertex argmax as max(struct(g, -c)) — identical semantics to
+    # the row_number window over (g DESC, c ASC) the oracle replays,
+    # with map-side partial aggregation and no sort (see
+    # analytics.label_propagation)
     moves = (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter((F.col("rk") == 1) & (F.col("g") > 0))
-        .select("id", F.col("c").alias("new_label"))
+        cand.groupBy("id")
+        .agg(F.max(F.struct(F.col("g"), (-F.col("c")).alias("_nc"))).alias("_m"))
+        .filter(F.col("_m.g") > 0)
+        .select("id", (-F.col("_m._nc")).alias("new_label"))
         # checkpoint so the 5-join gain chain executes ONCE — it used
         # to run twice (n_moved count + the new-label build)
         .transform(_eager_ckpt)

@@ -102,6 +102,18 @@ def get_spark(
         # default codegen field cap (100) silently drops that plan to
         # interpreted eval (2x slower measured) — raise it
         .config("spark.sql.codegen.maxFields", "256")
+        # the generated-class cache defaults to 100 entries (static
+        # conf); a session running the 33-query bench (or the 300-query
+        # gate) generates thousands of codegen classes, so the warm
+        # pass's compilations are evicted before the timed pass reuses
+        # them (measured: 2,039 Janino compilations over one warmed
+        # bench run — every one a cache miss, serialized on the
+        # driver). Sized to hold a full suite; per-entry cost is one
+        # compiled class (~10-100 KB)
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("GRAPHEM_CODEGEN_CACHE", "8192"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
