@@ -75,15 +75,27 @@ def independent_cascade(
     same iteration loop — one Spark job per cascade step.
     """
     spark = edges.sparkSession
-    # row checkpoint (see analytics.pagerank): broadcast rounds are
-    # map-side joins, and AQE does not reuse checkpoint/cache
-    # partitioning for shuffle-strategy rounds either
-    sym = eager_materialize(symmetrize_edges(edges))
     trials_df = spark.range(trials).select(F.col("id").cast("int").alias("trial"))
     keys = ["trial", *key_cols]
     from graphem_rapids_spark import session
 
     broadcast_max = session.BROADCAST_POSITIONS_MAX
+    # live-edge subgraph ONCE (row checkpoint): each directed edge's
+    # per-trial coin is round-independent, so the cascade equals
+    # reachability over the live edges — the exact formulation the
+    # DuckDB oracle replays. Evaluating every coin in one pass over
+    # the edge stream means each cascade round joins the frontier
+    # against only the ~p·trials·|E| surviving edges, instead of
+    # hash-probing all |E|·(rounds) edge rows and re-flipping coins
+    # per round (measured: the probe+coin work dominated the kernel's
+    # 60+ CPU-seconds at sf0.1). Same coin expression → same live set
+    # → identical activated sets.
+    live = eager_materialize(
+        symmetrize_edges(edges)
+        .crossJoin(trials_df)
+        .filter(_coin([F.col("src"), F.col("dst"), F.col("trial")], seed) < p)
+        .select("trial", "src", "dst")
+    )
     # localCheckpoint each round: the activated set is a union chain
     # that is ALSO nested inside every anti-join — without plan
     # truncation the logical plan doubles per iteration (the classic
@@ -98,16 +110,10 @@ def independent_cascade(
         # a cascade frontier is O(n·trials) mid-epidemic — broadcast
         # only while it is provably small (count is free: the frontier
         # is an eagerly-checkpointed table), else shuffle-join against
-        # the src-partitioned edge table
+        # the live-edge table
         fr = F.broadcast(frontier) if frontier_n <= broadcast_max else frontier
-        msgs = sym.withColumnRenamed("src", "id").join(fr, "id").select(
-            *keys, F.col("id").alias("u"), F.col("dst").alias("v")
-        )
-        succ = (
-            msgs.filter(_coin([F.col("u"), F.col("v"), F.col("trial")], seed) < p)
-            .select(*keys, F.col("v").alias("id"))
-            .distinct()
-        )
+        msgs = live.withColumnRenamed("src", "id").join(fr, ["trial", "id"])
+        succ = msgs.select(*keys, F.col("dst").alias("id")).distinct()
         new_active = succ.join(activated, [*keys, "id"], "left_anti").transform(
             eager_checkpoint
         )
@@ -118,7 +124,7 @@ def independent_cascade(
         # growth, so no extra checkpoint job per cascade round
         activated = activated.unionAll(new_active)
         frontier = new_active
-    sym.unpersist()
+    live.unpersist()
     return activated
 
 
