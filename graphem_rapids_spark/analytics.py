@@ -1003,28 +1003,38 @@ def bfs_distances(
     visited = sources.select(
         F.col("id").alias("s"), F.col("id"), F.lit(0).alias("d")
     ).transform(eager_checkpoint)
-    frontier = visited
+    frontier = visited.select("s", "id")
     frontier_n = frontier.count()
-    for _ in range(max_depth):
+    for depth in range(max_depth):
         # a multi-source frontier is O(sources·reach) — broadcast only
         # while provably small (count is free on the eagerly-
         # checkpointed table), else shuffle-join (see IC cascade)
         fr = F.broadcast(frontier) if frontier_n <= broadcast_max else frontier
+        # every vertex first reached this round is at distance depth+1
+        # by construction (the frontier is exactly the previous round's
+        # newly-visited set), so d never rides the message shuffle —
+        # (s, id) pairs deduplicate with distinct and the constant
+        # distance is stamped afterwards. Identical output to the
+        # former groupBy(s, id).min(d) over d = depth+1 messages, with
+        # one fewer column in the round's largest exchange.
         nxt = (
             sym.withColumnRenamed("src", "id")
             .join(fr, "id")
-            .select("s", F.col("dst").alias("id"), (F.col("d") + 1).alias("d"))
-            .groupBy("s", "id")
-            .agg(F.min("d").alias("d"))
+            .select("s", F.col("dst").alias("id"))
+            .distinct()
         )
-        new_v = nxt.join(visited.select("s", "id"), ["s", "id"], "left_anti").transform(eager_checkpoint)
+        new_v = (
+            nxt.join(visited.select("s", "id"), ["s", "id"], "left_anti")
+            .select("s", "id", F.lit(depth + 1).alias("d"))
+            .transform(eager_checkpoint)
+        )
         frontier_n = new_v.count()
         if frontier_n == 0:
             break
         # flat union of already-checkpointed frontiers — no lineage
         # growth, so no extra checkpoint job per BFS round
         visited = visited.unionAll(new_v)
-        frontier = new_v
+        frontier = new_v.select("s", "id")
     sym.unpersist()
     return visited
 
