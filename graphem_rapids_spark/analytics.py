@@ -26,7 +26,13 @@ import warnings
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from graphem_rapids_spark.checkpoint import eager_checkpoint, eager_materialize, release
+from graphem_rapids_spark.checkpoint import (
+    checkpoint_count,
+    eager_checkpoint,
+    eager_materialize,
+    lazy_checkpoint,
+    release,
+)
 from graphem_rapids_spark.graph.canon import symmetrize_edges, vertex_degrees
 
 # Brandes dependency accumulation quantum (power of two, so integer
@@ -349,8 +355,11 @@ def eigenvector_centrality(
         )
         # checkpoint BEFORE the norm action: y is referenced twice (norm
         # + normalized output) and would otherwise run the matvec twice
-        # per iteration — the checkpoint makes the second use a cache read
-        y = y.transform(eager_checkpoint)
+        # per iteration. LAZY checkpoint: the norm aggregate right below
+        # scans every row, so it materializes the blocks itself — the
+        # separate per-iteration checkpoint job folds into the norm job
+        # (checkpoint.lazy_checkpoint)
+        y = y.transform(lazy_checkpoint)
         norm = y.agg(F.sqrt(F.sum(F.col("value") * F.col("value")))).first()[0] or 1.0
         if norm == 0:
             break
@@ -540,19 +549,20 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("c").alias("nbr"))
         )
+        # carry the previous label through the round checkpoint: the
+        # changed-row count becomes a scan of the blocks the
+        # materialization itself writes (no separate join job), and the
+        # checkpoint still truncates the plan + severs stats every
+        # round (see checkpoint.py)
         new_labels = labels.join(nbr_min, "id", "left").select(
-            "id", F.least(F.col("component"), F.coalesce("nbr", F.col("component"))).alias("component")
+            "id",
+            F.least(F.col("component"), F.coalesce("nbr", F.col("component"))).alias("component"),
+            F.col("component").alias("_o"),
         )
-        # checkpoint every round — plan truncation AND stats severing
-        # (see checkpoint.py: origin stats compound across rounds)
-        from graphem_rapids_spark.checkpoint import eager_checkpoint
+        from graphem_rapids_spark.checkpoint import lazy_checkpoint
 
-        new_labels = eager_checkpoint(new_labels)
-        changed = (
-            new_labels.join(labels.select("id", F.col("component").alias("old")), "id")
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
+        new_labels = lazy_checkpoint(new_labels)
+        changed = new_labels.filter(F.col("component") != F.col("_o")).count()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
@@ -565,7 +575,7 @@ def connected_components(
             "use algorithm='star' (O(log d) rounds) instead of raising "
             "the cap"
         )
-    return labels
+    return labels.select("id", "component")
 
 
 def label_propagation(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
@@ -606,17 +616,18 @@ def label_propagation(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
         # replays, but it aggregates partially map-side and never
         # sorts (the window paid a full hash(id) exchange + sort per
         # round)
-        new = (
+        # carry the previous label through the round checkpoint so the
+        # changed-row convergence count is a scan of the blocks the
+        # materialization itself writes — the former separate
+        # new⋈labels count job folds away (checkpoint.lazy_checkpoint);
+        # the extra _o column is pruned out of every downstream join
+        new = lazy_checkpoint(
             votes.groupBy("id")
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("_nl"))).alias("_m"))
             .select("id", (-F.col("_m._nl")).alias("label"))
-            .transform(eager_checkpoint)
+            .join(labels.select("id", F.col("label").alias("_o")), "id")
         )
-        changed = (
-            new.join(labels.select("id", F.col("label").alias("_o")), "id")
-            .filter(F.col("label") != F.col("_o"))
-            .count()
-        )
+        changed = new.filter(F.col("label") != F.col("_o")).count()
         prev, labels = labels, new
         # release(), not unpersist(): these are SEVERED checkpoints
         # (checkpoint.py) — unpersist on the severed frame is a no-op
@@ -625,7 +636,7 @@ def label_propagation(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
         if changed == 0:
             break
     release(sym)
-    return labels
+    return labels.select("id", "label")
 
 
 def k_core(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
@@ -650,12 +661,11 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
             .filter(F.col("deg") >= k)
             .select(F.col("src").alias("id"))
         )
-        new = (
+        # materialization + edge count in one job (checkpoint_count)
+        new, n_new = checkpoint_count(
             cur.join(surv.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(surv.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .transform(eager_checkpoint)
         )
-        n_new = new.count()
         # release the prior round's checkpoint blocks — without this,
         # checkpointed RDDs accumulate across peel rounds until the
         # context cleaner GCs them (connected_components pattern)
@@ -1000,11 +1010,12 @@ def bfs_distances(
     # localCheckpoint per round — see influence.independent_cascade:
     # the visited set nests inside each anti-join, so without plan
     # truncation the plan grows exponentially with BFS depth.
-    visited = sources.select(
-        F.col("id").alias("s"), F.col("id"), F.lit(0).alias("d")
-    ).transform(eager_checkpoint)
+    # checkpoint_count: materialization + convergence count in ONE job
+    # per round (checkpoint.checkpoint_count)
+    visited, frontier_n = checkpoint_count(
+        sources.select(F.col("id").alias("s"), F.col("id"), F.lit(0).alias("d"))
+    )
     frontier = visited.select("s", "id")
-    frontier_n = frontier.count()
     for depth in range(max_depth):
         # a multi-source frontier is O(sources·reach) — broadcast only
         # while provably small (count is free on the eagerly-
@@ -1023,12 +1034,10 @@ def bfs_distances(
             .select("s", F.col("dst").alias("id"))
             .distinct()
         )
-        new_v = (
+        new_v, frontier_n = checkpoint_count(
             nxt.join(visited.select("s", "id"), ["s", "id"], "left_anti")
             .select("s", "id", F.lit(depth + 1).alias("d"))
-            .transform(eager_checkpoint)
         )
-        frontier_n = new_v.count()
         if frontier_n == 0:
             break
         # flat union of already-checkpointed frontiers — no lineage
@@ -1172,8 +1181,10 @@ def betweenness_sampled(
             .groupBy("s", "id")
             .agg(F.sum("sigma").alias("sigma"))
         )
-        frontier = msgs.join(seen, ["s", "id"], "left_anti").transform(eager_checkpoint)
-        frontier_n = frontier.count()
+        # materialization + frontier count in one job (checkpoint_count)
+        frontier, frontier_n = checkpoint_count(
+            msgs.join(seen, ["s", "id"], "left_anti")
+        )
         if frontier_n == 0:
             break
         levels.append(frontier)
@@ -2216,8 +2227,10 @@ def load_sampled(
             .groupBy("s", "id")
             .agg(F.count("*").alias("npred"))
         )
-        frontier = msgs.join(seen, ["s", "id"], "left_anti").transform(eager_checkpoint)
-        frontier_n = frontier.count()
+        # materialization + frontier count in one job (checkpoint_count)
+        frontier, frontier_n = checkpoint_count(
+            msgs.join(seen, ["s", "id"], "left_anti")
+        )
         if frontier_n == 0:
             break
         levels.append(frontier)
@@ -2717,8 +2730,10 @@ def edge_betweenness_sampled(
             .groupBy("s", "id")
             .agg(F.sum("sigma").alias("sigma"))
         )
-        frontier = msgs.join(seen, ["s", "id"], "left_anti").transform(eager_checkpoint)
-        frontier_n = frontier.count()
+        # materialization + frontier count in one job (checkpoint_count)
+        frontier, frontier_n = checkpoint_count(
+            msgs.join(seen, ["s", "id"], "left_anti")
+        )
         if frontier_n == 0:
             break
         levels.append(frontier)

@@ -28,7 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphem_rapids_spark.checkpoint import eager_checkpoint, eager_materialize
+from graphem_rapids_spark.checkpoint import (
+    checkpoint_count,
+    eager_materialize,
+)
 
 from graphem_rapids_spark.functions import edge_coin_key, mix_uniform
 from graphem_rapids_spark.graph.canon import symmetrize_edges
@@ -101,11 +104,13 @@ def independent_cascade(
     # truncation the logical plan doubles per iteration (the classic
     # iterative-dataflow pitfall; persist() caches data but keeps the
     # plan). Checkpointing makes each round's plan O(1).
-    activated = (
-        seeds.crossJoin(trials_df).select(*keys, "id").transform(eager_checkpoint)
+    # checkpoint_count: materialize + row count in ONE job per round
+    # (the count drove a second job that re-scanned the blocks the
+    # checkpoint had just written — see checkpoint.checkpoint_count)
+    activated, frontier_n = checkpoint_count(
+        seeds.crossJoin(trials_df).select(*keys, "id")
     )
     frontier = activated
-    frontier_n = frontier.count()
     for _ in range(max_iter):
         # a cascade frontier is O(n·trials) mid-epidemic — broadcast
         # only while it is provably small (count is free: the frontier
@@ -114,10 +119,9 @@ def independent_cascade(
         fr = F.broadcast(frontier) if frontier_n <= broadcast_max else frontier
         msgs = live.withColumnRenamed("src", "id").join(fr, ["trial", "id"])
         succ = msgs.select(*keys, F.col("dst").alias("id")).distinct()
-        new_active = succ.join(activated, [*keys, "id"], "left_anti").transform(
-            eager_checkpoint
+        new_active, frontier_n = checkpoint_count(
+            succ.join(activated, [*keys, "id"], "left_anti")
         )
-        frontier_n = new_active.count()
         if frontier_n == 0:
             break
         # flat union of checkpointed per-round tables — no lineage

@@ -19577,20 +19577,25 @@ def community_louvain_move(spark, sf_dir):
     # the row_number window over (g DESC, c ASC) the oracle replays,
     # with map-side partial aggregation and no sort (see
     # analytics.label_propagation)
-    moves = (
+    # checkpoint so the 5-join gain chain executes ONCE (it used to run
+    # twice: n_moved count + the new-label build); checkpoint_count
+    # returns the n_moved count from the materialization job itself
+    # instead of a second scan job (checkpoint.checkpoint_count)
+    from graphem_rapids_spark.checkpoint import checkpoint_count as _ckpt_count
+    from graphem_rapids_spark.checkpoint import lazy_checkpoint as _lazy_ckpt
+
+    moves, n_moved = _ckpt_count(
         cand.groupBy("id")
         .agg(F.max(F.struct(F.col("g"), (-F.col("c")).alias("_nc"))).alias("_m"))
         .filter(F.col("_m.g") > 0)
         .select("id", (-F.col("_m._nc")).alias("new_label"))
-        # checkpoint so the 5-join gain chain executes ONCE — it used
-        # to run twice (n_moved count + the new-label build)
-        .transform(_eager_ckpt)
     )
-    n_moved = moves.count()
+    # lazy: the q_nums job right below is the first (full-scan) action
+    # over new_lab, so it materializes these blocks itself
     new_lab = (
         lab.join(moves, "id", "left")
         .select("id", F.coalesce("new_label", F.col("label")).alias("label"))
-        .transform(_eager_ckpt)
+        .transform(_lazy_ckpt)
     )
     qb, qa = q_nums(lab, new_lab)
     den = 4.0 * m * m
