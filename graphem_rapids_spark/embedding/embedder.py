@@ -288,57 +288,88 @@ class GraphEmbedderSpark:
         def partial_topk(batches):
             import pandas as pd
 
-            best_d: np.ndarray | None = None  # (s, kk) distances
-            best_e: np.ndarray | None = None  # (s, kk) edge ids
-            # preallocated (rows, s) work buffers: the obvious
-            # (M[:,None,:]-q[None,:,:])**2).sum(axis=2) broadcast builds
-            # three (rows, s, dim) temporaries per batch — with many
-            # concurrent Python workers the allocation+memset churn is
-            # ~6x the arithmetic (measured 42.6 -> 6.5 ms/batch single,
-            # 13x under 10-way concurrency). The per-dim in-place form
-            # below is bit-identical (same add order as sum(axis=2)).
-            d2f = np.empty((0, n_q))
-            tmpf = np.empty((0, n_q))
+            # Sorted-sweep exact top-k (r8 opt round): the former kernel
+            # evaluated the FULL rows x s distance matrix per batch
+            # (~57 ms/batch warm even with preallocated buffers —
+            # memory-bandwidth-bound under 10-way task concurrency).
+            # Midpoints are low-dim layout points, so sorting the
+            # partition once by coordinate 0 and sweeping outward from
+            # each query with the running k-th-best distance as the
+            # window bound examines only a tiny, provably sufficient
+            # slice: a point whose coordinate-0 gap squared already
+            # exceeds the current k-th smallest d2 cannot enter the
+            # top-k (d2 >= gap^2). Per-element d2 values are
+            # bit-identical to the matrix form (same per-dim
+            # subtraction/addition order); the kept set is the k
+            # smallest by (d2, edge_id) LEXICOGRAPHIC, which is
+            # deterministic and a superset-proof partial for the
+            # downstream (d2 asc, edge_id asc) global window (the old
+            # argpartition kept an arbitrary tied subset).
+            es, ms = [], []
             for pdf in batches:
-                E = pdf["edge_id"].to_numpy(dtype=np.int64)
-                rows = len(E)
-                if d2f.shape[0] < rows:
-                    d2f = np.empty((rows, n_q))
-                    tmpf = np.empty((rows, n_q))
-                d2 = d2f[:rows]
-                for d in range(n_dims):
-                    t = d2 if d == 0 else tmpf[:rows]
-                    np.subtract(
-                        pdf[mcols[d]].to_numpy(dtype=np.float64)[:, None],
-                        q_mid[None, :, d],
-                        out=t,
+                es.append(pdf["edge_id"].to_numpy(dtype=np.int64))
+                ms.append(
+                    np.column_stack(
+                        [pdf[c].to_numpy(dtype=np.float64) for c in mcols]
                     )
-                    t *= t
-                    if d > 0:
-                        d2 += t
-                # per-query partial top-kk within this batch
-                take = min(kk, d2.shape[0])
-                idx = np.argpartition(d2, take - 1, axis=0)[:take]  # (take, s)
-                bd = np.take_along_axis(d2, idx, axis=0).T  # (s, take)
-                be = E[idx].T  # (s, take)
-                if best_d is None:
-                    best_d, best_e = bd.copy(), be.copy()
-                else:
-                    cd = np.concatenate([best_d, bd], axis=1)
-                    ce = np.concatenate([best_e, be], axis=1)
-                    take2 = min(kk, cd.shape[1])
-                    i2 = np.argpartition(cd, take2 - 1, axis=1)[:, :take2]
-                    best_d = np.take_along_axis(cd, i2, axis=1)
-                    best_e = np.take_along_axis(ce, i2, axis=1)
-            if best_d is not None:
-                ns = best_d.shape[1]
-                yield pd.DataFrame(
-                    {
-                        "qid": np.repeat(q_ids, ns),
-                        "edge_id": best_e.reshape(-1),
-                        "_d2": best_d.reshape(-1),
-                    }
                 )
+            if not es:
+                return
+            E = np.concatenate(es) if len(es) > 1 else es[0]
+            M = np.vstack(ms) if len(ms) > 1 else ms[0]
+            rows = E.shape[0]
+            kk_eff = min(kk, rows)
+            order = np.argsort(M[:, 0], kind="stable")
+            Ms = M[order]
+            Es = E[order]
+            key = np.ascontiguousarray(Ms[:, 0])
+            out_e = np.empty((n_q, kk_eff), dtype=np.int64)
+            out_d = np.empty((n_q, kk_eff))
+            empty_d = np.empty(0)
+            empty_e = np.empty(0, dtype=np.int64)
+            for qi in range(n_q):
+                q = q_mid[qi]
+                q0 = q[0]
+                pos = int(np.searchsorted(key, q0))
+                lo = hi = pos
+                cand_d, cand_e = empty_d, empty_e
+                # geometric window growth: small first probe (the top-k
+                # bound usually lands within a few hundred neighbors by
+                # coordinate 0), doubling while the bound stays unmet
+                chunk = 512
+                while lo > 0 or hi < rows:
+                    lg = (q0 - key[lo - 1]) ** 2 if lo > 0 else np.inf
+                    rg = (key[hi] - q0) ** 2 if hi < rows else np.inf
+                    if cand_d.shape[0] >= kk_eff:
+                        bound = cand_d[-1]
+                        if lg > bound and rg > bound:
+                            break
+                    if rg <= lg:
+                        nhi = min(rows, hi + chunk)
+                        blk = slice(hi, nhi)
+                        hi = nhi
+                    else:
+                        nlo = max(0, lo - chunk)
+                        blk = slice(nlo, lo)
+                        lo = nlo
+                    chunk *= 2
+                    d2b = (Ms[blk, 0] - q0) ** 2
+                    for d in range(1, n_dims):
+                        d2b += (Ms[blk, d] - q[d]) ** 2
+                    cd = np.concatenate([cand_d, d2b])
+                    ce = np.concatenate([cand_e, Es[blk]])
+                    sel = np.lexsort((ce, cd))[:kk_eff]
+                    cand_d = cd[sel]
+                    cand_e = ce[sel]
+                out_d[qi, : cand_d.shape[0]] = cand_d
+                out_e[qi, : cand_e.shape[0]] = cand_e
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(q_ids, kk_eff),
+                    "edge_id": out_e.reshape(-1),
+                    "_d2": out_d.reshape(-1),
+                }
+            )
 
         partials = mids.select("edge_id", *mcols).mapInPandas(
             partial_topk, "qid long, edge_id long, _d2 double"
