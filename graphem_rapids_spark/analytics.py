@@ -899,25 +899,50 @@ def motif_census(edges: DataFrame, cap: int | None = None) -> DataFrame:
     sym = symmetrize_edges(edges)
     deg = sym.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
     if cap is None:
+        # one probe job decides the mode AND whether pair keys pack
+        # (v spans every endpoint id because sym is symmetric)
         probe = deg.agg(
-            F.sum(F.expr("d * (d - 1) div 2")).alias("wp")
+            F.sum(F.expr("d * (d - 1) div 2")).alias("wp"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
         ).first()
         wedge_pairs = int(probe["wp"] or 0)
         cap = MOTIF_CAP_DEFAULT if wedge_pairs > MOTIF_WEDGE_VOLUME_MAX else 0
+        mn, mx = probe["mn"], probe["mx"]
+    else:
+        mn, mx = sym.agg(F.min("src"), F.max("src")).first()
+    # Pack the unordered pair (x, y), x < y, into ONE long when ids fit
+    # in 31 bits — the wedge-pair groupBy is the heaviest exchange in
+    # the repo (Σ C(deg,2) rows) and the key drops from two longs to
+    # one, with the closing-edge join probing a dense
+    # LongHashedRelation instead of the generic two-column UnsafeRow
+    # map (the graph_triangles packing, measured 6.2 -> 2.2 s there).
+    # Injective for 0 <= x,y < 2^31; larger id spaces keep the pair.
+    packable = mx is not None and 0 <= mn and mx < (1 << 31)
+    shift = F.lit(1 << 32)
     nbr = sym.select(F.col("src").alias("v"), F.col("dst").alias("u"))
     if cap <= 0:
         a = nbr.select("v", F.col("u").alias("x"))
         b = nbr.select("v", F.col("u").alias("y"))
-        cn = (
-            a.join(b, "v")
-            .filter(F.col("x") < F.col("y"))
-            .groupBy("x", "y")
-            .agg(F.count("*").alias("c"))
-        )
-        closed = cn.join(
-            edges.select(F.col("src").alias("x"), F.col("dst").alias("y")),
-            ["x", "y"],
-        ).agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_closed"))
+        wedge = a.join(b, "v").filter(F.col("x") < F.col("y"))
+        if packable:
+            cn = wedge.groupBy(
+                (F.col("x") * shift + F.col("y")).alias("_xy")
+            ).agg(F.count("*").alias("c"))
+            closing = edges.select(
+                (F.col("src") * shift + F.col("dst")).alias("_xy")
+            )
+            closed = cn.join(closing, "_xy").agg(
+                F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_closed")
+            )
+        else:
+            cn = wedge.groupBy("x", "y").agg(F.count("*").alias("c"))
+            closed = cn.join(
+                edges.select(F.col("src").alias("x"), F.col("dst").alias("y")),
+                ["x", "y"],
+            ).agg(
+                F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_closed")
+            )
         # Σ c(c−1) is divisible by 4 by construction; integer division
         # keeps the count exact past 2^53 wedge-pairs
         stats = cn.agg(
@@ -952,13 +977,19 @@ def motif_census(edges: DataFrame, cap: int | None = None) -> DataFrame:
         .filter(F.col("r") <= cap)
         .select("v", "u")
     )
-    cn = (
+    kpair = (
         kept.select("v", F.col("u").alias("x"))
         .join(kept.select("v", F.col("u").alias("y")), "v")
         .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count("*").alias("c"))
     )
+    # same pair-key packing as the exact mode: the kept-pair groupBy
+    # is the capped path's largest exchange (≤ Σ C(min(d,D),2) rows)
+    if packable:
+        cn = kpair.groupBy(
+            (F.col("x") * shift + F.col("y")).alias("_xy")
+        ).agg(F.count("*").alias("c"))
+    else:
+        cn = kpair.groupBy("x", "y").agg(F.count("*").alias("c"))
     squares = cn.agg(
         F.coalesce(F.expr("sum(c * (c - 1)) div 4"), F.lit(0))
         .cast("long")
