@@ -39,7 +39,12 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from graphem_rapids_spark.checkpoint import eager_checkpoint, eager_materialize
+from graphem_rapids_spark.checkpoint import (
+    eager_checkpoint,
+    eager_materialize,
+    lazy_checkpoint,
+    release,
+)
 
 from graphem_rapids_spark.embedding.laplacian import laplacian_embedding
 from graphem_rapids_spark.graph.canon import canonicalize_edges
@@ -130,6 +135,11 @@ class GraphEmbedderSpark:
         self._positions = laplacian_embedding(
             self.edges, self.n, self.dim, seed=self.seed
         ).persist()
+        # frame owning the blocks behind _positions (the persisted
+        # init, then each round's checkpointed `moved`) + releases
+        # deferred until a later scan materializes their last reader
+        self._pos_owner = self._positions
+        self._stale_blocks: list[DataFrame] = []
 
     # -- position access (E14) ------------------------------------------
     @property
@@ -144,10 +154,13 @@ class GraphEmbedderSpark:
         return out
 
     def set_positions(self, df: DataFrame) -> None:
-        old = self._positions
+        old_owner = self._pos_owner
         self._positions = df.persist()
-        self._positions.count()
-        old.unpersist()
+        self._positions.count()  # materializes before any release
+        self._pos_owner = self._positions
+        self._release_stale()
+        if old_owner is not None:
+            release(old_owner)
 
     # -- internals -------------------------------------------------------
     def _pos_as(self, alias_id: str, alias_pos: str) -> DataFrame:
@@ -460,11 +473,25 @@ class GraphEmbedderSpark:
         ).select("c.*")
         return out, mids
 
+    def _release_stale(self) -> None:
+        """Free checkpoint/persist blocks whose last reader has now
+        materialized (deferred from the previous iteration — see
+        :meth:`update_positions`)."""
+        for df in self._stale_blocks:
+            release(df)
+        self._stale_blocks = []
+
     def update_positions(self) -> None:
         """One layout step (E2–E12, ``update_positions`` :776-806)."""
         ee = self._edge_endpoints()
         if self.k_inter > 0 and self.n_edges > 1:
             inter, mids_cache = self._intersection_contribs(ee)
+            # the eager midpoint materialization inside
+            # _intersection_contribs was this iteration's first full
+            # scan of the previous positions — every lazily
+            # checkpointed frame from the previous round is
+            # materialized now, so its inputs can be freed
+            self._release_stale()
             # spring forces read the CACHED midpoint table (it carries
             # src/dst/p1/p2) — the edges⋈positions gather join runs
             # once per iteration, not once per force family
@@ -495,7 +522,20 @@ class GraphEmbedderSpark:
         # iteration. Checkpointing every iteration also truncates the
         # logical plan (persist() alone caches data but not the plan —
         # analysis cost grows exponentially without truncation).
-        moved = moved.transform(eager_checkpoint)
+        #
+        # LAZY on the intersection path (r8 opt round): the next full
+        # scan of `moved` — the stats aggregate feeding the broadcast,
+        # or the next iteration's eager midpoint materialization —
+        # computes the force pipeline ONCE and persists every
+        # partition as a side effect, folding the dedicated
+        # materialization job (and its block re-scan) into work the
+        # loop does anyway. The spring-only path keeps the eager form:
+        # nothing there is guaranteed to scan `moved` before the next
+        # round stacks another lazy plan on top.
+        if mids_cache is not None:
+            moved = moved.transform(lazy_checkpoint)
+        else:
+            moved = moved.transform(eager_checkpoint)
         # center + per-dim sample-std scale (:801-804; torch.std is ddof=1)
         stats = moved.agg(
             *[F.avg(F.col("pos").getItem(d)).alias(f"m{d}") for d in range(self.dim)],
@@ -512,13 +552,23 @@ class GraphEmbedderSpark:
             ).alias("pos"),
         )
         self._iter += 1
-        old = self._positions
+        old_owner = self._pos_owner
         # _positions stays a thin projection over the checkpointed
         # `moved` — O(1) plan depth, no extra materialization pass
         self._positions = newpos
-        old.unpersist()
+        self._pos_owner = moved
         if mids_cache is not None:
-            mids_cache.unpersist()
+            # lazy path: `moved` is not materialized yet and its
+            # lineage still reads the previous positions' blocks and
+            # the midpoint cache — defer both releases until the next
+            # full scan proves materialization (_release_stale)
+            self._stale_blocks += [
+                df for df in (old_owner, mids_cache) if df is not None
+            ]
+        elif old_owner is not None:
+            # eager path: `moved` is materialized, the previous
+            # positions' blocks have no reader left
+            release(old_owner)
 
     def run_layout(self, num_iterations: int = 100) -> DataFrame:
         """E13 (``run_layout`` :808-833)."""
