@@ -42,14 +42,27 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry: dict | None = None,
+) -> DataFrame:
     """(doc_id, n_chars, n_tokens, type_token_ratio, stopword_ratio,
     quality) — the standard cheap quality heuristics (length, lexical
-    diversity, stopword density)."""
+    diversity, stopword density).
+
+    ``carry``: extra ``{name: Column}`` expressions evaluated in the
+    SAME corpus scan and carried through the output — a fusion hook so
+    a pipeline needing e.g. the exact-dedup md5 alongside the quality
+    signals pays ONE pass over the raw text instead of two (at corpus
+    scale a full extra read)."""
+    carry = carry or {}
     t = docs.select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("n_chars"),
         tokens_col(text_col).alias("_t"),
+        *[c.alias(n) for n, c in carry.items()],
     )
     sw = F.array([F.lit(s) for s in EN_STOPWORDS])
     t = t.select(
@@ -60,6 +73,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.round(
             F.size(F.filter("_t", lambda x: F.array_contains(sw, x))) / F.size("_t"), 6
         ).alias("stopword_ratio"),
+        *carry.keys(),
     )
     quality = F.round(
         F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4

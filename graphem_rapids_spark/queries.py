@@ -6703,14 +6703,23 @@ def doc_pipeline_funnel(spark, sf_dir):
     # ratio that language_id re-derives, so both funnel stages filter
     # the same materialized per-doc scalar table (at 100 TB this drops
     # a full corpus scan + regex tokenize, and turns the quality∩lang
-    # semi-join into a conjunctive filter — no join at all)
+    # semi-join into a conjunctive filter — no join at all). The
+    # exact-dedup md5 rides the same scan (quality_score's carry
+    # hook), so the survivor groupBy reads the checkpointed scalar
+    # table instead of re-reading every raw text byte — the only
+    # remaining raw-corpus passes are this one and the shingle pass.
     scored = (
-        T.quality_score(docs)
-        .select("doc_id", "n_tokens", "stopword_ratio", "quality")
+        T.quality_score(docs, carry={"text_hash": F.md5(F.col("text"))})
+        .select("doc_id", "n_tokens", "stopword_ratio", "quality", "text_hash")
         .transform(_eager_ckpt)
     )
     q = scored.filter(F.col("quality") >= 0.5).select("doc_id", "n_tokens")
-    keep = D.exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
+    # min doc_id per md5 group == exact_duplicates(docs).keep_id
+    keep = (
+        scored.groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
     near = D.minhash_lsh_pairs(
         docs, n=4, threshold=0.5, num_perm=128, bands=64,
         max_shingle_df=_MAX_SHINGLE_DF,
@@ -6724,7 +6733,9 @@ def doc_pipeline_funnel(spark, sf_dir):
     qle = ql.join(keep, "doc_id", "left_semi")
     qled = qle.join(drop_b, "doc_id", "left_anti")
     return (
-        docs.agg(F.count("*").alias("n_input"))
+        # scored is 1:1 with docs — count the checkpointed scalar
+        # table, not another parquet pass
+        scored.agg(F.count("*").alias("n_input"))
         .crossJoin(q.agg(F.count("*").alias("n_quality")))
         .crossJoin(ql.agg(F.count("*").alias("n_lang")))
         .crossJoin(qle.agg(F.count("*").alias("n_exact")))

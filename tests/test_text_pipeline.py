@@ -103,3 +103,27 @@ def test_semdedup_drops_only_smaller_id_neighbors(spark):
     cells_all = {r.cell for r in out}
     cells_kept = {r.cell for r in out if r.keep}
     assert cells_all == cells_kept
+
+
+def test_quality_score_carry_columns(spark):
+    """The carry fusion hook evaluates extra expressions in the same
+    corpus scan and must not perturb the quality columns."""
+    from graphem_rapids_spark.pipeline.text import quality_score
+
+    docs = _docs(
+        spark,
+        [(1, "the quick brown fox and the lazy dog"), (2, "alpha beta alpha")],
+    )
+    base = {r["doc_id"]: r.asDict() for r in quality_score(docs).collect()}
+    carried = quality_score(
+        docs, carry={"text_hash": F.md5(F.col("text"))}
+    ).collect()
+    expect_md5 = {
+        r["doc_id"]: r["h"]
+        for r in docs.select("doc_id", F.md5("text").alias("h")).collect()
+    }
+    assert len(carried) == len(base)
+    for r in carried:
+        d = r.asDict()
+        assert d.pop("text_hash") == expect_md5[r["doc_id"]]
+        assert d == base[r["doc_id"]]
