@@ -6713,7 +6713,6 @@ def doc_pipeline_funnel(spark, sf_dir):
         .select("doc_id", "n_tokens", "stopword_ratio", "quality", "text_hash")
         .transform(_eager_ckpt)
     )
-    q = scored.filter(F.col("quality") >= 0.5).select("doc_id", "n_tokens")
     # min doc_id per md5 group == exact_duplicates(docs).keep_id
     keep = (
         scored.groupBy("text_hash")
@@ -6726,25 +6725,33 @@ def doc_pipeline_funnel(spark, sf_dir):
     )
     drop_b = near.select(F.col("doc_b").alias("doc_id")).distinct()
 
+    # All five funnel counters in ONE aggregate over a per-doc flags
+    # table (r8 opt round): the former plan ran five independent
+    # aggregate branches (scored scanned three times, `keep` built
+    # twice) stitched by four crossJoins — ~30 exchanges of AQE
+    # stage-by-stage driver work for a query whose executor time is
+    # trivial. `keep` and `drop_b` have unique doc_ids (min-per-group
+    # / distinct), so the left joins are row-preserving and the
+    # semi/anti-join predicates become flag tests; one scan, one
+    # aggregate, identical values.
+    #
     # pred_lang == 'en'  ⇔  stopword_ratio ≥ 0.08 (language_id's rule)
-    ql = scored.filter(
-        (F.col("quality") >= 0.5) & (F.col("stopword_ratio") >= 0.08)
-    ).select("doc_id", "n_tokens")
-    qle = ql.join(keep, "doc_id", "left_semi")
-    qled = qle.join(drop_b, "doc_id", "left_anti")
-    return (
-        # scored is 1:1 with docs — count the checkpointed scalar
-        # table, not another parquet pass
-        scored.agg(F.count("*").alias("n_input"))
-        .crossJoin(q.agg(F.count("*").alias("n_quality")))
-        .crossJoin(ql.agg(F.count("*").alias("n_lang")))
-        .crossJoin(qle.agg(F.count("*").alias("n_exact")))
-        .crossJoin(
-            qled.agg(
-                F.count("*").alias("n_final"),
-                F.sum("n_tokens").alias("surviving_tokens"),
-            )
-        )
+    qq = F.col("quality") >= 0.5
+    ll = F.col("stopword_ratio") >= 0.08
+    kk = F.col("_k").isNotNull()
+    dd = F.col("_d").isNull()
+    flags = scored.join(
+        keep.withColumn("_k", F.lit(1)), "doc_id", "left"
+    ).join(drop_b.withColumn("_d", F.lit(1)), "doc_id", "left")
+    return flags.agg(
+        F.count("*").alias("n_input"),
+        F.count(F.when(qq, 1)).alias("n_quality"),
+        F.count(F.when(qq & ll, 1)).alias("n_lang"),
+        F.count(F.when(qq & ll & kk, 1)).alias("n_exact"),
+        F.count(F.when(qq & ll & kk & dd, 1)).alias("n_final"),
+        F.sum(F.when(qq & ll & kk & dd, F.col("n_tokens"))).alias(
+            "surviving_tokens"
+        ),
     )
 
 
