@@ -33,8 +33,9 @@ import random
 
 from pyspark.sql import DataFrame
 
+from graphem_rapids_spark.checkpoint import checkpoint_count
 from graphem_rapids_spark.checkpoint import eager_checkpoint as _eager_ckpt
-from graphem_rapids_spark.checkpoint import eager_materialize
+from graphem_rapids_spark.checkpoint import eager_materialize, release
 from pyspark.sql import functions as F
 
 _MERSENNE31 = (1 << 31) - 1
@@ -73,11 +74,36 @@ def _pair_jaccard(
     id_col: str,
     candidates: DataFrame | None = None,
     max_shingle_df: int | None = None,
+    broadcast_candidates: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, n_common, n_union, jaccard) for pairs sharing ≥1
-    shingle (optionally restricted to candidate pairs)."""
-    counts = shingles.groupBy(id_col).agg(F.count("*").alias("_n"))
-    sh = shingles
+    shingle (optionally restricted to candidate pairs;
+    ``broadcast_candidates`` asserts the caller counted the candidate
+    list and it fits a broadcast — enables the map-side doc filter)."""
+    base = shingles
+    if candidates is not None and broadcast_candidates:
+        # Restrict the verify streams to CANDIDATE docs before any
+        # heavy work (r8 opt round): the former plan built the full
+        # Σ df² pair stream and only then semi-joined the candidate
+        # list — at corpus scale that is the all-pairs join LSH exists
+        # to avoid. n_common/n_union only read the two member docs'
+        # shingle rows, all retained by the semi-join, and the df cap
+        # below is computed over the FULL corpus, so df semantics (and
+        # therefore every surviving value) are unchanged. ONLY when the
+        # caller proved the candidate list small (broadcast_candidates)
+        # — a broadcast semi-join filters the shingle stream map-side;
+        # the unproven case keeps the unrestricted pair stream rather
+        # than paying a full shingle shuffle by doc id (measured: that
+        # exchange cost more than the df-capped pair stream it saves
+        # at bench scale).
+        cd = (
+            candidates.select(F.col("doc_a").alias(id_col))
+            .unionAll(candidates.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        base = shingles.join(F.broadcast(cd), id_col, "left_semi")
+    counts = base.groupBy(id_col).agg(F.count("*").alias("_n"))
+    sh = base
     if max_shingle_df is not None:
         df_ok = (
             shingles.groupBy("shingle")
@@ -90,7 +116,8 @@ def _pair_jaccard(
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     pairs = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
     if candidates is not None:
-        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        c = F.broadcast(candidates) if broadcast_candidates else candidates
+        pairs = pairs.join(c, ["doc_a", "doc_b"], "left_semi")
     common = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
     ca = counts.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("_na"))
     cb = counts.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("_nb"))
@@ -218,16 +245,32 @@ def minhash_lsh_pairs(
     if not verify:
         sh.unpersist()
         return cand
+    # materialize + count the candidate list in one job: it feeds the
+    # verify pass TWICE (member-doc filter + exact pair filter), and
+    # the count proves whether it fits a broadcast — small candidate
+    # lists (the designed regime) then filter the shingle stream
+    # MAP-SIDE before the pair join, so the verify join's Σ df² pair
+    # stream shrinks to candidate docs only without any new exchange;
+    # an oversized candidate list keeps the unrestricted df-capped
+    # stream (broadcast↔shuffle dual strategy, as the IC/BFS frontier)
+    from graphem_rapids_spark import session
+
+    cand, n_cand = checkpoint_count(cand)
     out = _pair_jaccard(
-        sh, id_col, candidates=cand, max_shingle_df=max_shingle_df
+        sh,
+        id_col,
+        candidates=cand,
+        max_shingle_df=max_shingle_df,
+        broadcast_candidates=2 * n_cand <= session.BROADCAST_POSITIONS_MAX,
     ).filter(
         F.col("n_common").cast("double") >= F.lit(threshold) * F.col("n_union")
     )
     # the verified pair set is small (near-dups) — materialize it so
-    # the shingle cache (O(corpus) rows) can be released instead of
-    # lingering for the session (it has no further consumers)
+    # the shingle cache (O(corpus) rows) and the candidate checkpoint
+    # can be released instead of lingering for the session
     out = out.transform(_eager_ckpt)
     sh.unpersist()
+    release(cand)
     return out
 
 
