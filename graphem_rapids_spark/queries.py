@@ -2429,14 +2429,20 @@ def community_modularity(spark, sf_dir):
 
     e = copurchase_edges(spark, sf_dir)
     lab = label_propagation(e, max_rounds=_LPA_ROUNDS)
+    # Σ_label (4m·mc − dsum²) = 4m·Σmc − Σ dsum² (r8 opt round): the
+    # edge stream takes ONE scalar aggregate (map-side partial, no
+    # per-label groupBy exchange, no dc⋈intra join); only the n-row
+    # degree table still groups by label. Identical exact integers.
     la = lab.select(F.col("id").alias("src"), F.col("label").alias("_la"))
     lb = lab.select(F.col("id").alias("dst"), F.col("label").alias("_lb"))
     intra = (
         e.join(la, "src")
         .join(lb, "dst")
-        .filter(F.col("_la") == F.col("_lb"))
-        .groupBy(F.col("_la").alias("label"))
-        .agg(F.count("*").alias("mc"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("_la") == F.col("_lb")).cast("long")), F.lit(0)
+            ).alias("mt")
+        )
     )
     deg = (
         e.select(F.col("src").alias("id"))
@@ -2444,32 +2450,28 @@ def community_modularity(spark, sf_dir):
         .groupBy("id")
         .agg(F.count("*").alias("d"))
     )
-    dc = (
+    dstat = (
         deg.join(lab, "id")
         .groupBy("label")
         .agg(F.sum("d").alias("dsum"))
-    )
-    m = e.agg(F.count("*").alias("m_edges"))
-    percomm = dc.join(intra, "label", "left").select(
-        "label", "dsum", F.coalesce("mc", F.lit(0)).alias("mc")
-    )
-    qn = (
-        F.lit(4) * F.col("m_edges") * F.col("mc")
-        - F.col("dsum") * F.col("dsum")
-    )
-    return (
-        percomm.crossJoin(F.broadcast(m))
-        .groupBy("m_edges")
         .agg(
             F.count("*").alias("n_communities"),
-            F.sum(qn).alias("q_num"),
+            F.coalesce(F.sum(F.col("dsum") * F.col("dsum")), F.lit(0)).alias(
+                "_ss"
+            ),
         )
+    )
+    m = e.agg(F.count("*").alias("m_edges"))
+    qn = F.lit(4) * F.col("m_edges") * F.col("mt") - F.col("_ss")
+    return (
+        intra.crossJoin(F.broadcast(dstat))
+        .crossJoin(F.broadcast(m))
         .select(
             "n_communities",
             "m_edges",
-            "q_num",
+            qn.alias("q_num"),
             F.round(
-                F.col("q_num").cast("double")
+                qn.cast("double")
                 / (F.lit(4.0) * F.col("m_edges") * F.col("m_edges")),
                 6,
             ).alias("modularity"),
@@ -5889,31 +5891,34 @@ def _gn_modularity_num(e, m, labels):
     deg = sym.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
         "src", "id"
     )
+    # Σ_c (4m·m_c − d_c²) = 4m·Σm_c − Σ d_c² (r8 opt round): the edge
+    # stream takes ONE scalar aggregate (map-side partial, no
+    # per-component groupBy exchange, no dc⋈intra join); only the
+    # n-row degree table still groups by component. Identical exact
+    # integers.
     la = labels.select(F.col("id").alias("src"), F.col("component").alias("_a"))
     lb = labels.select(F.col("id").alias("dst"), F.col("component").alias("_b"))
     intra = (
         e.join(la, "src")
         .join(lb, "dst")
-        .filter(F.col("_a") == F.col("_b"))
-        .groupBy(F.col("_a").alias("component"))
-        .agg(F.count("*").alias("mc"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("_a") == F.col("_b")).cast("long")), F.lit(0)
+            ).alias("mt")
+        )
     )
-    dc = (
+    dsq = (
         deg.join(labels, "id")
         .groupBy("component")
         .agg(F.sum("d").alias("dsum"))
-    )
-    return int(
-        dc.join(intra, "component", "left")
-        .select(
-            (
-                F.lit(4) * F.lit(m) * F.coalesce("mc", F.lit(0))
-                - F.col("dsum") * F.col("dsum")
-            ).alias("qn")
+        .agg(
+            F.coalesce(F.sum(F.col("dsum") * F.col("dsum")), F.lit(0)).alias(
+                "ss"
+            )
         )
-        .agg(F.sum("qn"))
-        .collect()[0][0]
     )
+    row = intra.crossJoin(F.broadcast(dsq)).first()
+    return 4 * m * int(row["mt"]) - int(row["ss"])
 
 
 def community_girvan_newman_step(spark, sf_dir):
@@ -19509,53 +19514,72 @@ def community_louvain_move(spark, sf_dir):
     )
     m = e.count()
 
-    def q_nums(old, new):
-        # BOTH modularity numerators in ONE job: tag the two label
-        # tables, count intra edges per (tag, label) with the tag
-        # equality folded into the join, aggregate grouped by tag —
-        # identical exact-integer sums, half the driver round-trips
-        tagged = old.select("id", "label", F.lit(0).alias("_t")).unionByName(
-            new.select("id", "label", F.lit(1).alias("_t"))
-        )
-        la = tagged.select(
+    def q_nums(lab_both):
+        # BOTH modularity numerators in ONE collect, with the
+        # per-label edge grouping cancelled algebraically (r8 opt
+        # round): Σ_label (4m·mc − dsum²) = 4m·Σmc − Σ dsum², and
+        # Σmc is just the count of intra-community edges — so the
+        # edge stream needs ONE pass with two broadcast-sized label
+        # joins and a scalar conditional aggregate (fully map-side
+        # partial, no groupBy exchange, no union doubling), while the
+        # Σ dsum² term groups only the n-row degree table. Identical
+        # exact-integer sums; the former shape tagged-unioned the
+        # label table and double-joined the edges (4m intermediate
+        # rows, per-label groupBy + left join behind one collect of
+        # 10 AQE stage jobs).
+        la = lab_both.select(
             F.col("id").alias("src"),
-            F.col("label").alias("_la"),
-            F.col("_t").alias("_ta"),
+            F.col("l_old").alias("_oa"),
+            F.col("l_new").alias("_na"),
         )
-        lb = tagged.select(
+        lb = lab_both.select(
             F.col("id").alias("dst"),
-            F.col("label").alias("_lb"),
-            F.col("_t").alias("_tb"),
+            F.col("l_old").alias("_ob"),
+            F.col("l_new").alias("_nb"),
         )
         intra = (
             e.join(la, "src")
             .join(lb, "dst")
-            .filter(
-                (F.col("_la") == F.col("_lb")) & (F.col("_ta") == F.col("_tb"))
+            .agg(
+                F.coalesce(
+                    F.sum((F.col("_oa") == F.col("_ob")).cast("long")), F.lit(0)
+                ).alias("mo"),
+                F.coalesce(
+                    F.sum((F.col("_na") == F.col("_nb")).cast("long")), F.lit(0)
+                ).alias("mn"),
             )
-            .groupBy(F.col("_ta").alias("_t"), F.col("_la").alias("label"))
-            .agg(F.count("*").alias("mc"))
         )
-        dcx = (
-            deg.join(tagged, "id")
-            .groupBy("_t", "label")
-            .agg(F.sum("d").alias("dsum"))
-        )
-        rows = (
-            dcx.join(intra, ["_t", "label"], "left")
+        dsq = (
+            deg.join(lab_both, "id")
             .select(
-                "_t",
-                (
-                    F.lit(4) * F.lit(m) * F.coalesce("mc", F.lit(0))
-                    - F.col("dsum") * F.col("dsum")
-                ).alias("qn"),
+                "d",
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(0).alias("_t"), F.col("l_old").alias("label")
+                        ),
+                        F.struct(
+                            F.lit(1).alias("_t"), F.col("l_new").alias("label")
+                        ),
+                    )
+                ).alias("_tl"),
             )
-            .groupBy("_t")
-            .agg(F.sum("qn").alias("q_num"))
-            .collect()
+            .groupBy(F.col("_tl._t").alias("_t"), F.col("_tl.label").alias("label"))
+            .agg(F.sum("d").alias("s"))
+            .groupBy()
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("_t") == 0, F.col("s") * F.col("s"))),
+                    F.lit(0),
+                ).alias("so"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_t") == 1, F.col("s") * F.col("s"))),
+                    F.lit(0),
+                ).alias("sn"),
+            )
         )
-        by_tag = {r["_t"]: r["q_num"] for r in rows}
-        return by_tag[0], by_tag[1]
+        r = intra.crossJoin(F.broadcast(dsq)).first()
+        return 4 * m * r["mo"] - r["so"], 4 * m * r["mn"] - r["sn"]
 
     nbc = (
         sym.join(
@@ -19608,14 +19632,19 @@ def community_louvain_move(spark, sf_dir):
         .filter(F.col("_m.g") > 0)
         .select("id", (-F.col("_m._nc")).alias("new_label"))
     )
-    # lazy: the q_nums job right below is the first (full-scan) action
-    # over new_lab, so it materializes these blocks itself
-    new_lab = (
+    # one (id, l_old, l_new) table feeds both numerators — q_nums never
+    # joins old against new. lazy: the q_nums intra job right below is
+    # the first full scan, so it materializes these blocks itself
+    lab_both = (
         lab.join(moves, "id", "left")
-        .select("id", F.coalesce("new_label", F.col("label")).alias("label"))
+        .select(
+            "id",
+            F.col("label").alias("l_old"),
+            F.coalesce("new_label", F.col("label")).alias("l_new"),
+        )
         .transform(_lazy_ckpt)
     )
-    qb, qa = q_nums(lab, new_lab)
+    qb, qa = q_nums(lab_both)
     den = 4.0 * m * m
     return spark.createDataFrame(
         [(m, n_moved, round(qb / den, 6), round(qa / den, 6))],
@@ -19722,32 +19751,36 @@ def community_louvain_rounds(spark, sf_dir):
     m = e.count()
 
     def q_and_comms(labels):
+        # Σ_label (4m·mc − dsum²) = 4m·Σmc − Σ dsum² (r8 opt round):
+        # the edge stream takes ONE scalar aggregate (map-side partial,
+        # no per-label groupBy exchange, no dcx⋈intra join); only the
+        # n-row degree table still groups by label (for Σ dsum² and the
+        # community count). Identical exact integers.
         la = labels.select(F.col("id").alias("src"), F.col("label").alias("_la"))
         lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("_lb"))
         intra = (
             e.join(la, "src")
             .join(lb, "dst")
-            .filter(F.col("_la") == F.col("_lb"))
-            .groupBy(F.col("_la").alias("label"))
-            .agg(F.count("*").alias("mc"))
+            .agg(
+                F.coalesce(
+                    F.sum((F.col("_la") == F.col("_lb")).cast("long")),
+                    F.lit(0),
+                ).alias("mt")
+            )
         )
-        dcx = (
+        dstat = (
             deg.join(labels, "id")
             .groupBy("label")
             .agg(F.sum("d").alias("dsum"))
-        )
-        row = (
-            dcx.join(intra, "label", "left")
-            .select(
-                (
-                    F.lit(4) * F.lit(m) * F.coalesce("mc", F.lit(0))
-                    - F.col("dsum") * F.col("dsum")
-                ).alias("qn")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("dsum") * F.col("dsum")), F.lit(0)
+                ).alias("ss"),
+                F.count("*").alias("nc"),
             )
-            .agg(F.sum("qn").alias("q_num"), F.count("*").alias("nc"))
-            .collect()[0]
         )
-        return int(row["q_num"]), int(row["nc"])
+        row = intra.crossJoin(F.broadcast(dstat)).first()
+        return 4 * m * int(row["mt"]) - int(row["ss"]), int(row["nc"])
 
     def one_pass(labels):
         dc = (
