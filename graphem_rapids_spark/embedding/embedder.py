@@ -260,30 +260,22 @@ class GraphEmbedderSpark:
         # instead pay a TakeOrdered pass over the full join.
         mids = eager_materialize(mids)
         s = min(self.sample_size, self.n_edges)
-        # sample edge IDs from the RAW edge list (top-s by per-iteration
-        # hash — TakeOrdered over ids only), then gather positions for
-        # just those s edges via broadcast joins.
-        s_ids = F.broadcast(
-            self.edges.select("edge_id")
-            .orderBy(F.xxhash64("edge_id", F.lit(self.seed + self._iter)))
-            .limit(s)
-        )
+        # sample the ≤s query edges straight from the MATERIALIZED
+        # midpoint checkpoint (r8 opt round): it already carries
+        # edge_id/src/dst/p1/p2/m* for every edge, so the per-iteration
+        # top-s by hash is ONE TakeOrdered scan of the checkpointed
+        # blocks — the former path re-scanned the raw edge list and
+        # re-gathered positions through two more broadcast joins (~5
+        # AQE jobs per iteration for the same 128 rows). Same sample:
+        # identical xxhash64(edge_id) keys over the identical edge-id
+        # set (every edge survives the contiguous-relabel position
+        # joins), identical midpoint doubles (same expressions over the
+        # same inputs).
         sampled_rows = (
-            self.edges.join(s_ids, "edge_id")
-            .join(self._pos_as("src", "p1"), "src")
-            .join(self._pos_as("dst", "p2"), "dst")
+            mids.orderBy(F.xxhash64("edge_id", F.lit(self.seed + self._iter)))
+            .limit(s)
             .select(
-                "edge_id",
-                "src",
-                "dst",
-                "p1",
-                "p2",
-                *[
-                    ((F.col("p1").getItem(i) + F.col("p2").getItem(i)) / 2.0).alias(
-                        f"m{i}"
-                    )
-                    for i in dims
-                ],
+                "edge_id", "src", "dst", "p1", "p2", *[f"m{i}" for i in dims]
             )
             .collect()
         )
