@@ -133,7 +133,11 @@ class GraphEmbedderSpark:
         )
         self.n_edges = self.edges.count()
         self._positions = laplacian_embedding(
-            self.edges, self.n, self.dim, seed=self.seed
+            self.edges, self.n, self.dim, seed=self.seed,
+            # self.edges is src<dst distinct by construction (canonical
+            # contract or the canonicalize/groupBy above): the driver
+            # eigensolve can skip its dedupe sort
+            assume_canonical=True,
         ).persist()
         # frame owning the blocks behind _positions (the persisted
         # init, then each round's checkpointed `moved`) + releases

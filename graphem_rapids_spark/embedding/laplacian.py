@@ -34,20 +34,31 @@ def laplacian_embedding(
     seed: int = 0,
     max_driver_n: int | None = None,
     power_iters: int = 30,
+    assume_canonical: bool = False,
 ) -> DataFrame:
-    """positions(id, pos: array<double>) from the spectral embedding."""
+    """positions(id, pos: array<double>) from the spectral embedding.
+
+    ``assume_canonical=True`` promises src<dst distinct edges (the
+    embedder's contract for ``self.edges``), letting the driver path
+    skip its O(nnz log nnz) dedupe sort — the collect is ordered on
+    the cluster instead, so the summation order (hence every float)
+    stays deterministic across core counts."""
     if max_driver_n is None:
         from graphem_rapids_spark.session import DRIVER_EIG_MAX_VERTICES
 
         max_driver_n = DRIVER_EIG_MAX_VERTICES
     if n_vertices <= max_driver_n:
-        return _driver_eigh(edges, n_vertices, n_components, seed)
+        return _driver_eigh(
+            edges, n_vertices, n_components, seed, assume_canonical
+        )
     return _distributed_orthogonal_iteration(
         edges, n_vertices, n_components, seed, power_iters
     )
 
 
-def _driver_eigh(edges: DataFrame, n: int, k: int, seed: int) -> DataFrame:
+def _driver_eigh(
+    edges: DataFrame, n: int, k: int, seed: int, assume_canonical: bool = False
+) -> DataFrame:
     """Driver-side eigensolve — the reference's own strategy
     (``embedder_pytorch.py:337-379`` collects to the driver regardless
     of size). Pure numpy (scipy is not a dependency): dense ``eigh``
@@ -57,21 +68,31 @@ def _driver_eigh(edges: DataFrame, n: int, k: int, seed: int) -> DataFrame:
     Rayleigh–Ritz rotation) — top-k of M' = bottom nontrivial of L."""
     spark = edges.sparkSession
     try:
+        sel = edges.select("src", "dst")
+        if assume_canonical:
+            # caller guarantees src<dst distinct: no dedupe needed. A
+            # cluster-side total order replaces the driver-side
+            # O(nnz log nnz) unique sort (measured 1.1 s of the 3.2 s
+            # eigensolve at nnz=2.4M), keeping the mirror-sum order —
+            # hence every float — deterministic across core counts.
+            sel = sel.orderBy("src", "dst")
         try:
-            # Arrow collect → zero-copy numpy (~2.5× faster than the
-            # pandas materialization for a long×long edge list)
-            tbl = edges.select("src", "dst").toArrow()
+            # Arrow collect → numpy; combine_chunks first so the
+            # conversion is one C-level concat instead of a per-chunk
+            # flatten (255 collect batches at bench scale)
+            tbl = sel.toArrow().combine_chunks()
             src = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
             dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         except Exception:
-            pdf = edges.select("src", "dst").toPandas()
+            pdf = sel.toPandas()
             src = pdf["src"].to_numpy(np.int64)
             dst = pdf["dst"].to_numpy(np.int64)
         rows = np.concatenate([src, dst])
         cols = np.concatenate([dst, src])
-        # dedupe multi-edges via pair codes (n ≤ 1e6 → no overflow)
-        code = np.unique(rows * np.int64(n) + cols)
-        rows, cols = code // n, code % n
+        if not assume_canonical:
+            # dedupe multi-edges via pair codes (n ≤ 1e6 → no overflow)
+            code = np.unique(rows * np.int64(n) + cols)
+            rows, cols = code // n, code % n
         deg = np.bincount(rows, minlength=n).astype(np.float64)
         if n <= 2000:
             A = np.zeros((n, n))
@@ -133,18 +154,25 @@ def _numpy_orthogonal_iteration(
     two_m = deg.sum()
     v0 = np.sqrt(deg / max(two_m, 1.0))  # trivial eigenvector of M
 
-    _buf = np.empty(rows.shape[0])
+    from concurrent.futures import ThreadPoolExecutor
+
+    _bufs = [np.empty(rows.shape[0]) for _ in range(k)]
+    _pool = ThreadPoolExecutor(max_workers=max(k, 1))
+
+    def _col(args) -> None:
+        # per-column gather+multiply into a preallocated buffer: the
+        # broadcast form (w[:,None] * X[rows,:]) materializes an
+        # (nnz, k) temporary per call — measured 147 -> 34 ms/matvec
+        # at nnz=2.4M. Columns are independent, so running them on a
+        # small thread pool (numpy's multiply/bincount release the GIL
+        # for most of their work) is bit-identical per column.
+        d, X, Y = args
+        np.multiply(w, X[rows, d], out=_bufs[d])
+        Y[:, d] = np.bincount(cols, weights=_bufs[d], minlength=n)
 
     def matvec(X: np.ndarray) -> np.ndarray:
-        # per-column gather+multiply into one preallocated buffer:
-        # the broadcast form (w[:,None] * X[rows,:]) materializes an
-        # (nnz, k) temporary per call — measured 147 -> 34 ms/matvec
-        # at nnz=2.4M, bit-identical (same products, same bincount
-        # segment-sum order, in-place +I on a fresh array)
         Y = np.empty_like(X)
-        for d in range(X.shape[1]):
-            np.multiply(w, X[rows, d], out=_buf)
-            Y[:, d] = np.bincount(cols, weights=_buf, minlength=n)
+        list(_pool.map(_col, [(d, X, Y) for d in range(X.shape[1])]))
         Y += X  # shift by +I
         return Y
 
@@ -171,6 +199,7 @@ def _numpy_orthogonal_iteration(
     # Rayleigh–Ritz: rotate to eigenvector approximations, order by
     # eigenvalue of M' descending = eigenvalue of L ascending
     T = X.T @ matvec(X)
+    _pool.shutdown(wait=False)
     tvals, tvecs = np.linalg.eigh((T + T.T) / 2.0)
     return X @ tvecs[:, np.argsort(-tvals)]
 
