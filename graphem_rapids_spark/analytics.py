@@ -2385,41 +2385,54 @@ def _louvain_move_pass(
         .groupBy(F.col("src").alias("id"), "c")
         .agg(F.sum("w").alias("k"))
     )
+    if phase is not None:
+        # the parity restriction is an id-only predicate — applying it
+        # to nbc (instead of the former post-join cand) feeds every
+        # downstream join/aggregate half the rows, identical movers
+        nbc = nbc.filter(F.pmod(F.col("id"), F.lit(2)) == phase)
     own = labels.withColumnRenamed("label", "own")
-    kown = (
+    # gain fold (r8 opt round, mirrors community_louvain_move):
+    # g(i→c) = 2m(k−k_own) − d(dc−(down−d)) = s(c) + off(i) with
+    # s = 2m·k − d·dc and off constant per vertex, so the argmax over
+    # candidate communities needs only s (equal g ⇔ equal s per
+    # vertex — the (g DESC, c ASC) tie order is preserved exactly),
+    # k_own rides the same groupBy as a conditional aggregate, and
+    # the former kown self-join subtree plus one n-sized join
+    # disappear from every move pass
+    scored = (
         nbc.join(own, "id")
-        .filter(F.col("c") == F.col("own"))
-        .select("id", F.col("k").alias("k_own"))
-    )
-    cand = (
-        nbc.join(own, "id")
-        .filter(F.col("c") != F.col("own"))
-        .join(kown, "id", "left")
         .join(deg, "id")
         .join(dc.select(F.col("label").alias("c"), F.col("dsum").alias("dc")), "c")
+    )
+    best = scored.groupBy("id").agg(
+        F.max(
+            F.when(
+                F.col("c") != F.col("own"),
+                F.struct(
+                    (
+                        F.lit(2) * F.lit(m_w) * F.col("k")
+                        - F.col("d") * F.col("dc")
+                    ).alias("s"),
+                    (-F.col("c")).alias("_nc"),
+                ),
+            )
+        ).alias("_m"),
+        F.max(F.when(F.col("c") == F.col("own"), F.col("k"))).alias("k_own"),
+        F.max("own").alias("own"),
+        F.max("d").alias("d"),
+    )
+    moves = (
+        best.filter(F.col("_m").isNotNull())
         .join(
             dc.select(F.col("label").alias("own"), F.col("dsum").alias("down")),
             "own",
         )
-        .select(
-            "id",
-            "c",
-            (
-                F.lit(2) * F.lit(m_w)
-                * (F.col("k") - F.coalesce("k_own", F.lit(0)))
-                - F.col("d") * (F.col("dc") - (F.col("down") - F.col("d")))
-            ).alias("g"),
+        .filter(
+            F.col("_m.s")
+            - F.lit(2) * F.lit(m_w) * F.coalesce("k_own", F.lit(0))
+            + F.col("d") * (F.col("down") - F.col("d"))
+            > 0
         )
-    )
-    if phase is not None:
-        cand = cand.filter(F.pmod(F.col("id"), F.lit(2)) == phase)
-    # per-vertex argmax as max(struct(g, -c)) — identical semantics to
-    # the row_number window over (g DESC, c ASC) but with map-side
-    # partial aggregation and no sort (see label_propagation)
-    moves = (
-        cand.groupBy("id")
-        .agg(F.max(F.struct(F.col("g"), (-F.col("c")).alias("_nc"))).alias("_m"))
-        .filter(F.col("_m.g") > 0)
         .select("id", (-F.col("_m._nc")).alias("new_label"))
     )
     from graphem_rapids_spark.checkpoint import eager_checkpoint

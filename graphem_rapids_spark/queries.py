@@ -19590,36 +19590,40 @@ def community_louvain_move(spark, sf_dir):
         .agg(F.count("*").alias("k"))
     )
     own = lab.withColumnRenamed("label", "own")
-    kown = (
+    # gain fold (r8 opt round): g(i→c) = 2m(k−k_own) − d(dc−(down−d))
+    # = s(c) + off(i) with s = 2m·k − d·dc and off = −2m·k_own +
+    # d·(down − d) CONSTANT per vertex — so the per-vertex argmax over
+    # candidate communities needs only s, and k_own rides the SAME
+    # groupBy as a conditional aggregate (max over the at-most-one
+    # c == own row). Equal g ⇔ equal s for one vertex, so the
+    # (g DESC, c ASC) tie order IS the (s DESC, c ASC) order, and all
+    # arithmetic stays exact integers. This deletes the former kown
+    # self-join subtree and moves the down-join behind the aggregate
+    # (label-sized input instead of candidate-sized) — at scale one
+    # fewer shuffle join of an n-row table per pass.
+    scored = (
         nbc.join(own, "id")
-        .filter(F.col("c") == F.col("own"))
-        .select("id", F.col("k").alias("k_own"))
-    )
-    cand = (
-        nbc.join(own, "id")
-        .filter(F.col("c") != F.col("own"))
-        .join(kown, "id", "left")
         .join(deg, "id")
         .join(dc.select(F.col("label").alias("c"), F.col("dsum").alias("dc")), "c")
-        .join(
-            dc.select(F.col("label").alias("own"), F.col("dsum").alias("down")),
-            "own",
-        )
-        .select(
-            "id",
-            "c",
-            (
-                F.lit(2) * F.lit(m)
-                * (F.col("k") - F.coalesce("k_own", F.lit(0)))
-                - F.col("d") * (F.col("dc") - (F.col("down") - F.col("d")))
-            ).alias("g"),
-        )
     )
-    # per-vertex argmax as max(struct(g, -c)) — identical semantics to
-    # the row_number window over (g DESC, c ASC) the oracle replays,
-    # with map-side partial aggregation and no sort (see
-    # analytics.label_propagation)
-    # checkpoint so the 5-join gain chain executes ONCE (it used to run
+    best = scored.groupBy("id").agg(
+        F.max(
+            F.when(
+                F.col("c") != F.col("own"),
+                F.struct(
+                    (
+                        F.lit(2) * F.lit(m) * F.col("k")
+                        - F.col("d") * F.col("dc")
+                    ).alias("s"),
+                    (-F.col("c")).alias("_nc"),
+                ),
+            )
+        ).alias("_m"),
+        F.max(F.when(F.col("c") == F.col("own"), F.col("k"))).alias("k_own"),
+        F.max("own").alias("own"),
+        F.max("d").alias("d"),
+    )
+    # checkpoint so the gain chain executes ONCE (it used to run
     # twice: n_moved count + the new-label build); checkpoint_count
     # returns the n_moved count from the materialization job itself
     # instead of a second scan job (checkpoint.checkpoint_count)
@@ -19627,9 +19631,17 @@ def community_louvain_move(spark, sf_dir):
     from graphem_rapids_spark.checkpoint import lazy_checkpoint as _lazy_ckpt
 
     moves, n_moved = _ckpt_count(
-        cand.groupBy("id")
-        .agg(F.max(F.struct(F.col("g"), (-F.col("c")).alias("_nc"))).alias("_m"))
-        .filter(F.col("_m.g") > 0)
+        best.filter(F.col("_m").isNotNull())
+        .join(
+            dc.select(F.col("label").alias("own"), F.col("dsum").alias("down")),
+            "own",
+        )
+        .filter(
+            F.col("_m.s")
+            - F.lit(2) * F.lit(m) * F.coalesce("k_own", F.lit(0))
+            + F.col("d") * (F.col("down") - F.col("d"))
+            > 0
+        )
         .select("id", (-F.col("_m._nc")).alias("new_label"))
     )
     # one (id, l_old, l_new) table feeds both numerators — q_nums never
@@ -19799,46 +19811,58 @@ def community_louvain_rounds(spark, sf_dir):
             .agg(F.count("*").alias("k"))
         )
         own = labels.withColumnRenamed("label", "own")
-        kown = (
+        # same gain fold as community_louvain_move: g = s + off(id)
+        # with s = 2m·k − d·dc, so the per-vertex argmax
+        # max(struct(s, -c)) over c ≠ own replays the oracle's
+        # (g DESC, c ASC) row_number window exactly (equal g ⇔ equal
+        # s per vertex), k_own rides the same groupBy, and the former
+        # kown self-join subtree disappears
+        scored = (
             nbc.join(own, "id")
-            .filter(F.col("c") == F.col("own"))
-            .select("id", F.col("k").alias("k_own"))
-        )
-        cand = (
-            nbc.join(own, "id")
-            .filter(F.col("c") != F.col("own"))
-            .join(kown, "id", "left")
             .join(deg, "id")
             .join(
                 dc.select(F.col("label").alias("c"), F.col("dsum").alias("dc")),
                 "c",
             )
+        )
+        best = scored.groupBy("id").agg(
+            F.max(
+                F.when(
+                    F.col("c") != F.col("own"),
+                    F.struct(
+                        (
+                            F.lit(2) * F.lit(m) * F.col("k")
+                            - F.col("d") * F.col("dc")
+                        ).alias("s"),
+                        (-F.col("c")).alias("_nc"),
+                    ),
+                )
+            ).alias("_m"),
+            F.max(F.when(F.col("c") == F.col("own"), F.col("k"))).alias("k_own"),
+            F.max("own").alias("own"),
+            F.max("d").alias("d"),
+        )
+        # checkpoint_count: the gain chain materializes ONCE per pass
+        # (the former moves.count() + new_labels build executed it
+        # twice) and the n_moved count is the materialization job
+        from graphem_rapids_spark.checkpoint import checkpoint_count, release
+
+        moves, n_moved = checkpoint_count(
+            best.filter(F.col("_m").isNotNull())
             .join(
                 dc.select(
                     F.col("label").alias("own"), F.col("dsum").alias("down")
                 ),
                 "own",
             )
-            .select(
-                "id",
-                "c",
-                (
-                    F.lit(2) * F.lit(m)
-                    * (F.col("k") - F.coalesce("k_own", F.lit(0)))
-                    - F.col("d")
-                    * (F.col("dc") - (F.col("down") - F.col("d")))
-                ).alias("g"),
+            .filter(
+                F.col("_m.s")
+                - F.lit(2) * F.lit(m) * F.coalesce("k_own", F.lit(0))
+                + F.col("d") * (F.col("down") - F.col("d"))
+                > 0
             )
+            .select("id", (-F.col("_m._nc")).alias("new_label"))
         )
-        w = Window.partitionBy("id").orderBy(
-            F.col("g").desc(), F.col("c").asc()
-        )
-        moves = (
-            cand.withColumn("rk", F.row_number().over(w))
-            .filter((F.col("rk") == 1) & (F.col("g") > 0))
-            .select("id", F.col("c").alias("new_label"))
-        )
-        n_moved = moves.count()
         new_labels = (
             labels.join(moves, "id", "left")
             .select(
@@ -19847,6 +19871,9 @@ def community_louvain_rounds(spark, sf_dir):
             )
             .transform(_eager_ckpt)
         )
+        # new_labels is materialized (eager): the moves blocks have no
+        # reader left
+        release(moves)
         return new_labels, n_moved
 
     den = 4.0 * m * m
