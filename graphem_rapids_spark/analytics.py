@@ -342,6 +342,7 @@ def eigenvector_centrality(
     sym = eager_materialize(symmetrize_edges(edges))
     verts = spark.range(n_vertices).select(F.col("id").cast("long"))
     x = verts.select("id", F.lit(1.0 / math.sqrt(n_vertices)).alias("value")).persist()
+    prev_ckpt = None
     for it in range(max_iter):
         y = (
             sym.withColumnRenamed("src", "id")
@@ -372,7 +373,18 @@ def eigenvector_centrality(
             )
         else:
             delta = None
-        x.unpersist()
+        # x was a thin projection over the PREVIOUS round's checkpoint,
+        # so x.unpersist() here was a cache-manager no-op and every
+        # round's blocks leaked for the session's life (checkpoint.py
+        # module docstring). The norm job above (and the delta job when
+        # tol > 0) was the previous checkpoint's last reader — release
+        # its blocks directly; the persisted init is a real cache entry
+        # and keeps the plain unpersist.
+        if it == 0:
+            x.unpersist()
+        if prev_ckpt is not None:
+            release(prev_ckpt)
+        prev_ckpt = y
         x = new_x
         if delta is not None and delta < n_vertices * tol:
             break
