@@ -154,8 +154,20 @@ def pagerank(
             (F.lit(const) + F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0))).alias("value"),
         )
         # checkpoint every iteration: truncates the logical plan (persist
-        # alone lets analysis cost grow exponentially with iterations)
-        new_pr = new_pr.transform(eager_checkpoint)
+        # alone lets analysis cost grow exponentially with iterations).
+        # LAZY when a later full scan is guaranteed to materialize the
+        # blocks (checkpoint.lazy_checkpoint): with tol > 0 the delta
+        # aggregate below scans every row; in broadcast mode the NEXT
+        # round's rank-table broadcast scans every row during its own
+        # plan-to-RDD conversion — either way the dedicated
+        # materialization job per round folds into work the loop does
+        # anyway (one scheduling round-trip per iteration saved). The
+        # shuffle strategy at tol = 0 keeps the eager form: nothing
+        # there scans the frame before the next round stacks on top.
+        if use_broadcast or tol > 0:
+            new_pr = new_pr.transform(lazy_checkpoint)
+        else:
+            new_pr = new_pr.transform(eager_checkpoint)
         if tol > 0:
             delta = (
                 new_pr.join(pr.select("id", F.col("value").alias("old")), "id")
@@ -248,7 +260,12 @@ def pagerank_personalized(
                 + F.lit(alpha)
                 * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dangling) * F.col("e"))
             ).alias("value"),
-        ).transform(eager_checkpoint)
+        # LAZY in broadcast mode: this round's plan-to-RDD conversion
+        # already runs the rank-table broadcast job, which fully scans
+        # (and thereby materializes) the previous round's lazy
+        # checkpoint — the dedicated per-round materialization job
+        # folds away (see pagerank)
+        ).transform(lazy_checkpoint if use_broadcast else eager_checkpoint)
         pr.unpersist()
         pr = pr_new
     base.unpersist()
@@ -312,10 +329,17 @@ def pagerank_weighted(
                     + F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("value"),
             )
-            .transform(eager_checkpoint)
+            # LAZY in broadcast mode: the rank-table broadcast job run
+            # during this round's plan-to-RDD conversion fully scans
+            # the previous round's checkpoint, so the old pr is
+            # materialized-and-read by the time we release it below
+            # and the dedicated per-round materialization job folds
+            # away (see pagerank)
+            .transform(lazy_checkpoint if use_broadcast else eager_checkpoint)
         )
-        # ONLY after the new checkpoint materialized — contrib reads
-        # the old pr, and release is no longer a silent no-op
+        # ONLY after the old pr's last read — contrib reads it during
+        # the checkpoint conversion above, and release is no longer a
+        # silent no-op
         prev.unpersist()
     base.unpersist()
     sym.unpersist()
