@@ -260,9 +260,14 @@ class GraphEmbedderSpark:
         # columnar cache build on this wide array-bearing table cost
         # multiple CPU-seconds per iteration); the kNN pass, the pair
         # join and the spring pass then all read the materialized rows.
-        # Sampling via orderBy(hash).limit over this table would
-        # instead pay a TakeOrdered pass over the full join.
-        mids = eager_materialize(mids)
+        # LAZY (r8 opt round): the per-iteration sample right below is
+        # a TakeOrdered over this table — a full scan of every
+        # partition — so it materializes the checkpoint blocks itself
+        # and the dedicated materialization job folds away. Converting
+        # the plan to an RDD here also fires the positions broadcast,
+        # which fully scans (hence materializes) the previous round's
+        # lazily checkpointed `moved`.
+        mids = lazy_checkpoint(mids, sever_stats=False)
         s = min(self.sample_size, self.n_edges)
         # sample the ≤s query edges straight from the MATERIALIZED
         # midpoint checkpoint (r8 opt round): it already carries
@@ -383,6 +388,12 @@ class GraphEmbedderSpark:
         partials = mids.select("edge_id", *mcols).mapInPandas(
             partial_topk, "qid long, edge_id long, _d2 double"
         )
+        # global top-k merge: the distributed window over the tiny
+        # partials (s·(k+1) rows per partition). A driver-side numpy
+        # merge was A/B-tested in the r8 opt round and REJECTED: the
+        # per-iteration toPandas + createDataFrame py4j round-trips
+        # cost more than the window exchange they replaced (measured
+        # 25-30 s vs 10-14 s warm on the flagship at sf0.1).
         w = Window.partitionBy("qid").orderBy(
             F.col("_d2").asc(), F.col("edge_id").asc()
         )
