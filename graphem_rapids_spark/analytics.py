@@ -2532,19 +2532,21 @@ def _louvain_refine(ew_, labels_, max_rounds: int = LOUVAIN_REFINE_ROUNDS):
             .groupBy("id")
             .agg(F.min("c").alias("nbr"))
         )
-        new = eager_checkpoint(
+        # carry the previous label through the round checkpoint (the
+        # LPA pattern): the changed-row count below is then a filter
+        # over the blocks the materialization itself writes — the
+        # former separate new⋈ref count job folds into it, and the _o
+        # column is pruned out of every downstream join
+        new = lazy_checkpoint(
             ref.join(nbr, "id", "left").select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce("nbr", F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("_o"),
             )
         )
-        changed = (
-            new.join(ref.select("id", F.col("label").alias("o")), "id")
-            .filter(F.col("label") != F.col("o"))
-            .count()
-        )
+        changed = new.filter(F.col("label") != F.col("_o")).count()
         # release the prior round's checkpoint blocks eagerly (the
         # connected_components pattern) — leaked blocks measurably
         # slow every SUBSEQUENT job in the session
@@ -2561,7 +2563,9 @@ def _louvain_refine(ew_, labels_, max_rounds: int = LOUVAIN_REFINE_ROUNDS):
         )
     n_before = labels_.select("label").distinct().count()
     n_after = ref.select("label").distinct().count()
-    return ref, n_after - n_before
+    # project the carried _o column away so callers see the (id, label)
+    # contract unchanged
+    return ref.select("id", "label"), n_after - n_before
 
 
 def louvain(
