@@ -614,7 +614,9 @@ def connected_components(
     return labels.select("id", "component")
 
 
-def label_propagation(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, max_rounds: int = 10, converge: bool = True
+) -> DataFrame:
     """(id, label) — semi-synchronous label-propagation community
     detection (Raghavan et al. 2007) with fully deterministic
     tie-breaking: every round each vertex adopts the most frequent
@@ -631,7 +633,17 @@ def label_propagation(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
     matches exactly). At 100 TB this is the same one-edge-shuffle
     discipline as PageRank; hot vertices skew the count aggregate the
     same way every neighborhood aggregation here does (AQE skew
-    splitting applies)."""
+    splitting applies).
+
+    ``converge=False`` (r8 opt round) runs EXACTLY ``max_rounds``
+    rounds with no per-round convergence job: by the idempotence
+    above the output is identical, and each round's lazy checkpoint
+    is materialized by the NEXT round's plan-to-RDD conversion (its
+    label-table exchange fully scans the previous round — the
+    PageRank fold), so a round costs zero dedicated driver actions.
+    The right mode for the small fixed unrolls the oracle replays;
+    keep the default for exploratory calls where early stopping
+    saves real rounds."""
     sym = symmetrize_edges(edges).transform(eager_checkpoint)
     labels = (
         sym.select(F.col("src").alias("id"))
@@ -652,18 +664,32 @@ def label_propagation(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
         # replays, but it aggregates partially map-side and never
         # sorts (the window paid a full hash(id) exchange + sort per
         # round)
-        # carry the previous label through the round checkpoint so the
-        # changed-row convergence count is a scan of the blocks the
-        # materialization itself writes — the former separate
-        # new⋈labels count job folds away (checkpoint.lazy_checkpoint);
-        # the extra _o column is pruned out of every downstream join
-        new = lazy_checkpoint(
+        top1 = (
             votes.groupBy("id")
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("_nl"))).alias("_m"))
             .select("id", (-F.col("_m._nl")).alias("label"))
-            .join(labels.select("id", F.col("label").alias("_o")), "id")
         )
-        changed = new.filter(F.col("label") != F.col("_o")).count()
+        if converge:
+            # carry the previous label through the round checkpoint so
+            # the changed-row convergence count is a scan of the blocks
+            # the materialization itself writes — the former separate
+            # new⋈labels count job folds away
+            # (checkpoint.lazy_checkpoint); the extra _o column is
+            # pruned out of every downstream join
+            new = lazy_checkpoint(
+                top1.join(labels.select("id", F.col("label").alias("_o")), "id")
+            )
+            changed = new.filter(F.col("label") != F.col("_o")).count()
+        else:
+            # fixed-round mode: no convergence job at all — this lazy
+            # checkpoint's plan-to-RDD conversion executes the round's
+            # exchanges, whose label-side scan fully materializes (and
+            # is the last read of) the PREVIOUS round's checkpoint, so
+            # the release below is safe; this round's blocks
+            # materialize during the next round's conversion or the
+            # final consumer's action
+            new = lazy_checkpoint(top1)
+            changed = -1
         prev, labels = labels, new
         # release(), not unpersist(): these are SEVERED checkpoints
         # (checkpoint.py) — unpersist on the severed frame is a no-op

@@ -2304,7 +2304,7 @@ def community_lpa(spark, sf_dir):
     from graphem_rapids_spark.analytics import label_propagation
 
     e = copurchase_edges(spark, sf_dir)
-    labels = label_propagation(e, max_rounds=_LPA_ROUNDS)
+    labels = label_propagation(e, max_rounds=_LPA_ROUNDS, converge=False)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").alias("size")
     )
@@ -2321,7 +2321,7 @@ def community_density_profile(spark, sf_dir):
     from graphem_rapids_spark.analytics import label_propagation
 
     e = copurchase_edges(spark, sf_dir)
-    lab = label_propagation(e, max_rounds=_LPA_ROUNDS)
+    lab = label_propagation(e, max_rounds=_LPA_ROUNDS, converge=False)
     sizes = lab.groupBy("label").agg(F.count("*").alias("n_members"))
     la = lab.select(F.col("id").alias("_ia"), F.col("label").alias("_la"))
     lb = lab.select(F.col("id").alias("_ib"), F.col("label").alias("_lb"))
@@ -2428,7 +2428,7 @@ def community_modularity(spark, sf_dir):
     from graphem_rapids_spark.analytics import label_propagation
 
     e = copurchase_edges(spark, sf_dir)
-    lab = label_propagation(e, max_rounds=_LPA_ROUNDS)
+    lab = label_propagation(e, max_rounds=_LPA_ROUNDS, converge=False)
     # Σ_label (4m·mc − dsum²) = 4m·Σmc − Σ dsum² (r8 opt round): the
     # edge stream takes ONE scalar aggregate (map-side partial, no
     # per-label groupBy exchange, no dc⋈intra join); only the n-row
@@ -18778,7 +18778,7 @@ def graph_conductance_profile(spark, sf_dir):
     from graphem_rapids_spark.graph.canon import symmetrize_edges
 
     e = copurchase_edges(spark, sf_dir).transform(_eager_ckpt)
-    lab = label_propagation(e, max_rounds=_LPA_ROUNDS).transform(_eager_ckpt)
+    lab = label_propagation(e, max_rounds=_LPA_ROUNDS, converge=False).transform(_eager_ckpt)
     m = e.count()
     sym = symmetrize_edges(e)
     deg = sym.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
@@ -19504,7 +19504,7 @@ def community_louvain_move(spark, sf_dir):
     # query (measured ~flat 21 s at sf0.001 AND sf0.1: the cost IS the
     # job count, not the data)
     e = copurchase_edges(spark, sf_dir)
-    lab = label_propagation(e, max_rounds=_LPA_ROUNDS)
+    lab = label_propagation(e, max_rounds=_LPA_ROUNDS, converge=False)
     sym = symmetrize_edges(e)
     deg = sym.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
         "src", "id"
@@ -19752,7 +19752,7 @@ def community_louvain_rounds(spark, sf_dir):
     from graphem_rapids_spark.graph.canon import symmetrize_edges
 
     e = copurchase_edges(spark, sf_dir).transform(_eager_ckpt)
-    lab = label_propagation(e, max_rounds=_LPA_ROUNDS).transform(_eager_ckpt)
+    lab = label_propagation(e, max_rounds=_LPA_ROUNDS, converge=False).transform(_eager_ckpt)
     sym = symmetrize_edges(e).transform(_eager_ckpt)
     deg = (
         sym.groupBy("src")
