@@ -637,13 +637,16 @@ def label_propagation(
 
     ``converge=False`` (r8 opt round) runs EXACTLY ``max_rounds``
     rounds with no per-round convergence job: by the idempotence
-    above the output is identical, and each round's lazy checkpoint
-    is materialized by the NEXT round's plan-to-RDD conversion (its
-    label-table exchange fully scans the previous round — the
+    above the output is identical, and each checkpoint is
+    materialized by the NEXT batch's plan-to-RDD conversion (its
+    label-table exchange fully scans the previous checkpoint — the
     PageRank fold), so a round costs zero dedicated driver actions.
-    The right mode for the small fixed unrolls the oracle replays;
-    keep the default for exploratory calls where early stopping
-    saves real rounds."""
+    Rounds are additionally batched TWO per checkpoint (r9 opt
+    round): each round is a pure deterministic transform, so two
+    composed rounds in one plan are bit-identical while paying half
+    the plan conversions. The right mode for the small fixed unrolls
+    the oracle replays; keep the default for exploratory calls where
+    early stopping saves real rounds."""
     sym = symmetrize_edges(edges).transform(eager_checkpoint)
     labels = (
         sym.select(F.col("src").alias("id"))
@@ -651,10 +654,11 @@ def label_propagation(
         .select("id", F.col("id").alias("label"))
         .transform(eager_checkpoint)
     )
-    for _ in range(max_rounds):
+
+    def _one_round(lbl: DataFrame) -> DataFrame:
         votes = (
             sym.withColumnRenamed("src", "id")
-            .join(labels, "id")
+            .join(lbl, "id")
             .select(F.col("dst").alias("id"), "label")
             .groupBy("id", "label")
             .agg(F.count("*").alias("cnt"))
@@ -664,32 +668,52 @@ def label_propagation(
         # replays, but it aggregates partially map-side and never
         # sorts (the window paid a full hash(id) exchange + sort per
         # round)
-        top1 = (
+        return (
             votes.groupBy("id")
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("_nl"))).alias("_m"))
             .select("id", (-F.col("_m._nl")).alias("label"))
         )
-        if converge:
-            # carry the previous label through the round checkpoint so
-            # the changed-row convergence count is a scan of the blocks
-            # the materialization itself writes — the former separate
-            # new⋈labels count job folds away
-            # (checkpoint.lazy_checkpoint); the extra _o column is
-            # pruned out of every downstream join
-            new = lazy_checkpoint(
-                top1.join(labels.select("id", F.col("label").alias("_o")), "id")
-            )
-            changed = new.filter(F.col("label") != F.col("_o")).count()
-        else:
-            # fixed-round mode: no convergence job at all — this lazy
-            # checkpoint's plan-to-RDD conversion executes the round's
-            # exchanges, whose label-side scan fully materializes (and
-            # is the last read of) the PREVIOUS round's checkpoint, so
-            # the release below is safe; this round's blocks
-            # materialize during the next round's conversion or the
-            # final consumer's action
-            new = lazy_checkpoint(top1)
-            changed = -1
+
+    if not converge:
+        # fixed-round mode with rounds BATCHED two per checkpoint (r9
+        # opt round): each round is a pure, deterministic DataFrame
+        # transform (integer vote counts, exact argmax tie-break), so
+        # composing two rounds inside ONE plan and checkpointing once
+        # yields bit-identical labels while halving the plan-to-RDD
+        # conversions (analysis + AQE planning + py4j per round — the
+        # driver-floor cost the fixed unrolls pay). The intermediate
+        # label table is referenced exactly once (the next round's
+        # vote join), so the batched plan has no duplicated subtree;
+        # the lazy checkpoint's conversion executes both rounds'
+        # exchanges, whose first vote-join scan fully materializes
+        # (and is the last read of) the PREVIOUS checkpoint, keeping
+        # the release below safe (AQE-off sessions fall back to eager
+        # checkpoints inside lazy_checkpoint itself).
+        done = 0
+        while done < max_rounds:
+            step = min(2, max_rounds - done)
+            cur = labels
+            for _ in range(step):
+                cur = _one_round(cur)
+            new = lazy_checkpoint(cur)
+            prev, labels = labels, new
+            release(prev)
+            done += step
+        release(sym)
+        return labels.select("id", "label")
+
+    for _ in range(max_rounds):
+        top1 = _one_round(labels)
+        # carry the previous label through the round checkpoint so
+        # the changed-row convergence count is a scan of the blocks
+        # the materialization itself writes — the former separate
+        # new⋈labels count job folds away
+        # (checkpoint.lazy_checkpoint); the extra _o column is
+        # pruned out of every downstream join
+        new = lazy_checkpoint(
+            top1.join(labels.select("id", F.col("label").alias("_o")), "id")
+        )
+        changed = new.filter(F.col("label") != F.col("_o")).count()
         prev, labels = labels, new
         # release(), not unpersist(): these are SEVERED checkpoints
         # (checkpoint.py) — unpersist on the severed frame is a no-op

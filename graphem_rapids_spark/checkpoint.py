@@ -95,6 +95,16 @@ def eager_checkpoint(df: DataFrame, sever_stats: bool = True) -> DataFrame:
     return result
 
 
+def _aqe_enabled(df: DataFrame) -> bool:
+    try:
+        return (
+            df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true").lower()
+            == "true"
+        )
+    except Exception:  # pragma: no cover — connect/teardown races
+        return True
+
+
 def lazy_checkpoint(df: DataFrame, sever_stats: bool = True) -> DataFrame:
     """:func:`eager_checkpoint` minus the materialization job: the
     caller's FIRST action over the result materializes the checkpoint
@@ -106,7 +116,21 @@ def lazy_checkpoint(df: DataFrame, sever_stats: bool = True) -> DataFrame:
 
     The first action MUST scan every partition (count/agg/full write —
     not ``limit``/``first``), or unread partitions stay lazy and
-    recompute later."""
+    recompute later.
+
+    AQE guard (r9, ADVICE): several kernels release the PREVIOUS
+    round's blocks right after this call, which is only safe because
+    the stats-severing ``toRdd()`` conversion below — under AQE —
+    executes every upstream exchange as a job, reading (and thereby
+    finishing with) the released blocks. With
+    ``spark.sql.adaptive.enabled=false`` the conversion runs no jobs,
+    so the released blocks would still be live inputs and the first
+    action on the result would die with "checkpoint block not found".
+    On AQE-off sessions fall back to the eager checkpoint (one extra
+    materialization job per round, the pre-r8 behavior — correct at
+    any scale)."""
+    if not _aqe_enabled(df):
+        return eager_checkpoint(df, sever_stats=sever_stats)
     out = df.localCheckpoint(eager=False)
     jrdd = _checkpoint_rdd(out)
     result = out
